@@ -1,0 +1,197 @@
+"""Deterministic synthetic page scenes.
+
+The pipeline's input is a transcript table ``(conv_id, turn_idx, role, text,
+tool, ts)`` whose per-turn payload conceptually carries a PDF page. The
+sandbox has no PDF/ML stack, so each turn's payload is *expanded
+deterministically* from ``(conv_id, turn_idx)`` into exactly the
+intermediate representation the real ML stage would produce — page word
+positions (FIXTURES.md §2) plus raw structure predictions (FIXTURES.md §4)
+— seeded by a stable hash so every executor, process and test regenerates
+identical scenes (FIXTURES.md §7).
+
+Scenes intentionally exercise the extraction heuristics: duplicate row
+boxes (NMS), dropped row boxes (gap fill), projected row headers, caption
+words outside the table bbox, and occasional multi-table pages.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from gmft_spark.config import (
+    LABEL_COLUMN,
+    LABEL_COLUMN_HEADER,
+    LABEL_PROJECTED_ROW_HEADER,
+    LABEL_ROW,
+    LABEL_TABLE,
+)
+
+PAGE_WIDTH = 612.0
+PAGE_HEIGHT = 792.0
+WORD_HEIGHT = 8.2
+ROW_HEIGHT = 14.0
+
+
+def stable_seed(conv_id: str, turn_idx: int) -> int:
+    """Process-independent seed (crc32, not Python hash())."""
+    return zlib.crc32(f"{conv_id}|{turn_idx}".encode("utf-8")) & 0xFFFFFFFF
+
+
+@dataclass
+class SynthTable:
+    table_id: int
+    bbox: tuple  # page coords
+    scores: np.ndarray
+    labels: np.ndarray
+    boxes: np.ndarray  # table-local coords
+
+
+@dataclass
+class SynthScene:
+    conv_id: str
+    turn_idx: int
+    page_width: float
+    page_height: float
+    word_boxes: np.ndarray  # page coords, generator order
+    word_texts: List[str]
+    tables: List[SynthTable]
+
+
+def _token(rng: np.random.RandomState, r: int, c: int) -> str:
+    """Deterministic short cell token."""
+    v = int(rng.randint(0, 36**4))
+    chars = "0123456789abcdefghijklmnopqrstuvwxyz"
+    s = ""
+    for _ in range(4):
+        s += chars[v % 36]
+        v //= 36
+    return f"{s}{r}{c}"
+
+
+def _make_table(
+    rng: np.random.RandomState, table_id: int, origin_x: float, origin_y: float
+):
+    n_rows = int(rng.randint(3, 10))  # data rows
+    n_cols = int(rng.randint(2, 6))
+    col_widths = rng.uniform(55.0, 90.0, size=n_cols)
+    col_x = np.concatenate([[0.0], np.cumsum(col_widths)])
+    width = float(col_x[-1])
+    height = (n_rows + 1) * ROW_HEIGHT
+    bbox = (origin_x, origin_y, origin_x + width, origin_y + height)
+
+    words = []
+    texts = []
+    # header row then data rows, reading order (row-major, left→right)
+    for r in range(n_rows + 1):
+        y0 = origin_y + r * ROW_HEIGHT + 2.5
+        y1 = y0 + WORD_HEIGHT
+        for c in range(n_cols):
+            if r > 0 and rng.rand() < 0.08:
+                continue  # sparse cells
+            x0 = origin_x + col_x[c] + 3.0
+            if r == 0:
+                t = f"col{c}"
+            else:
+                t = _token(rng, r, c)
+            x1 = x0 + 4.0 + 4.6 * len(t)
+            words.append((x0, y0, min(x1, origin_x + col_x[c + 1] - 1.0), y1))
+            texts.append(t)
+            # occasionally a second word in the cell (tests ' '-join order)
+            if r > 0 and rng.rand() < 0.15:
+                t2 = _token(rng, r, c + 11)
+                nx0 = x1 + 3.0
+                nx1 = min(nx0 + 4.0 + 4.6 * len(t2), origin_x + col_x[c + 1] - 1.0)
+                if nx1 > nx0:
+                    words.append((nx0, y0, nx1, y1))
+                    texts.append(t2)
+
+    # predictions, table-local
+    scores, labels, boxes = [], [], []
+
+    def add(score, label, b):
+        scores.append(score)
+        labels.append(label)
+        boxes.append(list(b))
+
+    jit = lambda s: float(rng.uniform(-s, s))  # noqa: E731
+    add(0.999, LABEL_TABLE, (jit(0.5), jit(0.5), width + jit(0.5), height + jit(0.5)))
+    add(0.99, LABEL_COLUMN_HEADER, (jit(0.4), jit(0.4), width + jit(0.4), ROW_HEIGHT + jit(0.4)))
+    drop_row = int(rng.randint(1, n_rows + 1)) if rng.rand() < 0.2 else -1
+    dup_row = int(rng.randint(1, n_rows + 1)) if rng.rand() < 0.25 else -1
+    for r in range(n_rows + 1):
+        if r == drop_row:
+            continue  # exercises gap fill
+        y0 = r * ROW_HEIGHT + jit(0.3)
+        y1 = (r + 1) * ROW_HEIGHT + jit(0.3)
+        add(float(rng.uniform(0.85, 0.999)), LABEL_ROW, (jit(0.4), y0, width + jit(0.4), y1))
+        if r == dup_row:  # exercises NMS
+            add(
+                float(rng.uniform(0.4, 0.8)),
+                LABEL_ROW,
+                (jit(0.4), y0 + jit(1.5), width + jit(0.4), y1 + jit(1.5)),
+            )
+    for c in range(n_cols):
+        add(
+            float(rng.uniform(0.9, 0.999)),
+            LABEL_COLUMN,
+            (col_x[c] + jit(0.4), jit(0.4), col_x[c + 1] + jit(0.4), height + jit(0.4)),
+        )
+    if rng.rand() < 0.15 and n_rows >= 4:
+        # projected row header over one data row
+        pr = int(rng.randint(2, n_rows))
+        add(
+            0.95,
+            LABEL_PROJECTED_ROW_HEADER,
+            (0.0, pr * ROW_HEIGHT, width, (pr + 1) * ROW_HEIGHT),
+        )
+
+    return (
+        SynthTable(
+            table_id,
+            bbox,
+            np.array(scores, dtype=np.float64),
+            np.array(labels, dtype=np.int64),
+            np.array(boxes, dtype=np.float64),
+        ),
+        words,
+        texts,
+    )
+
+
+def synth_scene(conv_id: str, turn_idx: int) -> SynthScene:
+    """Expand ``(conv_id, turn_idx)`` into a deterministic page scene."""
+    rng = np.random.RandomState(stable_seed(conv_id, turn_idx))
+    n_tables = 2 if rng.rand() < 0.15 else 1
+
+    word_boxes: List[tuple] = []
+    word_texts: List[str] = []
+
+    # caption words above the first table (outside any table bbox)
+    cap_y = 60.0
+    for i, t in enumerate(["Table", f"{turn_idx}.", "Synthetic", "caption"]):
+        x0 = 72.0 + i * 48.0
+        word_boxes.append((x0, cap_y, x0 + 4.0 + 4.6 * len(t), cap_y + WORD_HEIGHT))
+        word_texts.append(t)
+
+    tables: List[SynthTable] = []
+    y = 100.0
+    for tid in range(n_tables):
+        tbl, words, texts = _make_table(rng, tid, 72.0 + float(rng.uniform(0, 20)), y)
+        tables.append(tbl)
+        word_boxes.extend(words)
+        word_texts.extend(texts)
+        y = tbl.bbox[3] + 60.0
+
+    return SynthScene(
+        conv_id=conv_id,
+        turn_idx=turn_idx,
+        page_width=PAGE_WIDTH,
+        page_height=PAGE_HEIGHT,
+        word_boxes=np.array(word_boxes, dtype=np.float64).reshape(-1, 4),
+        word_texts=word_texts,
+        tables=tables,
+    )

@@ -1,0 +1,121 @@
+"""The flagship Spark operator: per-turn table extraction.
+
+``extract_tables`` maps a transcript DataFrame through the deterministic
+kernel inside ``mapInPandas`` — one Arrow batch carries many turns, each
+turn expands to its page scene (words + structure predictions) and runs the
+full structure-recognition pipeline (gmft semantics, see
+gmft_spark.kernel.table), yielding one row per detected table.
+
+Scale properties (designed for 1000-executor / 100 TB runs):
+  * narrow map — NO shuffle: each turn is independent, so extraction runs
+    at scan parallelism straight off the (bucketed) source partitions;
+  * zero per-row Python at the Spark boundary — Arrow batches in/out;
+  * no driver collection; results stream to the sink;
+  * long conversations cannot skew this stage since the unit of work is a
+    turn, not a conversation (conversation-level assembly downstream uses
+    salted repartitioning — see plans/skew.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gmft_spark.config import ExtractConfig
+from gmft_spark.kernel.geometry import select_table_words
+from gmft_spark.kernel.synth import synth_scene
+from gmft_spark.kernel.table import extract_table
+from gmft_spark.kernel.text import assemble_text
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("table_id", IntegerType()),
+        StructField("status", StringType()),
+        StructField("message", StringType()),
+        StructField("csv", StringType()),
+        StructField("n_rows", IntegerType()),
+        StructField("n_cols", IntegerType()),
+        StructField("columns", ArrayType(StringType())),
+        StructField("top_header", ArrayType(IntegerType())),
+        StructField("projecting", ArrayType(IntegerType())),
+        StructField("hier_left", ArrayType(IntegerType())),
+        StructField("outliers", MapType(StringType(), StringType())),
+        StructField("table_text", StringType()),
+        StructField("confidence", DoubleType()),
+    ]
+)
+
+
+def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
+    """Extract all tables of one turn's page scene (plain-Python kernel
+    call — shared by the Spark path and the single-process oracle path in
+    tests)."""
+    scene = synth_scene(conv_id, turn_idx)
+    out = []
+    for tbl in scene.tables:
+        res = extract_table(
+            tbl.scores,
+            tbl.labels,
+            tbl.boxes,
+            scene.word_boxes,
+            scene.word_texts,
+            tbl.bbox,
+            config,
+        )
+        local, kept = select_table_words(
+            scene.word_boxes, scene.word_texts, tbl.bbox
+        )
+        out.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": int(turn_idx),
+                "table_id": tbl.table_id,
+                "status": res.status,
+                "message": res.message,
+                "csv": res.csv,
+                "n_rows": res.n_rows,
+                "n_cols": res.n_cols,
+                "columns": res.columns,
+                "top_header": res.top_header,
+                "projecting": res.projecting,
+                "hier_left": res.hier_left,
+                "outliers": {k: str(v) for k, v in res.outliers.items()},
+                "table_text": assemble_text(local, kept),
+                "confidence": 1.0,
+            }
+        )
+    return out
+
+
+def extract_tables(
+    transcripts: DataFrame, config: Optional[ExtractConfig] = None
+) -> DataFrame:
+    """Transcripts → one row per extracted table. Narrow map, no shuffle."""
+    cfg = config or ExtractConfig()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                rows.extend(extract_turn(conv_id, int(turn_idx), cfg))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    # only the key columns cross the Arrow boundary
+    return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=RESULT_SCHEMA
+    )
