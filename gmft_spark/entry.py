@@ -1,0 +1,66 @@
+"""Registry backing ``__spark_entry__.py`` (the driver contract).
+
+Aggregates every implemented operator's (R)-form query + DuckDB oracle,
+plus the custom pipeline operators that have no SQL equivalent (the driver
+records a rows-only check for those — structure extraction is gmft's
+heuristic algorithm, not relational algebra).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmft_spark.operators import analytics, dedup, relational, similarity, textstats
+from gmft_spark.operators.extract import extract_tables, extract_tables_histogram
+from gmft_spark.plans.skew import assemble_conversation_text
+from gmft_spark.sources.transcripts import transcripts_from_documents
+
+_ORACLE_MODULES = (relational, dedup, similarity, textstats, analytics)
+
+
+def _pipeline_tatr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_tables(t).orderBy("conv_id", "turn_idx", "table_id")
+
+
+def _pipeline_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_tables_histogram(t).orderBy("conv_id", "turn_idx", "table_id")
+
+
+def _pipeline_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    return assemble_conversation_text(extract_tables(t)).orderBy("conv_id")
+
+
+# custom (non-SQL-expressible) pipeline operators → rows-only driver check
+PIPELINE_QUERIES = {
+    "tatr_extract_pipeline": _pipeline_tatr,
+    "histogram_extract_pipeline": _pipeline_histogram,
+    "conversation_text_assembly": _pipeline_conversation_text,
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: per-turn deep-table extraction over transcripts derived
+    from the sf0.001 documents table."""
+    return _pipeline_tatr(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _ORACLE_MODULES:
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = fn
+    out.update(PIPELINE_QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _ORACLE_MODULES:
+        for name, (_fn, sql) in mod.QUERIES.items():
+            out[name] = sql
+    return out

@@ -1,0 +1,167 @@
+"""General analytics anchors over the star schema.
+
+Classic shapes that prove the engine handles ordinary warehouse queries
+with the right physical plans: partial-agg groupBy, broadcast-dim joins,
+window top-n, and event sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (map-side partial agg → one shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with broadcast dimensions: lineitem ⋈ orders ⋈
+    customer ⋈ nation → revenue per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+REVENUE_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-3 per group."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    win = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", F.round("p_retailprice", 4).alias("price"))
+        .orderBy("p_brand", "rk")
+    )
+
+
+TOP_PARTS_SQL = """
+    SELECT p_brand, rk, p_partkey, round(p_retailprice, 4) AS price
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+        FROM part
+    )
+    WHERE rk <= 3
+    ORDER BY p_brand, rk
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization: a new session starts after a >30-minute gap;
+    lag + running-sum window (the streaming analog uses watermarked
+    session windows — see gmft_spark/streaming)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(win))
+            )
+            > 1800,
+            1,
+        )
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session,
+               ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           round(sum(value), 6) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": (pricing_summary, PRICING_SQL),
+    "join_revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
+    "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),
+    "window_sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+}

@@ -1,0 +1,331 @@
+"""Deduplication operators over the ``documents`` table.
+
+First-class components of a 100 TB training-data pipeline. All hashing is
+done with md5 (hex string) so the Spark query and the DuckDB oracle agree
+bit-for-bit on every engine; MinHash permutations are salted md5s whose
+*lexicographic* min is the signature component (string order is
+engine-independent, unlike numeric hash functions).
+
+Scale notes: exact dedup is a single hash-shuffle; MinHash/LSH shuffles
+shingles once (explode → groupBy doc), then bands once (groupBy band) —
+band buckets are the classic sub-quadratic path; the pairwise Jaccard
+verifier only runs inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+N_MINHASH = 6  # salted permutations
+SHINGLE = 3  # words per shingle
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy; one shuffle)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 1)
+        .orderBy("content_hash")
+    )
+
+
+DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 1
+    ORDER BY content_hash
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 AS shingle,
+               lead(tok, 2) OVER w AS t2
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+        WHERE tok <> ''
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE t2 IS NOT NULL
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: min(md5(salt || shingle)) per salt."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+MINHASH_SQL = f"""
+    WITH shingles AS ({SHINGLES_SQL})
+    SELECT doc_id,
+           {", ".join(f"min(md5('s{k}|' || shingle)) AS mh{k}" for k in range(N_MINHASH))}
+    FROM shingles
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: signature split into bands of 2 minhashes; docs sharing
+    a band hash are near-dup candidates. Output: candidate pairs."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_MINHASH // 2):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
+                "bucket"
+            ),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+    WITH sig AS ({MINHASH_SQL}),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1}) AS bucket FROM sig"
+            for b in range(N_MINHASH // 2)
+        )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard similarity: candidate pairs share
+    (lang, length-bucket); J = |A∩B| / |A∪B| over distinct shingles.
+    Returns pairs with J >= 0.2."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 64).cast("int").alias("lb")
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    pairs = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.lb") == F.col("y.lb"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH shingles AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    d AS (SELECT doc_id, lang, CAST(floor(n_chars / 64.0) AS INT) AS lb FROM documents),
+    pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM d x JOIN d y
+          ON x.lang = y.lang AND x.lb = y.lb AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN shingles sa ON p.doc_a = sa.doc_id
+        JOIN shingles sb ON p.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.doc_a = za.doc_id
+    JOIN sizes zb ON i.doc_b = zb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= 0.2
+    ORDER BY doc_a, doc_b
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each token votes ±1 on every bit of its
+    (portable hex) hash; sign of the sum gives the bit. Implemented as
+    explode over a 16-row bit table — pure built-ins, no UDF."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    # portable hex→int: value of first 4 hex chars of md5(token)
+    hexv = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    toks = toks.withColumn("hv", hexv)
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "bit",
+            F.when(
+                (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2)
+                == 1,
+                1,
+            )
+            .otherwise(-1)
+            .alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                .otherwise(0)
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_SQL = """
+    WITH toks AS (
+        SELECT doc_id, u.tok
+        FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(tok)
+        WHERE u.tok <> ''
+    ),
+    hv AS (
+        SELECT doc_id,
+               (CASE WHEN substr(md5(tok),1,1) BETWEEN '0' AND '9'
+                     THEN ascii(substr(md5(tok),1,1)) - 48
+                     ELSE ascii(substr(md5(tok),1,1)) - 87 END) * 4096
+             + (CASE WHEN substr(md5(tok),2,1) BETWEEN '0' AND '9'
+                     THEN ascii(substr(md5(tok),2,1)) - 48
+                     ELSE ascii(substr(md5(tok),2,1)) - 87 END) * 256
+             + (CASE WHEN substr(md5(tok),3,1) BETWEEN '0' AND '9'
+                     THEN ascii(substr(md5(tok),3,1)) - 48
+                     ELSE ascii(substr(md5(tok),3,1)) - 87 END) * 16
+             + (CASE WHEN substr(md5(tok),4,1) BETWEEN '0' AND '9'
+                     THEN ascii(substr(md5(tok),4,1)) - 48
+                     ELSE ascii(substr(md5(tok),4,1)) - 87 END) AS hv
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN CAST(floor(hv / power(2.0, b.bit)) AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM hv, (SELECT n_nationkey AS bit FROM nation WHERE n_nationkey < 16) b
+        GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END)
+             AS simhash
+    FROM votes
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased text with
+    non-alphanumerics collapsed — catches whitespace/punctuation near-dups."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    return d.select(
+        "doc_id", F.md5(F.trim(norm)).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (simhash, SIMHASH_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}

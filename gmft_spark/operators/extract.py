@@ -119,3 +119,51 @@ def extract_tables(
     return transcripts.select("conv_id", "turn_idx").mapInPandas(
         run, schema=RESULT_SCHEMA
     )
+
+
+def extract_tables_histogram(transcripts: DataFrame) -> DataFrame:
+    """Non-deep twin of ``extract_tables``: the histogram formatter
+    (sweep-line dividers, gmft_spark.kernel.histogram) over the same
+    scenes. Same narrow-map scaling profile."""
+    from gmft_spark.kernel.histogram import histogram_extract
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                scene = synth_scene(conv_id, int(turn_idx))
+                for tbl in scene.tables:
+                    local, kept = select_table_words(
+                        scene.word_boxes, scene.word_texts, tbl.bbox
+                    )
+                    res = histogram_extract(
+                        local,
+                        kept,
+                        tbl.bbox[2] - tbl.bbox[0],
+                        tbl.bbox[3] - tbl.bbox[1],
+                    )
+                    rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "table_id": tbl.table_id,
+                            "status": res.status,
+                            "message": res.message,
+                            "csv": res.csv,
+                            "n_rows": res.n_rows,
+                            "n_cols": res.n_cols,
+                            "columns": res.columns,
+                            "top_header": res.top_header,
+                            "projecting": res.projecting,
+                            "hier_left": res.hier_left,
+                            "outliers": {},
+                            "table_text": assemble_text(local, kept),
+                            "confidence": 1.0,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=RESULT_SCHEMA
+    )

@@ -1,0 +1,195 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Brute-force cosine top-k is the correctness baseline; sign-LSH bucketing is
+the scale path (candidate buckets shrink the pairwise space from O(n²) to
+per-bucket). Dot products run as sequential left-to-right folds
+(``F.aggregate`` / ``list_dot_product``) in float64 on both engines so the
+oracle hashes match; scores are rounded to 6 dp to absorb the final ulp.
+
+Scale notes: the query vector (or the small hyperplane matrix) broadcasts;
+the scan is embarrassingly parallel; top-k is a single takeOrdered-style
+global sort of n rows × 1 score — no shuffle of the vectors themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_PLANES = 8  # sign-LSH hyperplanes
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("v"), F.col("q")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
+    )
+    return (
+        scored.select("vec_id", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ANN_COSINE_SQL = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+def _plane_weights(j: int):
+    """64 deterministic integer-valued weights for hyperplane j:
+    ((i*31 + j*17) % 7) - 3."""
+    off = j * 17
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: ((i * 31 + off) % 7 - 3).cast("double"),
+    )
+
+
+def _lsh_bucket():
+    """Packed sign bits of the N_PLANES hyperplane dot products of ``v``."""
+    bucket = F.lit(0).cast("long")
+    for j in range(N_PLANES):
+        dot_j = F.aggregate(
+            F.zip_with(F.col("v"), _plane_weights(j), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(2**j).cast("long")).otherwise(0)
+    return bucket
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: 8 deterministic integer-valued hyperplanes;
+    bucket id packs the sign bits.
+    Output: bucket histogram — the candidate-set structure for ANN."""
+    e = _emb(spark, sf_dir)
+    bucket = _lsh_bucket()
+    return (
+        e.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+_PLANE_DOT = " + ".join(
+    # generated per plane at format time
+    []
+)
+
+
+def _plane_sql(j: int) -> str:
+    terms = " + ".join(
+        f"v[{i + 1}] * {((i * 31 + j * 17) % 7) - 3}.0" for i in range(64)
+    )
+    return f"({terms})"
+
+
+ANN_LSH_SQL = (
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, """
+    + " + ".join(
+        f"(CASE WHEN {_plane_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    + """ AS bucket
+        FROM e
+    )
+    SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+)
+
+
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-neighbor join: pairs sharing an LSH bucket, scored by
+    cosine, keeping pairs with cosine >= 0.2 — the scale path for
+    embedding-based near-dup detection."""
+    e = _emb(spark, sf_dir)
+    eb = e.select("vec_id", "v", _lsh_bucket().alias("bucket"))
+    a, b = eb.alias("a"), eb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_KNN_SQL = (
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v, """
+    + " + ".join(
+        f"(CASE WHEN {_plane_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    + """ AS bucket
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine
+    FROM pairs WHERE cosine >= 0.2
+    ORDER BY vec_a, vec_b
+"""
+)
+
+
+QUERIES = {
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
+    "embedding_knn_join": (embedding_knn_join, EMBEDDING_KNN_SQL),
+}

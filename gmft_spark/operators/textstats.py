@@ -1,0 +1,204 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting and
+per-source corpus stats — the per-document scoring passes of a
+training-data pipeline. Everything is built-in string/aggregate functions
+(whole-stage codegen; no UDFs), embarrassingly parallel over documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language guess per document; ties break by language
+    code ascending; documents with no hits get 'und' (undetermined)."""
+    toks = _tokens(spark, sf_dir)
+    guess_cols = [
+        F.sum(
+            F.when(F.col("tok").isin(*words), 1).otherwise(0)
+        ).alias(f"n_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    ]
+    scored = toks.groupBy("doc_id").agg(*guess_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"n_{lg}") for lg in langs])
+    guess = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        guess = F.when(
+            (best > 0) & (F.col(f"n_{lg}") == best), F.lit(lg)
+        ).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess")).orderBy("doc_id")
+
+
+def _lang_sql_counts() -> str:
+    parts = []
+    for lang, words in sorted(STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"sum(CASE WHEN tok IN ({lst}) THEN 1 ELSE 0 END) AS n_{lang}"
+        )
+    return ", ".join(parts)
+
+
+LANG_ID_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, {_lang_sql_counts()}
+        FROM toks WHERE tok <> ''
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+                WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+                WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+                WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scored
+    ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a composite score:
+    token count, mean token length, stopword ratio, length band."""
+    d = _docs(spark, sf_dir)
+    n_toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(
+        F.filter(
+            F.split(F.col("text"), " "), lambda t: t.isin(*all_stop)
+        )
+    )
+    feats = d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_toks, 6).alias("mean_tok_len"),
+        F.round(n_stop / n_toks, 6).alias("stop_ratio"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + F.col("stop_ratio") * 0.3
+        + F.least(F.col("mean_tok_len") / 8.0, F.lit(1.0)) * 0.2
+    )
+    return feats.withColumn("quality", F.round(score, 6)).orderBy("doc_id")
+
+
+_ALL_STOP_SQL = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+)
+
+QUALITY_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN tok IN ({_ALL_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stop
+        FROM toks WHERE tok <> ''
+        GROUP BY doc_id
+    ),
+    feats AS (
+        SELECT d.doc_id,
+               a.n_tokens,
+               round(CAST(d.n_chars AS DOUBLE) / a.n_tokens, 6) AS mean_tok_len,
+               round(CAST(a.n_stop AS DOUBLE) / a.n_tokens, 6) AS stop_ratio
+        FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, stop_ratio,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                 + stop_ratio * 0.3
+                 + least(mean_tok_len / 8.0, 1.0) * 0.2, 6) AS quality
+    FROM feats
+    ORDER BY doc_id
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens plus a
+    BPE-ish subword estimate (ceil(chars/4))."""
+    d = _docs(spark, sf_dir)
+    n_toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    return (
+        d.select(
+            "source",
+            n_toks.alias("n_tokens"),
+            F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_subwords"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_subwords").alias("total_subwords"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNTS_SQL = """
+    WITH pertok AS (
+        SELECT source,
+               (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(t)
+                WHERE t <> '') AS n_tokens,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_subwords
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_subwords) AS total_subwords
+    FROM pertok
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion summary of the heuristic against the labeled lang column."""
+    guessed = lang_id(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        guessed.join(d, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+LANG_ACCURACY_SQL = f"""
+    WITH guessed AS ({LANG_ID_SQL.replace("ORDER BY doc_id", "")})
+    SELECT d.lang, g.lang_guess, count(*) AS n_docs
+    FROM guessed g JOIN documents d ON g.doc_id = d.doc_id
+    GROUP BY d.lang, g.lang_guess
+    ORDER BY d.lang, g.lang_guess
+"""
+
+
+QUERIES = {
+    "text_lang_id": (lang_id, LANG_ID_SQL),
+    "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
+    "text_quality_score": (quality_score, QUALITY_SQL),
+    "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
+}

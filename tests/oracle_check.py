@@ -1,0 +1,66 @@
+"""Local replica of the driver's correctness gate: run a Spark query and
+its DuckDB oracle on the same parquet tables, compare row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def compare(spark_df, con, sql: str):
+    """Return (ok, message). Columns sorted by name; rows sorted."""
+    sp = spark_df.toPandas()
+    du = con.execute(sql).fetchdf()
+    sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
+    if sp_cols != du_cols:
+        return False, f"columns differ: spark={sp_cols} duck={du_cols}"
+    if len(sp) != len(du):
+        return False, f"row count differs: spark={len(sp)} duck={len(du)}"
+    sp_rows = sorted(
+        tuple(_norm(v) for v in row) for row in sp[sp_cols].itertuples(index=False)
+    )
+    du_rows = sorted(
+        tuple(_norm(v) for v in row) for row in du[du_cols].itertuples(index=False)
+    )
+    if sp_rows != du_rows:
+        for a, b in zip(sp_rows, du_rows):
+            if a != b:
+                return False, f"value mismatch:\n  spark={a}\n  duck ={b}"
+        return False, "value mismatch (tail)"
+    return True, f"ok ({len(sp)} rows)"
