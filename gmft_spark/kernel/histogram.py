@@ -93,13 +93,10 @@ def fill_by_dividers(
     row_idx = np.searchsorted(np.asarray(row_dividers), ymid, side="left")
     sel = np.flatnonzero(inside)
     if len(sel):
+        from gmft_spark.kernel.table import _join_into_grid
+
         flat = row_idx[sel] * n_cols + col_idx[sel]
-        joined = (
-            pd.Series([texts[i] for i in sel], index=flat, dtype=object)
-            .groupby(level=0)
-            .agg(" ".join)
-        )
-        grid.ravel()[joined.index.to_numpy()] = joined.to_numpy()
+        _join_into_grid(grid, flat, texts, sel)
     return grid
 
 

@@ -384,15 +384,24 @@ def _fill_grid(
     if len(low):
         outliers["lowest iob"] = min(outliers.get("lowest iob", 1), float(low.min()))
 
-    # concatenate cell text in word order (groupby preserves in-group order)
+    # concatenate cell text in word order (stable sort by cell keeps it)
     kept_idx = np.flatnonzero(keep)
     if len(kept_idx):
         flat = best_r[kept_idx] * n_cols + best_c[kept_idx]
-        joined = pd.Series(
-            [texts[i] for i in kept_idx], index=flat, dtype=object
-        ).groupby(level=0).agg(" ".join)
-        grid.ravel()[joined.index.to_numpy()] = joined.to_numpy()
+        _join_into_grid(grid, flat, texts, kept_idx)
     return grid
+
+
+def _join_into_grid(grid: np.ndarray, flat_keys: np.ndarray, texts, kept_idx):
+    """Space-join each cell's words in original word order into the raveled
+    ``grid`` (stable argsort groups by cell without reordering words)."""
+    order = np.argsort(flat_keys, kind="stable")
+    sk = flat_keys[order]
+    starts = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+    ends = np.concatenate((starts[1:], [len(sk)]))
+    raveled = grid.ravel()
+    for b0, b1 in zip(starts, ends):
+        raveled[sk[b0]] = " ".join(texts[kept_idx[order[j]]] for j in range(b0, b1))
 
 
 def extract_table(

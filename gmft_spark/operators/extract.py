@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from gmft_spark.config import ExtractConfig
+from gmft_spark.kernel.captions import find_captions
 from gmft_spark.kernel.geometry import select_table_words
 from gmft_spark.kernel.synth import synth_scene
 from gmft_spark.kernel.table import extract_table
@@ -55,6 +56,8 @@ RESULT_SCHEMA = StructType(
         StructField("hier_left", ArrayType(IntegerType())),
         StructField("outliers", MapType(StringType(), StringType())),
         StructField("table_text", StringType()),
+        StructField("caption_above", StringType()),
+        StructField("caption_below", StringType()),
         StructField("confidence", DoubleType()),
     ]
 )
@@ -79,6 +82,9 @@ def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
         local, kept = select_table_words(
             scene.word_boxes, scene.word_texts, tbl.bbox
         )
+        cap_above, cap_below = find_captions(
+            scene.word_boxes, scene.word_texts, tbl.bbox
+        )
         out.append(
             {
                 "conv_id": conv_id,
@@ -95,6 +101,8 @@ def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
                 "hier_left": res.hier_left,
                 "outliers": {k: str(v) for k, v in res.outliers.items()},
                 "table_text": assemble_text(local, kept),
+                "caption_above": cap_above,
+                "caption_below": cap_below,
                 "confidence": 1.0,
             }
         )
@@ -158,6 +166,8 @@ def extract_tables_histogram(transcripts: DataFrame) -> DataFrame:
                             "hier_left": res.hier_left,
                             "outliers": {},
                             "table_text": assemble_text(local, kept),
+                            "caption_above": None,
+                            "caption_below": None,
                             "confidence": 1.0,
                         }
                     )

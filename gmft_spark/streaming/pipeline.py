@@ -1,0 +1,68 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference is batch-only (SURVEY.md §2.7); this module is the additive
+streaming surface: transcripts land as files (or any streaming source),
+extraction runs as the same stateless ``mapInPandas`` narrow map (the
+kernel is deterministic, so exactly-once replay is safe), and late-data
+metrics use watermarked event-time windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from gmft_spark.operators.extract import extract_tables
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-based streaming source of transcript rows."""
+    return spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+
+
+def stream_extract(transcripts: DataFrame) -> DataFrame:
+    """Streaming extraction: identical operator to the batch path —
+    stateless, so it composes with any trigger / checkpoint."""
+    return extract_tables(transcripts)
+
+
+def stream_turn_metrics(transcripts: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked per-window turn counts (late rows beyond the watermark
+    are dropped): the streaming analog of the lineage metrics rollup."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute"), "role")
+        .agg(F.count("*").alias("n_turns"))
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available to parquet and stop — the
+    batch-equivalent trigger used for backfill and tests."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,51 @@
+"""Streaming pipeline: availableNow drain must equal the batch result."""
+
+from gmft_spark.operators.extract import extract_tables
+from gmft_spark.sources.transcripts import synthesize_transcripts
+from gmft_spark.streaming.pipeline import (
+    run_available_now,
+    stream_extract,
+    stream_transcripts,
+    stream_turn_metrics,
+)
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4)
+    t.write.parquet(src)
+
+    stream = stream_extract(stream_transcripts(spark, src))
+    assert stream.isStreaming
+    run_available_now(stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = extract_tables(spark.read.parquet(src))
+    assert got.count() == batch.count()
+    g = {(r["conv_id"], r["turn_idx"], r["table_id"]): r["csv"] for r in got.collect()}
+    b = {(r["conv_id"], r["turn_idx"], r["table_id"]): r["csv"] for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_metrics_watermarked(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    synthesize_transcripts(spark, n_convs=4, turns_per_conv=6).write.parquet(src)
+    metrics = stream_turn_metrics(stream_transcripts(spark, src))
+    q = (
+        metrics.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # watermark closes no window in a single availableNow batch unless data
+    # spans it; just assert the sink schema landed and the query ran clean
+    df = spark.read.parquet(out)
+    assert {"window", "role", "n_turns"} <= set(df.columns)
