@@ -13,7 +13,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from gmft_spark.operators import analytics, dedup, relational, similarity, textstats
-from gmft_spark.operators.extract import extract_tables, extract_tables_histogram
+from gmft_spark.operators.extract import (
+    assemble_pages,
+    extract_tables,
+    extract_tables_histogram,
+)
 from gmft_spark.plans.skew import assemble_conversation_text
 from gmft_spark.sources.transcripts import transcripts_from_documents
 
@@ -35,11 +39,17 @@ def _pipeline_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversation_text(extract_tables(t)).orderBy("conv_id")
 
 
+def _pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    return assemble_pages(t).orderBy("conv_id", "turn_idx")
+
+
 # custom (non-SQL-expressible) pipeline operators → rows-only driver check
 PIPELINE_QUERIES = {
     "tatr_extract_pipeline": _pipeline_tatr,
     "histogram_extract_pipeline": _pipeline_histogram,
     "conversation_text_assembly": _pipeline_conversation_text,
+    "page_assembly_pipeline": _pipeline_pages,
 }
 
 

@@ -129,6 +129,67 @@ def extract_tables(
     )
 
 
+PAGE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("page_text", StringType()),
+        StructField("n_tables", IntegerType()),
+    ]
+)
+
+
+def assemble_pages(
+    transcripts: DataFrame, config: Optional[ExtractConfig] = None
+) -> DataFrame:
+    """P1-P3: per-turn rich page text — paragraphs with each extracted
+    table embedded as markdown at its reading-order position
+    (gmft_spark.kernel.page). Narrow map, one row per turn."""
+    from gmft_spark.kernel.page import (
+        embed_tables_into_page_text,
+        grid_to_markdown,
+    )
+
+    cfg = config or ExtractConfig()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                scene = synth_scene(conv_id, int(turn_idx))
+                bboxes, mds = [], []
+                for tbl in scene.tables:
+                    res = extract_table(
+                        tbl.scores,
+                        tbl.labels,
+                        tbl.boxes,
+                        scene.word_boxes,
+                        scene.word_texts,
+                        tbl.bbox,
+                        cfg,
+                    )
+                    if res.status == "ok":
+                        bboxes.append(tbl.bbox)
+                        mds.append(grid_to_markdown(res.columns, res.grid))
+                text = embed_tables_into_page_text(
+                    scene.word_boxes, scene.word_texts, bboxes, mds
+                )
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "page_text": text,
+                        "n_tables": len(mds),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=PAGE_SCHEMA
+    )
+
+
 def extract_tables_histogram(transcripts: DataFrame) -> DataFrame:
     """Non-deep twin of ``extract_tables``: the histogram formatter
     (sweep-line dividers, gmft_spark.kernel.histogram) over the same
