@@ -237,27 +237,31 @@ def f7_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     warea = (w.x1 - w.x0) * (w.y1 - w.y0)
 
+    # argmax-by-iob is a map-side-combinable min(struct(-iob, idx, ...))
+    # aggregation (first strict max ≡ lexicographic min), not a window sort
+    # — partial aggregation shrinks the shuffle to one row per word.
     riob = (
         _overlap(w.x0, w.x1, rows.x0, rows.x1)
         * _overlap(w.y0, w.y1, rows.y0, rows.y1)
         / warea
     )
+    word_cols = ["page", "word_id", "text", "wx0", "wy0", "wx1", "wy1"]
     wr = (
         w.join(F.broadcast(rows), riob > 0)
-        .withColumn("riob", riob)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("page", "word_id").orderBy(
-                    F.col("riob").desc(), F.col("row_idx").asc()
-                )
-            ),
+        .select(
+            "page", "word_id", "text",
+            w.x0.alias("wx0"), w.y0.alias("wy0"),
+            w.x1.alias("wx1"), w.y1.alias("wy1"),
+            F.struct(
+                (-riob).alias("neg_iob"),
+                rows.row_idx.alias("row_idx"),
+                rows.y0.alias("ry0"),
+                rows.y1.alias("ry1"),
+            ).alias("cand"),
         )
-        .filter(F.col("rn") == 1)
-        .select("page", "word_id", "text", "row_idx",
-                w.x0.alias("wx0"), w.y0.alias("wy0"),
-                w.x1.alias("wx1"), w.y1.alias("wy1"),
-                rows.y0.alias("ry0"), rows.y1.alias("ry1"))
+        .groupBy(*word_cols)
+        .agg(F.min("cand").alias("best_row"))
+        .select(*word_cols, "best_row.row_idx", "best_row.ry0", "best_row.ry1")
     )
 
     warea2 = (F.col("wx1") - F.col("wx0")) * (F.col("wy1") - F.col("wy0"))
@@ -266,23 +270,26 @@ def f7_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _overlap(F.col("wy0"), F.col("wy1"), cols.y0, cols.y1)
         / warea2
     )
+    row_cols = word_cols + ["row_idx", "ry0", "ry1"]
     wrc = (
         wr.join(F.broadcast(cols), ciob > 0)
-        .withColumn("ciob", ciob)
-        .withColumn(
-            "rn2",
-            F.row_number().over(
-                Window.partitionBy("page", "word_id").orderBy(
-                    F.col("ciob").desc(), F.col("col_idx").asc()
-                )
-            ),
+        .select(
+            *row_cols,
+            F.struct(
+                (-ciob).alias("neg_iob"),
+                cols.col_idx.alias("col_idx"),
+                cols.x0.alias("cx0"),
+                cols.x1.alias("cx1"),
+            ).alias("cand"),
         )
-        .filter(F.col("rn2") == 1)
+        .groupBy(*row_cols)
+        .agg(F.min("cand").alias("best_col"))
+        .select(*row_cols, "best_col.col_idx", "best_col.cx0", "best_col.cx1")
     )
 
     # cell = row ∩ column; rows span [0,450]×row-y, columns span col-x×[0,580]
     cell_score = (
-        _overlap(F.col("wx0"), F.col("wx1"), cols.x0, cols.x1)
+        _overlap(F.col("wx0"), F.col("wx1"), F.col("cx0"), F.col("cx1"))
         * _overlap(F.col("wy0"), F.col("wy1"), F.col("ry0"), F.col("ry1"))
         / warea2
     )
