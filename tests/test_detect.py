@@ -1,0 +1,55 @@
+"""Detection stage: broadcast-weights layout detector vs scene ground truth."""
+
+from collections import defaultdict
+
+from gmft_spark.kernel.geometry import iob
+from gmft_spark.kernel.synth import synth_scene
+from gmft_spark.operators.detect import detect_tables
+from gmft_spark.sources.transcripts import synthesize_transcripts
+
+
+def _iou(a, b):
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / ua if ua > 0 else 0.0
+
+
+def test_detector_finds_ground_truth_tables(spark):
+    t = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4)
+    dets = detect_tables(t).collect()
+    by_turn = defaultdict(list)
+    for r in dets:
+        by_turn[(r["conv_id"], r["turn_idx"])].append(
+            (r["x0"], r["y0"], r["x1"], r["y1"])
+        )
+    assert len(by_turn) == 32
+    hit = total = 0
+    for (conv_id, turn_idx), cand in by_turn.items():
+        scene = synth_scene(conv_id, turn_idx)
+        for tbl in scene.tables:
+            total += 1
+            if any(_iou(tbl.bbox, c) > 0.5 for c in cand):
+                hit += 1
+    assert total >= 32
+    assert hit / total >= 0.95  # recall on the synthetic corpus
+
+
+def test_detected_bboxes_capture_table_words(spark):
+    # every detection's words are a superset of one table's words
+    scene = synth_scene("conv-0", 0)
+    t = synthesize_transcripts(spark, n_convs=1, turns_per_conv=1)
+    dets = [r for r in detect_tables(t).collect() if r["conv_id"] == "conv-0"]
+    assert dets
+    tbl = scene.tables[0]
+    best = max(
+        dets,
+        key=lambda r: _iou(tbl.bbox, (r["x0"], r["y0"], r["x1"], r["y1"])),
+    )
+    det_box = (best["x0"], best["y0"], best["x1"], best["y1"])
+    contained = sum(
+        1 for w in scene.word_boxes if iob(tuple(w), det_box) > 0.9
+    )
+    in_table = sum(1 for w in scene.word_boxes if iob(tuple(w), tbl.bbox) > 0.5)
+    assert contained >= in_table  # detector envelope covers the table words
