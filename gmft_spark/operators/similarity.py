@@ -188,8 +188,70 @@ EMBEDDING_KNN_SQL = (
 )
 
 
+N_CENTROIDS = 8  # IVF coarse centroids = the first 8 vectors by vec_id
+
+
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of 8
+    deterministic centroids (the first 8 vectors by vec_id) by maximal dot
+    product; ties break to the lower centroid id. This is the partition
+    structure of the IVF scale path: a query probes only its centroid's
+    posting list instead of the full corpus."""
+    e = _emb(spark, sf_dir)
+    cents = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    dot = _dot(F.col("v"), F.col("cv"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                (-dot).alias("neg_dot"), F.col("centroid_id").alias("cid")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"))
+        .select("vec_id", F.col("best.cid").alias("centroid_id"))
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("centroid_id")
+    )
+
+
+ANN_IVF_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               -list_dot_product(e.v, c.cv) AS neg_dot
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY neg_dot ASC, centroid_id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT centroid_id, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM assigned
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
+    "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "embedding_knn_join": (embedding_knn_join, EMBEDDING_KNN_SQL),
 }

@@ -1,0 +1,76 @@
+"""Production job entrypoint: transcripts → extracted tables with lineage.
+
+Cluster deployment (the north-rule contract):
+
+    zip -r gmft_spark.zip gmft_spark
+    spark-submit --master <cluster> --py-files gmft_spark.zip \\
+        jobs/run_extraction.py \\
+        --input  s3://.../transcripts/  (or a local parquet dir) \\
+        --output s3://.../extracted/ \\
+        --buckets 4096 --resume
+
+Behavior:
+  * reads the transcript table (Iceberg identifier or parquet path);
+  * with ``--resume``, anti-filters conversation buckets already recorded
+    in the output's lineage table so failed runs restart without
+    recomputing finished partitions;
+  * extraction runs as the shuffle-free mapInPandas pipeline;
+  * results land partitioned by ``bucket(conv_id)`` plus per-bucket
+    lineage rows (counts + ok/error tallies + run id).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="transcript parquet dir")
+    parser.add_argument("--output", required=True, help="result sink dir")
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument("--master", default=None, help="override (else spark-submit's)")
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("gmft-spark-extract")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from gmft_spark.operators.extract import extract_tables
+    from gmft_spark.plans.lineage import resume_filter, write_results_with_lineage
+
+    transcripts = spark.read.parquet(args.input)
+    if args.resume:
+        transcripts = resume_filter(spark, transcripts, args.output, args.buckets)
+
+    n_input = transcripts.count()
+    if n_input == 0:
+        print("nothing to do: all buckets completed")
+        return 0
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    results = extract_tables(transcripts)
+    lineage = write_results_with_lineage(
+        spark, results, args.output, n_buckets=args.buckets, run_id=run_id
+    )
+    stats = lineage.groupBy().sum("n_tables", "n_ok", "n_error").collect()[0]
+    print(
+        f"run {run_id}: {n_input} turns in, "
+        f"{stats[0]} tables out ({stats[1]} ok / {stats[2]} error)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
