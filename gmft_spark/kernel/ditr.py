@@ -198,6 +198,14 @@ def ditr_extract(
     )
 
     header_rows = grid[header_indices]
+
+    if projecting_indices:
+        is_proj = [i in projecting_indices for i in range(n_rows)]
+        res.projecting = [i for i, x in enumerate(is_proj) if x]
+
+    dropped = set(header_indices) | set(empty_rows)
+    data_rows = [list(grid[i]) for i in range(n_rows) if i not in dropped]
+
     if config.enable_multi_header and len(header_rows) > 1:
         column_headers = pd.MultiIndex.from_tuples(
             list(zip(*header_rows)),
@@ -206,25 +214,24 @@ def ditr_extract(
         res.columns = [
             " \\n".join(str(x) for x in tup if x) for tup in column_headers
         ]
+        df = pd.DataFrame(data=grid, columns=column_headers)
+        df.drop(index=header_indices, inplace=True)
+        df.drop(
+            index=[r for r in empty_rows if r not in header_indices], inplace=True
+        )
+        df.reset_index(drop=True, inplace=True)
+        res.csv = df.to_csv(index=False, lineterminator="\n")
     else:
+        from gmft_spark.kernel.table import render_csv
+
         column_headers = [
             " \\n".join(row[i] for row in header_rows if row[i])
             for i in range(n_cols)
         ]
         res.columns = list(column_headers)
+        res.csv = render_csv(column_headers, data_rows)
 
-    df = pd.DataFrame(data=grid, columns=column_headers)
-
-    if projecting_indices:
-        is_proj = [i in projecting_indices for i in range(n_rows)]
-        res.projecting = [i for i, x in enumerate(is_proj) if x]
-
-    df.drop(index=header_indices, inplace=True)
-    df.drop(index=[r for r in empty_rows if r not in header_indices], inplace=True)
-    df.reset_index(drop=True, inplace=True)
-
-    res.csv = df.to_csv(index=False, lineterminator="\n")
-    res.grid = df.values.tolist()
-    res.n_rows = len(df)
+    res.grid = data_rows
+    res.n_rows = len(data_rows)
     res.n_cols = n_cols
     return res

@@ -157,11 +157,13 @@ def histogram_extract(
         res.grid = []
         res.columns = []
         return res
-    df = pd.DataFrame(grid[1:], columns=grid[0])
-    res.csv = df.to_csv(index=False, lineterminator="\n")
-    res.grid = df.values.tolist()
+    from gmft_spark.kernel.table import render_csv
+
+    data = [list(r) for r in grid[1:]]
+    res.csv = render_csv(list(grid[0]), data)
+    res.grid = data
     res.columns = [None if c is None else str(c) for c in grid[0]]
-    res.n_rows = len(df)
+    res.n_rows = len(data)
     res.n_cols = grid.shape[1]
     res.top_header = [0]
     return res

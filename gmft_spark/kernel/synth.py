@@ -47,7 +47,8 @@ class SynthTable:
     bbox: tuple  # page coords
     scores: np.ndarray
     labels: np.ndarray
-    boxes: np.ndarray  # table-local coords
+    boxes: np.ndarray  # table-local (logical/unrotated-view) coords
+    angle: int = 0  # 0 or 90: page content is rotated, predictions aren't
 
 
 @dataclass
@@ -73,7 +74,11 @@ def _token(rng: np.random.RandomState, r: int, c: int) -> str:
 
 
 def _make_table(
-    rng: np.random.RandomState, table_id: int, origin_x: float, origin_y: float
+    rng: np.random.RandomState,
+    table_id: int,
+    origin_x: float,
+    origin_y: float,
+    angle: int = 0,
 ):
     n_rows = int(rng.randint(3, 10))  # data rows
     n_cols = int(rng.randint(2, 6))
@@ -81,33 +86,55 @@ def _make_table(
     col_x = np.concatenate([[0.0], np.cumsum(col_widths)])
     width = float(col_x[-1])
     height = (n_rows + 1) * ROW_HEIGHT
-    bbox = (origin_x, origin_y, origin_x + width, origin_y + height)
 
-    words = []
+    # logical-local word layout (origin 0; rotated onto the page below)
+    local = []
     texts = []
     # header row then data rows, reading order (row-major, left→right)
     for r in range(n_rows + 1):
-        y0 = origin_y + r * ROW_HEIGHT + 2.5
+        y0 = r * ROW_HEIGHT + 2.5
         y1 = y0 + WORD_HEIGHT
         for c in range(n_cols):
             if r > 0 and rng.rand() < 0.08:
                 continue  # sparse cells
-            x0 = origin_x + col_x[c] + 3.0
+            x0 = col_x[c] + 3.0
             if r == 0:
                 t = f"col{c}"
             else:
                 t = _token(rng, r, c)
             x1 = x0 + 4.0 + 4.6 * len(t)
-            words.append((x0, y0, min(x1, origin_x + col_x[c + 1] - 1.0), y1))
+            local.append((x0, y0, min(x1, col_x[c + 1] - 1.0), y1))
             texts.append(t)
             # occasionally a second word in the cell (tests ' '-join order)
             if r > 0 and rng.rand() < 0.15:
                 t2 = _token(rng, r, c + 11)
                 nx0 = x1 + 3.0
-                nx1 = min(nx0 + 4.0 + 4.6 * len(t2), origin_x + col_x[c + 1] - 1.0)
+                nx1 = min(nx0 + 4.0 + 4.6 * len(t2), col_x[c + 1] - 1.0)
                 if nx1 > nx0:
-                    words.append((nx0, y0, nx1, y1))
+                    local.append((nx0, y0, nx1, y1))
                     texts.append(t2)
+
+    if angle == 90:
+        # place the logical layout rotated on the page: the page bbox has
+        # swapped dims, and each page-local word is the inverse of the
+        # angle-90 text_positions transform (geometry.rotate_words), so
+        # extraction with angle=90 recovers the logical frame exactly
+        bbox = (origin_x, origin_y, origin_x + height, origin_y + width)
+        words = [
+            (
+                origin_x + r0y,
+                origin_y + width - r1x,
+                origin_x + r1y,
+                origin_y + width - r0x,
+            )
+            for (r0x, r0y, r1x, r1y) in local
+        ]
+    else:
+        bbox = (origin_x, origin_y, origin_x + width, origin_y + height)
+        words = [
+            (origin_x + x0, origin_y + y0, origin_x + x1, origin_y + y1)
+            for (x0, y0, x1, y1) in local
+        ]
 
     # predictions, table-local
     scores, labels, boxes = [], [], []
@@ -156,6 +183,7 @@ def _make_table(
             np.array(scores, dtype=np.float64),
             np.array(labels, dtype=np.int64),
             np.array(boxes, dtype=np.float64),
+            angle,
         ),
         words,
         texts,
@@ -180,7 +208,10 @@ def synth_scene(conv_id: str, turn_idx: int) -> SynthScene:
     tables: List[SynthTable] = []
     y = 100.0
     for tid in range(n_tables):
-        tbl, words, texts = _make_table(rng, tid, 72.0 + float(rng.uniform(0, 20)), y)
+        angle = 90 if rng.rand() < 0.1 else 0
+        tbl, words, texts = _make_table(
+            rng, tid, 72.0 + float(rng.uniform(0, 20)), y, angle=angle
+        )
         tables.append(tbl)
         word_boxes.extend(words)
         word_texts.extend(texts)

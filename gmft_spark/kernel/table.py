@@ -615,22 +615,6 @@ def extract_table(
     # F9: header extraction + dataframe build (:1042-1086)
     n_cols = len(columns)
     header_rows = grid[header_indices]
-    if config.enable_multi_header and len(header_rows) > 1:
-        column_headers = pd.MultiIndex.from_tuples(
-            list(zip(*header_rows)),
-            names=[f"Header {len(header_rows) - i}" for i in range(len(header_rows))],
-        )
-        res.columns = [
-            " \\n".join(str(x) for x in tup if x) for tup in column_headers
-        ]
-    else:
-        column_headers = [
-            " \\n".join(row[i] for row in header_rows if row[i])
-            for i in range(n_cols)
-        ]
-        res.columns = list(column_headers)
-
-    df = pd.DataFrame(data=grid, columns=column_headers)
 
     if projecting_indices:
         is_proj = [
@@ -640,11 +624,49 @@ def extract_table(
         ]
         res.projecting = [i for i, x in enumerate(is_proj) if x]
 
-    df.drop(index=header_indices, inplace=True)
-    df.reset_index(drop=True, inplace=True)
+    header_set = set(header_indices)
+    data_rows = [
+        list(grid[i]) for i in range(len(rows)) if i not in header_set
+    ]
 
-    res.csv = df.to_csv(index=False, lineterminator="\n")
-    res.grid = df.values.tolist()
-    res.n_rows = len(df)
+    if config.enable_multi_header and len(header_rows) > 1:
+        # MultiIndex CSV rendering (two header lines, 'nan' literals for
+        # missing cells) stays on pandas for byte parity
+        column_headers = pd.MultiIndex.from_tuples(
+            list(zip(*header_rows)),
+            names=[f"Header {len(header_rows) - i}" for i in range(len(header_rows))],
+        )
+        res.columns = [
+            " \\n".join(str(x) for x in tup if x) for tup in column_headers
+        ]
+        df = pd.DataFrame(data=grid, columns=column_headers)
+        df.drop(index=header_indices, inplace=True)
+        df.reset_index(drop=True, inplace=True)
+        res.csv = df.to_csv(index=False, lineterminator="\n")
+    else:
+        column_headers = [
+            " \\n".join(row[i] for row in header_rows if row[i])
+            for i in range(n_cols)
+        ]
+        res.columns = list(column_headers)
+        res.csv = render_csv(column_headers, data_rows)
+
+    res.grid = data_rows
+    res.n_rows = len(data_rows)
     res.n_cols = n_cols
     return res
+
+
+def render_csv(columns, rows) -> str:
+    """Single-header CSV renderer, byte-equal to pandas
+    ``df.to_csv(index=False, lineterminator="\\n")`` for str/None cells
+    (both delegate to the stdlib csv writer with QUOTE_MINIMAL; None
+    renders as an empty field) — verified by property test against pandas."""
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(columns)
+    w.writerows(rows)
+    return buf.getvalue()

@@ -78,7 +78,10 @@ def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
             scene.word_texts,
             tbl.bbox,
             config,
+            angle=tbl.angle,
         )
+        # table_text follows the reference's CroppedTable.text(): original
+        # page coordinates, no rotation (detectors/base.py:213-221)
         local, kept = select_table_words(
             scene.word_boxes, scene.word_texts, tbl.bbox
         )
@@ -167,6 +170,7 @@ def assemble_pages(
                         scene.word_texts,
                         tbl.bbox,
                         cfg,
+                        angle=tbl.angle,
                     )
                     if res.status == "ok":
                         bboxes.append(tbl.bbox)
@@ -203,14 +207,16 @@ def extract_tables_histogram(transcripts: DataFrame) -> DataFrame:
                 scene = synth_scene(conv_id, int(turn_idx))
                 for tbl in scene.tables:
                     local, kept = select_table_words(
-                        scene.word_boxes, scene.word_texts, tbl.bbox
+                        scene.word_boxes, scene.word_texts, tbl.bbox,
+                        angle=tbl.angle,
                     )
-                    res = histogram_extract(
-                        local,
-                        kept,
-                        tbl.bbox[2] - tbl.bbox[0],
-                        tbl.bbox[3] - tbl.bbox[1],
-                    )
+                    # logical dims swap for rotated tables
+                    # (CroppedTable.width/height, detectors/base.py:373-383)
+                    w = tbl.bbox[2] - tbl.bbox[0]
+                    h = tbl.bbox[3] - tbl.bbox[1]
+                    if tbl.angle in (90, 270):
+                        w, h = h, w
+                    res = histogram_extract(local, kept, w, h)
                     rows.append(
                         {
                             "conv_id": conv_id,

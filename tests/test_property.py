@@ -201,3 +201,44 @@ def test_fill_by_dividers_equals_bisect(wpos, ydivs, xdivs):
         c = bisect.bisect_left(xdivs, xm)
         expect[r, c] = t if expect[r, c] is None else expect[r, c] + " " + t
     assert grid.tolist() == expect.tolist()
+
+
+cell_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.sampled_from(list('ab,"\n\\ n')), min_size=0, max_size=6
+    ),
+)
+
+
+@given(
+    st.integers(1, 5).flatmap(
+        lambda nc: st.tuples(
+            st.lists(
+                st.text(alphabet=list('xy," '), min_size=0, max_size=5),
+                min_size=nc,
+                max_size=nc,
+            ),
+            st.lists(
+                st.lists(cell_text, min_size=nc, max_size=nc),
+                min_size=0,
+                max_size=6,
+            ),
+        )
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_render_csv_equals_pandas(case):
+    import pandas as pd
+
+    from gmft_spark.kernel.table import render_csv
+
+    columns, rows = case
+    grid = np.empty((len(rows), len(columns)), dtype=object)
+    for i, r in enumerate(rows):
+        for j, v in enumerate(r):
+            grid[i, j] = v
+    expect = pd.DataFrame(grid, columns=columns).to_csv(
+        index=False, lineterminator="\n"
+    )
+    assert render_csv(columns, [list(r) for r in rows]) == expect

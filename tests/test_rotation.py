@@ -61,3 +61,27 @@ def test_select_with_angle():
 def test_invalid_angle_raises():
     with pytest.raises(ValueError):
         rotate_words(WORDS, 45, W, H)
+
+
+def test_rotated_table_extraction_end_to_end():
+    """A scene table with angle=90 (content physically rotated on the page)
+    must extract the same logical grid as an unrotated table: the header is
+    recovered as col0..colN."""
+    from gmft_spark.config import ExtractConfig
+    from gmft_spark.kernel.synth import synth_scene
+    from gmft_spark.operators.extract import extract_turn
+
+    cfg = ExtractConfig()
+    checked = 0
+    for i in range(60):
+        scene = synth_scene("rot-probe", i)
+        rotated = [t for t in scene.tables if t.angle == 90]
+        if not rotated:
+            continue
+        results = {r["table_id"]: r for r in extract_turn("rot-probe", i, cfg)}
+        for t in rotated:
+            r = results[t.table_id]
+            assert r["status"] == "ok"
+            assert all(c.startswith("col") for c in r["columns"])
+            checked += 1
+    assert checked >= 3
