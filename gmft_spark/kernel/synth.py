@@ -145,6 +145,24 @@ def _make_table(
         boxes.append(list(b))
 
     jit = lambda s: float(rng.uniform(-s, s))  # noqa: E731
+
+    if rng.rand() < 0.02:
+        # degenerate scene: the structure model found nothing usable —
+        # exercises the pipeline's error-row path deterministically
+        add(0.999, LABEL_TABLE, (0.0, 0.0, width, height))
+        return (
+            SynthTable(
+                table_id,
+                bbox,
+                np.array(scores, dtype=np.float64),
+                np.array(labels, dtype=np.int64),
+                np.array(boxes, dtype=np.float64),
+                angle,
+            ),
+            words,
+            texts,
+        )
+
     add(0.999, LABEL_TABLE, (jit(0.5), jit(0.5), width + jit(0.5), height + jit(0.5)))
     add(0.99, LABEL_COLUMN_HEADER, (jit(0.4), jit(0.4), width + jit(0.4), ROW_HEIGHT + jit(0.4)))
     drop_row = int(rng.randint(1, n_rows + 1)) if rng.rand() < 0.2 else -1

@@ -52,7 +52,14 @@ def test_statuses_mostly_ok(spark):
     counts = {r["status"]: r["n"] for r in
               results.groupBy("status").count().withColumnRenamed("count", "n").collect()}
     assert counts.get("ok", 0) > 0
-    assert counts.get("error", 0) == 0  # synthetic scenes are well-formed
+    # scenes include ~2% deliberately degenerate tables → error rows, not
+    # exceptions; they must be rare and carry a message
+    total = sum(counts.values())
+    assert counts.get("error", 0) / total < 0.10
+    errs = results.filter(results.status == "error").limit(3).collect()
+    for e in errs:
+        assert e["message"]
+        assert e["csv"] is None
 
 
 def test_tiny_golden_through_spark(spark):
