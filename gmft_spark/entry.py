@@ -44,12 +44,38 @@ def _pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_pages(t).orderBy("conv_id", "turn_idx")
 
 
+def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmft_spark.operators.detect import detect_tables
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return detect_tables(t).orderBy("conv_id", "turn_idx", "det_id")
+
+
+def _pipeline_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmft_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(
+        semantic_spanning_cells=True, enable_multi_header=True
+    )
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_tables(t, cfg).orderBy("conv_id", "turn_idx", "table_id")
+
+
+def _pipeline_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmft_spark.operators.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, 256)).orderBy("media_id")
+
+
 # custom (non-SQL-expressible) pipeline operators → rows-only driver check
 PIPELINE_QUERIES = {
     "tatr_extract_pipeline": _pipeline_tatr,
+    "tatr_extract_spanning_multiheader": _pipeline_spanning,
     "histogram_extract_pipeline": _pipeline_histogram,
+    "detect_pipeline": _pipeline_detect,
     "conversation_text_assembly": _pipeline_conversation_text,
     "page_assembly_pipeline": _pipeline_pages,
+    "media_feature_pipeline": _pipeline_media_features,
 }
 
 

@@ -101,11 +101,15 @@ def select_table_words(
     table_bbox,
     angle: int = 0,
     outside: bool = False,
+    remove_offset: bool = True,
 ):
-    """Filter page words to those strictly intersecting the table bbox and
-    shift them into table-local coordinates (detectors/base.py:158-211;
-    strict-inequality intersection per base.py:26-33). Returns
-    ``(local_boxes[K,4], texts[K])`` preserving original word order."""
+    """Filter page words to those strictly intersecting the table bbox
+    (or its complement with ``outside=True``) and, when ``remove_offset``,
+    shift them into table-local coordinates with the rotation transform
+    applied (detectors/base.py:158-211; strict-inequality intersection per
+    base.py:26-33; offset/rotation skipped when remove_offset is False,
+    matching ``text_positions(remove_table_offset=False)``). Returns
+    ``(boxes[K,4], texts[K])`` preserving original word order."""
     if len(word_boxes) == 0:
         return word_boxes.reshape(0, 4), []
     bx0, by0, bx1, by1 = table_bbox
@@ -117,7 +121,9 @@ def select_table_words(
     if outside:
         hit = ~hit
     sel = word_boxes[hit]
+    kept = [t for t, h in zip(texts, hit) if h]
+    if not remove_offset:
+        return sel, kept
     local = sel - np.array([bx0, by0, bx0, by0], dtype=np.float64)
     local = rotate_words(local, angle, bx1 - bx0, by1 - by0)
-    kept = [t for t, h in zip(texts, hit) if h]
     return local, kept

@@ -173,3 +173,47 @@ class TestErrors:
         )
         assert res.status == "error"
         assert "significant overlap" in res.message
+
+
+class TestCroppedPositions:
+    """Port of the reference's CroppedTable.text_positions expectations
+    (test/test_cropped.py:25-62 with bbox (10,12,300,150) on tiny.pdf):
+    word 9 ('elit', x>300) falls outside; words 0-8 and 10-13 inside."""
+
+    BBOX = (10.0, 12.0, 300.0, 150.0)
+
+    def _words(self):
+        boxes = np.array([w[:4] for w in TINY_WORDS], dtype=np.float64)
+        return boxes, [w[4] for w in TINY_WORDS]
+
+    def test_inside_no_offset(self):
+        from gmft_spark.kernel.geometry import select_table_words
+
+        boxes, texts = self._words()
+        got, kept = select_table_words(
+            boxes, texts, self.BBOX, remove_offset=False
+        )
+        expect_idx = [i for i in range(14) if i != 9]
+        assert kept == [texts[i] for i in expect_idx]
+        assert np.allclose(got, boxes[expect_idx])
+
+    def test_inside_with_offset(self):
+        from gmft_spark.kernel.geometry import select_table_words
+
+        boxes, texts = self._words()
+        got, kept = select_table_words(boxes, texts, self.BBOX)
+        expect_idx = [i for i in range(14) if i != 9]
+        assert np.allclose(
+            got, boxes[expect_idx] - np.array([10.0, 12.0, 10.0, 12.0])
+        )
+
+    def test_outside_complement(self):
+        from gmft_spark.kernel.geometry import select_table_words
+
+        boxes, texts = self._words()
+        got, kept = select_table_words(
+            boxes, texts, self.BBOX, outside=True, remove_offset=False
+        )
+        expect_idx = [9] + list(range(14, len(texts)))
+        assert kept == [texts[i] for i in expect_idx]
+        assert np.allclose(got, boxes[expect_idx])
