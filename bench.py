@@ -65,7 +65,7 @@ def run_extraction(master: str, cpus: int, n_turns: int) -> float:
             spark,
             n_convs=n_convs,
             turns_per_conv=n_turns // n_convs,
-            partitions=cpus * 2,
+            partitions=cpus * 8,  # ~8 tasks/core for load balance
         )
         t = t.cache()
         total = t.count()  # materialize input outside the timed section
@@ -80,7 +80,7 @@ def run_extraction(master: str, cpus: int, n_turns: int) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "24000"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "64000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     # 1. headline queries at full parallelism

@@ -37,7 +37,7 @@ from gmft_spark.config import ExtractConfig
 from gmft_spark.kernel.captions import find_captions
 from gmft_spark.kernel.geometry import select_table_words
 from gmft_spark.kernel.synth import synth_scene
-from gmft_spark.kernel.table import extract_table
+from gmft_spark.kernel.table import TableResult, extract_table
 from gmft_spark.kernel.text import assemble_text
 
 RESULT_SCHEMA = StructType(
@@ -70,16 +70,21 @@ def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
     scene = synth_scene(conv_id, turn_idx)
     out = []
     for tbl in scene.tables:
-        res = extract_table(
-            tbl.scores,
-            tbl.labels,
-            tbl.boxes,
-            scene.word_boxes,
-            scene.word_texts,
-            tbl.bbox,
-            config,
-            angle=tbl.angle,
-        )
+        try:
+            res = extract_table(
+                tbl.scores,
+                tbl.labels,
+                tbl.boxes,
+                scene.word_boxes,
+                scene.word_texts,
+                tbl.bbox,
+                config,
+                angle=tbl.angle,
+            )
+        except Exception as exc:  # pathological table → error row, not a
+            # dead task; the reference raises here (e.g. structure.py:953),
+            # but a 1000-executor job must degrade per-row
+            res = TableResult(status="error", message=f"{type(exc).__name__}: {exc}")
         # table_text follows the reference's CroppedTable.text(): original
         # page coordinates, no rotation (detectors/base.py:213-221)
         local, kept = select_table_words(
@@ -162,16 +167,19 @@ def assemble_pages(
                 scene = synth_scene(conv_id, int(turn_idx))
                 bboxes, mds = [], []
                 for tbl in scene.tables:
-                    res = extract_table(
-                        tbl.scores,
-                        tbl.labels,
-                        tbl.boxes,
-                        scene.word_boxes,
-                        scene.word_texts,
-                        tbl.bbox,
-                        cfg,
-                        angle=tbl.angle,
-                    )
+                    try:
+                        res = extract_table(
+                            tbl.scores,
+                            tbl.labels,
+                            tbl.boxes,
+                            scene.word_boxes,
+                            scene.word_texts,
+                            tbl.bbox,
+                            cfg,
+                            angle=tbl.angle,
+                        )
+                    except Exception:
+                        continue  # failed table → plain-paragraph fallback
                     if res.status == "ok":
                         bboxes.append(tbl.bbox)
                         mds.append(grid_to_markdown(res.columns, res.grid))

@@ -242,3 +242,54 @@ def test_render_csv_equals_pandas(case):
         index=False, lineterminator="\n"
     )
     assert render_csv(columns, [list(r) for r in rows]) == expect
+
+
+@st.composite
+def fuzz_scene(draw):
+    n_preds = draw(st.integers(0, 20))
+    preds = draw(
+        st.lists(
+            st.tuples(
+                st.floats(0, 1),                      # score
+                st.integers(0, 6),                    # label
+                st.tuples(coord, coord, coord, coord),  # arbitrary box
+            ),
+            min_size=n_preds,
+            max_size=n_preds,
+        )
+    )
+    n_words = draw(st.integers(0, 15))
+    words = draw(
+        st.lists(
+            st.tuples(coord, coord, st.floats(0, 8), st.floats(0, 8)),
+            min_size=n_words,
+            max_size=n_words,
+        )
+    )
+    return preds, words
+
+
+@given(fuzz_scene())
+@settings(max_examples=150, deadline=None)
+def test_extract_table_never_raises(case):
+    """Arbitrary (even nonsensical) predictions and words must produce a
+    TableResult with status ok/error — never an exception. Degenerate and
+    inverted boxes included."""
+    from gmft_spark.config import ExtractConfig
+    from gmft_spark.kernel.table import extract_table
+
+    preds, words = case
+    scores = [p[0] for p in preds]
+    labels = [p[1] for p in preds]
+    boxes = [[p[2][0], p[2][1], p[2][2], p[2][3]] for p in preds]
+    word_boxes = np.array(
+        [[x, y, x + w, y + h] for x, y, w, h in words]
+    ).reshape(-1, 4)
+    texts = [f"t{i}" for i in range(len(words))]
+    res = extract_table(
+        scores, labels, boxes, word_boxes, texts, (0.0, 0.0, 60.0, 60.0),
+        ExtractConfig(),
+    )
+    assert res.status in ("ok", "error")
+    if res.status == "ok":
+        assert res.csv is not None
