@@ -62,13 +62,14 @@ class SynthScene:
     tables: List[SynthTable]
 
 
-def _token(rng: np.random.RandomState, r: int, c: int) -> str:
-    """Deterministic short cell token."""
-    v = int(rng.randint(0, 36**4))
-    chars = "0123456789abcdefghijklmnopqrstuvwxyz"
+_CHARS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _token_of(v: int, r: int, c: int) -> str:
+    """Deterministic short cell token from a pre-drawn value."""
     s = ""
     for _ in range(4):
-        s += chars[v % 36]
+        s += _CHARS[v % 36]
         v //= 36
     return f"{s}{r}{c}"
 
@@ -87,7 +88,13 @@ def _make_table(
     width = float(col_x[-1])
     height = (n_rows + 1) * ROW_HEIGHT
 
-    # logical-local word layout (origin 0; rotated onto the page below)
+    # logical-local word layout (origin 0; rotated onto the page below);
+    # all randomness drawn up front in bulk (vectorized)
+    n_grid = (n_rows + 1) * n_cols
+    sparse_mask = rng.rand(n_grid) < 0.08
+    second_mask = rng.rand(n_grid) < 0.15
+    token_vals = rng.randint(0, 36**4, size=2 * n_grid)
+
     local = []
     texts = []
     # header row then data rows, reading order (row-major, left→right)
@@ -95,19 +102,20 @@ def _make_table(
         y0 = r * ROW_HEIGHT + 2.5
         y1 = y0 + WORD_HEIGHT
         for c in range(n_cols):
-            if r > 0 and rng.rand() < 0.08:
+            g = r * n_cols + c
+            if r > 0 and sparse_mask[g]:
                 continue  # sparse cells
             x0 = col_x[c] + 3.0
             if r == 0:
                 t = f"col{c}"
             else:
-                t = _token(rng, r, c)
+                t = _token_of(int(token_vals[2 * g]), r, c)
             x1 = x0 + 4.0 + 4.6 * len(t)
             local.append((x0, y0, min(x1, col_x[c + 1] - 1.0), y1))
             texts.append(t)
             # occasionally a second word in the cell (tests ' '-join order)
-            if r > 0 and rng.rand() < 0.15:
-                t2 = _token(rng, r, c + 11)
+            if r > 0 and second_mask[g]:
+                t2 = _token_of(int(token_vals[2 * g + 1]), r, c + 11)
                 nx0 = x1 + 3.0
                 nx1 = min(nx0 + 4.0 + 4.6 * len(t2), col_x[c + 1] - 1.0)
                 if nx1 > nx0:
