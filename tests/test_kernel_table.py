@@ -217,3 +217,21 @@ class TestCroppedPositions:
         expect_idx = [9] + list(range(14, len(texts)))
         assert kept == [texts[i] for i in expect_idx]
         assert np.allclose(got, boxes[expect_idx])
+
+
+def test_tiny_table_text_golden():
+    """CroppedTable.text() analog (position_words over intersecting page
+    words, detectors/base.py:213-221): row-by-row with newlines at y
+    jumps >= 3."""
+    from gmft_spark.kernel.text import assemble_text
+
+    boxes, texts = _tiny_words()
+    sel, kept = select_table_words(
+        boxes, texts, TINY_TABLE_BBOX, remove_offset=False
+    )
+    assert assemble_text(sel, kept) == (
+        "Name Celsius Fahrenheit\n"
+        "Water Freezing Point 0 32\n"
+        "Water Boiling Point 100 212\n"
+        "Body Temperature 37 98.6"
+    )
