@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 from gmft_spark.config import ExtractConfig
-from gmft_spark.kernel.geometry import iob, select_table_words
+from gmft_spark.kernel.geometry import select_table_words
 from gmft_spark.kernel.histogram import (
     content_intervals_between_dividers,
     fill_by_dividers,

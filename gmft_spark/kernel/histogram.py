@@ -10,7 +10,7 @@ midpoints into a cell grid whose first row is the header.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pandas as pd

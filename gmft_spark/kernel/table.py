@@ -28,7 +28,6 @@ from gmft_spark.config import (
     LABEL_PROJECTED_ROW_HEADER,
     LABEL_ROW,
     LABEL_SPANNING_CELL,
-    LABEL_TABLE,
 )
 from gmft_spark.kernel.geometry import (
     iob,

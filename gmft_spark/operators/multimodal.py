@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
