@@ -59,8 +59,32 @@ RESULT_SCHEMA = StructType(
         StructField("caption_above", StringType()),
         StructField("caption_below", StringType()),
         StructField("confidence", DoubleType()),
+        # per-cell spans: (row, col, text) for every non-empty cell
+        StructField(
+            "cells",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("row", IntegerType()),
+                        StructField("col", IntegerType()),
+                        StructField("text", StringType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
+
+
+def _cell_spans(grid) -> list:
+    if not grid:
+        return []
+    return [
+        {"row": r, "col": c, "text": v}
+        for r, row in enumerate(grid)
+        for c, v in enumerate(row)
+        if v is not None
+    ]
 
 
 def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
@@ -112,6 +136,7 @@ def extract_turn(conv_id: str, turn_idx: int, config: ExtractConfig) -> list:
                 "caption_above": cap_above,
                 "caption_below": cap_below,
                 "confidence": 1.0,
+                "cells": _cell_spans(res.grid),
             }
         )
     return out
@@ -244,6 +269,7 @@ def extract_tables_histogram(transcripts: DataFrame) -> DataFrame:
                             "caption_above": None,
                             "caption_below": None,
                             "confidence": 1.0,
+                            "cells": _cell_spans(res.grid),
                         }
                     )
             if rows:

@@ -49,19 +49,41 @@ def write_results_with_lineage(
     bucketed.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out_dir, "results")
     )
-    lineage = (
+    landed = with_bucket(
         # re-read what actually landed so lineage reflects the sink, not the plan
-        with_bucket(
-            spark.read.parquet(os.path.join(out_dir, "results")), n_buckets
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_tables"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_error"),
-            F.lit(run_id).alias("run_id"),
-        )
+        spark.read.parquet(os.path.join(out_dir, "results")),
+        n_buckets,
     )
+    aggs = [
+        F.count("*").alias("n_tables"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("n_error"),
+        F.lit(run_id).alias("run_id"),
+    ]
+    # extraction metrics per partition (north-rule: lineage carries the
+    # outlier/quality channel, not just counts)
+    if "n_rows" in landed.columns:
+        aggs.append(F.sum("n_rows").alias("total_rows"))
+    if "outliers" in landed.columns:
+        aggs.extend(
+            [
+                F.sum(
+                    F.when(
+                        F.map_contains_key(F.col("outliers"), "skipped text"), 1
+                    ).otherwise(0)
+                ).alias("n_with_skipped_text"),
+                F.min(
+                    F.element_at(F.col("outliers"), "lowest iob").cast("double")
+                ).alias("min_lowest_iob"),
+                F.sum(
+                    F.when(
+                        F.map_contains_key(F.col("outliers"), "nms removed rows"),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_with_nms_removals"),
+            ]
+        )
+    lineage = landed.groupBy("bucket").agg(*aggs)
     lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage"))
     return lineage
 

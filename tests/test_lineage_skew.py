@@ -94,3 +94,16 @@ def test_assemble_conversation_text_stable_order(spark):
     )
     for r in expected:
         assert rows[r["conv_id"]] == r["e"]
+
+
+def test_lineage_carries_extraction_metrics(spark, tmp_path):
+    out = str(tmp_path / "metrics_sink")
+    t = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4)
+    lineage = write_results_with_lineage(
+        spark, extract_tables(t), out, n_buckets=8, run_id="rm"
+    )
+    cols = set(lineage.columns)
+    assert {"total_rows", "n_with_skipped_text", "min_lowest_iob",
+            "n_with_nms_removals"} <= cols
+    rows = lineage.collect()
+    assert sum(r["total_rows"] for r in rows) > 0

@@ -293,3 +293,16 @@ def test_extract_table_never_raises(case):
     assert res.status in ("ok", "error")
     if res.status == "ok":
         assert res.csv is not None
+
+
+@given(scan_case())
+@settings(max_examples=100, deadline=None)
+def test_assign_best_band_x_axis(case):
+    """Same scan-window semantics on the column axis."""
+    bands, words = case
+    band_arr = np.array([[b0, 0.0, b1, 10.0] for b0, b1 in bands])
+    word_arr = np.array([[lo, 0.0, lo + ext, 10.0] for lo, ext in words])
+    got, _ = _assign_best_band(word_arr, band_arr, "x")
+    for k, (lo, ext) in enumerate(words):
+        expect = _reference_scan(bands, (lo, lo + ext))
+        assert got[k] == expect
