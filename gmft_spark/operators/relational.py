@@ -738,6 +738,171 @@ F11_SQL = """
 """
 
 
+def histogram_formatter_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE histogram formatter (H1→H4,
+    formatters/histogram.py:142-199) as one declarative plan: per-page
+    coverage profiles over word x/y extents (rounded 2dp) → maximal
+    zero-coverage gaps (x-gaps wider than 3 become column dividers, all
+    y-gaps become row dividers) → divider midpoints bucket the words →
+    ordered cell-text concatenation. No UDFs anywhere."""
+    w = words_df(spark, sf_dir).select(
+        "page",
+        "word_id",
+        "text",
+        F.round("x0", 2).alias("rx0"),
+        F.round("y0", 2).alias("ry0"),
+        F.round("x1", 2).alias("rx1"),
+        F.round("y1", 2).alias("ry1"),
+        ((F.col("x0") + F.col("x1")) / 2.0).alias("xm"),
+        ((F.col("y0") + F.col("y1")) / 2.0).alias("ym"),
+    )
+
+    def gaps(lo_col: str, hi_col: str):
+        ev = w.select("page", F.col(lo_col).alias("p"), F.lit(1).alias("d")).unionAll(
+            w.select("page", F.col(hi_col).alias("p"), F.lit(-1).alias("d"))
+        )
+        pts = ev.groupBy("page", "p").agg(F.sum("d").alias("d"))
+        win = Window.partitionBy("page").orderBy("p")
+        cov = pts.withColumn(
+            "cov", F.sum("d").over(win.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("nxt", F.lead("p").over(win))
+        segs = (
+            cov.filter(F.col("nxt").isNotNull())
+            .withColumn("low", (F.col("cov") <= 0).cast("int"))
+            .withColumn(
+                "grp",
+                F.sum(1 - F.col("low")).over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        return (
+            segs.filter(F.col("low") == 1)
+            .groupBy("page", "grp")
+            .agg(F.min("p").alias("gs"), F.max("nxt").alias("ge"))
+            .select(F.col("page").alias("dpage"), "gs", "ge")
+        )
+
+    xdiv = (
+        gaps("rx0", "rx1")
+        .filter(F.col("ge") - F.col("gs") > 3.0)
+        .select("dpage", ((F.col("gs") + F.col("ge")) / 2.0).alias("xd"))
+    )
+    ydiv = gaps("ry0", "ry1").select(
+        "dpage", ((F.col("gs") + F.col("ge")) / 2.0).alias("yd")
+    )
+
+    rowed = (
+        w.join(
+            ydiv,
+            (F.col("page") == F.col("dpage")) & (F.col("yd") < F.col("ym")),
+            "left",
+        )
+        .groupBy("page", "word_id", "text", "xm")
+        .agg(F.count("yd").alias("row_idx"))
+    )
+    celled = (
+        rowed.join(
+            xdiv,
+            (F.col("page") == F.col("dpage")) & (F.col("xd") < F.col("xm")),
+            "left",
+        )
+        .groupBy("page", "word_id", "text", "row_idx")
+        .agg(F.count("xd").alias("col_idx"))
+    )
+    return (
+        celled.groupBy("page", "row_idx", "col_idx")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("word_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("cell_text"),
+        )
+        .orderBy("page", "row_idx", "col_idx")
+    )
+
+
+HISTOGRAM_FORMATTER_SQL = f"""
+    WITH words AS ({WORDS_SQL}),
+    w AS (
+        SELECT page, word_id, text,
+               round(x0, 2) AS rx0, round(y0, 2) AS ry0,
+               round(x1, 2) AS rx1, round(y1, 2) AS ry1,
+               (x0 + x1) / 2.0 AS xm, (y0 + y1) / 2.0 AS ym
+        FROM words
+    ),
+    xev AS (
+        SELECT page, rx0 AS p, 1 AS d FROM w
+        UNION ALL SELECT page, rx1 AS p, -1 AS d FROM w
+    ),
+    xpts AS (SELECT page, p, sum(d) AS d FROM xev GROUP BY page, p),
+    xcov AS (
+        SELECT page, p,
+               sum(d) OVER (PARTITION BY page ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov,
+               lead(p) OVER (PARTITION BY page ORDER BY p) AS nxt
+        FROM xpts
+    ),
+    xsegs AS (
+        SELECT page, p, nxt,
+               CASE WHEN cov <= 0 THEN 1 ELSE 0 END AS low,
+               sum(CASE WHEN cov <= 0 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY page ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM xcov WHERE nxt IS NOT NULL
+    ),
+    xdiv AS (
+        SELECT page, (min(p) + max(nxt)) / 2.0 AS xd
+        FROM xsegs WHERE low = 1
+        GROUP BY page, grp
+        HAVING max(nxt) - min(p) > 3.0
+    ),
+    yev AS (
+        SELECT page, ry0 AS p, 1 AS d FROM w
+        UNION ALL SELECT page, ry1 AS p, -1 AS d FROM w
+    ),
+    ypts AS (SELECT page, p, sum(d) AS d FROM yev GROUP BY page, p),
+    ycov AS (
+        SELECT page, p,
+               sum(d) OVER (PARTITION BY page ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov,
+               lead(p) OVER (PARTITION BY page ORDER BY p) AS nxt
+        FROM ypts
+    ),
+    ysegs AS (
+        SELECT page, p, nxt,
+               CASE WHEN cov <= 0 THEN 1 ELSE 0 END AS low,
+               sum(CASE WHEN cov <= 0 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY page ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM ycov WHERE nxt IS NOT NULL
+    ),
+    ydiv AS (
+        SELECT page, (min(p) + max(nxt)) / 2.0 AS yd
+        FROM ysegs WHERE low = 1
+        GROUP BY page, grp
+    ),
+    celled AS (
+        SELECT w.page, w.word_id, w.text,
+               (SELECT count(*) FROM ydiv
+                 WHERE ydiv.page = w.page AND ydiv.yd < w.ym) AS row_idx,
+               (SELECT count(*) FROM xdiv
+                 WHERE xdiv.page = w.page AND xdiv.xd < w.xm) AS col_idx
+        FROM w
+    )
+    SELECT page, row_idx, col_idx,
+           count(*) AS n_words,
+           string_agg(text, ' ' ORDER BY word_id) AS cell_text
+    FROM celled
+    GROUP BY page, row_idx, col_idx
+    ORDER BY page, row_idx, col_idx
+"""
+
+
 QUERIES = {
     "f1_confidence_filter": (f1_confidence_filter, F1_SQL),
     "f2_sort_rank": (f2_sort_rank, F2_SQL),
@@ -751,4 +916,8 @@ QUERIES = {
     "h3_divider_fill": (h3_divider_fill, H3_SQL),
     "t3_interval_complement": (t3_interval_complement, T3_SQL),
     "f11_forward_fill": (f11_forward_fill, F11_SQL),
+    "histogram_formatter_relational": (
+        histogram_formatter_relational,
+        HISTOGRAM_FORMATTER_SQL,
+    ),
 }
