@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 
@@ -5,6 +7,12 @@ import pytest
 def spark():
     from gmft_spark.plans.session import build_session
 
-    s = build_session(master="local[4]", shuffle_partitions=4, app_name="gmft-spark-tests")
+    warehouse = tempfile.mkdtemp(prefix="gmft-spark-warehouse-")
+    s = build_session(
+        master="local[4]",
+        shuffle_partitions=4,
+        app_name="gmft-spark-tests",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
     s.stop()
