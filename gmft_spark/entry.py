@@ -16,6 +16,7 @@ from gmft_spark.operators import analytics, dedup, relational, similarity, texts
 from gmft_spark.operators.extract import (
     assemble_pages,
     extract_tables,
+    extract_tables_ditr,
     extract_tables_histogram,
 )
 from gmft_spark.plans.skew import assemble_conversation_text
@@ -72,6 +73,9 @@ PIPELINE_QUERIES = {
     "tatr_extract_pipeline": _pipeline_tatr,
     "tatr_extract_spanning_multiheader": _pipeline_spanning,
     "histogram_extract_pipeline": _pipeline_histogram,
+    "ditr_extract_pipeline": lambda spark, sf_dir: extract_tables_ditr(
+        transcripts_from_documents(spark, sf_dir)
+    ).orderBy("conv_id", "turn_idx", "table_id"),
     "detect_pipeline": _pipeline_detect,
     "conversation_text_assembly": _pipeline_conversation_text,
     "page_assembly_pipeline": _pipeline_pages,

@@ -95,8 +95,12 @@ def ditr_extract(
             word_boxes, word_texts, table_bbox, angle=angle
         )
 
+    # logical dims: swapped for rotated tables (CroppedTable.width/height,
+    # detectors/base.py:373-383; ditr.py:483 "adjust for rotations too")
     width = table_bbox[2] - table_bbox[0]
     height = table_bbox[3] - table_bbox[1]
+    if angle in (90, 270):
+        width, height = height, width
 
     # T1: proportion by label with per-label confidence (ditr.py:343-388)
     conf_map = config.cell_required_confidence

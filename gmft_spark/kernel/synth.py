@@ -49,6 +49,37 @@ class SynthTable:
     labels: np.ndarray
     boxes: np.ndarray  # table-local (logical/unrotated-view) coords
     angle: int = 0  # 0 or 90: page content is rotated, predictions aren't
+    # ground-truth grid geometry (logical coords) — lets alternative
+    # formatter models (e.g. DITR divider predictions) be derived exactly
+    row_edges: tuple = ()  # y positions between consecutive rows
+    col_edges: tuple = ()  # x positions between consecutive columns
+
+    def divider_predictions(self, thickness: float = 3.0):
+        """DITR-style predictions for this table: one divider box per
+        row/column edge plus a top-header band (kernel/ditr.py labels)."""
+        w = self.bbox[2] - self.bbox[0]
+        h = self.bbox[3] - self.bbox[1]
+        if self.angle in (90, 270):
+            w, h = h, w
+        scores, labels, boxes = [], [], []
+        half = thickness / 2
+        for y in self.row_edges:
+            scores.append(0.95)
+            labels.append(2)  # row divider
+            boxes.append([0.0, y - half, w, y + half])
+        for x in self.col_edges:
+            scores.append(0.95)
+            labels.append(1)  # column divider
+            boxes.append([x - half, 0.0, x + half, h])
+        first_edge = self.row_edges[0] if self.row_edges else h
+        scores.append(0.9)
+        labels.append(3)  # top header band
+        boxes.append([0.0, 0.0, w, first_edge - half])
+        return (
+            np.array(scores, dtype=np.float64),
+            np.array(labels, dtype=np.int64),
+            np.array(boxes, dtype=np.float64),
+        )
 
 
 @dataclass
@@ -87,6 +118,8 @@ def _make_table(
     col_x = np.concatenate([[0.0], np.cumsum(col_widths)])
     width = float(col_x[-1])
     height = (n_rows + 1) * ROW_HEIGHT
+    row_edges = tuple(float(r * ROW_HEIGHT) for r in range(1, n_rows + 1))
+    col_edges = tuple(float(x) for x in col_x[1:-1])
 
     # logical-local word layout (origin 0; rotated onto the page below);
     # all randomness drawn up front in bulk (vectorized)
@@ -166,6 +199,8 @@ def _make_table(
                 np.array(labels, dtype=np.int64),
                 np.array(boxes, dtype=np.float64),
                 angle,
+                row_edges,
+                col_edges,
             ),
             words,
             texts,
@@ -210,6 +245,8 @@ def _make_table(
             np.array(labels, dtype=np.int64),
             np.array(boxes, dtype=np.float64),
             angle,
+            row_edges,
+            col_edges,
         ),
         words,
         texts,

@@ -227,6 +227,73 @@ def assemble_pages(
     )
 
 
+def extract_tables_ditr(
+    transcripts: DataFrame, config: Optional[ExtractConfig] = None
+) -> DataFrame:
+    """DITR-model twin of ``extract_tables``: divider predictions (derived
+    from each scene's ground-truth grid, standing in for the DITR neural
+    model) run through the divider-formatter kernel (gmft_spark.kernel.ditr).
+    Same narrow-map scaling profile."""
+    from gmft_spark.kernel.ditr import ditr_extract
+
+    cfg = config or ExtractConfig()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                scene = synth_scene(conv_id, int(turn_idx))
+                for tbl in scene.tables:
+                    d_scores, d_labels, d_boxes = tbl.divider_predictions()
+                    try:
+                        res = ditr_extract(
+                            d_scores,
+                            d_labels,
+                            d_boxes,
+                            scene.word_boxes,
+                            scene.word_texts,
+                            tbl.bbox,
+                            cfg,
+                            angle=tbl.angle,
+                        )
+                    except Exception as exc:
+                        res = TableResult(
+                            status="error",
+                            message=f"{type(exc).__name__}: {exc}",
+                        )
+                    local, kept = select_table_words(
+                        scene.word_boxes, scene.word_texts, tbl.bbox
+                    )
+                    rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "table_id": tbl.table_id,
+                            "status": res.status,
+                            "message": res.message,
+                            "csv": res.csv,
+                            "n_rows": res.n_rows,
+                            "n_cols": res.n_cols,
+                            "columns": res.columns,
+                            "top_header": res.top_header,
+                            "projecting": res.projecting,
+                            "hier_left": res.hier_left,
+                            "outliers": {},
+                            "table_text": assemble_text(local, kept),
+                            "caption_above": None,
+                            "caption_below": None,
+                            "confidence": 1.0,
+                            "cells": _cell_spans(res.grid),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=RESULT_SCHEMA
+    )
+
+
 def extract_tables_histogram(transcripts: DataFrame) -> DataFrame:
     """Non-deep twin of ``extract_tables``: the histogram formatter
     (sweep-line dividers, gmft_spark.kernel.histogram) over the same
