@@ -68,6 +68,16 @@ def _pipeline_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, 256)).orderBy("media_id")
 
 
+def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmft_spark.operators.html_content import (
+        extract_html_content,
+        synthesize_html_transcripts,
+    )
+
+    t = synthesize_html_transcripts(spark, n_convs=20, turns_per_conv=5)
+    return extract_html_content(t).orderBy("conv_id", "turn_idx")
+
+
 # custom (non-SQL-expressible) pipeline operators → rows-only driver check
 PIPELINE_QUERIES = {
     "tatr_extract_pipeline": _pipeline_tatr,
@@ -80,6 +90,7 @@ PIPELINE_QUERIES = {
     "conversation_text_assembly": _pipeline_conversation_text,
     "page_assembly_pipeline": _pipeline_pages,
     "media_feature_pipeline": _pipeline_media_features,
+    "html_main_content_pipeline": _pipeline_html,
 }
 
 

@@ -1,0 +1,96 @@
+"""HTML main-content extraction: boilerplate strip + DOM heuristics."""
+
+from gmft_spark.kernel.html import extract_main_content, table_to_grid
+from gmft_spark.operators.html_content import (
+    extract_html_content,
+    synthesize_html_transcripts,
+)
+
+PAGE = """
+<html><head><title>The Title</title><script>nope();</script></head>
+<body>
+  <nav class="menu"><a href="/">Home</a><a href="/about">About</a></nav>
+  <header id="site-header">BigSite</header>
+  <div class="content">
+    <article>
+      <h1>Headline</h1>
+      <p>This is the main body of the article with substantial prose
+         that should dominate the density score.</p>
+      <p>Another paragraph of real content follows here.</p>
+      <table>
+        <tr><th>k</th><th>v</th></tr>
+        <tr><td>a</td><td>1</td></tr>
+        <tr><td>b</td><td></td></tr>
+      </table>
+    </article>
+  </div>
+  <aside class="sidebar">More <a href="/x">links</a> <a href="/y">here</a></aside>
+  <footer class="footer">© BigSite <a href="/p">Privacy</a></footer>
+</body></html>
+"""
+
+
+class TestKernel:
+    def test_boilerplate_stripped(self):
+        c = extract_main_content(PAGE)
+        assert c.title == "The Title"
+        assert "main body of the article" in c.main_text
+        assert "Home" not in c.main_text  # nav gone
+        assert "BigSite" not in c.main_text  # header/footer gone
+        assert "Privacy" not in c.main_text
+        assert "nope" not in c.main_text  # script gone
+        assert c.n_dropped_chars > 0
+
+    def test_table_grid(self):
+        c = extract_main_content(PAGE)
+        assert c.n_tables == 1 if hasattr(c, "n_tables") else True
+        assert len(c.tables) == 1
+        assert c.tables[0] == [["k", "v"], ["a", "1"], ["b", None]]
+
+    def test_malformed_html_does_not_raise(self):
+        c = extract_main_content("<div><p>unclosed <b>tags <table><tr><td>x")
+        assert "unclosed" in c.main_text or c.main_text == "unclosed tags"
+
+    def test_empty_input(self):
+        c = extract_main_content("")
+        assert c.main_text == ""
+        assert c.tables == []
+
+    def test_no_semantic_container_falls_back_to_density(self):
+        page = (
+            "<html><body>"
+            '<div class="menu"><a href="/">l1</a><a href="/2">l2</a></div>'
+            "<div><p>Plain page content paragraph with plenty of words "
+            "to win the text-density contest easily.</p></div>"
+            "</body></html>"
+        )
+        c = extract_main_content(page)
+        assert "density contest" in c.main_text
+        assert "l1" not in c.main_text
+
+
+class TestSpark:
+    def test_pipeline(self, spark):
+        t = synthesize_html_transcripts(spark, n_convs=6, turns_per_conv=3)
+        rows = extract_html_content(t).collect()
+        assert len(rows) == 18
+        for r in rows:
+            assert r["title"].startswith("Doc ")
+            assert "Main paragraph one" in r["main_text"]
+            assert "Home" not in r["main_text"]
+            assert "Cookie" not in r["main_text"]
+            assert r["n_tables"] == 1
+            cells = {(c["row"], c["col"]): c["text"] for c in r["cells"]}
+            assert cells[(0, 0)] == "metric"
+            assert cells[(1, 0)] == "alpha"
+            assert r["n_dropped_chars"] > 0
+
+    def test_no_shuffle(self, spark):
+        t = synthesize_html_transcripts(spark, n_convs=2, turns_per_conv=2)
+        plan = (
+            extract_html_content(t)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
