@@ -78,6 +78,14 @@ def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html_content(t).orderBy("conv_id", "turn_idx")
 
 
+def _pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmft_spark.operators.html_content import synthesize_html_transcripts
+    from gmft_spark.operators.training_pipeline import curate
+
+    t = synthesize_html_transcripts(spark, n_convs=20, turns_per_conv=5)
+    return curate(t, min_quality=0.1).orderBy("conv_id", "turn_idx")
+
+
 # custom (non-SQL-expressible) pipeline operators → rows-only driver check
 PIPELINE_QUERIES = {
     "tatr_extract_pipeline": _pipeline_tatr,
@@ -91,6 +99,7 @@ PIPELINE_QUERIES = {
     "page_assembly_pipeline": _pipeline_pages,
     "media_feature_pipeline": _pipeline_media_features,
     "html_main_content_pipeline": _pipeline_html,
+    "training_data_curation": _pipeline_curation,
 }
 
 
