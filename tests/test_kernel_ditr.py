@@ -80,3 +80,34 @@ def test_interval_ioa():
     assert _interval_ioa((5, 5), (0, 10)) == 1.0
     assert _interval_ioa((5, 5), (5, 10)) == 0.0  # boundary point excluded
     assert _interval_ioa((0, 10), (20, 30)) == 0.0
+
+
+def test_ditr_tiny_golden():
+    """The tiny.pdf golden reproduced through the DITR divider path:
+    dividers placed between the reference's known row/column bands
+    (test/test_serial.py tiny_info geometry) must yield the same expected
+    CSV as the TATR band path."""
+    import numpy as np
+
+    from gmft_spark.config import ExtractConfig
+    from tests.fixtures_tiny import (
+        TINY_EXPECTED_CSV,
+        TINY_TABLE_BBOX,
+        TINY_WORDS,
+    )
+
+    scores = [0.95] * 5 + [0.9]
+    labels = [2, 2, 2, 1, 1, 3]
+    boxes = [
+        [0.0, 17.6, 362.6, 20.7],    # row dividers between the 4 rows
+        [0.0, 42.0, 362.6, 45.1],
+        [0.0, 65.8, 362.6, 68.8],
+        [127.8, 0.0, 130.7, 86.3],   # column dividers
+        [250.7, 0.0, 253.7, 86.3],
+        [0.0, 0.0, 362.6, 17.0],     # top-header band
+    ]
+    w = np.array([x[:4] for x in TINY_WORDS])
+    t = [x[4] for x in TINY_WORDS]
+    res = ditr_extract(scores, labels, boxes, w, t, TINY_TABLE_BBOX, ExtractConfig())
+    assert res.csv == TINY_EXPECTED_CSV
+    assert res.columns == ["Name", "Celsius", "Fahrenheit"]
