@@ -85,11 +85,19 @@ def find_captions(
     n = len(texts)
     word_boxes = np.asarray(word_boxes, dtype=np.float64).reshape(-1, 4)
 
-    in_table = [
-        i for i in range(n) if _strict_intersects(word_boxes[i], table_bbox)
-    ]
-    table_min_idx = in_table[0] if in_table else n
-    table_max_idx = in_table[-1] if in_table else 0
+    def _hits(rect) -> np.ndarray:
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        x0, y0, x1, y1 = (word_boxes[:, k] for k in range(4))
+        return (
+            (np.maximum(x0, rect[0]) < np.minimum(x1, rect[2]))
+            & (np.maximum(y0, rect[1]) < np.minimum(y1, rect[3]))
+        )
+
+    in_table_mask = _hits(table_bbox)
+    in_table = np.flatnonzero(in_table_mask)
+    table_min_idx = int(in_table[0]) if len(in_table) else n
+    table_max_idx = int(in_table[-1]) if len(in_table) else 0
 
     candidate_above: Optional[int] = None
     candidate_below: Optional[int] = None
@@ -129,33 +137,28 @@ def find_captions(
     # proximity fallback too.
     if not candidate_above:
         strict = (bx0 - margin[0], by0 - margin[1], bx1 + margin[2], midpoint)
-        best = best_y = None
-        for i in range(n):
-            b = word_boxes[i]
-            y = (b[1] + b[3]) / 2
-            if _strict_intersects(b, strict) and not _strict_intersects(
-                b, table_bbox
-            ):
-                above_heights.append(b[3] - b[1])
-                if best is None or abs(best_y - by0) > abs(y - by0):
-                    best, best_y = i, y
-        if best is not None:
-            candidate_above = best
+        cand_mask = _hits(strict) & ~in_table_mask
+        idxs = np.flatnonzero(cand_mask)
+        if len(idxs):
+            ys = (word_boxes[idxs, 1] + word_boxes[idxs, 3]) / 2
+            above_heights.extend(
+                (word_boxes[idxs, 3] - word_boxes[idxs, 1]).tolist()
+            )
+            # first index with strictly smaller distance wins (scan order)
+            best_pos = int(np.argmin(np.abs(ys - by0)))
+            candidate_above = int(idxs[best_pos])
 
     if not candidate_below:
         strict = (bx0 - margin[0], midpoint, bx1 + margin[2], by1 + margin[3])
-        best = best_y = None
-        for i in range(n):
-            b = word_boxes[i]
-            y = (b[1] + b[3]) / 2
-            if _strict_intersects(b, strict) and not _strict_intersects(
-                b, table_bbox
-            ):
-                below_heights.append(b[3] - b[1])
-                if best is None or abs(best_y - by1) > abs(y - by1):
-                    best, best_y = i, y
-        if best is not None:
-            candidate_below = best
+        cand_mask = _hits(strict) & ~in_table_mask
+        idxs = np.flatnonzero(cand_mask)
+        if len(idxs):
+            ys = (word_boxes[idxs, 1] + word_boxes[idxs, 3]) / 2
+            below_heights.extend(
+                (word_boxes[idxs, 3] - word_boxes[idxs, 1]).tolist()
+            )
+            best_pos = int(np.argmin(np.abs(ys - by1)))
+            candidate_below = int(idxs[best_pos])
 
     captions = []
     for cand, heights, is_above in (

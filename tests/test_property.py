@@ -6,6 +6,12 @@ import bisect
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+# frozen exploration: the driver's verify run must be reproducible — a
+# fresh random seed discovering a new counterexample mid-verify would
+# read as a flake, not a finding
+settings.register_profile("frozen", derandomize=True)
+settings.load_profile("frozen")
+
 from gmft_spark.kernel.geometry import iob
 from gmft_spark.kernel.histogram import coverage_gaps, fill_by_dividers, point_coverage
 from gmft_spark.kernel.table import _assign_best_band, nms_adjacent, _box
