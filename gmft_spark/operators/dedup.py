@@ -321,8 +321,74 @@ DOC_FINGERPRINT_SQL = """
 """
 
 
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window (k-grams per window)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every character k-gram, slide a w-window over the hash sequence, keep
+    each window's minimum — the classic rolling-hash selection used for
+    plagiarism/near-dup detection. Hashes are md5 hex so the lexicographic
+    window-min is engine-independent. Output: per-doc distinct fingerprint
+    count + the global minimum fingerprint (stable summary)."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {WINNOW_K} + 1), "
+                f"i -> substring(text, i, {WINNOW_K}))"
+            )
+        ).alias("pos", "gram"),
+    ).filter(F.length("gram") == WINNOW_K)
+    hashed = grams.select("doc_id", "pos", F.md5("gram").alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    mins = hashed.withColumn("wmin", F.min("h").over(win))
+    return (
+        mins.groupBy("doc_id")
+        .agg(
+            F.countDistinct("wmin").alias("n_fingerprints"),
+            F.min("wmin").alias("min_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOWING_SQL = f"""
+    WITH grams AS (
+        SELECT doc_id, pos, substr(text, CAST(pos AS INT), {WINNOW_K}) AS gram
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {WINNOW_K} + 2)) AS pos
+            FROM documents
+        )
+        WHERE length(substr(text, CAST(pos AS INT), {WINNOW_K})) = {WINNOW_K}
+    ),
+    hashed AS (SELECT doc_id, pos, md5(gram) AS h FROM grams),
+    mins AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                 AS wmin
+        FROM hashed
+    )
+    SELECT doc_id,
+           count(DISTINCT wmin) AS n_fingerprints,
+           min(wmin) AS min_fingerprint
+    FROM mins
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_winnowing": (winnowing_fingerprints, WINNOWING_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
