@@ -199,3 +199,53 @@ class TestHistogramKernel:
         divs = [(0.0, 4.0), (2.0, 6.0)]
         out = content_intervals_between_dividers(divs, 0.0, 10.0)
         assert out == [(0.0, 0.0), (2.0, 4.0), (6.0, 10.0)]
+
+
+class TestLargeTableEdgeBranches:
+    def test_no_text_branch(self):
+        """Forced large-table with zero words: 'no text' outlier, empty CSV
+        (structure.py:889-897)."""
+        s, l, b, w, t, bbox = _grid_scene(n_rows=4)
+        res = extract_table(
+            s, l, b, np.zeros((0, 4)), [], bbox,
+            ExtractConfig(force_large_table_assumption=True),
+            words_are_local=True,
+        )
+        assert res.status == "ok"
+        assert res.outliers.get("no text") is True
+        assert res.grid == []
+
+    def test_excessive_rows_branch(self):
+        """Tiny text in a tall table: estimated rows exceed the 1000 cap →
+        'excessive rows' outlier and the fallback 100-row height
+        (structure.py:281-288)."""
+        s, l, b, w, t, bbox = _grid_scene(n_rows=4, row_h=40.0)
+        # words with tiny heights drive word_height down to ~0.14; the
+        # 200-unit-tall table then estimates ~1400 rows > the 1000 cap
+        tiny_words = np.array(
+            [[5.0, y, 60.0, y + 0.15] for y in np.linspace(41, 199, 40)]
+        )
+        texts = [f"w{i}" for i in range(len(tiny_words))]
+        res = extract_table(
+            s, l, b, tiny_words, texts, bbox,
+            ExtractConfig(force_large_table_assumption=True),
+            words_are_local=True,
+        )
+        assert res.status == "ok"
+        assert res.outliers.get("excessive rows", 0) > 1000
+
+    def test_no_text_matches_naive_oracle(self):
+        from tests.reference_oracle import oracle_extract
+
+        s, l, b, w, t, bbox = _grid_scene(n_rows=4)
+        cfg = ExtractConfig(force_large_table_assumption=True)
+        res = extract_table(
+            s, l, b, np.zeros((0, 4)), [], bbox, cfg, words_are_local=True
+        )
+        status, csv, *_rest, outliers = oracle_extract(
+            s, l, b, np.zeros((0, 4)), [], bbox, cfg
+        )
+        # oracle takes page-coord words; with zero words paths agree
+        assert status == res.status == "ok"
+        assert res.csv == csv
+        assert outliers == res.outliers
