@@ -1,0 +1,335 @@
+"""Content-stream interpreter: emits positioned characters.
+
+Walks a page's content stream (and Form XObjects recursively),
+maintaining the graphics/text state machine of the public PDF spec
+(§8.4, §9.4), and yields one record per shown character:
+
+    Char(uni, box, ox, oy, adv, fs, space)
+
+* ``uni``   unicode string ('' if unmapped)
+* ``box``   device-space glyph bounding box (x0, y0, x1, y1), PDF
+            bottom-left origin — or None for blank glyphs (e.g. space)
+* ``ox, oy``character origin (pen position) in device space
+* ``adv``   advance vector (dx, dy) in device space
+* ``fs``    effective font size in device units
+* ``space`` True if the character code is a word-space (code 32) or the
+            mapped unicode is whitespace
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from gmft_spark.sources.pdfparse.fonts import PDFFont, load_font
+from gmft_spark.sources.pdfparse.objects import (
+    Lexer,
+    Name,
+    PDFFile,
+    Ref,
+    Stream,
+    decode_stream,
+    parse_object,
+)
+
+Matrix = Tuple[float, float, float, float, float, float]
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mul(m: Matrix, n: Matrix) -> Matrix:
+    a, b, c, d, e, f = m
+    A, B, C, D, E, F = n
+    return (
+        a * A + b * C,
+        a * B + b * D,
+        c * A + d * C,
+        c * B + d * D,
+        e * A + f * C + E,
+        e * B + f * D + F,
+    )
+
+
+def mat_apply(m: Matrix, x: float, y: float) -> Tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+@dataclass
+class Char:
+    uni: str
+    box: Optional[Tuple[float, float, float, float]]
+    ox: float
+    oy: float
+    adv: Tuple[float, float]
+    fs: float
+    space: bool
+
+
+class _GState:
+    __slots__ = ("ctm", "char_sp", "word_sp", "hscale", "leading", "font",
+                 "font_size", "rise", "render")
+
+    def __init__(self, ctm: Matrix):
+        self.ctm = ctm
+        self.char_sp = 0.0
+        self.word_sp = 0.0
+        self.hscale = 1.0
+        self.leading = 0.0
+        self.font: Optional[PDFFont] = None
+        self.font_size = 0.0
+        self.rise = 0.0
+        self.render = 0
+
+    def clone(self) -> "_GState":
+        g = _GState(self.ctm)
+        for s in self.__slots__:
+            setattr(g, s, getattr(self, s))
+        return g
+
+
+class ContentInterpreter:
+    def __init__(self, pdf: PDFFile):
+        self.pdf = pdf
+        self._font_cache: Dict[object, PDFFont] = {}
+
+    def _get_font(self, resources: dict, name: str) -> Optional[PDFFont]:
+        fonts = self.pdf.resolve(resources.get("Font")) or {}
+        ref = fonts.get(name)
+        key = ref if isinstance(ref, Ref) else None
+        if key is not None and key in self._font_cache:
+            return self._font_cache[key]
+        d = self.pdf.resolve(ref)
+        if not isinstance(d, dict):
+            return None
+        if key is None:
+            key = id(d)
+            if key in self._font_cache:
+                return self._font_cache[key]
+        try:
+            font = load_font(self.pdf, d)
+        except Exception:
+            return None
+        self._font_cache[key] = font
+        return font
+
+    # -- main loop --------------------------------------------------------
+
+    def chars_for_page(self, page: dict) -> List[Char]:
+        content = self.pdf.page_content(page)
+        resources = self.pdf.resolve(page.get("Resources")) or {}
+        out: List[Char] = []
+        self._run(content, resources, IDENTITY, out, 0)
+        return out
+
+    def _run(
+        self,
+        content: bytes,
+        resources: dict,
+        base_ctm: Matrix,
+        out: List[Char],
+        depth: int,
+    ) -> None:
+        if depth > 8:
+            return
+        lx = Lexer(content)
+        stack: List[object] = []
+        gs = _GState(base_ctm)
+        gs_stack: List[_GState] = []
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        in_text = False
+
+        def num(v, default=0.0) -> float:
+            return float(v) if isinstance(v, (int, float)) else default
+
+        while True:
+            lx.skip_ws()
+            c = lx.peek_byte()
+            if c == -1:
+                break
+            if (
+                c == 0x2F
+                or c == 0x28
+                or c == 0x3C
+                or c == 0x5B
+                or (0x30 <= c <= 0x39)
+                or c == 0x2B
+                or c == 0x2D
+                or c == 0x2E
+            ):
+                obj = parse_object(lx, self.pdf)
+                stack.append(obj)
+                continue
+            op = lx.read_token()
+            if op == b"q":
+                gs_stack.append(gs.clone())
+            elif op == b"Q":
+                if gs_stack:
+                    gs = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                m = tuple(num(v) for v in stack[-6:])
+                gs.ctm = mat_mul(m, gs.ctm)  # type: ignore[arg-type]
+            elif op == b"BT":
+                in_text = True
+                tm = tlm = IDENTITY
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 2:
+                fname = stack[-2]
+                gs.font_size = num(stack[-1])
+                if isinstance(fname, Name):
+                    gs.font = self._get_font(resources, str(fname))
+            elif op == b"Td" and len(stack) >= 2:
+                tlm = mat_mul(
+                    (1, 0, 0, 1, num(stack[-2]), num(stack[-1])), tlm
+                )
+                tm = tlm
+            elif op == b"TD" and len(stack) >= 2:
+                gs.leading = -num(stack[-1])
+                tlm = mat_mul(
+                    (1, 0, 0, 1, num(stack[-2]), num(stack[-1])), tlm
+                )
+                tm = tlm
+            elif op == b"Tm" and len(stack) >= 6:
+                tlm = tuple(num(v) for v in stack[-6:])  # type: ignore[assignment]
+                tm = tlm
+            elif op == b"T*":
+                tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
+                tm = tlm
+            elif op == b"TL" and stack:
+                gs.leading = num(stack[-1])
+            elif op == b"Tc" and stack:
+                gs.char_sp = num(stack[-1])
+            elif op == b"Tw" and stack:
+                gs.word_sp = num(stack[-1])
+            elif op == b"Tz" and stack:
+                gs.hscale = num(stack[-1]) / 100.0
+            elif op == b"Ts" and stack:
+                gs.rise = num(stack[-1])
+            elif op == b"Tr" and stack:
+                gs.render = int(num(stack[-1]))
+            elif op == b"Tj" and stack:
+                s = stack[-1]
+                if isinstance(s, bytes) and in_text:
+                    tm = self._show(s, gs, tm, out)
+            elif op == b"'" and stack:
+                tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
+                tm = tlm
+                s = stack[-1]
+                if isinstance(s, bytes) and in_text:
+                    tm = self._show(s, gs, tm, out)
+            elif op == b'"' and len(stack) >= 3:
+                gs.word_sp = num(stack[-3])
+                gs.char_sp = num(stack[-2])
+                tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
+                tm = tlm
+                s = stack[-1]
+                if isinstance(s, bytes) and in_text:
+                    tm = self._show(s, gs, tm, out)
+            elif op == b"TJ" and stack:
+                arr = stack[-1]
+                if isinstance(arr, list) and in_text:
+                    for item in arr:
+                        if isinstance(item, bytes):
+                            tm = self._show(item, gs, tm, out)
+                        elif isinstance(item, (int, float)):
+                            tx = (
+                                -float(item) / 1000.0
+                            ) * gs.font_size * gs.hscale
+                            tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
+            elif op == b"Do" and stack:
+                xname = stack[-1]
+                if isinstance(xname, Name):
+                    self._do_xobject(str(xname), resources, gs, out, depth)
+            elif op == b"BI":
+                # inline image: skip to EI at token boundary
+                data = lx.data
+                p = lx.pos
+                while True:
+                    idx = data.find(b"EI", p)
+                    if idx < 0:
+                        lx.pos = len(data)
+                        break
+                    before_ok = idx == 0 or data[idx - 1] in b"\x00\t\n\x0c\r "
+                    after = data[idx + 2 : idx + 3]
+                    after_ok = after == b"" or after[0] in b"\x00\t\n\x0c\r "
+                    if before_ok and after_ok:
+                        lx.pos = idx + 2
+                        break
+                    p = idx + 2
+            if op not in (b"", b"(", b"<"):
+                stack.clear()
+        return
+
+    # -- helpers ----------------------------------------------------------
+
+    def _do_xobject(
+        self,
+        name: str,
+        resources: dict,
+        gs: _GState,
+        out: List[Char],
+        depth: int,
+    ) -> None:
+        xobjs = self.pdf.resolve(resources.get("XObject")) or {}
+        st = self.pdf.resolve(xobjs.get(name))
+        if not isinstance(st, Stream):
+            return
+        if self.pdf.resolve(st.dict.get("Subtype")) != "Form":
+            return
+        mtx = self.pdf.resolve(st.dict.get("Matrix"))
+        m: Matrix = IDENTITY
+        if isinstance(mtx, list) and len(mtx) == 6:
+            m = tuple(float(self.pdf.resolve(v) or 0.0) for v in mtx)  # type: ignore[assignment]
+        inner_res = self.pdf.resolve(st.dict.get("Resources")) or resources
+        try:
+            body = decode_stream(st, self.pdf)
+        except Exception:
+            return
+        self._run(body, inner_res, mat_mul(m, gs.ctm), out, depth + 1)
+
+    def _show(
+        self, raw: bytes, gs: _GState, tm: Matrix, out: List[Char]
+    ) -> Matrix:
+        font = gs.font
+        if font is None:
+            return tm
+        fs = gs.font_size
+        hs = gs.hscale
+        for code in font.iter_codes(raw):
+            trm = mat_mul(
+                (fs * hs, 0.0, 0.0, fs, 0.0, gs.rise),
+                mat_mul(tm, gs.ctm),
+            )
+            ox, oy = mat_apply(trm, 0.0, 0.0)
+            uni = font.unicode(code)
+            gbox = font.glyph_box(code)
+            dev_box = None
+            if gbox is not None:
+                gx0, gy0, gx1, gy1 = (v / 1000.0 for v in gbox)
+                pts = [
+                    mat_apply(trm, gx0, gy0),
+                    mat_apply(trm, gx1, gy0),
+                    mat_apply(trm, gx0, gy1),
+                    mat_apply(trm, gx1, gy1),
+                ]
+                xs = [p[0] for p in pts]
+                ys = [p[1] for p in pts]
+                dev_box = (min(xs), min(ys), max(xs), max(ys))
+            w0 = font.width(code) / 1000.0
+            tx = (w0 * fs + gs.char_sp) * hs
+            if font.is_word_space(code):
+                tx += gs.word_sp * hs
+            # advance vector in device space: image of (tx, 0) under the
+            # linear part of tm·ctm
+            a, b, c2, d2, _e, _f = mat_mul(tm, gs.ctm)
+            adv = (tx * a, tx * b)
+            # effective device font size: length of (0, fs) in device
+            fs_dev = fs * math.hypot(c2, d2)
+            is_space = font.is_word_space(code) or (
+                uni != "" and uni.isspace()
+            )
+            out.append(Char(uni, dev_box, ox, oy, adv, fs_dev, is_space))
+            tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
+        return tm

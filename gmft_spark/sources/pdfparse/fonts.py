@@ -1,0 +1,428 @@
+"""PDF font model: code → (advance width, unicode, glyph bbox).
+
+Implements simple fonts (Type1/Type1C/TrueType, 1-byte codes) and
+composite Type0 fonts (Identity-H, 2-byte CIDs) per the public PDF
+specification. Glyph geometry comes from the embedded font program
+(``cff.CFFFont`` / ``sfnt.TrueTypeFont``); widths prefer the PDF
+``/Widths`` ( `/W` ) arrays as renderers do; unicode prefers the
+``/ToUnicode`` CMap, then the Adobe Glyph List via the encoding.
+
+All widths and bboxes returned are in em-1000 text-space units.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from gmft_spark.sources.pdfparse.cff import CFFFont
+from gmft_spark.sources.pdfparse.encodings import (
+    BASE_ENCODINGS,
+    STANDARD_ENCODING,
+    glyph_name_to_unicode,
+)
+from gmft_spark.sources.pdfparse.objects import (
+    Lexer,
+    PDFFile,
+    Stream,
+    decode_stream,
+    parse_object,
+)
+from gmft_spark.sources.pdfparse.sfnt import TrueTypeFont
+
+BBox = Tuple[float, float, float, float]
+
+
+def _c_trunc(v: float) -> int:
+    """C-style float→int cast (truncate toward zero)."""
+    import math as _m
+
+    return int(_m.trunc(v))
+
+
+def quantize_em1000(box: BBox, scale: float, cid_top_hack: bool) -> BBox:
+    """Quantize a glyph box (font units × ``scale`` → em-1000) the way
+    pdfium does: integer em-1000 units via ``(int)(x + 0.5)`` (C trunc),
+    and for CID fonts the empirically-verified ``top += top / 64``
+    extension (integer division)."""
+    x0 = _c_trunc(box[0] * scale + 0.5)
+    y0 = _c_trunc(box[1] * scale + 0.5)
+    x1 = _c_trunc(box[2] * scale + 0.5)
+    y1 = _c_trunc(box[3] * scale + 0.5)
+    if cid_top_hack:
+        y1 += _c_trunc(y1 / 64.0)
+    return (float(x0), float(y0), float(x1), float(y1))
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """Parse a ToUnicode CMap: code -> unicode string."""
+    out: Dict[int, str] = {}
+
+    def _hex_to_int(tok: bytes) -> int:
+        return int(tok, 16) if tok else 0
+
+    def _hex_to_str(tok: bytes) -> str:
+        if len(tok) % 4 == 2:  # e.g. 2-digit → raw byte value
+            try:
+                return chr(int(tok, 16))
+            except ValueError:
+                return ""
+        try:
+            return bytes.fromhex(tok.decode("ascii")).decode(
+                "utf-16-be", "ignore"
+            )
+        except ValueError:
+            return ""
+
+    for m in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", data, re.S
+    ):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            out[_hex_to_int(toks[i])] = _hex_to_str(toks[i + 1])
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        lx = Lexer(body)
+        while True:
+            lx.skip_ws()
+            if lx.peek_byte() == -1:
+                break
+            lo = parse_object(lx)
+            hi = parse_object(lx)
+            dst = parse_object(lx)
+            if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                break
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big")
+            if isinstance(dst, bytes):
+                base = dst
+                try:
+                    base_s = base.decode("utf-16-be", "ignore")
+                except Exception:
+                    base_s = ""
+                for k in range(hi_i - lo_i + 1):
+                    if base_s and len(base_s) == 1:
+                        out[lo_i + k] = chr(ord(base_s) + k)
+                    elif base_s:
+                        # multi-char target: increment last unit
+                        out[lo_i + k] = base_s[:-1] + chr(
+                            ord(base_s[-1]) + k
+                        )
+            elif isinstance(dst, list):
+                for k, item in enumerate(dst):
+                    if lo_i + k > hi_i:
+                        break
+                    if isinstance(item, bytes):
+                        try:
+                            out[lo_i + k] = item.decode("utf-16-be", "ignore")
+                        except Exception:
+                            pass
+    return out
+
+
+class PDFFont:
+    """Common interface: 1- or 2-byte codes."""
+
+    two_byte = False
+
+    def iter_codes(self, raw: bytes) -> List[int]:
+        if self.two_byte:
+            if len(raw) % 2:
+                raw = raw + b"\x00"
+            return [
+                (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw), 2)
+            ]
+        return list(raw)
+
+    def width(self, code: int) -> float:  # em-1000
+        raise NotImplementedError
+
+    def unicode(self, code: int) -> str:
+        raise NotImplementedError
+
+    def glyph_box(self, code: int) -> Optional[BBox]:  # em-1000
+        raise NotImplementedError
+
+    def is_word_space(self, code: int) -> bool:
+        """Single-byte code 32 (receives /Tw word spacing per spec)."""
+        return (not self.two_byte) and code == 32
+
+
+def _descriptor_fallback_box(desc: dict, pdf: PDFFile) -> Optional[BBox]:
+    fb = pdf.resolve(desc.get("FontBBox")) if desc else None
+    if isinstance(fb, list) and len(fb) == 4:
+        vals = [float(pdf.resolve(v) or 0.0) for v in fb]
+        x0, y0, x1, y1 = vals
+        return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+    return None
+
+
+def _load_font_program(desc: dict, pdf: PDFFile):
+    """Returns ('cff', CFFFont) | ('tt', TrueTypeFont) | (None, None)."""
+    if not desc:
+        return None, None
+    for key in ("FontFile2", "FontFile3", "FontFile"):
+        ref = desc.get(key)
+        if ref is None:
+            continue
+        st = pdf.resolve(ref)
+        if not isinstance(st, Stream):
+            continue
+        try:
+            body = decode_stream(st, pdf)
+        except Exception:
+            continue
+        if key == "FontFile2":
+            try:
+                return "tt", TrueTypeFont(body)
+            except Exception:
+                continue
+        elif key == "FontFile3":
+            sub = pdf.resolve(st.dict.get("Subtype"))
+            if sub == "OpenType":
+                try:
+                    tt = TrueTypeFont(body)
+                    if "CFF " in tt.tables:
+                        off, ln = tt.tables["CFF "]
+                        return "cff", CFFFont(body[off : off + ln])
+                    return "tt", tt
+                except Exception:
+                    continue
+            try:
+                return "cff", CFFFont(body)
+            except Exception:
+                continue
+        else:
+            # original Type1 (eexec) — approximate via fallback boxes
+            return None, None
+    return None, None
+
+
+class SimpleFont(PDFFont):
+    def __init__(self, pdf: PDFFile, d: dict):
+        self.subtype = pdf.resolve(d.get("Subtype"))
+        desc = pdf.resolve(d.get("FontDescriptor")) or {}
+        self.desc = desc
+        self.kind, self.prog = _load_font_program(desc, pdf)
+        self.fallback_box = _descriptor_fallback_box(desc, pdf)
+        flags = pdf.resolve(desc.get("Flags")) or 0
+        self.symbolic = bool(flags & 4) and not bool(flags & 32)
+
+        # widths
+        self.first_char = int(pdf.resolve(d.get("FirstChar")) or 0)
+        widths = pdf.resolve(d.get("Widths"))
+        self.widths: List[float] = []
+        if isinstance(widths, list):
+            self.widths = [float(pdf.resolve(w) or 0.0) for w in widths]
+        self.missing_width = float(pdf.resolve(desc.get("MissingWidth")) or 0.0)
+
+        # encoding: code -> glyph name
+        self.code_to_name: Dict[int, str] = {}
+        enc = pdf.resolve(d.get("Encoding"))
+        base: Dict[int, str] = {}
+        if isinstance(enc, str):
+            base = dict(BASE_ENCODINGS.get(enc, STANDARD_ENCODING))
+        elif isinstance(enc, dict):
+            be = pdf.resolve(enc.get("BaseEncoding"))
+            if isinstance(be, str):
+                base = dict(BASE_ENCODINGS.get(be, STANDARD_ENCODING))
+            elif not self.symbolic:
+                base = dict(STANDARD_ENCODING)
+            diffs = pdf.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = pdf.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str):
+                        base[code] = item
+                        code += 1
+        elif not self.symbolic:
+            base = dict(STANDARD_ENCODING)
+        self.code_to_name = base
+
+        # ToUnicode
+        self.tounicode: Dict[int, str] = {}
+        tu = pdf.resolve(d.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                self.tounicode = _parse_tounicode(decode_stream(tu, pdf))
+            except Exception:
+                pass
+
+        # scale font-program units to em-1000
+        self._scale = 1.0
+        if self.kind == "tt" and self.prog is not None:
+            self._scale = 1000.0 / float(self.prog.units_per_em or 1000)
+        elif self.kind == "cff" and self.prog is not None:
+            fm = self.prog.font_matrix()
+            self._scale = fm[0] * 1000.0
+        self._gid_cache: Dict[int, Optional[int]] = {}
+
+    # -- resolution -------------------------------------------------------
+
+    def _gid(self, code: int) -> Optional[int]:
+        if code in self._gid_cache:
+            return self._gid_cache[code]
+        gid: Optional[int] = None
+        name = self.code_to_name.get(code)
+        if self.kind == "cff" and self.prog is not None:
+            if name:
+                gid = self.prog.name_to_gid(name)
+            if gid is None:
+                # built-in encoding fallback: standard encoding name
+                std = STANDARD_ENCODING.get(code)
+                if std:
+                    gid = self.prog.name_to_gid(std)
+        elif self.kind == "tt" and self.prog is not None:
+            if self.symbolic:
+                gid = self.prog.gid_for_unicode(code)
+                if gid is None:
+                    gid = self.prog.gid_for_unicode(0xF000 + code)
+            if gid is None:
+                uni = None
+                if name:
+                    uni = glyph_name_to_unicode(name)
+                if uni is None and code in self.tounicode:
+                    uni = self.tounicode[code]
+                if uni:
+                    gid = self.prog.gid_for_unicode(ord(uni[0]))
+                if gid is None:
+                    gid = self.prog.gid_for_unicode(code)
+        self._gid_cache[code] = gid
+        return gid
+
+    def width(self, code: int) -> float:
+        idx = code - self.first_char
+        if 0 <= idx < len(self.widths):
+            return self.widths[idx]
+        if self.prog is not None:
+            gid = self._gid(code)
+            if gid is not None:
+                return self.prog.advance(gid) * self._scale
+        return self.missing_width
+
+    def unicode(self, code: int) -> str:
+        if code in self.tounicode:
+            u = self.tounicode[code]
+            if u:
+                return u
+        name = self.code_to_name.get(code)
+        if name:
+            u = glyph_name_to_unicode(name)
+            if u:
+                return u
+        if 32 <= code < 127:
+            return chr(code)
+        return chr(code) if code else ""
+
+    def glyph_box(self, code: int) -> Optional[BBox]:
+        if self.prog is not None:
+            gid = self._gid(code)
+            if gid is not None:
+                box = self.prog.glyph_bbox(gid)
+                if box is not None:
+                    return quantize_em1000(box, self._scale, False)
+                return None  # empty glyph (e.g. space): no marks
+        return self.fallback_box
+
+
+class Type0Font(PDFFont):
+    two_byte = True
+
+    def __init__(self, pdf: PDFFile, d: dict):
+        self.encoding_name = pdf.resolve(d.get("Encoding"))
+        desc_fonts = pdf.resolve(d.get("DescendantFonts")) or []
+        df = pdf.resolve(desc_fonts[0]) if desc_fonts else {}
+        df = df if isinstance(df, dict) else {}
+        self.cid_subtype = pdf.resolve(df.get("Subtype"))
+        desc = pdf.resolve(df.get("FontDescriptor")) or {}
+        self.kind, self.prog = _load_font_program(desc, pdf)
+        self.fallback_box = _descriptor_fallback_box(desc, pdf)
+        self.default_width = float(pdf.resolve(df.get("DW")) or 1000.0)
+
+        # /W widths: [c [w1 w2 …] | c1 c2 w]
+        self.cid_widths: Dict[int, float] = {}
+        w = pdf.resolve(df.get("W"))
+        if isinstance(w, list):
+            i = 0
+            while i < len(w):
+                a = pdf.resolve(w[i])
+                if i + 1 < len(w):
+                    b = pdf.resolve(w[i + 1])
+                else:
+                    break
+                if isinstance(b, list):
+                    for k, wv in enumerate(b):
+                        self.cid_widths[int(a) + k] = float(pdf.resolve(wv) or 0)
+                    i += 2
+                else:
+                    if i + 2 < len(w):
+                        wv = float(pdf.resolve(w[i + 2]) or 0)
+                        for cid in range(int(a), int(b) + 1):
+                            self.cid_widths[cid] = wv
+                    i += 3
+
+        # CIDToGIDMap
+        self.cid2gid: Optional[bytes] = None
+        c2g = pdf.resolve(df.get("CIDToGIDMap"))
+        if isinstance(c2g, Stream):
+            try:
+                self.cid2gid = decode_stream(c2g, pdf)
+            except Exception:
+                self.cid2gid = None
+
+        self.tounicode: Dict[int, str] = {}
+        tu = pdf.resolve(d.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                self.tounicode = _parse_tounicode(decode_stream(tu, pdf))
+            except Exception:
+                pass
+
+        self._scale = 1.0
+        if self.kind == "tt" and self.prog is not None:
+            self._scale = 1000.0 / float(self.prog.units_per_em or 1000)
+        elif self.kind == "cff" and self.prog is not None:
+            self._scale = self.prog.font_matrix()[0] * 1000.0
+
+    def _cid(self, code: int) -> int:
+        # Identity-H / Identity-V: code == CID (the only encodings in corpus)
+        return code
+
+    def _gid(self, code: int) -> Optional[int]:
+        cid = self._cid(code)
+        if self.cid2gid is not None:
+            idx = cid * 2
+            if idx + 1 < len(self.cid2gid):
+                return (self.cid2gid[idx] << 8) | self.cid2gid[idx + 1]
+            return 0
+        if self.kind == "cff" and self.prog is not None and self.prog.is_cid:
+            return self.prog.cid_to_gid(cid)
+        return cid
+
+    def width(self, code: int) -> float:
+        return self.cid_widths.get(self._cid(code), self.default_width)
+
+    def unicode(self, code: int) -> str:
+        if code in self.tounicode:
+            return self.tounicode[code]
+        return ""
+
+    def glyph_box(self, code: int) -> Optional[BBox]:
+        if self.prog is not None:
+            gid = self._gid(code)
+            if gid is not None:
+                box = self.prog.glyph_bbox(gid)
+                if box is not None:
+                    return quantize_em1000(box, self._scale, True)
+                return None
+        return self.fallback_box
+
+
+def load_font(pdf: PDFFile, d: dict) -> PDFFont:
+    sub = pdf.resolve(d.get("Subtype"))
+    if sub == "Type0":
+        return Type0Font(pdf, d)
+    return SimpleFont(pdf, d)

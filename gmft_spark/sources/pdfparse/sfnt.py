@@ -1,0 +1,203 @@
+"""TrueType (sfnt) font-program parser: glyph bboxes, advances, cmap.
+
+From-scratch implementation of the subset of the public OpenType/TrueType
+specification needed for text geometry: ``head`` (unitsPerEm,
+indexToLocFormat), ``maxp`` (numGlyphs), ``loca``/``glyf`` (per-glyph
+bounding boxes straight from the glyph header), ``hhea``/``hmtx``
+(advance widths), and ``cmap`` (formats 0, 4, 6, 12).
+
+All metrics are returned in font units; callers scale by
+``1000 / units_per_em`` to get the text-space em-1000 units used by PDF.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Optional, Tuple
+
+
+class TrueTypeFont:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.tables: Dict[str, Tuple[int, int]] = {}
+        self.units_per_em = 1000
+        self.num_glyphs = 0
+        self._loca: Optional[Tuple[int, ...]] = None
+        self._advances: Tuple[int, ...] = ()
+        self._cmap: Dict[int, int] = {}
+        self._bbox_cache: Dict[int, Optional[Tuple[float, float, float, float]]] = {}
+        self._parse()
+
+    def _parse(self) -> None:
+        data = self.data
+        if len(data) < 12:
+            raise ValueError("truncated sfnt")
+        tag = data[:4]
+        off = 0
+        if tag == b"ttcf":  # collection: use first font
+            off = struct.unpack_from(">I", data, 12)[0]
+            tag = data[off : off + 4]
+        (num_tables,) = struct.unpack_from(">H", data, off + 4)
+        p = off + 12
+        for _ in range(num_tables):
+            t, _cs, toff, tlen = struct.unpack_from(">4sIII", data, p)
+            p += 16
+            self.tables[t.decode("latin-1")] = (toff, tlen)
+
+        head = self._table("head")
+        idx_fmt = 0
+        if head is not None:
+            self.units_per_em = struct.unpack_from(">H", head, 18)[0] or 1000
+            idx_fmt = struct.unpack_from(">h", head, 50)[0]
+        maxp = self._table("maxp")
+        if maxp is not None:
+            self.num_glyphs = struct.unpack_from(">H", maxp, 4)[0]
+
+        loca = self._table("loca")
+        if loca is not None:
+            n = self.num_glyphs + 1
+            if idx_fmt == 0:
+                vals = struct.unpack_from(f">{min(n, len(loca)//2)}H", loca, 0)
+                self._loca = tuple(v * 2 for v in vals)
+            else:
+                vals = struct.unpack_from(f">{min(n, len(loca)//4)}I", loca, 0)
+                self._loca = tuple(vals)
+
+        hhea = self._table("hhea")
+        hmtx = self._table("hmtx")
+        if hhea is not None and hmtx is not None:
+            (n_hm,) = struct.unpack_from(">H", hhea, 34)
+            n_hm = min(n_hm, len(hmtx) // 4)
+            adv = [
+                struct.unpack_from(">H", hmtx, i * 4)[0] for i in range(n_hm)
+            ]
+            self._advances = tuple(adv)
+
+        cm = self._table("cmap")
+        if cm is not None:
+            self._parse_cmap(cm)
+
+    def _table(self, name: str) -> Optional[bytes]:
+        if name not in self.tables:
+            return None
+        off, ln = self.tables[name]
+        return self.data[off : off + ln]
+
+    # -- cmap -------------------------------------------------------------
+
+    def _parse_cmap(self, cm: bytes) -> None:
+        (n,) = struct.unpack_from(">H", cm, 2)
+        subtables = []
+        for i in range(n):
+            pid, eid, off = struct.unpack_from(">HHI", cm, 4 + i * 8)
+            subtables.append((pid, eid, off))
+        # preference: (3,1) unicode BMP > (0,*) > (3,0) symbol > (1,0) mac
+        def rank(t):
+            pid, eid, _ = t
+            if pid == 3 and eid == 1:
+                return 0
+            if pid == 0:
+                return 1
+            if pid == 3 and eid == 10:
+                return 2
+            if pid == 3 and eid == 0:
+                return 3
+            return 4
+
+        for pid, eid, off in sorted(subtables, key=rank):
+            try:
+                table = self._parse_cmap_subtable(cm, off)
+            except Exception:
+                continue
+            if table:
+                self._cmap = table
+                self.cmap_platform = (pid, eid)
+                return
+        self.cmap_platform = None
+
+    def _parse_cmap_subtable(self, cm: bytes, off: int) -> Dict[int, int]:
+        (fmt,) = struct.unpack_from(">H", cm, off)
+        out: Dict[int, int] = {}
+        if fmt == 0:
+            for code in range(256):
+                gid = cm[off + 6 + code]
+                if gid:
+                    out[code] = gid
+        elif fmt == 4:
+            (segx2,) = struct.unpack_from(">H", cm, off + 6)
+            seg = segx2 // 2
+            ends = struct.unpack_from(f">{seg}H", cm, off + 14)
+            starts = struct.unpack_from(f">{seg}H", cm, off + 16 + segx2)
+            deltas = struct.unpack_from(f">{seg}h", cm, off + 16 + 2 * segx2)
+            range_off_pos = off + 16 + 3 * segx2
+            range_offs = struct.unpack_from(f">{seg}H", cm, range_off_pos)
+            for i in range(seg):
+                s, e = starts[i], ends[i]
+                if s == 0xFFFF:
+                    continue
+                for code in range(s, min(e, 0xFFFE) + 1):
+                    if range_offs[i] == 0:
+                        gid = (code + deltas[i]) & 0xFFFF
+                    else:
+                        gpos = (
+                            range_off_pos
+                            + i * 2
+                            + range_offs[i]
+                            + (code - s) * 2
+                        )
+                        if gpos + 2 > len(cm):
+                            continue
+                        (gid,) = struct.unpack_from(">H", cm, gpos)
+                        if gid:
+                            gid = (gid + deltas[i]) & 0xFFFF
+                    if gid:
+                        out[code] = gid
+        elif fmt == 6:
+            first, count = struct.unpack_from(">HH", cm, off + 6)
+            gids = struct.unpack_from(f">{count}H", cm, off + 10)
+            for i, gid in enumerate(gids):
+                if gid:
+                    out[first + i] = gid
+        elif fmt == 12:
+            (ngroups,) = struct.unpack_from(">I", cm, off + 12)
+            for i in range(ngroups):
+                s, e, g = struct.unpack_from(">III", cm, off + 16 + i * 12)
+                for c in range(s, e + 1):
+                    out[c] = g + (c - s)
+        return out
+
+    # -- public API -------------------------------------------------------
+
+    def gid_for_unicode(self, cp: int) -> Optional[int]:
+        g = self._cmap.get(cp)
+        if g is None and getattr(self, "cmap_platform", None) == (3, 0):
+            # symbol font: codes live at 0xF000+
+            g = self._cmap.get(0xF000 + cp)
+        return g
+
+    def advance(self, gid: int) -> float:
+        """Advance width in font units."""
+        if not self._advances:
+            return 0.0
+        if gid < len(self._advances):
+            return float(self._advances[gid])
+        return float(self._advances[-1])
+
+    def glyph_bbox(self, gid: int) -> Optional[Tuple[float, float, float, float]]:
+        """(xmin, ymin, xmax, ymax) in font units; None for empty glyphs."""
+        if gid in self._bbox_cache:
+            return self._bbox_cache[gid]
+        box = None
+        if self._loca is not None and 0 <= gid < len(self._loca) - 1:
+            start, end = self._loca[gid], self._loca[gid + 1]
+            if end > start:
+                glyf = self.tables.get("glyf")
+                if glyf is not None:
+                    goff = glyf[0] + start
+                    if goff + 10 <= len(self.data):
+                        _nc, x0, y0, x1, y1 = struct.unpack_from(
+                            ">hhhhh", self.data, goff
+                        )
+                        box = (float(x0), float(y0), float(x1), float(y1))
+        self._bbox_cache[gid] = box
+        return box
