@@ -36,6 +36,16 @@ from gmft_spark.sources.pdfparse.objects import (
 Matrix = Tuple[float, float, float, float, float, float]
 IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
+_LIGATURES = {
+    "ﬀ": "ff",
+    "ﬁ": "fi",
+    "ﬂ": "fl",
+    "ﬃ": "ffi",
+    "ﬄ": "ffl",
+    "ﬅ": "st",
+    "ﬆ": "st",
+}
+
 
 def mat_mul(m: Matrix, n: Matrix) -> Matrix:
     a, b, c, d, e, f = m
@@ -64,6 +74,11 @@ class Char:
     adv: Tuple[float, float]
     fs: float
     space: bool
+    code: int = -1
+    font: Optional[PDFFont] = None
+    obj_id: int = -1  # index of the text-showing object (Tj/TJ/'/" op)
+    # unit vector of the text x-axis in device space (rotation support)
+    dir: Tuple[float, float] = (1.0, 0.0)
 
 
 class _GState:
@@ -92,6 +107,7 @@ class ContentInterpreter:
     def __init__(self, pdf: PDFFile):
         self.pdf = pdf
         self._font_cache: Dict[object, PDFFont] = {}
+        self._obj_counter = 0
 
     def _get_font(self, resources: dict, name: str) -> Optional[PDFFont]:
         fonts = self.pdf.resolve(resources.get("Font")) or {}
@@ -212,12 +228,14 @@ class ContentInterpreter:
             elif op == b"Tj" and stack:
                 s = stack[-1]
                 if isinstance(s, bytes) and in_text:
+                    self._obj_counter += 1
                     tm = self._show(s, gs, tm, out)
             elif op == b"'" and stack:
                 tlm = mat_mul((1, 0, 0, 1, 0, -gs.leading), tlm)
                 tm = tlm
                 s = stack[-1]
                 if isinstance(s, bytes) and in_text:
+                    self._obj_counter += 1
                     tm = self._show(s, gs, tm, out)
             elif op == b'"' and len(stack) >= 3:
                 gs.word_sp = num(stack[-3])
@@ -226,10 +244,12 @@ class ContentInterpreter:
                 tm = tlm
                 s = stack[-1]
                 if isinstance(s, bytes) and in_text:
+                    self._obj_counter += 1
                     tm = self._show(s, gs, tm, out)
             elif op == b"TJ" and stack:
                 arr = stack[-1]
                 if isinstance(arr, list) and in_text:
+                    self._obj_counter += 1
                     for item in arr:
                         if isinstance(item, bytes):
                             tm = self._show(item, gs, tm, out)
@@ -304,6 +324,14 @@ class ContentInterpreter:
             )
             ox, oy = mat_apply(trm, 0.0, 0.0)
             uni = font.unicode(code)
+            if uni == "" and code > 0:
+                # pdfium fallback: unmapped glyphs surface as their raw
+                # charcode (observable as control chars in the goldens)
+                uni = chr(code)
+            elif len(uni) == 1 and "ﬀ" <= uni <= "ﬆ":
+                # pdfium's textpage normalizes Latin ligature codepoints
+                # into their component letters ('ﬁ' → 'fi')
+                uni = _LIGATURES[uni]
             gbox = font.glyph_box(code)
             dev_box = None
             if gbox is not None:
@@ -327,9 +355,16 @@ class ContentInterpreter:
             adv = (tx * a, tx * b)
             # effective device font size: length of (0, fs) in device
             fs_dev = fs * math.hypot(c2, d2)
+            norm = math.hypot(a, b)
+            direction = (a / norm, b / norm) if norm > 0 else (1.0, 0.0)
             is_space = font.is_word_space(code) or (
                 uni != "" and uni.isspace()
             )
-            out.append(Char(uni, dev_box, ox, oy, adv, fs_dev, is_space))
+            out.append(
+                Char(
+                    uni, dev_box, ox, oy, adv, fs_dev, is_space, code, font,
+                    self._obj_counter, direction,
+                )
+            )
             tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
         return tm

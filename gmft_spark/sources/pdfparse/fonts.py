@@ -54,69 +54,75 @@ def quantize_em1000(box: BBox, scale: float, cid_top_hack: bool) -> BBox:
     return (float(x0), float(y0), float(x1), float(y1))
 
 
+_CMAP_TOKEN = re.compile(rb"<([^>]*)>|(\[)|(\])")
+
+
+def _cmap_hex_to_int(raw: bytes) -> int:
+    digits = bytes(c for c in raw if c not in b"\x00\t\n\x0c\r ")
+    try:
+        return int(digits, 16) if digits else 0
+    except ValueError:
+        return 0
+
+
+def _cmap_hex_to_str(raw: bytes) -> str:
+    """Destination hex string → unicode, replicating pdfium's parser: a
+    whitespace inside the brackets TERMINATES the value (``<0066 0069>``
+    yields just 'f' — observable in the reference goldens as 'Specifc'),
+    while spaceless ``<00660069>`` yields the full 'fi'."""
+    head = raw.split()[0] if raw.split() else b""
+    if len(head) % 2:
+        head += b"0"
+    try:
+        b = bytes.fromhex(head.decode("ascii"))
+    except ValueError:
+        return ""
+    if len(b) % 2:
+        b += b"\x00"
+    return b.decode("utf-16-be", "ignore")
+
+
 def _parse_tounicode(data: bytes) -> Dict[int, str]:
-    """Parse a ToUnicode CMap: code -> unicode string."""
+    """Parse a ToUnicode CMap: code -> unicode string (pdfium-compatible
+    whitespace handling in destination values)."""
     out: Dict[int, str] = {}
 
-    def _hex_to_int(tok: bytes) -> int:
-        return int(tok, 16) if tok else 0
-
-    def _hex_to_str(tok: bytes) -> str:
-        if len(tok) % 4 == 2:  # e.g. 2-digit → raw byte value
-            try:
-                return chr(int(tok, 16))
-            except ValueError:
-                return ""
-        try:
-            return bytes.fromhex(tok.decode("ascii")).decode(
-                "utf-16-be", "ignore"
-            )
-        except ValueError:
-            return ""
-
-    for m in re.finditer(
-        rb"beginbfchar(.*?)endbfchar", data, re.S
-    ):
-        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
-        for i in range(0, len(toks) - 1, 2):
-            out[_hex_to_int(toks[i])] = _hex_to_str(toks[i + 1])
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _CMAP_TOKEN.findall(m.group(1))
+        hexes = [t[0] for t in toks if not t[1] and not t[2]]
+        for i in range(0, len(hexes) - 1, 2):
+            out[_cmap_hex_to_int(hexes[i])] = _cmap_hex_to_str(hexes[i + 1])
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
-        body = m.group(1)
-        lx = Lexer(body)
-        while True:
-            lx.skip_ws()
-            if lx.peek_byte() == -1:
+        toks = [
+            t for t in _CMAP_TOKEN.finditer(m.group(1))
+        ]
+        i = 0
+        while i + 2 < len(toks) + 1:
+            # triple: lo hi (dst | [dst...])
+            if i + 2 > len(toks) - 1:
                 break
-            lo = parse_object(lx)
-            hi = parse_object(lx)
-            dst = parse_object(lx)
-            if not isinstance(lo, bytes) or not isinstance(hi, bytes):
-                break
-            lo_i = int.from_bytes(lo, "big")
-            hi_i = int.from_bytes(hi, "big")
-            if isinstance(dst, bytes):
-                base = dst
-                try:
-                    base_s = base.decode("utf-16-be", "ignore")
-                except Exception:
-                    base_s = ""
+            lo_t, hi_t, third = toks[i], toks[i + 1], toks[i + 2]
+            if lo_t.group(2) or lo_t.group(3) or hi_t.group(2) or hi_t.group(3):
+                i += 1
+                continue
+            lo_i = _cmap_hex_to_int(lo_t.group(1))
+            hi_i = _cmap_hex_to_int(hi_t.group(1))
+            if third.group(2):  # '[' — array of destinations
+                i += 3
+                k = 0
+                while i < len(toks) and not toks[i].group(3):
+                    if toks[i].group(1) is not None and lo_i + k <= hi_i:
+                        out[lo_i + k] = _cmap_hex_to_str(toks[i].group(1))
+                    k += 1
+                    i += 1
+                i += 1  # skip ']'
+            else:
+                base_s = _cmap_hex_to_str(third.group(1))
                 for k in range(hi_i - lo_i + 1):
-                    if base_s and len(base_s) == 1:
-                        out[lo_i + k] = chr(ord(base_s) + k)
-                    elif base_s:
-                        # multi-char target: increment last unit
-                        out[lo_i + k] = base_s[:-1] + chr(
-                            ord(base_s[-1]) + k
-                        )
-            elif isinstance(dst, list):
-                for k, item in enumerate(dst):
-                    if lo_i + k > hi_i:
+                    if not base_s:
                         break
-                    if isinstance(item, bytes):
-                        try:
-                            out[lo_i + k] = item.decode("utf-16-be", "ignore")
-                        except Exception:
-                            pass
+                    out[lo_i + k] = base_s[:-1] + chr(ord(base_s[-1]) + k)
+                i += 3
     return out
 
 

@@ -13,7 +13,7 @@ the reference's committed word-box fixtures).
 
 from __future__ import annotations
 
-import math
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 from gmft_spark.sources.pdfparse.content import Char, ContentInterpreter
@@ -21,11 +21,49 @@ from gmft_spark.sources.pdfparse.objects import PDFFile
 
 Word = Tuple[float, float, float, float, str]
 
+
+def _along(ch: Char, x: float, y: float) -> float:
+    """Coordinate along the char's text x-axis (== x for horizontal)."""
+    return x * ch.dir[0] + y * ch.dir[1]
+
+
+def _cross(ch: Char, x: float, y: float) -> float:
+    """Coordinate across the text direction (== y for horizontal)."""
+    return -x * ch.dir[1] + y * ch.dir[0]
+
+
+def _box_cross(ch: Char) -> Tuple[float, float]:
+    """Cross-axis extent of the char's (axis-aligned) glyph box."""
+    x0, y0, x1, y1 = ch.box  # type: ignore[misc]
+    vals = (
+        _cross(ch, x0, y0),
+        _cross(ch, x1, y0),
+        _cross(ch, x0, y1),
+        _cross(ch, x1, y1),
+    )
+    return (min(vals), max(vals))
+
+
+def _box_along(ch: Char) -> Tuple[float, float]:
+    """Along-axis extent of the char's (axis-aligned) glyph box."""
+    x0, y0, x1, y1 = ch.box  # type: ignore[misc]
+    vals = (
+        _along(ch, x0, y0),
+        _along(ch, x1, y0),
+        _along(ch, x0, y1),
+        _along(ch, x1, y1),
+    )
+    return (min(vals), max(vals))
+
 # Fraction of the device font size that a horizontal pen-position gap must
-# exceed for a space to be generated between two characters.
-SPACE_GAP_EM = 0.19
-# Baseline jump (fraction of font size) treated as a line break.
-LINE_BREAK_EM = 0.5
+# exceed for a space to be generated between two characters (pdfium uses
+# roughly half a space-glyph advance; word gaps achieved purely via TJ
+# kerning in the corpus measure ≥ 0.187 em).
+SPACE_GAP_EM = 0.125
+# Baseline-distance (fraction of font size) within which two characters
+# are on the same text line (sub/superscripts and combining accents shift
+# the baseline by up to ~0.3 em).
+LINE_BASE_EM = 0.35
 
 
 class ParsedPDF:
@@ -44,8 +82,14 @@ class ParsedPDF:
         return (box[2] - box[0], box[3] - box[1])
 
     def page_chars(self, n: int) -> List[Char]:
-        """Characters in content order, coordinates relative to the page
-        box (PDF bottom-left origin)."""
+        """Characters in reading order, coordinates relative to the page
+        box (PDF bottom-left origin).
+
+        Text-showing objects are re-inserted by x-position when they lie
+        on an already-seen line to the *left* of its last object — the
+        same normalization pdfium's textpage performs, which puts e.g.
+        separately-drawn combining accents back at their visual spot.
+        """
         page = self._pages[n]
         box = self.pdf.page_box(page)
         chars = self._interp.chars_for_page(page)
@@ -61,75 +105,276 @@ class ParsedPDF:
                         ch.box[2] - dx,
                         ch.box[3] - dy,
                     )
-        return chars
+        return self._reorder_line_objects(chars)
 
-    def page_words(self, n: int) -> List[Word]:
+    @staticmethod
+    def _reorder_line_objects(chars: List[Char]) -> List[Char]:
+        # group consecutive chars by show-op object
+        objects: List[List[Char]] = []
+        for ch in chars:
+            if objects and objects[-1][0].obj_id == ch.obj_id:
+                objects[-1].append(ch)
+            else:
+                objects.append([ch])
+        # pdfium skips text objects consisting only of whitespace; word
+        # boundaries there are recovered by gap-generated spaces
+        objects = [
+            o
+            for o in objects
+            if not all(
+                ch.space or (ch.uni != "" and ch.uni.isspace()) for ch in o
+            )
+        ]
+
+        def baseline(o: List[Char]) -> float:
+            return _cross(o[0], o[0].ox, o[0].oy)
+
+        def x0(o: List[Char]) -> float:
+            return _along(o[0], o[0].ox, o[0].oy)
+
+        def fs(o: List[Char]) -> float:
+            return max(o[0].fs, 1e-6)
+
+        def trange(o: List[Char]) -> Tuple[float, float]:
+            lo = hi = None
+            for ch in o:
+                if ch.box is None:
+                    continue
+                clo, chi = _box_cross(ch)
+                lo = clo if lo is None else min(lo, clo)
+                hi = chi if hi is None else max(hi, chi)
+            if lo is None:
+                return (baseline(o), baseline(o) + 0.6 * fs(o))
+            return (lo, hi)
+
+        def same_dir(a: List[Char], b: List[Char]) -> bool:
+            da, db = a[0].dir, b[0].dir
+            return da[0] * db[0] + da[1] * db[1] > 0.9
+
+        def same_line(a: List[Char], b: List[Char]) -> bool:
+            if not same_dir(a, b):
+                return False
+            tol = LINE_BASE_EM * max(fs(a), fs(b))
+            if abs(baseline(b) - baseline(a)) <= tol:
+                return True
+            alo, ahi = trange(a)
+            blo, bhi = trange(b)
+            return min(ahi, bhi) - max(alo, blo) > 0.0
+
+        def is_multiline(o: List[Char]) -> bool:
+            lo, hi = trange(o)
+            return hi - lo > 2.0 * fs(o)
+
+        out: List[List[Char]] = []
+        line_start = 0  # index into out of the current line's first object
+        for obj in objects:
+            if not out:
+                out.append(obj)
+                continue
+            prev = out[-1]
+            if (
+                not same_line(prev, obj)
+                or is_multiline(obj)
+                or is_multiline(prev)
+            ):
+                # new line (or an object spanning several lines: never
+                # reorder into/around it)
+                line_start = len(out)
+                out.append(obj)
+                continue
+            if x0(obj) >= x0(prev) - 0.05:
+                out.append(obj)
+                continue
+            # clearly-retrograde object on the same line: insert by x among
+            # the line's objects
+            pos = len(out)
+            while pos > line_start and x0(out[pos - 1]) > x0(obj) + 0.05:
+                pos -= 1
+            out.insert(pos, obj)
+        return [ch for obj in out for ch in obj]
+
+    def page_words(
+        self, n: int, cfg: Optional["SegConfig"] = None
+    ) -> List[Word]:
         """(x0, y0, x1, y1, text) with top-left-origin y, like the
         reference binding's ``get_positions_and_text``."""
         _w, height = self.page_size(n)
-        chars = self.page_chars(n)
-        words: List[Word] = []
+        return segment_words(self.page_chars(n), height, cfg or SegConfig())
 
-        cur_text: List[str] = []
-        cur_box: Optional[List[float]] = None
 
-        def flush() -> None:
-            nonlocal cur_text, cur_box
-            text = "".join(cur_text)
-            if text and cur_box is not None:
-                words.append(
-                    (
-                        cur_box[0],
-                        height - cur_box[3],
-                        cur_box[2],
-                        height - cur_box[1],
-                        text,
-                    )
+@dataclass
+class SegConfig:
+    """Word-segmentation thresholds (all in fractions of font size).
+
+    Calibrated against the reference's 30 committed CSV goldens: pdfium
+    generates whitespace between characters based on pen-position gaps
+    within one text-showing op, visual (ink) gaps across ops, baseline
+    drops back from super/subscripts, and line breaks — with special
+    handling for hyphenated line ends.
+    """
+
+    # pen-position gap within one show op that generates a space
+    intra_pen: float = 0.125
+    # inter-object thresholds, same font on both sides
+    same_pen: float = 0.125
+    same_vis: float = 0.28
+    # inter-object visual-gap threshold when the font changes
+    diff_vis: float = 0.26
+    # downward baseline shift (returning from a superscript) that splits,
+    # applied only across object boundaries with the same font
+    down_shift: float = 0.6
+    down_same_font_only: bool = True
+    # pen retreat treated as a break
+    retreat: float = 1.0
+    # baseline distance within which chars share a line
+    line_base: float = LINE_BASE_EM
+
+
+def _obj_width(obj_w: dict, ch: Char) -> float:
+    ext = obj_w.get(ch.obj_id)
+    if ext is None:
+        return 0.0
+    return ext[1] - ext[0]
+
+
+def segment_words(
+    chars: List[Char], height: float, cfg: SegConfig
+) -> List[Word]:
+    """pdfium-style whitespace generation + the reference binding's word
+    assembly (whitespace split, envelope bbox, y-flip)."""
+    words: List[Word] = []
+    cur_text: List[str] = []
+    cur_box: Optional[List[float]] = None
+
+    def flush() -> None:
+        nonlocal cur_text, cur_box
+        text = "".join(cur_text)
+        if text and cur_box is not None:
+            words.append(
+                (
+                    cur_box[0],
+                    height - cur_box[3],
+                    cur_box[2],
+                    height - cur_box[1],
+                    text,
                 )
-            cur_text = []
-            cur_box = None
+            )
+        cur_text = []
+        cur_box = None
 
-        prev: Optional[Char] = None
-        for ch in chars:
-            if prev is not None and not prev.space and not ch.space:
-                if self._breaks_word(prev, ch):
-                    flush()
-            if ch.space or (ch.uni != "" and ch.uni.isspace()):
-                flush()
-            else:
-                box = ch.box
-                if box is None:
-                    # blank glyph: keep the pen position as a point box so
-                    # the word still accumulates text
-                    box = (ch.ox, ch.oy, ch.ox, ch.oy)
-                if cur_box is None:
-                    cur_box = list(box)
-                else:
-                    if box[0] < cur_box[0]:
-                        cur_box[0] = box[0]
-                    if box[1] < cur_box[1]:
-                        cur_box[1] = box[1]
-                    if box[2] > cur_box[2]:
-                        cur_box[2] = box[2]
-                    if box[3] > cur_box[3]:
-                        cur_box[3] = box[3]
-                cur_text.append(ch.uni)
+    def accumulate(ch: Char) -> None:
+        nonlocal cur_box
+        box = ch.box
+        if box is None:
+            # blank glyph: keep the pen position as a point box so the
+            # word still accumulates text
+            box = (ch.ox, ch.oy, ch.ox, ch.oy)
+        if cur_box is None:
+            cur_box = list(box)
+        else:
+            if box[0] < cur_box[0]:
+                cur_box[0] = box[0]
+            if box[1] < cur_box[1]:
+                cur_box[1] = box[1]
+            if box[2] > cur_box[2]:
+                cur_box[2] = box[2]
+            if box[3] > cur_box[3]:
+                cur_box[3] = box[3]
+        cur_text.append(ch.uni)
+
+    def vext(ch: Char) -> Tuple[float, float]:
+        if ch.box is not None:
+            return _box_cross(ch)
+        t = _cross(ch, ch.ox, ch.oy)
+        return (t, t + 0.6 * max(ch.fs, 1e-6))
+
+    line_lo = line_hi = None  # cross-axis interval of the current line
+    prev: Optional[Char] = None
+
+    # ink extent of each show-op object along its text direction — the
+    # yardstick pdfium compares baseline shifts against
+    obj_w: dict = {}
+    for ch in chars:
+        if ch.box is None:
+            continue
+        lo_a, hi_a = _box_along(ch)
+        if ch.obj_id in obj_w:
+            cur = obj_w[ch.obj_id]
+            obj_w[ch.obj_id] = (min(cur[0], lo_a), max(cur[1], hi_a))
+        else:
+            obj_w[ch.obj_id] = (lo_a, hi_a)
+
+    for ch in chars:
+        if ch.space or (ch.uni != "" and ch.uni.isspace()):
+            flush()
             prev = ch
-        flush()
-        return words
-
-    @staticmethod
-    def _breaks_word(prev: Char, cur: Char) -> bool:
-        fs = max(prev.fs, cur.fs, 1e-6)
-        # baseline jump → line break
-        if abs(cur.oy - prev.oy) > LINE_BREAK_EM * fs:
-            return True
-        # horizontal gap beyond the advanced pen position → generated space
-        expected_x = prev.ox + prev.adv[0]
-        expected_y = prev.oy + prev.adv[1]
-        gap = math.hypot(cur.ox - expected_x, cur.oy - expected_y)
-        if cur.ox < expected_x - 0.5 * fs:
-            return True  # pen moved backwards: new line/column
-        if gap > SPACE_GAP_EM * fs:
-            return True
-        return False
+            continue
+        lo, hi = vext(ch)
+        if line_lo is None or prev is None:
+            line_lo, line_hi = lo, hi
+        else:
+            fs = max(prev.fs, ch.fs, 1e-6)
+            dot = prev.dir[0] * ch.dir[0] + prev.dir[1] * ch.dir[1]
+            overlap = min(hi, line_hi) - max(lo, line_lo)
+            dt = _cross(ch, ch.ox, ch.oy) - _cross(prev, prev.ox, prev.oy)
+            same_line = dot > 0.9 and (
+                overlap > 0.0 or abs(dt) <= cfg.line_base * fs
+            )
+            if not same_line:
+                # line break: pdfium's hyphenation merge keeps the word
+                # when it ends '<letter>-'
+                if (
+                    len(cur_text) >= 2
+                    and cur_text[-1] in ("-", "­")
+                    and cur_text[-2][-1:].isalpha()
+                ):
+                    cur_text[-1] = "￾"
+                else:
+                    flush()
+                line_lo, line_hi = lo, hi
+            else:
+                pen_end = _along(
+                    prev, prev.ox + prev.adv[0], prev.oy + prev.adv[1]
+                )
+                pen = _along(ch, ch.ox, ch.oy) - pen_end
+                if (
+                    prev.uni in "-−­"
+                    and ch.uni[:1].isdigit()
+                    and pen < 1.0 * fs
+                ):
+                    # a minus/hyphen directly before a digit never splits
+                    # (negative numbers span show ops in math typesetting)
+                    split = False
+                elif prev.obj_id == ch.obj_id:
+                    split = pen > cfg.intra_pen * fs
+                elif dt < -0.1 * fs and -dt > _obj_width(obj_w, prev):
+                    # dropping back to the baseline splits when the drop
+                    # exceeds the superscript object's own ink width —
+                    # pdfium's line-break yardstick
+                    split = True
+                else:
+                    # gap thresholds scale with the PREVIOUS char's font
+                    # size (a superscript's own size governs its gaps)
+                    fs_gap = max(prev.fs, 1e-6)
+                    if prev.box is not None and ch.box is not None:
+                        vis = _box_along(ch)[0] - _box_along(prev)[1]
+                    else:
+                        vis = pen
+                    same_font = prev.font is ch.font
+                    if same_font:
+                        split = (
+                            pen > cfg.same_pen * fs_gap
+                            or vis > cfg.same_vis * fs_gap
+                        )
+                    else:
+                        split = vis > cfg.diff_vis * fs_gap
+                if split or pen < -cfg.retreat * fs:
+                    flush()
+                if lo < line_lo:
+                    line_lo = lo
+                if hi > line_hi:
+                    line_hi = hi
+        accumulate(ch)
+        prev = ch
+    flush()
+    return words
