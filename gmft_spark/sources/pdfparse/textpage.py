@@ -215,11 +215,15 @@ class SegConfig:
 
     # pen-position gap within one show op that generates a space
     intra_pen: float = 0.125
+    # visual (ink) gap within one show op that generates a space even with
+    # a continuous pen — wide-advance/monospace fonts bake word gaps into
+    # the advances themselves
+    intra_vis: float = 0.33
     # inter-object thresholds, same font on both sides
     same_pen: float = 0.125
-    same_vis: float = 0.28
+    same_vis: float = 0.30
     # inter-object visual-gap threshold when the font changes
-    diff_vis: float = 0.26
+    diff_vis: float = 0.21
     # downward baseline shift (returning from a superscript) that splits,
     # applied only across object boundaries with the same font
     down_shift: float = 0.6
@@ -291,18 +295,17 @@ def segment_words(
     line_lo = line_hi = None  # cross-axis interval of the current line
     prev: Optional[Char] = None
 
-    # ink extent of each show-op object along its text direction — the
+    # advance span of each show-op object along its text direction — the
     # yardstick pdfium compares baseline shifts against
     obj_w: dict = {}
     for ch in chars:
-        if ch.box is None:
-            continue
-        lo_a, hi_a = _box_along(ch)
+        s0 = _along(ch, ch.ox, ch.oy)
+        s1 = _along(ch, ch.ox + ch.adv[0], ch.oy + ch.adv[1])
         if ch.obj_id in obj_w:
             cur = obj_w[ch.obj_id]
-            obj_w[ch.obj_id] = (min(cur[0], lo_a), max(cur[1], hi_a))
+            obj_w[ch.obj_id] = (min(cur[0], s0), max(cur[1], s1))
         else:
-            obj_w[ch.obj_id] = (lo_a, hi_a)
+            obj_w[ch.obj_id] = (s0, s1)
 
     for ch in chars:
         if ch.space or (ch.uni != "" and ch.uni.isspace()):
@@ -346,10 +349,21 @@ def segment_words(
                     # (negative numbers span show ops in math typesetting)
                     split = False
                 elif prev.obj_id == ch.obj_id:
-                    split = pen > cfg.intra_pen * fs
-                elif dt < -0.1 * fs and -dt > _obj_width(obj_w, prev):
+                    if prev.box is not None and ch.box is not None:
+                        vis = _box_along(ch)[0] - _box_along(prev)[1]
+                    else:
+                        vis = pen
+                    split = (
+                        pen > cfg.intra_pen * fs
+                        or vis > cfg.intra_vis * max(prev.fs, 1e-6)
+                    )
+                elif (
+                    dt < -0.38 * max(ch.fs, 1e-6)
+                    and -dt > _obj_width(obj_w, prev)
+                ):
                     # dropping back to the baseline splits when the drop
-                    # exceeds the superscript object's own ink width —
+                    # is a sizable fraction of the new (base) font AND
+                    # exceeds the superscript object's own advance span —
                     # pdfium's line-break yardstick
                     split = True
                 else:
