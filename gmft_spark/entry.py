@@ -78,6 +78,17 @@ def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html_content(t).orderBy("conv_id", "turn_idx")
 
 
+def _pipeline_pdf_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real byte-stream path: per-turn PDF payloads decoded with the
+    from-scratch parser inside mapInPandas (north-rule payload shape)."""
+    from gmft_spark.operators.pdf_extract import extract_tables_from_pdfs
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_tables_from_pdfs(t).orderBy(
+        "conv_id", "turn_idx", "table_id"
+    )
+
+
 def _pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmft_spark.operators.html_content import synthesize_html_transcripts
     from gmft_spark.operators.training_pipeline import curate
@@ -95,6 +106,7 @@ PIPELINE_QUERIES = {
         transcripts_from_documents(spark, sf_dir)
     ).orderBy("conv_id", "turn_idx", "table_id"),
     "detect_pipeline": _pipeline_detect,
+    "pdf_payload_extract_pipeline": _pipeline_pdf_payload,
     "conversation_text_assembly": _pipeline_conversation_text,
     "page_assembly_pipeline": _pipeline_pages,
     "media_feature_pipeline": _pipeline_media_features,

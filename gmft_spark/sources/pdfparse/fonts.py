@@ -331,7 +331,15 @@ class SimpleFont(PDFFont):
                 if box is not None:
                     return quantize_em1000(box, self._scale, False)
                 return None  # empty glyph (e.g. space): no marks
-        return self.fallback_box
+        # no embedded font program: approximate the glyph box from the
+        # char's advance width and the descriptor's vertical extent
+        fb = self.fallback_box
+        if fb is None:
+            return None
+        w = self.width(code)
+        if w <= 0:
+            return None
+        return (0.0, fb[1], w, fb[3])
 
 
 class Type0Font(PDFFont):
