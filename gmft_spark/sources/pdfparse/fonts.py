@@ -199,8 +199,13 @@ def _load_font_program(desc: dict, pdf: PDFFile):
             except Exception:
                 continue
         else:
-            # original Type1 (eexec) — approximate via fallback boxes
-            return None, None
+            # original Type1 (eexec)
+            try:
+                from gmft_spark.sources.pdfparse.type1 import Type1Font
+
+                return "t1", Type1Font(body)
+            except Exception:
+                continue
     return None, None
 
 
@@ -246,6 +251,11 @@ class SimpleFont(PDFFont):
                         code += 1
         elif not self.symbolic:
             base = dict(STANDARD_ENCODING)
+        # the font program's built-in encoding fills the gaps (and is the
+        # whole encoding for symbolic Type1 fonts with no /Encoding)
+        if self.kind == "t1" and getattr(self.prog, "encoding", None):
+            for code, name in self.prog.encoding.items():
+                base.setdefault(code, name)
         self.code_to_name = base
 
         # ToUnicode
@@ -264,6 +274,8 @@ class SimpleFont(PDFFont):
         elif self.kind == "cff" and self.prog is not None:
             fm = self.prog.font_matrix()
             self._scale = fm[0] * 1000.0
+        elif self.kind == "t1" and self.prog is not None:
+            self._scale = self.prog.font_matrix[0] * 1000.0
         self._gid_cache: Dict[int, Optional[int]] = {}
 
     # -- resolution -------------------------------------------------------
@@ -299,11 +311,24 @@ class SimpleFont(PDFFont):
         self._gid_cache[code] = gid
         return gid
 
+    def _t1_name(self, code: int) -> Optional[str]:
+        name = self.code_to_name.get(code)
+        if name and self.prog.has_glyph(name):
+            return name
+        std = STANDARD_ENCODING.get(code)
+        if std and self.prog.has_glyph(std):
+            return std
+        return None
+
     def width(self, code: int) -> float:
         idx = code - self.first_char
         if 0 <= idx < len(self.widths):
             return self.widths[idx]
-        if self.prog is not None:
+        if self.kind == "t1" and self.prog is not None:
+            name = self._t1_name(code)
+            if name is not None:
+                return self.prog.advance_by_name(name) * self._scale
+        elif self.prog is not None:
             gid = self._gid(code)
             if gid is not None:
                 return self.prog.advance(gid) * self._scale
@@ -324,7 +349,14 @@ class SimpleFont(PDFFont):
         return chr(code) if code else ""
 
     def glyph_box(self, code: int) -> Optional[BBox]:
-        if self.prog is not None:
+        if self.kind == "t1" and self.prog is not None:
+            name = self._t1_name(code)
+            if name is not None:
+                box = self.prog.glyph_bbox_by_name(name)
+                if box is not None:
+                    return quantize_em1000(box, self._scale, False)
+                return None  # blank glyph (e.g. space)
+        elif self.prog is not None:
             gid = self._gid(code)
             if gid is not None:
                 box = self.prog.glyph_bbox(gid)
