@@ -219,6 +219,8 @@ class SegConfig:
     # a continuous pen — wide-advance/monospace fonts bake word gaps into
     # the advances themselves
     intra_vis: float = 0.33
+    # pen deviation from the object's base kern (CalculateBaseSpace)
+    intra_rel: float = 0.25
     # inter-object thresholds, same font on both sides
     same_pen: float = 0.125
     same_vis: float = 0.30
@@ -295,17 +297,32 @@ def segment_words(
     line_lo = line_hi = None  # cross-axis interval of the current line
     prev: Optional[Char] = None
 
-    # advance span of each show-op object along its text direction — the
+    # ink extent of each show-op object along its text direction — the
     # yardstick pdfium compares baseline shifts against
     obj_w: dict = {}
+    # base kern per object: the most negative pen deviation between
+    # consecutive chars (pdfium's CalculateBaseSpace — fonts whose
+    # advances bake in spacing compensate with uniform negative kerns,
+    # and word gaps surface as deviations from that base)
+    obj_base: dict = {}
+    _prev_by_obj: dict = {}
     for ch in chars:
-        s0 = _along(ch, ch.ox, ch.oy)
-        s1 = _along(ch, ch.ox + ch.adv[0], ch.oy + ch.adv[1])
-        if ch.obj_id in obj_w:
-            cur = obj_w[ch.obj_id]
-            obj_w[ch.obj_id] = (min(cur[0], s0), max(cur[1], s1))
-        else:
-            obj_w[ch.obj_id] = (s0, s1)
+        if ch.box is not None:
+            lo_a, hi_a = _box_along(ch)
+            if ch.obj_id in obj_w:
+                cur = obj_w[ch.obj_id]
+                obj_w[ch.obj_id] = (min(cur[0], lo_a), max(cur[1], hi_a))
+            else:
+                obj_w[ch.obj_id] = (lo_a, hi_a)
+        p = _prev_by_obj.get(ch.obj_id)
+        if p is not None and not p.space and not ch.space:
+            pen = _along(ch, ch.ox, ch.oy) - _along(
+                p, p.ox + p.adv[0], p.oy + p.adv[1]
+            )
+            rel = pen / max(p.fs, 1e-6)
+            if rel < obj_base.get(ch.obj_id, 0.0):
+                obj_base[ch.obj_id] = rel
+        _prev_by_obj[ch.obj_id] = ch
 
     for ch in chars:
         if ch.space or (ch.uni != "" and ch.uni.isspace()):
@@ -353,9 +370,12 @@ def segment_words(
                         vis = _box_along(ch)[0] - _box_along(prev)[1]
                     else:
                         vis = pen
+                    base = obj_base.get(ch.obj_id, 0.0)
+                    rel = pen / max(prev.fs, 1e-6) - base
                     split = (
                         pen > cfg.intra_pen * fs
                         or vis > cfg.intra_vis * max(prev.fs, 1e-6)
+                        or rel > cfg.intra_rel
                     )
                 elif (
                     dt < -0.38 * max(ch.fs, 1e-6)
@@ -363,7 +383,7 @@ def segment_words(
                 ):
                     # dropping back to the baseline splits when the drop
                     # is a sizable fraction of the new (base) font AND
-                    # exceeds the superscript object's own advance span —
+                    # exceeds the superscript object's own ink width —
                     # pdfium's line-break yardstick
                     split = True
                 else:
@@ -382,7 +402,11 @@ def segment_words(
                         )
                     else:
                         split = vis > cfg.diff_vis * fs_gap
-                if split or pen < -cfg.retreat * fs:
+                    # pen retreat between objects = out-of-order drawing
+                    # (within one object backward kerns are normal
+                    # column layout and the vis rules already judge it)
+                    split = split or pen < -cfg.retreat * fs
+                if split:
                     flush()
                 if lo < line_lo:
                     line_lo = lo
