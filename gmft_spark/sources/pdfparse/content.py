@@ -19,6 +19,7 @@ maintaining the graphics/text state machine of the public PDF spec
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -35,6 +36,8 @@ from gmft_spark.sources.pdfparse.objects import (
 
 Matrix = Tuple[float, float, float, float, float, float]
 IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+_NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)(?![0-9.eE])")
 
 _LIGATURES = {
     "ﬀ": "ff",
@@ -164,16 +167,18 @@ class ContentInterpreter:
             c = lx.peek_byte()
             if c == -1:
                 break
-            if (
-                c == 0x2F
-                or c == 0x28
-                or c == 0x3C
-                or c == 0x5B
-                or (0x30 <= c <= 0x39)
-                or c == 0x2B
-                or c == 0x2D
-                or c == 0x2E
-            ):
+            if (0x30 <= c <= 0x39) or c == 0x2B or c == 0x2D or c == 0x2E:
+                # numeric operand fast path (content streams carry no
+                # indirect references, so skip the "N G R" lookahead)
+                m = _NUMBER_RE.match(lx.data, lx.pos)
+                if m:
+                    tok = m.group(0)
+                    lx.pos = m.end()
+                    stack.append(
+                        float(tok) if (b"." in tok) else int(tok)
+                    )
+                    continue
+            if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B:
                 obj = parse_object(lx, self.pdf)
                 stack.append(obj)
                 continue
@@ -317,12 +322,20 @@ class ContentInterpreter:
             return tm
         fs = gs.font_size
         hs = gs.hscale
+        rise = gs.rise
+        # linear part of tm·ctm is invariant across the string (per-char
+        # advances only translate); track the origin incrementally
+        a, b, c2, d2, e, f = mat_mul(tm, gs.ctm)
+        sx = fs * hs
+        norm = math.hypot(a, b)
+        direction = (a / norm, b / norm) if norm > 0 else (1.0, 0.0)
+        fs_dev = fs * math.hypot(c2, d2)
+        total_tx = 0.0
         for code in font.iter_codes(raw):
-            trm = mat_mul(
-                (fs * hs, 0.0, 0.0, fs, 0.0, gs.rise),
-                mat_mul(tm, gs.ctm),
-            )
-            ox, oy = mat_apply(trm, 0.0, 0.0)
+            trm = (sx * a, sx * b, fs * c2, fs * d2,
+                   rise * c2 + e, rise * d2 + f)
+            ox = trm[4]
+            oy = trm[5]
             uni = font.unicode(code)
             if uni == "" and code > 0:
                 # pdfium fallback: unmapped glyphs surface as their raw
@@ -350,13 +363,8 @@ class ContentInterpreter:
             if font.is_word_space(code):
                 tx += gs.word_sp * hs
             # advance vector in device space: image of (tx, 0) under the
-            # linear part of tm·ctm
-            a, b, c2, d2, _e, _f = mat_mul(tm, gs.ctm)
+            # (string-invariant) linear part of tm·ctm
             adv = (tx * a, tx * b)
-            # effective device font size: length of (0, fs) in device
-            fs_dev = fs * math.hypot(c2, d2)
-            norm = math.hypot(a, b)
-            direction = (a / norm, b / norm) if norm > 0 else (1.0, 0.0)
             is_space = font.is_word_space(code) or (
                 uni != "" and uni.isspace()
             )
@@ -366,5 +374,7 @@ class ContentInterpreter:
                     self._obj_counter, direction,
                 )
             )
-            tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
-        return tm
+            e += tx * a
+            f += tx * b
+            total_tx += tx
+        return mat_mul((1, 0, 0, 1, total_tx, 0), tm)

@@ -35,11 +35,14 @@ def _cross(ch: Char, x: float, y: float) -> float:
 def _box_cross(ch: Char) -> Tuple[float, float]:
     """Cross-axis extent of the char's (axis-aligned) glyph box."""
     x0, y0, x1, y1 = ch.box  # type: ignore[misc]
+    ux, uy = ch.dir
+    if uy == 0.0 and ux > 0.0:  # horizontal fast path
+        return (y0, y1)
     vals = (
-        _cross(ch, x0, y0),
-        _cross(ch, x1, y0),
-        _cross(ch, x0, y1),
-        _cross(ch, x1, y1),
+        -x0 * uy + y0 * ux,
+        -x1 * uy + y0 * ux,
+        -x0 * uy + y1 * ux,
+        -x1 * uy + y1 * ux,
     )
     return (min(vals), max(vals))
 
@@ -47,11 +50,14 @@ def _box_cross(ch: Char) -> Tuple[float, float]:
 def _box_along(ch: Char) -> Tuple[float, float]:
     """Along-axis extent of the char's (axis-aligned) glyph box."""
     x0, y0, x1, y1 = ch.box  # type: ignore[misc]
+    ux, uy = ch.dir
+    if uy == 0.0 and ux > 0.0:  # horizontal fast path
+        return (x0, x1)
     vals = (
-        _along(ch, x0, y0),
-        _along(ch, x1, y0),
-        _along(ch, x0, y1),
-        _along(ch, x1, y1),
+        x0 * ux + y0 * uy,
+        x1 * ux + y0 * uy,
+        x0 * ux + y1 * uy,
+        x1 * ux + y1 * uy,
     )
     return (min(vals), max(vals))
 
