@@ -22,46 +22,105 @@ import numpy as np
 from gmft_spark.kernel.geometry import EMPTY_BOX  # noqa: F401  (docs)
 from gmft_spark.kernel.text import infer_line_breaks
 
-try:  # pragma: no cover - environment dependent
-    import tabulate  # noqa: F401
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
 
-    _HAVE_TABULATE = True
-except Exception:  # pragma: no cover
-    _HAVE_TABULATE = False
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _afterpoint(s: str) -> int:
+    """Digits after the decimal point; -1 if no point (tabulate's rule)."""
+    if _is_float(s) and "." in s:
+        return len(s) - s.rfind(".") - 1
+    return -1
 
 
 def grid_to_markdown(
     columns: Sequence[Optional[str]], grid: Sequence[Sequence[Optional[str]]]
 ) -> str:
-    """Markdown table matching pandas ``DataFrame.to_markdown()`` defaults
-    (index column, ``|``-piped, ``:--``-style left alignment padding)."""
-    if _HAVE_TABULATE:
-        import pandas as pd
-
-        return pd.DataFrame(list(grid), columns=list(columns)).to_markdown()
-
+    """Markdown table byte-matching ``DataFrame.to_markdown()`` defaults
+    (tabulate's 'pipe' format) for string-valued tables: an index column,
+    per-column numeric detection with number re-parsing (``floatfmt='g'``),
+    decimal alignment for float columns, right alignment for int columns,
+    left for strings — reproduced from the public tabulate behavior
+    (validated against the reference's rich-page goldens)."""
     headers = [""] + ["" if c is None else str(c) for c in columns]
-    rows = [
+    raw_rows = [
         [str(i)] + ["" if v is None else str(v) for v in row]
         for i, row in enumerate(grid)
     ]
-    widths = [
-        max(len(headers[c]), *(len(r[c]) for r in rows)) if rows else len(headers[c])
-        for c in range(len(headers))
-    ]
-    widths = [max(w, 2) for w in widths]
+    ncols = len(headers)
 
-    def fmt_row(cells, pad=" "):
-        return "|" + "|".join(
-            f"{pad}{c:<{w}}{pad}" for c, w in zip(cells, widths)
-        ) + "|"
+    # column type: int if every cell parses as int, float if every cell
+    # parses as a number, else string
+    col_types = []
+    for c in range(ncols):
+        vals = [r[c] for r in raw_rows]
+        if vals and all(_is_int(v) for v in vals):
+            col_types.append(int)
+        elif vals and all(_is_float(v) for v in vals):
+            col_types.append(float)
+        else:
+            col_types.append(str)
 
-    lines = [fmt_row(headers)]
-    lines.append(
-        "|" + "|".join(":" + "-" * w + "-" for w in widths) + "|"
-    )
-    for r in rows:
-        lines.append(fmt_row(r))
+    # format cells (numbers re-parsed; floats through '%g')
+    cols: List[List[str]] = []
+    for c in range(ncols):
+        vals = [r[c] for r in raw_rows]
+        if col_types[c] is int:
+            vals = [str(int(v)) for v in vals]
+        elif col_types[c] is float:
+            vals = [format(float(v), "g") for v in vals]
+        cols.append(vals)
+
+    # decimal alignment pads float cells so the points line up
+    for c in range(ncols):
+        if col_types[c] is float:
+            decs = [_afterpoint(v) for v in cols[c]]
+            maxdec = max(decs) if decs else -1
+            if maxdec >= 0:
+                cols[c] = [
+                    v + " " * ((maxdec - d) if d >= 0 else (maxdec + 1))
+                    for v, d in zip(cols[c], decs)
+                ]
+
+    widths = []
+    aligns = []
+    for c in range(ncols):
+        # tabulate's MIN_PADDING (2) applies to header widths only
+        w = len(headers[c]) + 2
+        for v in cols[c]:
+            if len(v) > w:
+                w = len(v)
+        widths.append(w)
+        aligns.append("right" if col_types[c] in (int, float) else "left")
+
+    def cell(v: str, c: int) -> str:
+        if aligns[c] == "right":
+            return " " + v.rjust(widths[c]) + " "
+        return " " + v.ljust(widths[c]) + " "
+
+    def seg(c: int) -> str:
+        if aligns[c] == "right":
+            return "-" * (widths[c] + 1) + ":"
+        return ":" + "-" * (widths[c] + 1)
+
+    lines = ["|" + "|".join(cell(headers[c], c) for c in range(ncols)) + "|"]
+    lines.append("|" + "|".join(seg(c) for c in range(ncols)) + "|")
+    for r in range(len(raw_rows)):
+        lines.append(
+            "|" + "|".join(cell(cols[c][r], c) for c in range(ncols)) + "|"
+        )
     return "\n".join(lines)
 
 

@@ -231,7 +231,7 @@ class SegConfig:
     same_pen: float = 0.125
     same_vis: float = 0.30
     # inter-object visual-gap threshold when the font changes
-    diff_vis: float = 0.21
+    diff_vis: float = 0.23
     # downward baseline shift (returning from a superscript) that splits,
     # applied only across object boundaries with the same font
     down_shift: float = 0.6
