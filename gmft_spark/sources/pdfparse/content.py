@@ -82,6 +82,11 @@ class Char:
     obj_id: int = -1  # index of the text-showing object (Tj/TJ/'/" op)
     # unit vector of the text x-axis in device space (rotation support)
     dir: Tuple[float, float] = (1.0, 0.0)
+    # font-width-only advance (glyph width × size, no Tc/Tw): the pen the
+    # reference's textpage uses for its inter-object gap decisions
+    # (GetCharWidth × fs / 1000), which diverges from the real pen under
+    # letterspacing / TJ column layouts
+    fadv: Tuple[float, float] = (0.0, 0.0)
 
 
 class _GState:
@@ -365,13 +370,14 @@ class ContentInterpreter:
             # advance vector in device space: image of (tx, 0) under the
             # (string-invariant) linear part of tm·ctm
             adv = (tx * a, tx * b)
+            txf = w0 * fs * hs
             is_space = font.is_word_space(code) or (
                 uni != "" and uni.isspace()
             )
             out.append(
                 Char(
                     uni, dev_box, ox, oy, adv, fs_dev, is_space, code, font,
-                    self._obj_counter, direction,
+                    self._obj_counter, direction, (txf * a, txf * b),
                 )
             )
             e += tx * a

@@ -21,6 +21,16 @@ from gmft_spark.sources.pdfparse.objects import PDFFile
 
 Word = Tuple[float, float, float, float, str]
 
+# pdfium textpage "control characters": present in the char list (with a
+# box) but absent from the extracted text, so the reference binding's
+# `get_text_range(i, 1)` yields '' for them — the char contributes no
+# text yet its box still merges into the current word's envelope
+# (`gmft/pdf_bindings/pdfium.py:158-169`). 0xFFFE is control too unless
+# hyphen-flagged; our hyphen merge inserts the marker directly as text.
+_CONTROL_CHARS = frozenset(
+    map(chr, (0x02, 0x03, 0x93, 0x94, 0x96, 0x97, 0x98))
+)
+
 
 def _along(ch: Char, x: float, y: float) -> float:
     """Coordinate along the char's text x-axis (== x for horizontal)."""
@@ -249,6 +259,40 @@ def _obj_width(obj_w: dict, ch: Char) -> float:
     return ext[1] - ext[0]
 
 
+def _baseline_break(
+    prev: Char, ch: Char, dt: float, obj_first: dict
+) -> bool:
+    """Inter-object baseline-shift split (ProcessInsertObject analog).
+
+    pdfium expresses the new object's origin in the PREVIOUS OBJECT's
+    text space (``pos``), so the line-break test compares the baseline
+    shift both against a char-width threshold (rise > 2×thr, drop <
+    −3×thr with thr = min of the boundary chars' font-width advances /
+    4 — min, not max: pdf3's tiny fs-3.59 footnote marker 'a' must
+    split from the following text on a 2.29×-of-max drop) and against
+    the x-distance from the previous object's START.
+    A long previous object keeps its trailing script attached (pdf1
+    'L−1)', pdf8 'm2/mol') while a short one lets the same geometry
+    split (pdf2 'kg/m2 )', pdf5 stacked 'SO4 2'). The |dt| > pos_x
+    comparison decides pdf5's three identical-geometry '(\\x05)'
+    instances both ways on margins of ±0.001pt, matching the golden in
+    each — the sharpest evidence this is pdfium's actual arithmetic
+    (``fabs(pos.y) > fabs(pos.x)`` in object-relative coordinates)."""
+    wp = (prev.fadv[0] ** 2 + prev.fadv[1] ** 2) ** 0.5
+    wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
+    thr = min(wp, wc) / 4.0
+    if thr <= 0.0:
+        return False
+    fx = obj_first.get(prev.obj_id)
+    if fx is None:
+        pos_x = 0.0
+    else:
+        pos_x = abs(_along(ch, ch.ox, ch.oy) - _along(ch, fx[0], fx[1]))
+    if dt > 2.0 * thr or dt < -3.0 * thr:
+        return abs(dt) > pos_x
+    return False
+
+
 def segment_words(
     chars: List[Char], height: float, cfg: SegConfig
 ) -> List[Word]:
@@ -259,6 +303,12 @@ def segment_words(
     cur_box: Optional[List[float]] = None
 
     def flush() -> None:
+        # The reference binding resets its bbox accumulator only when a
+        # word is actually emitted (`if current_word:` guard,
+        # pdfium.py:146-157): a whitespace flush while the pending text
+        # is empty (e.g. after a lone control char) RETAINS the box,
+        # which then merges into the next word's envelope. Replicated
+        # exactly — goldens depend on it (pdf5_t0's wide '18.5').
         nonlocal cur_text, cur_box
         text = "".join(cur_text)
         if text and cur_box is not None:
@@ -271,8 +321,8 @@ def segment_words(
                     text,
                 )
             )
+            cur_box = None
         cur_text = []
-        cur_box = None
 
     def accumulate(ch: Char) -> None:
         nonlocal cur_box
@@ -292,7 +342,8 @@ def segment_words(
                 cur_box[2] = box[2]
             if box[3] > cur_box[3]:
                 cur_box[3] = box[3]
-        cur_text.append(ch.uni)
+        if not (len(ch.uni) == 1 and ch.uni in _CONTROL_CHARS):
+            cur_text.append(ch.uni)
 
     def vext(ch: Char) -> Tuple[float, float]:
         if ch.box is not None:
@@ -311,8 +362,13 @@ def segment_words(
     # advances bake in spacing compensate with uniform negative kerns,
     # and word gaps surface as deviations from that base)
     obj_base: dict = {}
+    # first char origin per show-op object — the object "position" the
+    # baseline-shift rule measures pdfium's ``pos.x`` against
+    obj_first: dict = {}
     _prev_by_obj: dict = {}
     for ch in chars:
+        if ch.obj_id not in obj_first:
+            obj_first[ch.obj_id] = (ch.ox, ch.oy)
         if ch.box is not None:
             lo_a, hi_a = _box_along(ch)
             if ch.obj_id in obj_w:
@@ -383,19 +439,21 @@ def segment_words(
                         or vis > cfg.intra_vis * max(prev.fs, 1e-6)
                         or rel > cfg.intra_rel
                     )
-                elif (
-                    dt < -0.38 * max(ch.fs, 1e-6)
-                    and -dt > _obj_width(obj_w, prev)
-                ):
-                    # dropping back to the baseline splits when the drop
-                    # is a sizable fraction of the new (base) font AND
-                    # exceeds the superscript object's own ink width —
-                    # pdfium's line-break yardstick
+                elif _baseline_break(prev, ch, dt, obj_first):
                     split = True
                 else:
                     # gap thresholds scale with the PREVIOUS char's font
-                    # size (a superscript's own size governs its gaps)
+                    # size (a superscript's own size governs its gaps).
+                    # ACROSS objects the pen is the font-width-only one
+                    # (GetCharWidth × size / 1000) pdfium's
+                    # ProcessInsertObject measures with — the real pen's
+                    # Tc/Tw/TJ components (letterspaced headers, TJ
+                    # column layouts like pdf8's 'NaAlSi3O8') must not
+                    # leak into inter-object gap decisions
                     fs_gap = max(prev.fs, 1e-6)
+                    pen = _along(ch, ch.ox, ch.oy) - _along(
+                        prev, prev.ox + prev.fadv[0], prev.oy + prev.fadv[1]
+                    )
                     if prev.box is not None and ch.box is not None:
                         vis = _box_along(ch)[0] - _box_along(prev)[1]
                     else:

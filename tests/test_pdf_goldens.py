@@ -28,14 +28,11 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference corpus not present"
 )
 
-# pdfium textpage divergences not yet replicated (all sub-point word-gap
-# threshold cases or interleaved multi-line-header object ordering):
-#   pdf5_t0/t1 — Greek-letter symbol row: '( α)' spacing + stacked
-#             sub/superscript chemistry cells
+# pdfium textpage divergences not yet replicated:
 #   pdf8_t0 — rotated (angle=90) table with interleaved two-row header
 #   pdf8_t1 — multi-line header whose expected text is itself pdfium
 #             object-reordering output woven across columns
-KNOWN_DIVERGENT = {"pdf5_t0", "pdf5_t1", "pdf8_t0", "pdf8_t1"}
+KNOWN_DIVERGENT = {"pdf8_t0", "pdf8_t1"}
 
 
 @pytest.fixture(scope="module")
