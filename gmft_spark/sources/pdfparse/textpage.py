@@ -252,11 +252,36 @@ class SegConfig:
     line_base: float = LINE_BASE_EM
 
 
-def _obj_width(obj_w: dict, ch: Char) -> float:
-    ext = obj_w.get(ch.obj_id)
-    if ext is None:
-        return 0.0
-    return ext[1] - ext[0]
+def _intra_space_split(
+    ch: Char, spacing: float, space_w_units: float
+) -> bool:
+    """pdfium's intra-object generated-space test: ``spacing`` (TJ kern
+    before this char + object charspace − CalculateBaseSpace) must meet
+    a threshold — half the font's space-glyph advance when the font has
+    a sanely-sized one, else the char's own width scaled by
+    NormalizeThreshold (<0.3em → /2, <0.5em → /4, <0.7em → /5, else
+    /6). The per-char threshold reproduces pdfium's irregular splits of
+    letterspaced headers ('R E S EARCH AR TIC L E', 14/14 boundaries)."""
+    if spacing <= 0.0:
+        return False
+    fs_h = max(ch.fs, 1e-6)
+    t = 0.0
+    if space_w_units > 0.0:
+        t = space_w_units * fs_h
+        t = 0.0 if t > fs_h / 3.0 else t / 2.0
+    if t == 0.0:
+        w = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
+        if w <= 0.0:
+            return False
+        if w < 0.3 * fs_h:
+            t = w / 2.0
+        elif w < 0.5 * fs_h:
+            t = w / 4.0
+        elif w < 0.7 * fs_h:
+            t = w / 5.0
+        else:
+            t = w / 6.0
+    return spacing >= t
 
 
 def _baseline_break(
@@ -354,14 +379,15 @@ def segment_words(
     line_lo = line_hi = None  # cross-axis interval of the current line
     prev: Optional[Char] = None
 
-    # ink extent of each show-op object along its text direction — the
-    # yardstick pdfium compares baseline shifts against
-    obj_w: dict = {}
-    # base kern per object: the most negative pen deviation between
-    # consecutive chars (pdfium's CalculateBaseSpace — fonts whose
-    # advances bake in spacing compensate with uniform negative kerns,
-    # and word gaps surface as deviations from that base)
-    obj_base: dict = {}
+    # Per-object pdfium spacing state (ProcessTextObject analog). Our
+    # Char.adv folds in Tc/Tw but NOT TJ kerns (those move the matrix
+    # between _show calls), so per char: Tc ≈ |adv|−|fadv| and the TJ
+    # kern before a char = its origin minus the previous char's
+    # advanced pen — exactly the ``spacing`` pdfium accumulates.
+    obj_tc: dict = {}  # object charspace, device units
+    obj_base: dict = {}  # CalculateBaseSpace result, device units
+    _obj_kerns: dict = {}
+    _obj_nchars: dict = {}
     # first char origin per show-op object — the object "position" the
     # baseline-shift rule measures pdfium's ``pos.x`` against
     obj_first: dict = {}
@@ -369,22 +395,51 @@ def segment_words(
     for ch in chars:
         if ch.obj_id not in obj_first:
             obj_first[ch.obj_id] = (ch.ox, ch.oy)
-        if ch.box is not None:
-            lo_a, hi_a = _box_along(ch)
-            if ch.obj_id in obj_w:
-                cur = obj_w[ch.obj_id]
-                obj_w[ch.obj_id] = (min(cur[0], lo_a), max(cur[1], hi_a))
-            else:
-                obj_w[ch.obj_id] = (lo_a, hi_a)
+        _obj_nchars[ch.obj_id] = _obj_nchars.get(ch.obj_id, 0) + 1
+        if not ch.space and ch.obj_id not in obj_tc:
+            obj_tc[ch.obj_id] = _along(
+                ch, ch.adv[0], ch.adv[1]
+            ) - _along(ch, ch.fadv[0], ch.fadv[1])
         p = _prev_by_obj.get(ch.obj_id)
-        if p is not None and not p.space and not ch.space:
-            pen = _along(ch, ch.ox, ch.oy) - _along(
+        if p is not None:
+            kern = _along(ch, ch.ox, ch.oy) - _along(
                 p, p.ox + p.adv[0], p.oy + p.adv[1]
             )
-            rel = pen / max(p.fs, 1e-6)
-            if rel < obj_base.get(ch.obj_id, 0.0):
-                obj_base[ch.obj_id] = rel
+            if abs(kern) > 1e-6:
+                _obj_kerns.setdefault(ch.obj_id, []).append(kern)
         _prev_by_obj[ch.obj_id] = ch
+    # CalculateBaseSpace: fonts that letterspace via Tc and cancel it
+    # with uniform in-word TJ kerns get the cancellation subtracted, so
+    # word gaps (no kern → spacing = Tc) still stand out
+    for oid, nchars in _obj_nchars.items():
+        tc = obj_tc.get(oid, 0.0)
+        kerns = _obj_kerns.get(oid, ())
+        n_items = nchars + len(kerns)
+        if n_items < 3 or abs(tc) <= 1e-4:
+            obj_base[oid] = 0.0
+            continue
+        base = tc
+        for k in kerns:
+            base = min(base, k + tc)
+        if base < 0.0 or (n_items == 3 and kerns):
+            base = 0.0
+        obj_base[oid] = base
+    # per-font space-glyph width (em/1000 fraction); 0 = no usable
+    # space glyph → per-char NormalizeThreshold branch
+    _space_w: dict = {}
+
+    def _font_space_w(font) -> float:
+        key = id(font)
+        v = _space_w.get(key)
+        if v is None:
+            v = 0.0
+            try:
+                if font.is_word_space(32):
+                    v = float(font.width(32)) / 1000.0
+            except Exception:
+                v = 0.0
+            _space_w[key] = v
+        return v
 
     for ch in chars:
         if ch.space or (ch.uni != "" and ch.uni.isspace()):
@@ -428,16 +483,16 @@ def segment_words(
                     # (negative numbers span show ops in math typesetting)
                     split = False
                 elif prev.obj_id == ch.obj_id:
-                    if prev.box is not None and ch.box is not None:
-                        vis = _box_along(ch)[0] - _box_along(prev)[1]
-                    else:
-                        vis = pen
-                    base = obj_base.get(ch.obj_id, 0.0)
-                    rel = pen / max(prev.fs, 1e-6) - base
-                    split = (
-                        pen > cfg.intra_pen * fs
-                        or vis > cfg.intra_vis * max(prev.fs, 1e-6)
-                        or rel > cfg.intra_rel
+                    # `pen` here is the TJ kern before this char (adv
+                    # already carries Tc/Tw); pdfium's spacing = kern +
+                    # charspace − baseSpace
+                    spacing = (
+                        pen
+                        + obj_tc.get(ch.obj_id, 0.0)
+                        - obj_base.get(ch.obj_id, 0.0)
+                    )
+                    split = _intra_space_split(
+                        ch, spacing, _font_space_w(ch.font)
                     )
                 elif _baseline_break(prev, ch, dt, obj_first):
                     split = True
@@ -460,9 +515,20 @@ def segment_words(
                         vis = pen
                     same_font = prev.font is ch.font
                     if same_font:
+                        # pdfium GenerateSpace analog: the gap beyond
+                        # the previous char's font-width advance must
+                        # exceed a quarter of the wider boundary char
+                        # (pdf6's 'replications±SD' sits 0.002pt under
+                        # the old 0.125×fs rule but 0.17pt under this)
+                        wp = (
+                            prev.fadv[0] ** 2 + prev.fadv[1] ** 2
+                        ) ** 0.5
+                        wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
+                        pen_thr = max(wp, wc) / 4.0
+                        if pen_thr <= 0.0:
+                            pen_thr = cfg.same_pen * fs_gap
                         split = (
-                            pen > cfg.same_pen * fs_gap
-                            or vis > cfg.same_vis * fs_gap
+                            pen > pen_thr or vis > cfg.same_vis * fs_gap
                         )
                     else:
                         split = vis > cfg.diff_vis * fs_gap

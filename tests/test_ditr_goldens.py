@@ -28,7 +28,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference corpus not present"
 )
 
-KNOWN_DIVERGENT = {"pdf5_t0", "pdf5_t1", "pdf8_t0", "pdf8_t1"}
+KNOWN_DIVERGENT = {"pdf8_t0", "pdf8_t1"}
 
 
 def _all_keys():

@@ -96,13 +96,4 @@ def test_rich_page_3_with_two_tables(pdf7, refdata):
 def test_rich_page_0_control(pdf7, refdata):
     doc, tables = pdf7
     got = _page_text(doc, tables, 0, [])
-    exp = refdata._rich_page_0_text
-    if got != exp:
-        # only the letterspaced journal header may differ
-        diff_lines = [
-            (e, g)
-            for e, g in zip(exp.split("\n"), got.split("\n"))
-            if e != g
-        ]
-        assert len(diff_lines) <= 2
-        pytest.xfail("letterspaced header whitespace micro-heuristic")
+    assert got == refdata._rich_page_0_text
