@@ -98,8 +98,14 @@ class ParsedPDF:
         return (box[2] - box[0], box[3] - box[1])
 
     def page_chars(self, n: int) -> List[Char]:
-        """Characters in reading order, coordinates relative to the page
-        box (PDF bottom-left origin).
+        """Characters in reading order, in RAW PDF user-space coordinates
+        (no crop-origin shift): pdfium's ``FPDFText_GetCharBox`` reports
+        content-stream coordinates as-is, while the page *size* used for
+        the y-flip comes from the visible (crop) box — the reference
+        binding therefore works in this mixed frame, and the golden
+        table bboxes are recorded in it (pdf8's CropBox is offset
+        (8.504, 8.504) from its MediaBox; every other corpus PDF has
+        them equal, which long masked the distinction).
 
         Text-showing objects are re-inserted by x-position when they lie
         on an already-seen line to the *left* of its last object — the
@@ -107,20 +113,7 @@ class ParsedPDF:
         separately-drawn combining accents back at their visual spot.
         """
         page = self._pages[n]
-        box = self.pdf.page_box(page)
         chars = self._interp.chars_for_page(page)
-        if box[0] != 0.0 or box[1] != 0.0:
-            dx, dy = box[0], box[1]
-            for ch in chars:
-                ch.ox -= dx
-                ch.oy -= dy
-                if ch.box is not None:
-                    ch.box = (
-                        ch.box[0] - dx,
-                        ch.box[1] - dy,
-                        ch.box[2] - dx,
-                        ch.box[3] - dy,
-                    )
         return self._reorder_line_objects(chars)
 
     @staticmethod
@@ -513,25 +506,18 @@ def segment_words(
                         vis = _box_along(ch)[0] - _box_along(prev)[1]
                     else:
                         vis = pen
-                    same_font = prev.font is ch.font
-                    if same_font:
-                        # pdfium GenerateSpace analog: the gap beyond
-                        # the previous char's font-width advance must
-                        # exceed a quarter of the wider boundary char
-                        # (pdf6's 'replications±SD' sits 0.002pt under
-                        # the old 0.125×fs rule but 0.17pt under this)
-                        wp = (
-                            prev.fadv[0] ** 2 + prev.fadv[1] ** 2
-                        ) ** 0.5
-                        wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
-                        pen_thr = max(wp, wc) / 4.0
-                        if pen_thr <= 0.0:
-                            pen_thr = cfg.same_pen * fs_gap
-                        split = (
-                            pen > pen_thr or vis > cfg.same_vis * fs_gap
-                        )
-                    else:
-                        split = vis > cfg.diff_vis * fs_gap
+                    # pdfium GenerateSpace analog, font-independent: the
+                    # gap beyond the previous char's font-width advance
+                    # must exceed a quarter of the wider boundary char
+                    # (pdf6's 'replications±SD' sits 0.002pt under the
+                    # old 0.125×fs rule but 0.17pt under this; pdf8's
+                    # rotated italic 'f H2' splits at 0.20pt over)
+                    wp = (prev.fadv[0] ** 2 + prev.fadv[1] ** 2) ** 0.5
+                    wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
+                    pen_thr = max(wp, wc) / 4.0
+                    if pen_thr <= 0.0:
+                        pen_thr = cfg.same_pen * fs_gap
+                    split = pen > pen_thr or vis > cfg.same_vis * fs_gap
                     # pen retreat between objects = out-of-order drawing
                     # (within one object backward kerns are normal
                     # column layout and the vis rules already judge it)

@@ -28,7 +28,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference corpus not present"
 )
 
-KNOWN_DIVERGENT = {"pdf8_t0", "pdf8_t1"}
+KNOWN_DIVERGENT: set = set()
 
 
 def _all_keys():

@@ -7,9 +7,8 @@ This is the strongest correctness evidence in the repo: the entire
 word-extraction + structure-recognition path reproduces the reference
 bit-for-bit with no pypdfium2/torch dependency.
 
-Five tables remain known-divergent on pdfium textpage whitespace
-micro-heuristics (documented per-case below); they are xfail so any
-improvement or regression is visible.
+All 30 tables are byte-equal; KNOWN_DIVERGENT is kept (empty) so any
+future divergence is tracked explicitly.
 """
 
 import json
@@ -28,11 +27,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference corpus not present"
 )
 
-# pdfium textpage divergences not yet replicated:
-#   pdf8_t0 — rotated (angle=90) table with interleaved two-row header
-#   pdf8_t1 — multi-line header whose expected text is itself pdfium
-#             object-reordering output woven across columns
-KNOWN_DIVERGENT = {"pdf8_t0", "pdf8_t1"}
+KNOWN_DIVERGENT: set = set()
 
 
 @pytest.fixture(scope="module")
