@@ -57,25 +57,6 @@ def _box_cross(ch: Char) -> Tuple[float, float]:
     return (min(vals), max(vals))
 
 
-def _box_along(ch: Char) -> Tuple[float, float]:
-    """Along-axis extent of the char's (axis-aligned) glyph box."""
-    x0, y0, x1, y1 = ch.box  # type: ignore[misc]
-    ux, uy = ch.dir
-    if uy == 0.0 and ux > 0.0:  # horizontal fast path
-        return (x0, x1)
-    vals = (
-        x0 * ux + y0 * uy,
-        x1 * ux + y0 * uy,
-        x0 * ux + y1 * uy,
-        x1 * ux + y1 * uy,
-    )
-    return (min(vals), max(vals))
-
-# Fraction of the device font size that a horizontal pen-position gap must
-# exceed for a space to be generated between two characters (pdfium uses
-# roughly half a space-glyph advance; word gaps achieved purely via TJ
-# kerning in the corpus measure ≥ 0.187 em).
-SPACE_GAP_EM = 0.125
 # Baseline-distance (fraction of font size) within which two characters
 # are on the same text line (sub/superscripts and combining accents shift
 # the baseline by up to ~0.3 em).
@@ -213,33 +194,21 @@ class ParsedPDF:
 
 @dataclass
 class SegConfig:
-    """Word-segmentation thresholds (all in fractions of font size).
+    """Word-segmentation thresholds.
 
-    Calibrated against the reference's 30 committed CSV goldens: pdfium
-    generates whitespace between characters based on pen-position gaps
-    within one text-showing op, visual (ink) gaps across ops, baseline
-    drops back from super/subscripts, and line breaks — with special
-    handling for hyphenated line ends.
-    """
+    The split rules themselves replicate pdfium's textpage arithmetic
+    (intra-object TJ-kern spacing vs NormalizeThreshold, inter-object
+    font-width pen gaps and the object-relative baseline-shift test) —
+    byte-validated against all of the reference's committed goldens.
+    Only two scalar knobs remain."""
 
-    # pen-position gap within one show op that generates a space
-    intra_pen: float = 0.125
-    # visual (ink) gap within one show op that generates a space even with
-    # a continuous pen — wide-advance/monospace fonts bake word gaps into
-    # the advances themselves
-    intra_vis: float = 0.33
-    # pen deviation from the object's base kern (CalculateBaseSpace)
-    intra_rel: float = 0.25
-    # inter-object thresholds, same font on both sides
-    same_pen: float = 0.125
-    same_vis: float = 0.30
-    # inter-object visual-gap threshold when the font changes
-    diff_vis: float = 0.23
-    # downward baseline shift (returning from a superscript) that splits,
-    # applied only across object boundaries with the same font
-    down_shift: float = 0.6
-    down_same_font_only: bool = True
-    # pen retreat treated as a break
+    # fallback inter-object gap threshold (fraction of font size) when
+    # both boundary chars report zero font-width advance
+    space_gap: float = 0.125
+    # inter-object pen retreat (fraction of font size) treated as a
+    # wrapped-line break even when ink intervals say same-line (two-line
+    # table header cells drawn cell-by-cell zigzag, e.g. tatr.pdf's
+    # 'Row & Column / Location')
     retreat: float = 1.0
     # baseline distance within which chars share a line
     line_base: float = LINE_BASE_EM
@@ -463,22 +432,13 @@ def segment_words(
                     flush()
                 line_lo, line_hi = lo, hi
             else:
-                pen_end = _along(
-                    prev, prev.ox + prev.adv[0], prev.oy + prev.adv[1]
-                )
-                pen = _along(ch, ch.ox, ch.oy) - pen_end
-                if (
-                    prev.uni in "-−­"
-                    and ch.uni[:1].isdigit()
-                    and pen < 1.0 * fs
-                ):
-                    # a minus/hyphen directly before a digit never splits
-                    # (negative numbers span show ops in math typesetting)
-                    split = False
-                elif prev.obj_id == ch.obj_id:
-                    # `pen` here is the TJ kern before this char (adv
-                    # already carries Tc/Tw); pdfium's spacing = kern +
+                if prev.obj_id == ch.obj_id:
+                    # `pen` is the TJ kern before this char (adv already
+                    # carries Tc/Tw); pdfium's spacing = kern +
                     # charspace − baseSpace
+                    pen = _along(ch, ch.ox, ch.oy) - _along(
+                        prev, prev.ox + prev.adv[0], prev.oy + prev.adv[1]
+                    )
                     spacing = (
                         pen
                         + obj_tc.get(ch.obj_id, 0.0)
@@ -490,38 +450,30 @@ def segment_words(
                 elif _baseline_break(prev, ch, dt, obj_first):
                     split = True
                 else:
-                    # gap thresholds scale with the PREVIOUS char's font
-                    # size (a superscript's own size governs its gaps).
                     # ACROSS objects the pen is the font-width-only one
                     # (GetCharWidth × size / 1000) pdfium's
                     # ProcessInsertObject measures with — the real pen's
                     # Tc/Tw/TJ components (letterspaced headers, TJ
                     # column layouts like pdf8's 'NaAlSi3O8') must not
-                    # leak into inter-object gap decisions
-                    fs_gap = max(prev.fs, 1e-6)
-                    pen = _along(ch, ch.ox, ch.oy) - _along(
-                        prev, prev.ox + prev.fadv[0], prev.oy + prev.fadv[1]
-                    )
-                    if prev.box is not None and ch.box is not None:
-                        vis = _box_along(ch)[0] - _box_along(prev)[1]
-                    else:
-                        vis = pen
+                    # leak into inter-object gap decisions.
                     # pdfium GenerateSpace analog, font-independent: the
                     # gap beyond the previous char's font-width advance
                     # must exceed a quarter of the wider boundary char
-                    # (pdf6's 'replications±SD' sits 0.002pt under the
-                    # old 0.125×fs rule but 0.17pt under this; pdf8's
+                    # (pdf6's 'replications±SD' sits 0.002pt under a
+                    # 0.125×fs rule but 0.17pt under this; pdf8's
                     # rotated italic 'f H2' splits at 0.20pt over)
+                    pen = _along(ch, ch.ox, ch.oy) - _along(
+                        prev, prev.ox + prev.fadv[0], prev.oy + prev.fadv[1]
+                    )
                     wp = (prev.fadv[0] ** 2 + prev.fadv[1] ** 2) ** 0.5
                     wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
                     pen_thr = max(wp, wc) / 4.0
                     if pen_thr <= 0.0:
-                        pen_thr = cfg.same_pen * fs_gap
-                    split = pen > pen_thr or vis > cfg.same_vis * fs_gap
-                    # pen retreat between objects = out-of-order drawing
-                    # (within one object backward kerns are normal
-                    # column layout and the vis rules already judge it)
-                    split = split or pen < -cfg.retreat * fs
+                        pen_thr = cfg.space_gap * max(prev.fs, 1e-6)
+                    split = (
+                        pen > pen_thr
+                        or pen < -cfg.retreat * max(prev.fs, ch.fs, 1e-6)
+                    )
                 if split:
                     flush()
                 if lo < line_lo:
