@@ -9,8 +9,7 @@ Covers the original-Type1 (eexec) font path too: the ``pubt_*`` tables
 live in tatr.pdf whose fonts are FontFile Type1 programs.
 
 attention.pdf is not shipped in the reference corpus → its 5 goldens are
-skipped; the same 5 pages that diverge on pdfium whitespace
-micro-heuristics in the TATR suite diverge here (same word streams).
+skipped; every shipped table (35/35) is byte-equal.
 """
 
 import json

@@ -10,9 +10,9 @@ page embedding. Pages 2 and 3 (the ones with tables) match byte-for-byte,
 including tabulate's numeric-column detection and decimal alignment,
 reproduced from scratch (kernel/page.py:grid_to_markdown).
 
-Page 0 (control, no tables) differs only in its letterspaced journal
-header ("R E S EARCH AR TIC L E"), another sub-point whitespace
-micro-heuristic — xfailed.
+Page 0 (control, no tables) is byte-equal too, including the
+letterspaced journal header's irregular pdfium splits
+("R E S EARCH AR TIC L E").
 """
 
 import importlib.util
