@@ -336,9 +336,18 @@ class ContentInterpreter:
         direction = (a / norm, b / norm) if norm > 0 else (1.0, 0.0)
         fs_dev = fs * math.hypot(c2, d2)
         total_tx = 0.0
+        # string-invariant linear parts (per-char advances only shift
+        # e/f); the axis-aligned case (b == c2 == 0, the overwhelmingly
+        # common one) gets a corner-free glyph-box fast path below
+        m0 = sx * a
+        m1 = sx * b
+        m2 = fs * c2
+        m3 = fs * d2
+        re_ = rise * c2
+        rf_ = rise * d2
+        axis_aligned = b == 0.0 and c2 == 0.0
         for code in font.iter_codes(raw):
-            trm = (sx * a, sx * b, fs * c2, fs * d2,
-                   rise * c2 + e, rise * d2 + f)
+            trm = (m0, m1, m2, m3, re_ + e, rf_ + f)
             ox = trm[4]
             oy = trm[5]
             uni = font.unicode(code)
@@ -353,16 +362,30 @@ class ContentInterpreter:
             gbox = font.glyph_box(code)
             dev_box = None
             if gbox is not None:
-                gx0, gy0, gx1, gy1 = (v / 1000.0 for v in gbox)
-                pts = [
-                    mat_apply(trm, gx0, gy0),
-                    mat_apply(trm, gx1, gy0),
-                    mat_apply(trm, gx0, gy1),
-                    mat_apply(trm, gx1, gy1),
-                ]
-                xs = [p[0] for p in pts]
-                ys = [p[1] for p in pts]
-                dev_box = (min(xs), min(ys), max(xs), max(ys))
+                gx0 = gbox[0] * 0.001
+                gy0 = gbox[1] * 0.001
+                gx1 = gbox[2] * 0.001
+                gy1 = gbox[3] * 0.001
+                if axis_aligned:
+                    bx0 = gx0 * m0 + ox
+                    bx1 = gx1 * m0 + ox
+                    if bx0 > bx1:
+                        bx0, bx1 = bx1, bx0
+                    by0 = gy0 * m3 + oy
+                    by1 = gy1 * m3 + oy
+                    if by0 > by1:
+                        by0, by1 = by1, by0
+                    dev_box = (bx0, by0, bx1, by1)
+                else:
+                    pts = [
+                        mat_apply(trm, gx0, gy0),
+                        mat_apply(trm, gx1, gy0),
+                        mat_apply(trm, gx0, gy1),
+                        mat_apply(trm, gx1, gy1),
+                    ]
+                    xs = [p[0] for p in pts]
+                    ys = [p[1] for p in pts]
+                    dev_box = (min(xs), min(ys), max(xs), max(ys))
             w0 = font.width(code) / 1000.0
             tx = (w0 * fs + gs.char_sp) * hs
             if font.is_word_space(code):

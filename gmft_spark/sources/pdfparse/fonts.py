@@ -349,6 +349,18 @@ class SimpleFont(PDFFont):
         return chr(code) if code else ""
 
     def glyph_box(self, code: int) -> Optional[BBox]:
+        # hot path: one call per char shown; the result is a pure
+        # function of (font, code)
+        cache = getattr(self, "_gbox_cache", None)
+        if cache is None:
+            cache = self._gbox_cache = {}
+        if code in cache:
+            return cache[code]
+        box = self._glyph_box_uncached(code)
+        cache[code] = box
+        return box
+
+    def _glyph_box_uncached(self, code: int) -> Optional[BBox]:
         if self.kind == "t1" and self.prog is not None:
             name = self._t1_name(code)
             if name is not None:
@@ -457,14 +469,23 @@ class Type0Font(PDFFont):
         return ""
 
     def glyph_box(self, code: int) -> Optional[BBox]:
+        cache = getattr(self, "_gbox_cache", None)
+        if cache is None:
+            cache = self._gbox_cache = {}
+        if code in cache:
+            return cache[code]
+        box = None
         if self.prog is not None:
             gid = self._gid(code)
             if gid is not None:
-                box = self.prog.glyph_bbox(gid)
-                if box is not None:
-                    return quantize_em1000(box, self._scale, True)
-                return None
-        return self.fallback_box
+                raw = self.prog.glyph_bbox(gid)
+                if raw is not None:
+                    box = quantize_em1000(raw, self._scale, True)
+                cache[code] = box
+                return box
+        box = self.fallback_box
+        cache[code] = box
+        return box
 
 
 def load_font(pdf: PDFFile, d: dict) -> PDFFont:
