@@ -125,7 +125,12 @@ class ParsedPDF:
         def fs(o: List[Char]) -> float:
             return max(o[0].fs, 1e-6)
 
+        _tr_cache: dict = {}
+
         def trange(o: List[Char]) -> Tuple[float, float]:
+            v = _tr_cache.get(id(o))
+            if v is not None:
+                return v
             lo = hi = None
             for ch in o:
                 if ch.box is None:
@@ -134,8 +139,12 @@ class ParsedPDF:
                 lo = clo if lo is None else min(lo, clo)
                 hi = chi if hi is None else max(hi, chi)
             if lo is None:
-                return (baseline(o), baseline(o) + 0.6 * fs(o))
-            return (lo, hi)
+                b0 = baseline(o)
+                v = (b0, b0 + 0.6 * fs(o))
+            else:
+                v = (lo, hi)
+            _tr_cache[id(o)] = v
+            return v
 
         def same_dir(a: List[Char], b: List[Char]) -> bool:
             da, db = a[0].dir, b[0].dir
@@ -348,41 +357,61 @@ def segment_words(
     # advanced pen — exactly the ``spacing`` pdfium accumulates.
     obj_tc: dict = {}  # object charspace, device units
     obj_base: dict = {}  # CalculateBaseSpace result, device units
-    _obj_kerns: dict = {}
-    _obj_nchars: dict = {}
     # first char origin per show-op object — the object "position" the
     # baseline-shift rule measures pdfium's ``pos.x`` against
     obj_first: dict = {}
-    _prev_by_obj: dict = {}
-    for ch in chars:
-        if ch.obj_id not in obj_first:
-            obj_first[ch.obj_id] = (ch.ox, ch.oy)
-        _obj_nchars[ch.obj_id] = _obj_nchars.get(ch.obj_id, 0) + 1
-        if not ch.space and ch.obj_id not in obj_tc:
-            obj_tc[ch.obj_id] = _along(
-                ch, ch.adv[0], ch.adv[1]
-            ) - _along(ch, ch.fadv[0], ch.fadv[1])
-        p = _prev_by_obj.get(ch.obj_id)
-        if p is not None:
-            kern = _along(ch, ch.ox, ch.oy) - _along(
-                p, p.ox + p.adv[0], p.oy + p.adv[1]
-            )
-            if abs(kern) > 1e-6:
-                _obj_kerns.setdefault(ch.obj_id, []).append(kern)
-        _prev_by_obj[ch.obj_id] = ch
+    # objects are contiguous runs in the (reordered) stream, so the
+    # per-object stats walk runs instead of per-char dict lookups;
     # CalculateBaseSpace: fonts that letterspace via Tc and cancel it
     # with uniform in-word TJ kerns get the cancellation subtracted, so
     # word gaps (no kern → spacing = Tc) still stand out
-    for oid, nchars in _obj_nchars.items():
-        tc = obj_tc.get(oid, 0.0)
-        kerns = _obj_kerns.get(oid, ())
-        n_items = nchars + len(kerns)
-        if n_items < 3 or abs(tc) <= 1e-4:
+    n_chars = len(chars)
+    i = 0
+    while i < n_chars:
+        first = chars[i]
+        oid = first.obj_id
+        obj_first[oid] = (first.ox, first.oy)
+        horiz = first.dir[0] == 1.0 and first.dir[1] == 0.0
+        tc = None
+        kerns: List[float] = []
+        cnt = 0
+        p = None
+        j = i
+        while j < n_chars:
+            ch = chars[j]
+            if ch.obj_id != oid:
+                break
+            cnt += 1
+            if tc is None and not ch.space:
+                if horiz:
+                    tc = ch.adv[0] - ch.fadv[0]
+                else:
+                    tc = _along(ch, ch.adv[0], ch.adv[1]) - _along(
+                        ch, ch.fadv[0], ch.fadv[1]
+                    )
+            if p is not None:
+                if horiz:
+                    kern = ch.ox - (p.ox + p.adv[0])
+                else:
+                    kern = _along(ch, ch.ox, ch.oy) - _along(
+                        p, p.ox + p.adv[0], p.oy + p.adv[1]
+                    )
+                if kern > 1e-6 or kern < -1e-6:
+                    kerns.append(kern)
+            p = ch
+            j += 1
+        i = j
+        if tc is None:
+            tc = 0.0
+        obj_tc[oid] = tc
+        n_items = cnt + len(kerns)
+        if n_items < 3 or -1e-4 <= tc <= 1e-4:
             obj_base[oid] = 0.0
             continue
         base = tc
         for k in kerns:
-            base = min(base, k + tc)
+            if k + tc < base:
+                base = k + tc
         if base < 0.0 or (n_items == 3 and kerns):
             base = 0.0
         obj_base[oid] = base
