@@ -249,9 +249,103 @@ ANN_IVF_SQL = f"""
 """
 
 
+DEDUP_COSINE_THRESHOLD = 0.35
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: LSH-bucketed candidate pairs (the
+    scale path — no O(n²) cross join; only same-bucket pairs are scored),
+    exact cosine >= 0.35 confirmation, then single-pass canonicalization:
+    every vector maps to the minimum vec_id among itself and its near-dup
+    neighbors. (Full transitive closure needs an iterative
+    connected-components pass; the one-hop canonical is the deterministic,
+    oracle-checkable batch form and already collapses star-shaped dup
+    clusters, which is what near-dup detection produces in practice.)"""
+    e = _emb(spark, sf_dir)
+    eb = e.select("vec_id", "v", _lsh_bucket().alias("bucket"))
+    a, b = eb.alias("a"), eb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_COSINE_THRESHOLD)
+    )
+    neighbors = pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nb")
+    ).union(
+        pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nb"))
+    )
+    canon = (
+        e.select("vec_id")
+        .join(neighbors, "vec_id", "left")
+        .groupBy("vec_id")
+        .agg(F.min("nb").alias("mn"))
+        .select(
+            "vec_id",
+            F.least(
+                F.col("vec_id"), F.coalesce(F.col("mn"), F.col("vec_id"))
+            ).alias("canonical_id"),
+        )
+        .withColumn(
+            "is_dup", (F.col("canonical_id") < F.col("vec_id")).cast("int")
+        )
+    )
+    return canon.orderBy("vec_id")
+
+
+DEDUP_COSINE_SQL = (
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, v, """
+    + " + ".join(
+        f"(CASE WHEN {_plane_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    + """ AS bucket
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pf AS (SELECT * FROM pairs WHERE cosine >= 0.35),
+    nb AS (
+        SELECT vec_a AS vec_id, vec_b AS nb FROM pf
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS nb FROM pf
+    )
+    SELECT e.vec_id,
+           least(e.vec_id, coalesce(min(nb.nb), e.vec_id)) AS canonical_id,
+           (CASE WHEN least(e.vec_id, coalesce(min(nb.nb), e.vec_id))
+                      < e.vec_id THEN 1 ELSE 0 END)::INT AS is_dup
+    FROM e LEFT JOIN nb ON e.vec_id = nb.vec_id
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+"""
+)
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "embedding_knn_join": (embedding_knn_join, EMBEDDING_KNN_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_COSINE_SQL),
 }
