@@ -442,9 +442,16 @@ def segment_words(
             line_lo, line_hi = lo, hi
         else:
             fs = max(prev.fs, ch.fs, 1e-6)
-            dot = prev.dir[0] * ch.dir[0] + prev.dir[1] * ch.dir[1]
+            cdx, cdy = ch.dir
+            pdx, pdy = prev.dir
+            dot = pdx * cdx + pdy * cdy
             overlap = min(hi, line_hi) - max(lo, line_lo)
-            dt = _cross(ch, ch.ox, ch.oy) - _cross(prev, prev.ox, prev.oy)
+            if cdy == 0.0 and cdx == 1.0 and pdy == 0.0 and pdx == 1.0:
+                dt = ch.oy - prev.oy  # horizontal fast path
+            else:
+                dt = _cross(ch, ch.ox, ch.oy) - _cross(
+                    prev, prev.ox, prev.oy
+                )
             same_line = dot > 0.9 and (
                 overlap > 0.0 or abs(dt) <= cfg.line_base * fs
             )
@@ -465,9 +472,14 @@ def segment_words(
                     # `pen` is the TJ kern before this char (adv already
                     # carries Tc/Tw); pdfium's spacing = kern +
                     # charspace − baseSpace
-                    pen = _along(ch, ch.ox, ch.oy) - _along(
-                        prev, prev.ox + prev.adv[0], prev.oy + prev.adv[1]
-                    )
+                    if cdy == 0.0 and cdx == 1.0:
+                        pen = ch.ox - prev.ox - prev.adv[0]
+                    else:
+                        pen = _along(ch, ch.ox, ch.oy) - _along(
+                            prev,
+                            prev.ox + prev.adv[0],
+                            prev.oy + prev.adv[1],
+                        )
                     spacing = (
                         pen
                         + obj_tc.get(ch.obj_id, 0.0)
@@ -491,11 +503,20 @@ def segment_words(
                     # (pdf6's 'replications±SD' sits 0.002pt under a
                     # 0.125×fs rule but 0.17pt under this; pdf8's
                     # rotated italic 'f H2' splits at 0.20pt over)
-                    pen = _along(ch, ch.ox, ch.oy) - _along(
-                        prev, prev.ox + prev.fadv[0], prev.oy + prev.fadv[1]
-                    )
-                    wp = (prev.fadv[0] ** 2 + prev.fadv[1] ** 2) ** 0.5
-                    wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
+                    if cdy == 0.0 and cdx == 1.0 and pdy == 0.0 and pdx == 1.0:
+                        pen = ch.ox - prev.ox - prev.fadv[0]
+                        wp = abs(prev.fadv[0])
+                        wc = abs(ch.fadv[0])
+                    else:
+                        pen = _along(ch, ch.ox, ch.oy) - _along(
+                            prev,
+                            prev.ox + prev.fadv[0],
+                            prev.oy + prev.fadv[1],
+                        )
+                        wp = (
+                            prev.fadv[0] ** 2 + prev.fadv[1] ** 2
+                        ) ** 0.5
+                        wc = (ch.fadv[0] ** 2 + ch.fadv[1] ** 2) ** 0.5
                     pen_thr = max(wp, wc) / 4.0
                     if pen_thr <= 0.0:
                         pen_thr = cfg.space_gap * max(prev.fs, 1e-6)
