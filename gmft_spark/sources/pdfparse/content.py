@@ -346,20 +346,38 @@ class ContentInterpreter:
         re_ = rise * c2
         rf_ = rise * d2
         axis_aligned = b == 0.0 and c2 == 0.0
+        show_cache = getattr(font, "_show_cache", None)
+        if show_cache is None:
+            show_cache = font._show_cache = {}
         for code in font.iter_codes(raw):
             trm = (m0, m1, m2, m3, re_ + e, rf_ + f)
             ox = trm[4]
             oy = trm[5]
-            uni = font.unicode(code)
-            if uni == "" and code > 0:
-                # pdfium fallback: unmapped glyphs surface as their raw
-                # charcode (observable as control chars in the goldens)
-                uni = chr(code)
-            elif len(uni) == 1 and "ﬀ" <= uni <= "ﬆ":
-                # pdfium's textpage normalizes Latin ligature codepoints
-                # into their component letters ('ﬁ' → 'fi')
-                uni = _LIGATURES[uni]
-            gbox = font.glyph_box(code)
+            # one cache entry per (font, code) folds the unicode
+            # normalization + glyph box + width + word-space lookups
+            # into a single dict hit (hot path: once per char shown)
+            ent = show_cache.get(code)
+            if ent is None:
+                uni = font.unicode(code)
+                if uni == "" and code > 0:
+                    # pdfium fallback: unmapped glyphs surface as their
+                    # raw charcode (observable as control chars in the
+                    # goldens)
+                    uni = chr(code)
+                elif len(uni) == 1 and "ﬀ" <= uni <= "ﬆ":
+                    # pdfium's textpage normalizes Latin ligature
+                    # codepoints into their component letters
+                    # ('ﬁ' → 'fi')
+                    uni = _LIGATURES[uni]
+                ent = (
+                    uni,
+                    font.glyph_box(code),
+                    font.width(code) / 1000.0,
+                    font.is_word_space(code),
+                    bool(uni) and uni.isspace(),
+                )
+                show_cache[code] = ent
+            uni, gbox, w0, is_word_sp, uni_is_sp = ent
             dev_box = None
             if gbox is not None:
                 gx0 = gbox[0] * 0.001
@@ -386,17 +404,14 @@ class ContentInterpreter:
                     xs = [p[0] for p in pts]
                     ys = [p[1] for p in pts]
                     dev_box = (min(xs), min(ys), max(xs), max(ys))
-            w0 = font.width(code) / 1000.0
             tx = (w0 * fs + gs.char_sp) * hs
-            if font.is_word_space(code):
+            if is_word_sp:
                 tx += gs.word_sp * hs
             # advance vector in device space: image of (tx, 0) under the
             # (string-invariant) linear part of tm·ctm
             adv = (tx * a, tx * b)
             txf = w0 * fs * hs
-            is_space = font.is_word_space(code) or (
-                uni != "" and uni.isspace()
-            )
+            is_space = is_word_sp or uni_is_sp
             out.append(
                 Char(
                     uni, dev_box, ox, oy, adv, fs_dev, is_space, code, font,
