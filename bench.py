@@ -37,6 +37,7 @@ HEADLINE = [
     ("dedup_simhash", dedup.simhash),
     ("ann_cosine_topk", similarity.ann_cosine_topk),
     ("embedding_knn_join", similarity.embedding_knn_join),
+    ("dedup_embedding_cosine", similarity.dedup_embedding_cosine),
     ("text_quality_score", textstats.quality_score),
     ("agg_pricing_summary", analytics.pricing_summary),
     ("join_revenue_by_nation", analytics.revenue_by_nation),
