@@ -15,7 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-N_PLANES = 8  # sign-LSH hyperplanes
+# Sign-LSH hyperplanes. 8 planes → 256 buckets, sized for the test SFs;
+# at corpus scale the plane count is the knob that keeps the per-bucket
+# self-join quadratic term bounded: pick ~log2(n_vectors / target_bucket)
+# planes (e.g. 10^9 vectors, 10^4-vector buckets → ~17 planes), and band
+# multiple independent plane sets to recover recall, exactly like the
+# MinHash-LSH banding in operators/dedup.py. AQE skew-join splitting
+# handles residual hot buckets.
+N_PLANES = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
