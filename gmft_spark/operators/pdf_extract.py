@@ -51,15 +51,24 @@ def extract_turn_from_pdf(
     scene = synth_scene(conv_id, turn_idx)
     if payload is None:
         payload = scene_to_pdf(scene)
-    doc = ParsedPDF(payload)
-    if len(doc) == 0:  # corrupt payload → one error row, task survives
+    try:
+        doc = ParsedPDF(payload)
+        n_pages = len(doc)
+        words = doc.page_words(0) if n_pages else []
+    except Exception as exc:  # truncated/corrupt byte-stream
+        n_pages = 0
+        words = []
+        decode_error = f"{type(exc).__name__}: {exc}"
+    else:
+        decode_error = "corrupt payload: no pages"
+    if n_pages == 0:  # corrupt payload → one error row, task survives
         return [
             {
                 "conv_id": conv_id,
                 "turn_idx": int(turn_idx),
                 "table_id": -1,
                 "status": "error",
-                "message": "unparseable PDF payload",
+                "message": f"unparseable PDF payload ({decode_error})",
                 "csv": None,
                 "n_rows": 0,
                 "n_cols": 0,
@@ -75,7 +84,6 @@ def extract_turn_from_pdf(
                 "cells": [],
             }
         ]
-    words = doc.page_words(0)
     word_boxes = np.array(
         [w[:4] for w in words], dtype=np.float64
     ).reshape(-1, 4)

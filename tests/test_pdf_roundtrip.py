@@ -129,3 +129,34 @@ class TestCorpusThroughSpark:
                     assert got[(os.path.basename(p), page)] == expect
         # tiny.pdf page 0 must carry the golden 31 words
         assert got[("tiny.pdf", 0)] == 31
+
+
+class TestMalformedPayloadContainment:
+    """Corrupt byte-streams must become error rows, never task-killing
+    exceptions — at corpus scale a single bad payload cannot fail a
+    1000-executor stage."""
+
+    def test_garbage_and_empty_payloads_yield_error_rows(self):
+        from gmft_spark.config import ExtractConfig
+        from gmft_spark.operators.pdf_extract import extract_turn_from_pdf
+
+        cfg = ExtractConfig()
+        for payload in (b"", b"not a pdf at all" * 10, b"%PDF-1.4\n\x00\xff"):
+            rows = extract_turn_from_pdf("c", 1, payload, cfg)
+            assert len(rows) == 1
+            assert rows[0]["status"] == "error"
+            assert "unparseable PDF payload" in rows[0]["message"]
+
+    def test_mutated_payloads_never_raise(self):
+        from gmft_spark.config import ExtractConfig
+        from gmft_spark.operators.pdf_extract import extract_turn_from_pdf
+        from gmft_spark.sources.pdfgen import turn_pdf
+
+        cfg = ExtractConfig()
+        good = turn_pdf("c", 2)
+        mutations = [good[: len(good) // 3], good[::-1], good[:50]]
+        for i in range(0, len(good) - 1, 97):
+            mutations.append(good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1:])
+        for payload in mutations:
+            rows = extract_turn_from_pdf("c", 2, payload, cfg)
+            assert rows and all(r["status"] in ("ok", "error") for r in rows)
