@@ -177,6 +177,13 @@ def corpus_page_words(binary_docs: DataFrame) -> DataFrame:
     The corpus-scale word-extraction primitive: real PDFs as binary
     columns, decoded per partition with the from-scratch parser. Narrow
     map; word order within a page is preserved by ``word_idx``.
+
+    Documents whose byte-stream fails to parse contribute ZERO rows
+    here (word rows have no status channel); run the extraction
+    pipeline (``extract_tables_from_pdfs``) when per-document error
+    accounting matters — it emits an explicit error row per corrupt
+    payload. An anti-join of input doc_names against this output's
+    distinct doc_names recovers the skipped set exactly.
     """
     from pyspark.sql.types import (
         DoubleType,
