@@ -183,7 +183,33 @@ class ContentInterpreter:
                         float(tok) if (b"." in tok) else int(tok)
                     )
                     continue
-            if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B:
+            if c == 0x5B:
+                # content-stream array (TJ): elements are numbers and
+                # strings only — skip parse_object's "N G R" indirect-
+                # reference lookahead for the numeric elements
+                lx.pos += 1
+                arr: List[object] = []
+                while True:
+                    lx.skip_ws()
+                    cc = lx.peek_byte()
+                    if cc == 0x5D:
+                        lx.pos += 1
+                        break
+                    if cc == -1:
+                        break
+                    if (0x30 <= cc <= 0x39) or cc in (0x2B, 0x2D, 0x2E):
+                        m = _NUMBER_RE.match(lx.data, lx.pos)
+                        if m:
+                            tok = m.group(0)
+                            lx.pos = m.end()
+                            arr.append(
+                                float(tok) if (b"." in tok) else int(tok)
+                            )
+                            continue
+                    arr.append(parse_object(lx, self.pdf))
+                stack.append(arr)
+                continue
+            if c == 0x2F or c == 0x28 or c == 0x3C:
                 obj = parse_object(lx, self.pdf)
                 stack.append(obj)
                 continue
