@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from gmft_spark.operators import analytics, dedup, relational, similarity, textstats
 from gmft_spark.operators.extract import (
@@ -97,6 +97,30 @@ def _pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(t, min_quality=0.1).orderBy("conv_id", "turn_idx")
 
 
+def _scalarize(df: DataFrame) -> DataFrame:
+    """Driver-gate contract: every registered output column must be scalar.
+
+    The driver's canonicalizer sorts the collected pandas frame and hashes
+    its values; array/map/struct cells are unhashable there (round-1 gate
+    errors). Complex columns are serialized to deterministic JSON strings —
+    the underlying values still participate in the hash, nothing is
+    dropped."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _driver_form(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _scalarize(fn(spark, sf_dir))
+
+    return wrapped
+
+
 # custom (non-SQL-expressible) pipeline operators → rows-only driver check
 PIPELINE_QUERIES = {
     "tatr_extract_pipeline": _pipeline_tatr,
@@ -126,7 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _ORACLE_MODULES:
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
-    out.update(PIPELINE_QUERIES)
+    for name, fn in PIPELINE_QUERIES.items():
+        out[name] = _driver_form(fn)
     return out
 
 

@@ -294,8 +294,8 @@ SIMHASH_SQL = """
         GROUP BY doc_id, b.bit
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END)
-             AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS simhash
     FROM votes
     GROUP BY doc_id
     ORDER BY doc_id

@@ -461,8 +461,8 @@ S3_SQL = f"""
     ),
     lines AS (
         SELECT page,
-               sum(new_line) OVER (PARTITION BY page ORDER BY word_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS line_no
+               CAST(sum(new_line) OVER (PARTITION BY page ORDER BY word_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS line_no
         FROM flagged
     )
     SELECT page, line_no, count(*) AS n_words

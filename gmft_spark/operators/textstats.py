@@ -167,8 +167,8 @@ TOKEN_COUNTS_SQL = """
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           sum(n_subwords) AS total_subwords
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_subwords) AS BIGINT) AS total_subwords
     FROM pertok
     GROUP BY source
     ORDER BY source

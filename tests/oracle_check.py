@@ -4,9 +4,11 @@ names, and order-insensitive values."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
+import numpy as np
 
 TABLES = [
     "region",
@@ -32,13 +34,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    """Dtype-STRICT normalization mirroring the driver's value hash: an
+    int64 5 and a float64 5.0 stringify differently there (the round-1
+    hash mismatches were all DuckDB HUGEINT sums surfacing as float64), so
+    ints and floats must not compare equal here either."""
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
-    if isinstance(v, (list, tuple)):
+        return "f:" + repr(round(float(v), 9))
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return "i:" + repr(int(v))
+    if isinstance(v, decimal.Decimal):
+        return "f:" + repr(round(float(v), 9))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm(x) for x in v)
     return v
 

@@ -39,6 +39,36 @@ def test_pipeline_queries_run(spark):
         assert rows and rows[0]["csv"] is not None
 
 
+def _pipeline_names():
+    from gmft_spark.entry import PIPELINE_QUERIES
+
+    return sorted(PIPELINE_QUERIES)
+
+
+@pytest.mark.parametrize("name", _pipeline_names())
+def test_pipeline_query_driver_canon(spark, name):
+    """Mirror of the driver's canonicalizer on every registered pipeline
+    query: collect to pandas, sort_values over all columns, factorize —
+    this is exactly where round 1 died on array/map cells. Every output
+    column must be scalar (complex ones JSON-serialized by _scalarize)."""
+    df = E.queries()[name](spark, SF_DIR)
+    for f in df.schema.fields:
+        assert f.dataType.typeName() in (
+            "string",
+            "integer",
+            "long",
+            "double",
+            "float",
+            "boolean",
+            "timestamp",
+            "date",
+        ), f"{name}.{f.name} is non-scalar: {f.dataType}"
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    canon = pdf[cols].sort_values(cols)  # raises on unhashable cells
+    assert len(canon) == len(pdf)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
