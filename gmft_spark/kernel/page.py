@@ -15,6 +15,7 @@ tables; when tabulate IS available we defer to pandas for bit-parity.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -32,10 +33,16 @@ def _is_int(s: str) -> bool:
 
 def _is_float(s: str) -> bool:
     try:
-        float(s)
-        return True
+        v = float(s)
     except ValueError:
         return False
+    # tabulate's _isnumber: inf/nan parses count as numeric only for the
+    # exact spellings — "Infinity"/"+INF" must stay strings, else a single
+    # such cell flips the whole column to float formatting and breaks
+    # to_markdown byte-parity
+    if math.isinf(v) or math.isnan(v):
+        return s.lower() in ("inf", "-inf", "nan")
+    return True
 
 
 def _afterpoint(s: str) -> int:

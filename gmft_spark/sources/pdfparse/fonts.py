@@ -118,7 +118,10 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
                 i += 1  # skip ']'
             else:
                 base_s = _cmap_hex_to_str(third.group(1))
-                for k in range(hi_i - lo_i + 1):
+                # hostile-input containment: lo/hi are attacker-controlled;
+                # clamp the span (codes are at most 2-byte in practice) so a
+                # crafted bfrange can't spin for billions of iterations
+                for k in range(min(hi_i - lo_i + 1, 0x10000)):
                     if not base_s:
                         break
                     out[lo_i + k] = base_s[:-1] + chr(ord(base_s[-1]) + k)
@@ -418,7 +421,9 @@ class Type0Font(PDFFont):
                 else:
                     if i + 2 < len(w):
                         wv = float(pdf.resolve(w[i + 2]) or 0)
-                        for cid in range(int(a), int(b) + 1):
+                        # CIDs are 16-bit; clamp attacker-controlled ranges
+                        lo, hi = int(a), min(int(b), int(a) + 0xFFFF)
+                        for cid in range(lo, hi + 1):
                             self.cid_widths[cid] = wv
                     i += 3
 

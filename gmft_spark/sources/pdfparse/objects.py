@@ -338,6 +338,34 @@ def _find_endstream(data: bytes, start: int) -> int:
     return end
 
 
+# hard per-stream output cap: a kilobyte-scale deflate bomb in an untrusted
+# payload must not allocate gigabytes inside an executor task
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
+def _flate_bounded(data: bytes) -> bytes:
+    """FlateDecode with incremental, capped output. Corrupt streams decode
+    to b'' (matching the previous tolerant fallback); streams that exceed
+    the cap raise ValueError so the existing error-row containment in
+    pdf_extract handles them."""
+    d = zlib.decompressobj()
+    out = bytearray()
+    try:
+        while True:
+            chunk = d.decompress(data, 1 << 20)
+            out += chunk
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError(
+                    f"FlateDecode output exceeds {_MAX_STREAM_BYTES} byte cap"
+                )
+            data = d.unconsumed_tail
+            if d.eof or not data or not chunk:
+                break
+    except zlib.error:
+        return b""
+    return bytes(out)
+
+
 def decode_stream(st: Stream, resolver: Optional["PDFFile"] = None) -> bytes:
     """Apply the stream's filter chain (Flate + predictors; pass-through
     for unsupported image codecs, which callers never decode as data)."""
@@ -361,14 +389,7 @@ def decode_stream(st: Stream, resolver: Optional["PDFFile"] = None) -> bytes:
             f = resolver.resolve(f)
             pm = resolver.resolve(pm)
         if f == "FlateDecode" or f == "Fl":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                # tolerate trailing garbage / missing EOF
-                try:
-                    data = zlib.decompressobj().decompress(data)
-                except zlib.error:
-                    data = b""
+            data = _flate_bounded(data)
             if isinstance(pm, dict):
                 pred = pm.get("Predictor", 1)
                 if resolver is not None:

@@ -160,10 +160,21 @@ class TrueTypeFont:
                     out[first + i] = gid
         elif fmt == 12:
             (ngroups,) = struct.unpack_from(">I", cm, off + 12)
-            for i in range(ngroups):
+            # hostile-input containment: group ranges are attacker-controlled
+            # 32-bit values; clamp to the Unicode range and cap total entries
+            # so a crafted font can't spin an executor task / build a
+            # multi-GB dict (a corrupt font should degrade, not hang)
+            for i in range(min(ngroups, 0x10000)):
+                if off + 16 + i * 12 + 12 > len(cm):
+                    break
                 s, e, g = struct.unpack_from(">III", cm, off + 16 + i * 12)
+                if s > 0x10FFFF:
+                    continue
+                e = min(e, 0x10FFFF)
                 for c in range(s, e + 1):
                     out[c] = g + (c - s)
+                if len(out) > 0x120000:
+                    break
         return out
 
     # -- public API -------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Hostile-input containment: crafted payloads that are structurally valid
+but adversarial (range bombs, deflate bombs) must degrade bounded-and-fast,
+never hang or OOM an executor task. These paths are unreachable by the
+bit-flip fuzz tests (tiny.pdf has no embedded font), hence explicit cases."""
+
+import struct
+import time
+import zlib
+
+import pytest
+
+from gmft_spark.kernel.page import _is_float
+from gmft_spark.sources.pdfparse.fonts import _parse_tounicode
+from gmft_spark.sources.pdfparse.objects import (
+    _MAX_STREAM_BYTES,
+    _flate_bounded,
+)
+from gmft_spark.sources.pdfparse.sfnt import TrueTypeFont
+
+
+def _subtable(font_free_bytes: bytes) -> dict:
+    tt = object.__new__(TrueTypeFont)
+    return tt._parse_cmap_subtable(font_free_bytes, 0)
+
+
+class TestCmapFormat12RangeBomb:
+    def test_full_u32_range_terminates_bounded(self):
+        # one group covering [0, 0xFFFFFFFF] — 4 billion iterations unclamped
+        cm = struct.pack(">HHII", 12, 0, 0, 28 + 12) + struct.pack(">I", 1)
+        cm += struct.pack(">III", 0, 0xFFFFFFFF, 1)
+        t0 = time.monotonic()
+        out = _subtable(cm)
+        assert time.monotonic() - t0 < 30.0
+        assert len(out) <= 0x120001
+        # clamped range still maps the real Unicode plane correctly
+        assert out[0x41] == 0x42
+
+    def test_group_start_beyond_unicode_skipped(self):
+        cm = struct.pack(">HHII", 12, 0, 0, 28 + 12) + struct.pack(">I", 1)
+        cm += struct.pack(">III", 0x80000000, 0xFFFFFFFF, 1)
+        assert _subtable(cm) == {}
+
+    def test_many_groups_capped(self):
+        # ngroups lies (claims 2^31) but data holds only one group: the
+        # parser must stop at the data boundary, not trust the count
+        cm = struct.pack(">HHII", 12, 0, 0, 28 + 12) + struct.pack(
+            ">I", 0x80000000
+        )
+        cm += struct.pack(">III", 0x41, 0x5A, 1)
+        out = _subtable(cm)
+        assert out[0x41] == 1 and out[0x5A] == 0x1A
+
+    def test_benign_format12_unchanged(self):
+        cm = struct.pack(">HHII", 12, 0, 0, 28 + 24) + struct.pack(">I", 2)
+        cm += struct.pack(">III", 0x20, 0x7E, 3)
+        cm += struct.pack(">III", 0x2013, 0x2014, 200)
+        out = _subtable(cm)
+        assert out[0x20] == 3 and out[0x7E] == 3 + (0x7E - 0x20)
+        assert out[0x2014] == 201
+
+
+class TestBfrangeBomb:
+    def test_huge_bfrange_clamped(self):
+        cmap = (
+            b"beginbfrange\n<00000000> <7FFFFFFF> <0041>\nendbfrange\n"
+        )
+        t0 = time.monotonic()
+        out = _parse_tounicode(cmap)
+        assert time.monotonic() - t0 < 30.0
+        assert len(out) <= 0x10000
+        assert out[0] == "A"
+
+    def test_benign_bfrange_unchanged(self):
+        cmap = b"beginbfrange\n<0041> <0043> <0061>\nendbfrange\n"
+        out = _parse_tounicode(cmap)
+        assert out == {0x41: "a", 0x42: "b", 0x43: "c"}
+
+
+class TestFlateBomb:
+    def test_bomb_raises_past_cap(self):
+        bomb = zlib.compress(b"\x00" * (_MAX_STREAM_BYTES + (1 << 21)), 9)
+        assert len(bomb) < 1 << 20  # it really is a bomb
+        with pytest.raises(ValueError, match="cap"):
+            _flate_bounded(bomb)
+
+    def test_normal_roundtrip(self):
+        payload = bytes(range(256)) * 1000
+        assert _flate_bounded(zlib.compress(payload)) == payload
+
+    def test_trailing_garbage_tolerated(self):
+        payload = b"stream body"
+        assert _flate_bounded(zlib.compress(payload) + b"garbage") == payload
+
+    def test_corrupt_decodes_empty(self):
+        assert _flate_bounded(b"\x00not deflate at all") == b""
+
+
+class TestTabulateNumberRule:
+    def test_inf_spellings(self):
+        assert _is_float("inf") and _is_float("-inf") and _is_float("nan")
+        assert _is_float("INF") and _is_float("NaN")  # tabulate lowercases
+        assert not _is_float("Infinity")
+        assert not _is_float("+INF")
+        assert not _is_float("+inf")
+        assert not _is_float("-Infinity")
+
+    def test_plain_numbers_still_numeric(self):
+        assert _is_float("3.14") and _is_float("-2") and _is_float("1e5")
+        assert not _is_float("abc")
