@@ -40,16 +40,51 @@ def _pipeline_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversation_text(extract_tables(t)).orderBy("conv_id")
 
 
-def _pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-turn text equality as a driver check: the REAL
+    extraction pipeline's table_text (kernel select_table_words +
+    assemble_text inside mapInPandas) vs the independent SQL re-derivation
+    from the named scene draws (scene_sql.TABLE_TEXT_SQL)."""
     t = transcripts_from_documents(spark, sf_dir)
-    return assemble_pages(t).orderBy("conv_id", "turn_idx")
+    return (
+        extract_tables(t)
+        .select("conv_id", "turn_idx", "table_id", "table_text")
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
+def _pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver form keeps the SQL-derivable page invariants (word count,
+    embedded-table count — scene_sql.PAGE_COUNTS_SQL); the full page_text
+    markdown is golden-tested in tests/test_page_assembly.py."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        assemble_pages(t)
+        .select("conv_id", "turn_idx", "n_words", "n_tables")
+        .orderBy("conv_id", "turn_idx")
+    )
 
 
 def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full value-hash oracle (scene_sql.DETECT_SQL): the SQL twin
+    re-derives the word layout from the named md5 draws and replicates the
+    detector's gap clustering; coords/score rounded to 6dp on both sides
+    (values are bit-identical pre-round)."""
     from gmft_spark.operators.detect import detect_tables
 
     t = transcripts_from_documents(spark, sf_dir)
-    return detect_tables(t).orderBy("conv_id", "turn_idx", "det_id")
+    d = detect_tables(t)
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        "det_id",
+        F.round("x0", 6).alias("x0"),
+        F.round("y0", 6).alias("y0"),
+        F.round("x1", 6).alias("x1"),
+        F.round("y1", 6).alias("y1"),
+        F.round("score", 6).alias("score"),
+        "label",
+    ).orderBy("conv_id", "turn_idx", "det_id")
 
 
 def _pipeline_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,14 +164,41 @@ PIPELINE_QUERIES = {
     "ditr_extract_pipeline": lambda spark, sf_dir: extract_tables_ditr(
         transcripts_from_documents(spark, sf_dir)
     ).orderBy("conv_id", "turn_idx", "table_id"),
-    "detect_pipeline": _pipeline_detect,
     "pdf_payload_extract_pipeline": _pipeline_pdf_payload,
-    "conversation_text_assembly": _pipeline_conversation_text,
-    "page_assembly_pipeline": _pipeline_pages,
     "media_feature_pipeline": _pipeline_media_features,
-    "html_main_content_pipeline": _pipeline_html,
-    "training_data_curation": _pipeline_curation,
 }
+
+
+def _oracled_pipelines():
+    """Pipeline queries whose outputs the DuckDB oracle re-derives from the
+    named md5 scene draws (operators/scene_sql.py) — full value-hash checks
+    in the driver gate."""
+    from gmft_spark.operators import scene_sql
+    from gmft_spark.operators.html_content import (
+        CURATION_ORACLE_SQL,
+        HTML_ORACLE_SQL,
+    )
+
+    return {
+        "detect_pipeline": (_pipeline_detect, scene_sql.DETECT_SQL),
+        "conversation_text_assembly": (
+            _pipeline_conversation_text,
+            scene_sql.CONV_TEXT_SQL,
+        ),
+        "page_assembly_pipeline": (_pipeline_pages, scene_sql.PAGE_COUNTS_SQL),
+        "extract_table_text_parity": (
+            _pipeline_table_text,
+            scene_sql.TABLE_TEXT_SQL,
+        ),
+        # the HTML template is md5/modulo-of-id, so the oracle re-derives
+        # the expected extraction (title, pre-order text, cells, dropped
+        # chars) straight from the template structure
+        "html_main_content_pipeline": (
+            _driver_form(_pipeline_html),
+            HTML_ORACLE_SQL,
+        ),
+        "training_data_curation": (_pipeline_curation, CURATION_ORACLE_SQL),
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -150,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _ORACLE_MODULES:
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = fn
+    for name, (fn, _sql) in _oracled_pipelines().items():
+        out[name] = fn
     for name, fn in PIPELINE_QUERIES.items():
         out[name] = _driver_form(fn)
     return out
@@ -160,4 +224,6 @@ def oracle_sql() -> dict[str, str]:
     for mod in _ORACLE_MODULES:
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql
+    for name, (_fn, sql) in _oracled_pipelines().items():
+        out[name] = sql
     return out

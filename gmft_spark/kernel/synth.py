@@ -16,6 +16,7 @@ words outside the table bbox, and occasional multi-table pages.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from dataclasses import dataclass
 from typing import List
@@ -39,6 +40,51 @@ ROW_HEIGHT = 14.0
 def stable_seed(conv_id: str, turn_idx: int) -> int:
     """Process-independent seed (crc32, not Python hash())."""
     return zlib.crc32(f"{conv_id}|{turn_idx}".encode("utf-8")) & 0xFFFFFFFF
+
+
+# -- named md5 draws ------------------------------------------------------
+#
+# Every draw that shapes the page WORD LAYOUT is a *named* md5 draw — one
+# independent hash per (seed, field) key, no sequential RNG state. This
+# makes the layout exactly reproducible in SQL (md5 + hex arithmetic), so
+# the driver's DuckDB oracle can re-derive scene words, detector output and
+# per-table text independently (operators/scene_sql.py holds the SQL twin).
+# Draws that only perturb the structure PREDICTIONS (score jitter,
+# dropped/duplicated row boxes, projected headers) stay on a Mersenne
+# stream keyed off the same seed: they never move a word, and the
+# extraction heuristics are designed to absorb them, so no oracle needs
+# them.
+
+
+def _h32(key: str) -> int:
+    """First 8 hex chars of md5(key) as a 32-bit int (SQL twin:
+    scene_sql._hx)."""
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def _hrand(key: str) -> float:
+    return _h32(key) / 4294967296.0
+
+
+def _huni(key: str, a: float, b: float) -> float:
+    return a + (b - a) * _hrand(key)
+
+
+def _hint(key: str, lo: int, hi: int) -> int:
+    """Uniform int in [lo, hi) — randint twin."""
+    return lo + _h32(key) % (hi - lo)
+
+
+def _hcell(key: str):
+    """Four independent 32-bit values from one md5 (cell draws: sparse
+    mask, second-word mask, two token values)."""
+    h = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return (
+        int(h[0:8], 16),
+        int(h[8:16], 16),
+        int(h[16:24], 16),
+        int(h[24:32], 16),
+    )
 
 
 @dataclass
@@ -106,49 +152,49 @@ def _token_of(v: int, r: int, c: int) -> str:
 
 
 def _make_table(
+    tkey: str,
     rng: np.random.RandomState,
     table_id: int,
     origin_x: float,
     origin_y: float,
     angle: int = 0,
 ):
-    n_rows = int(rng.randint(3, 10))  # data rows
-    n_cols = int(rng.randint(2, 6))
-    col_widths = rng.uniform(55.0, 90.0, size=n_cols)
+    """``tkey`` names the word-layout draws (SQL-reproducible); ``rng`` is
+    the prediction-only Mersenne stream (jitter/drop/dup — never moves a
+    word, so no oracle depends on it)."""
+    n_rows = _hint(f"{tkey}|nr", 3, 10)  # data rows
+    n_cols = _hint(f"{tkey}|nc", 2, 6)
+    col_widths = np.array(
+        [_huni(f"{tkey}|cw{c}", 55.0, 90.0) for c in range(n_cols)]
+    )
     col_x = np.concatenate([[0.0], np.cumsum(col_widths)])
     width = float(col_x[-1])
     height = (n_rows + 1) * ROW_HEIGHT
     row_edges = tuple(float(r * ROW_HEIGHT) for r in range(1, n_rows + 1))
     col_edges = tuple(float(x) for x in col_x[1:-1])
 
-    # logical-local word layout (origin 0; rotated onto the page below);
-    # all randomness drawn up front in bulk (vectorized)
-    n_grid = (n_rows + 1) * n_cols
-    sparse_mask = rng.rand(n_grid) < 0.08
-    second_mask = rng.rand(n_grid) < 0.15
-    token_vals = rng.randint(0, 36**4, size=2 * n_grid)
-
     local = []
     texts = []
-    # header row then data rows, reading order (row-major, left→right)
+    # header row then data rows, reading order (row-major, left→right);
+    # one md5 per cell provides sparse/second masks + both token values
     for r in range(n_rows + 1):
         y0 = r * ROW_HEIGHT + 2.5
         y1 = y0 + WORD_HEIGHT
         for c in range(n_cols):
-            g = r * n_cols + c
-            if r > 0 and sparse_mask[g]:
+            sparse_v, second_v, tok1, tok2 = _hcell(f"{tkey}|cell{r}_{c}")
+            if r > 0 and sparse_v / 4294967296.0 < 0.08:
                 continue  # sparse cells
             x0 = col_x[c] + 3.0
             if r == 0:
                 t = f"col{c}"
             else:
-                t = _token_of(int(token_vals[2 * g]), r, c)
+                t = _token_of(tok1 % 36**4, r, c)
             x1 = x0 + 4.0 + 4.6 * len(t)
             local.append((x0, y0, min(x1, col_x[c + 1] - 1.0), y1))
             texts.append(t)
             # occasionally a second word in the cell (tests ' '-join order)
-            if r > 0 and second_mask[g]:
-                t2 = _token_of(int(token_vals[2 * g + 1]), r, c + 11)
+            if r > 0 and second_v / 4294967296.0 < 0.15:
+                t2 = _token_of(tok2 % 36**4, r, c + 11)
                 nx0 = x1 + 3.0
                 nx1 = min(nx0 + 4.0 + 4.6 * len(t2), col_x[c + 1] - 1.0)
                 if nx1 > nx0:
@@ -187,7 +233,7 @@ def _make_table(
 
     jit = lambda s: float(rng.uniform(-s, s))  # noqa: E731
 
-    if rng.rand() < 0.02:
+    if _hrand(f"{tkey}|deg") < 0.02:
         # degenerate scene: the structure model found nothing usable —
         # exercises the pipeline's error-row path deterministically
         add(0.999, LABEL_TABLE, (0.0, 0.0, width, height))
@@ -255,8 +301,8 @@ def _make_table(
 
 def synth_scene(conv_id: str, turn_idx: int) -> SynthScene:
     """Expand ``(conv_id, turn_idx)`` into a deterministic page scene."""
-    rng = np.random.RandomState(stable_seed(conv_id, turn_idx))
-    n_tables = 2 if rng.rand() < 0.15 else 1
+    s = f"{conv_id}|{turn_idx}"
+    n_tables = 2 if _hrand(f"{s}|nt") < 0.15 else 1
 
     word_boxes: List[tuple] = []
     word_texts: List[str] = []
@@ -271,9 +317,18 @@ def synth_scene(conv_id: str, turn_idx: int) -> SynthScene:
     tables: List[SynthTable] = []
     y = 100.0
     for tid in range(n_tables):
-        angle = 90 if rng.rand() < 0.1 else 0
+        tkey = f"{s}|{tid}"
+        angle = 90 if _hrand(f"{tkey}|ang") < 0.1 else 0
+        pred_rng = np.random.RandomState(
+            zlib.crc32(f"{tkey}|pred".encode("utf-8")) & 0xFFFFFFFF
+        )
         tbl, words, texts = _make_table(
-            rng, tid, 72.0 + float(rng.uniform(0, 20)), y, angle=angle
+            tkey,
+            pred_rng,
+            tid,
+            72.0 + _huni(f"{tkey}|ox", 0.0, 20.0),
+            y,
+            angle=angle,
         )
         tables.append(tbl)
         word_boxes.extend(words)

@@ -168,6 +168,7 @@ PAGE_SCHEMA = StructType(
         StructField("turn_idx", IntegerType()),
         StructField("page_text", StringType()),
         StructField("n_tables", IntegerType()),
+        StructField("n_words", IntegerType()),
     ]
 )
 
@@ -217,6 +218,7 @@ def assemble_pages(
                         "turn_idx": int(turn_idx),
                         "page_text": text,
                         "n_tables": len(mds),
+                        "n_words": len(scene.word_texts),
                     }
                 )
             if rows:

@@ -85,6 +85,109 @@ def extract_html_content(transcripts: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles: the synthetic HTML template below is built entirely from
+# md5/modulo of the row id, so the oracle re-derives the *expected*
+# extraction output (title, pre-order main text, cell grid, dropped-char
+# count) directly from the template structure — an independent derivation
+# the kernel's readability-style parser must reproduce.
+# ---------------------------------------------------------------------------
+
+# shared CTE: per-turn expected title/main_text/raw_text for the template
+# emitted by synthesize_html_transcripts(n_convs=20, turns_per_conv=5)
+_HTML_EXPECT_CTE = """
+    WITH ids AS (
+        SELECT g.id,
+               'hconv-' || CAST(g.id % 20 AS VARCHAR) AS conv_id,
+               CAST(g.id // 20 AS INT) AS turn_idx,
+               md5(CAST(g.id AS VARCHAR)) AS tok,
+               CAST(g.id % 97 AS VARCHAR) AS va,
+               CAST(g.id % 53 AS VARCHAR) AS vb
+        FROM range(0, 100) AS g(id)
+    ),
+    built AS (
+        SELECT conv_id, turn_idx, va, vb,
+               'Doc ' || CAST(id AS VARCHAR) AS title,
+               'Report ' || CAST(id AS VARCHAR)
+                 || ' Main paragraph one with payload ' || tok
+                 || ' and more prose to outweigh boilerplate.'
+                 || ' Second paragraph ' || substr(tok, 1, 8)
+                 || ' continues the main content body.'
+                 || ' metric value alpha ' || va || ' beta ' || vb
+                 AS main_text,
+               'Doc ' || CAST(id AS VARCHAR)
+                 || ' Home About Contact SiteName beta Report '
+                 || CAST(id AS VARCHAR)
+                 || ' Main paragraph one with payload ' || tok
+                 || ' and more prose to outweigh boilerplate.'
+                 || ' Second paragraph ' || substr(tok, 1, 8)
+                 || ' continues the main content body.'
+                 || ' metric value alpha ' || va || ' beta ' || vb
+                 || ' Trending links x y © SiteName. Cookie notice. Privacy'
+                 AS raw_text
+        FROM ids
+    )
+"""
+
+HTML_ORACLE_SQL = _HTML_EXPECT_CTE + """
+    SELECT conv_id, turn_idx, title, main_text,
+           1 AS n_tables,
+           '[{"table":0,"row":0,"col":0,"text":"metric"},'
+             || '{"table":0,"row":0,"col":1,"text":"value"},'
+             || '{"table":0,"row":1,"col":0,"text":"alpha"},'
+             || '{"table":0,"row":1,"col":1,"text":"' || va || '"},'
+             || '{"table":0,"row":2,"col":0,"text":"beta"},'
+             || '{"table":0,"row":2,"col":1,"text":"' || vb || '"}]'
+             AS cells,
+           CAST(length(raw_text) - length(main_text) AS INT)
+             AS n_dropped_chars
+    FROM built
+    ORDER BY conv_id, turn_idx
+"""
+
+# curation oracle: score_documents + dedup_keep_best + quality filter over
+# the same expected main_text (operators/training_pipeline.py semantics —
+# stopword ratio, 50-token saturation, fingerprint over normalized text)
+CURATION_ORACLE_SQL = _HTML_EXPECT_CTE + """,
+    toks AS (
+        SELECT conv_id, turn_idx, u.t AS t
+        FROM built, LATERAL unnest(string_split(main_text, ' ')) AS u(t)
+        WHERE u.t <> ''
+    ),
+    tstats AS (
+        SELECT conv_id, turn_idx,
+               CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(CASE WHEN lower(t) IN
+                   ('the','and','of','a','to','with','is')
+                   THEN 1 ELSE 0 END) AS INT) AS n_stop
+        FROM toks GROUP BY conv_id, turn_idx
+    ),
+    scored AS (
+        SELECT b.conv_id, b.turn_idx, b.title, b.main_text,
+               1 AS n_tables, s.n_tokens,
+               round(least(s.n_tokens / 50.0::DOUBLE, 1.0::DOUBLE)
+                       * 0.6::DOUBLE
+                     + (s.n_stop / CAST(greatest(s.n_tokens, 1) AS DOUBLE))
+                       * 0.4::DOUBLE, 6) AS quality,
+               md5(trim(regexp_replace(lower(b.main_text),
+                                       '[^a-z0-9]+', ' ', 'g')))
+                 AS fingerprint
+        FROM built b
+        JOIN tstats s ON b.conv_id = s.conv_id AND b.turn_idx = s.turn_idx
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint
+                 ORDER BY quality DESC, conv_id ASC, turn_idx ASC) AS rk
+        FROM scored
+    )
+    SELECT conv_id, turn_idx, title, main_text, n_tables, n_tokens,
+           quality, fingerprint
+    FROM deduped
+    WHERE rk = 1 AND quality >= 0.1::DOUBLE
+    ORDER BY conv_id, turn_idx
+"""
+
+
 def synthesize_html_transcripts(
     spark: SparkSession, n_convs: int = 20, turns_per_conv: int = 5
 ) -> DataFrame:

@@ -1,0 +1,380 @@
+"""DuckDB twin of the synthetic scene generator (kernel/synth.py).
+
+Every word-layout draw in ``synth_scene`` is a *named* md5 draw
+(``kernel.synth._h32``: first 8 hex chars of md5(key) as a 32-bit int).
+This module re-derives, in pure SQL over the ``documents`` table:
+
+  * the full page word layout (captions + table cells, rotation included),
+  * the stand-in layout detector's output (operators/detect.py — the
+    line/block gap-clustering replicated as two sessionization passes),
+  * per-table text (kernel.text.assemble_text separator rule) and its
+    per-conversation assembly (plans/skew.assemble_conversation_text),
+  * per-page word/table counts (operators/extract.assemble_pages).
+
+giving the driver full value-hash oracles for the detection and assembly
+pipelines. Arithmetic is kept EXPRESSION-IDENTICAL to the Python side
+(same double ops in the same order), so values match bit-for-bit before
+the final round(…, 6).
+"""
+
+from __future__ import annotations
+
+_CHARS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _hxs(hexcol: str, start: int = 1) -> str:
+    """SQL: 32-bit int from 8 hex chars of an existing hex-string column."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexcol}, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _hx(key_expr: str) -> str:
+    """SQL: kernel.synth._h32(key) — 32-bit int of md5(key)."""
+    return _hxs(f"md5({key_expr})")
+
+
+def _hrand(key_expr: str) -> str:
+    return f"({_hx(key_expr)} / 4294967296.0::DOUBLE)"
+
+
+def _huni(key_expr: str, a: float, b: float) -> str:
+    return (
+        f"({a}::DOUBLE + ({b}::DOUBLE - {a}::DOUBLE) * {_hrand(key_expr)})"
+    )
+
+
+def _hint(key_expr: str, lo: int, hi: int) -> str:
+    return f"({lo} + {_hx(key_expr)} % {hi - lo})"
+
+
+def _token(v: str, suffix: str) -> str:
+    """SQL: kernel.synth._token_of — 4 base-36 chars (LSB first) + suffix."""
+    chars = " || ".join(
+        f"substr('{_CHARS}', CAST(({v}) // {36 ** i} AS BIGINT) % 36 + 1, 1)"
+        for i in range(4)
+    )
+    return f"({chars} || {suffix})"
+
+
+# one row per transcript turn (sources/transcripts.transcripts_from_documents)
+TURNS_SQL = """
+    SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR) AS conv_id,
+           CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+           'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+             || '|' || CAST(floor(doc_id / 16.0) AS INT) AS s
+    FROM documents
+"""
+
+# per-scene tables with layout parameters (named draws)
+_TBL_SQL = f"""
+    SELECT seeds.*, tt.t, seeds.s || '|' || CAST(tt.t AS VARCHAR) AS tk,
+           CASE WHEN {_hrand("seeds.s || '|' || CAST(tt.t AS VARCHAR) || '|ang'")} < 0.1::DOUBLE
+                THEN 90 ELSE 0 END AS angle,
+           72.0::DOUBLE + {_huni("seeds.s || '|' || CAST(tt.t AS VARCHAR) || '|ox'", 0.0, 20.0)} AS ox,
+           {_hint("seeds.s || '|' || CAST(tt.t AS VARCHAR) || '|nr'", 3, 10)} AS n_rows,
+           {_hint("seeds.s || '|' || CAST(tt.t AS VARCHAR) || '|nc'", 2, 6)} AS n_cols,
+           CASE WHEN {_hrand("seeds.s || '|' || CAST(tt.t AS VARCHAR) || '|deg'")} < 0.02::DOUBLE
+                THEN 1 ELSE 0 END AS degenerate
+    FROM seeds, (VALUES (0), (1)) AS tt(t)
+    WHERE tt.t < (CASE WHEN {_hrand("seeds.s || '|nt'")} < 0.15::DOUBLE THEN 2 ELSE 1 END)
+"""
+
+# per-column cumulative x edges (window prefix sums replicate np.cumsum's
+# sequential double adds; x0e via 1-PRECEDING frame, NOT x1e - cw, because
+# (a+b)-b != a in floating point)
+_COLS_SQL = f"""
+    SELECT tbl.*, g.c,
+           {_huni("tbl.tk || '|cw' || CAST(g.c AS VARCHAR)", 55.0, 90.0)} AS cw
+    FROM tbl, range(0, 6) AS g(c)
+    WHERE g.c < tbl.n_cols
+"""
+
+_COLX_SQL = """
+    SELECT *,
+           coalesce(sum(cw) OVER (PARTITION BY conv_id, turn_idx, t ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0::DOUBLE) AS cx0,
+           sum(cw) OVER (PARTITION BY conv_id, turn_idx, t ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx1
+    FROM cols
+"""
+
+# per-table logical dims + page origin (second table sits 60pt below the
+# first table's page bbox; the bbox y-extent swaps for rotated tables)
+_TDIM_SQL = """
+    SELECT conv_id, turn_idx, s, t, tk, angle, ox, n_rows, n_cols, degenerate,
+           max(cx1) AS width,
+           (n_rows + 1) * 14.0::DOUBLE AS height,
+           CASE WHEN angle = 90 THEN max(cx1) ELSE (n_rows + 1) * 14.0::DOUBLE END
+             AS yext
+    FROM colx
+    GROUP BY conv_id, turn_idx, s, t, tk, angle, ox, n_rows, n_cols,
+             degenerate
+"""
+
+_TPOS_SQL = """
+    SELECT d.*,
+           CASE WHEN d.t = 0 THEN 100.0::DOUBLE
+                ELSE 100.0::DOUBLE + first.yext + 60.0::DOUBLE END AS oy
+    FROM tdim d
+    LEFT JOIN tdim first
+      ON d.conv_id = first.conv_id AND d.turn_idx = first.turn_idx
+     AND first.t = 0 AND d.t = 1
+"""
+
+# cell words in LOGICAL (unrotated, table-local) coordinates; one md5 per
+# cell carries sparse mask / second-word mask / both token values
+_CELLS_SQL = f"""
+    SELECT cx.conv_id, cx.turn_idx, cx.t, cx.c, g.r,
+           cx.cx0, cx.cx1,
+           md5(cx.tk || '|cell' || CAST(g.r AS VARCHAR) || '_'
+               || CAST(cx.c AS VARCHAR)) AS h
+    FROM colx cx, range(0, 10) AS g(r)
+    WHERE g.r <= cx.n_rows
+"""
+
+_CWORDS_SQL = f"""
+    SELECT conv_id, turn_idx, t, r, c, cx1,
+           CASE WHEN r = 0 THEN 'col' || CAST(c AS VARCHAR)
+                ELSE {_token(f"{_hxs('h', 17)} % 1679616",
+                             "CAST(r AS VARCHAR) || CAST(c AS VARCHAR)")}
+           END AS txt,
+           cx0 + 3.0::DOUBLE AS x0l,
+           r * 14.0::DOUBLE + 2.5::DOUBLE AS y0l,
+           r * 14.0::DOUBLE + 2.5::DOUBLE + 8.2::DOUBLE AS y1l,
+           cx0 + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * (CASE WHEN r = 0 THEN 4 ELSE 6 END)
+             AS x1raw,
+           least(cx0 + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * (CASE WHEN r = 0 THEN 4 ELSE 6 END),
+                 cx1 - 1.0::DOUBLE) AS x1l,
+           CASE WHEN r > 0 AND {_hxs("h", 9)} / 4294967296.0::DOUBLE < 0.15::DOUBLE
+                THEN 1 ELSE 0 END AS has_second,
+           {_token(f"{_hxs('h', 25)} % 1679616",
+                   "CAST(r AS VARCHAR) || CAST(c + 11 AS VARCHAR)")} AS txt2
+    FROM cells
+    WHERE NOT (r > 0 AND {_hxs("h", 1)} / 4294967296.0::DOUBLE < 0.08::DOUBLE)
+"""
+
+# first words ∪ second words (second word keeps the cell's y band; its x
+# start chains off the UNCLAMPED first-word x1, exactly as the generator)
+_LWORDS_SQL = """
+    SELECT conv_id, turn_idx, t, r, c, 0 AS sec, txt, x0l, y0l, x1l, y1l
+    FROM cwords
+    UNION ALL
+    SELECT conv_id, turn_idx, t, r, c, 1 AS sec, txt2 AS txt,
+           x1raw + 3.0::DOUBLE AS x0l, y0l,
+           least(x1raw + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 7, cx1 - 1.0::DOUBLE) AS x1l, y1l
+    FROM cwords
+    WHERE has_second = 1
+      AND least(x1raw + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 7, cx1 - 1.0::DOUBLE) > x1raw + 3.0::DOUBLE
+"""
+
+# page coordinates: identity for angle 0; the angle-90 placement maps
+# logical (x0,y0,x1,y1) -> (ox+y0, oy+w-x1, ox+y1, oy+w-x0)
+_TWORDS_SQL = """
+    SELECT w.conv_id, w.turn_idx, w.t, w.r, w.c, w.sec, w.txt,
+           CASE WHEN p.angle = 90 THEN p.ox + w.y0l ELSE p.ox + w.x0l END AS px0,
+           CASE WHEN p.angle = 90 THEN p.oy + p.width - w.x1l
+                ELSE p.oy + w.y0l END AS py0,
+           CASE WHEN p.angle = 90 THEN p.ox + w.y1l ELSE p.ox + w.x1l END AS px1,
+           CASE WHEN p.angle = 90 THEN p.oy + p.width - w.x0l
+                ELSE p.oy + w.y1l END AS py1
+    FROM lwords w
+    JOIN tpos p ON w.conv_id = p.conv_id AND w.turn_idx = p.turn_idx
+                AND w.t = p.t
+"""
+
+# caption words (fixed layout, before any table in generation order)
+_CAPTION_SQL = """
+    SELECT conv_id, turn_idx, -1 AS t, 0 AS r, cap.i AS c, 0 AS sec,
+           cap.txt AS txt,
+           72.0::DOUBLE + cap.i * 48.0::DOUBLE AS px0,
+           60.0::DOUBLE AS py0,
+           72.0::DOUBLE + cap.i * 48.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * cap.len AS px1,
+           68.2::DOUBLE AS py1
+    FROM seeds, LATERAL (
+        SELECT * FROM (VALUES
+            (0, 'Table', 5),
+            (1, CAST(turn_idx AS VARCHAR) || '.',
+                length(CAST(turn_idx AS VARCHAR)) + 1),
+            (2, 'Synthetic', 9),
+            (3, 'caption', 7)
+        ) AS v(i, txt, len)
+    ) AS cap
+"""
+
+# all page words in generation order (caption, then tables row-major with
+# second words chained after their cell word)
+_WORDS_SQL = """
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+             ORDER BY t, r, c, sec) AS ord
+    FROM (
+        SELECT * FROM captions
+        UNION ALL
+        SELECT * FROM twords
+    )
+"""
+
+SCENE_CTES = f"""
+    WITH seeds AS ({TURNS_SQL}),
+    tbl AS ({_TBL_SQL}),
+    cols AS ({_COLS_SQL}),
+    colx AS ({_COLX_SQL}),
+    tdim AS ({_TDIM_SQL}),
+    tpos AS ({_TPOS_SQL}),
+    cells AS ({_CELLS_SQL}),
+    cwords AS ({_CWORDS_SQL}),
+    lwords AS ({_LWORDS_SQL}),
+    twords AS ({_TWORDS_SQL}),
+    captions AS ({_CAPTION_SQL}),
+    words AS ({_WORDS_SQL})
+"""
+
+# ---------------------------------------------------------------------------
+# Detector oracle: operators/detect._LayoutDetector.infer replicated as two
+# sessionization passes (words→lines by y0 gap ≤ 6, lines→blocks by
+# top-to-previous-line-bottom gap ≤ 25), blocks with ≥ 3 lines kept,
+# score = min(0.9::DOUBLE + 0.002::DOUBLE·n_words, 0.999::DOUBLE).
+# ---------------------------------------------------------------------------
+
+DETECT_SQL = SCENE_CTES + """,
+    sorted AS (
+        SELECT conv_id, turn_idx, ord, px0, py0, px1, py1,
+               CASE WHEN py0 - lag(py0) OVER w > 6.0::DOUBLE THEN 1 ELSE 0 END AS nl
+        FROM words
+        WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY py0, ord)
+    ),
+    lined AS (
+        SELECT *, CAST(sum(nl) OVER (PARTITION BY conv_id, turn_idx
+                 ORDER BY py0, ord ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS BIGINT) AS line_no
+        FROM sorted
+    ),
+    lines AS (
+        SELECT conv_id, turn_idx, line_no,
+               min(py0) AS ly0, max(py1) AS lbot,
+               min(px0) AS lx0, max(px1) AS lx1,
+               count(*) AS nw
+        FROM lined
+        GROUP BY conv_id, turn_idx, line_no
+    ),
+    blocked AS (
+        SELECT *, CASE WHEN ly0 - lag(lbot) OVER w > 25.0::DOUBLE THEN 1 ELSE 0 END
+                 AS nb
+        FROM lines
+        WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY line_no)
+    ),
+    blocks AS (
+        SELECT *, CAST(sum(nb) OVER (PARTITION BY conv_id, turn_idx
+                 ORDER BY line_no ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS BIGINT) AS block_no
+        FROM blocked
+    ),
+    bagg AS (
+        SELECT conv_id, turn_idx, block_no,
+               count(*) AS n_lines, CAST(sum(nw) AS BIGINT) AS n_words,
+               min(lx0) AS bx0, min(ly0) AS by0,
+               max(lx1) AS bx1, max(lbot) AS by1
+        FROM blocks
+        GROUP BY conv_id, turn_idx, block_no
+        HAVING count(*) >= 3
+    )
+    SELECT conv_id, turn_idx,
+           CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                ORDER BY block_no) - 1 AS INT) AS det_id,
+           round(bx0, 6) AS x0, round(by0, 6) AS y0,
+           round(bx1, 6) AS x1, round(by1, 6) AS y1,
+           round(least(0.9::DOUBLE + 0.002::DOUBLE * n_words, 0.999::DOUBLE), 6) AS score,
+           0 AS label
+    FROM bagg
+    ORDER BY conv_id, turn_idx, det_id
+"""
+
+# ---------------------------------------------------------------------------
+# Conversation-text oracle: per-table text via the assemble_text separator
+# rule (newline when |y1 jump| >= 3, page coords, generation order —
+# detectors/base.py:23-48), concatenated per conversation in
+# (turn_idx, table_id) order (plans/skew.assemble_conversation_text).
+# ---------------------------------------------------------------------------
+
+_TBLBOX_SQL = """
+    SELECT conv_id, turn_idx, t, ox AS bx0, oy AS by0,
+           ox + CASE WHEN angle = 90 THEN height ELSE width END AS bx1,
+           oy + CASE WHEN angle = 90 THEN width ELSE height END AS by1
+    FROM tpos
+"""
+
+_TTEXT_CTES = SCENE_CTES + f""",
+    tblbox AS ({_TBLBOX_SQL}),
+    hitwords AS (
+        SELECT b.conv_id, b.turn_idx, b.t AS table_id, w.ord, w.txt, w.py1
+        FROM tblbox b
+        JOIN words w ON w.conv_id = b.conv_id AND w.turn_idx = b.turn_idx
+        WHERE greatest(w.px0, b.bx0) < least(w.px1, b.bx1)
+          AND greatest(w.py0, b.by0) < least(w.py1, b.by1)
+    ),
+    pieces AS (
+        SELECT conv_id, turn_idx, table_id, ord,
+               CASE WHEN lag(py1) OVER tw IS NULL THEN ''
+                    WHEN abs(py1 - lag(py1) OVER tw) >= 3.0::DOUBLE THEN chr(10)
+                    ELSE ' ' END || txt AS piece
+        FROM hitwords
+        WINDOW tw AS (PARTITION BY conv_id, turn_idx, table_id ORDER BY ord)
+    ),
+    ttext AS (
+        SELECT conv_id, turn_idx, table_id,
+               string_agg(piece, '' ORDER BY ord) AS table_text
+        FROM pieces
+        GROUP BY conv_id, turn_idx, table_id
+    ),
+    alltbl AS (
+        SELECT b.conv_id, b.turn_idx, b.t AS table_id,
+               coalesce(x.table_text, '') AS table_text
+        FROM tblbox b
+        LEFT JOIN ttext x ON x.conv_id = b.conv_id
+                         AND x.turn_idx = b.turn_idx AND x.table_id = b.t
+    )
+"""
+
+CONV_TEXT_SQL = _TTEXT_CTES + """
+    SELECT conv_id,
+           string_agg(table_text, chr(10) ORDER BY turn_idx, table_id)
+             AS full_text
+    FROM alltbl
+    GROUP BY conv_id
+    ORDER BY conv_id
+"""
+
+# per-table text parity: the REAL extraction pipeline's table_text column
+# (extract_tables -> select_table_words + assemble_text over the kernel
+# path) against the independent SQL derivation above — the north rule's
+# per-turn text-equality invariant as a driver value-hash check
+TABLE_TEXT_SQL = _TTEXT_CTES + """
+    SELECT conv_id, turn_idx, CAST(table_id AS INT) AS table_id, table_text
+    FROM alltbl
+    ORDER BY conv_id, turn_idx, table_id
+"""
+
+# ---------------------------------------------------------------------------
+# Page-assembly counts oracle: per-turn word count and embedded-table count
+# (a scene table embeds unless its predictions are degenerate — the 2%
+# named-draw path whose extraction yields an error row by construction).
+# ---------------------------------------------------------------------------
+
+PAGE_COUNTS_SQL = SCENE_CTES + """,
+    wcount AS (
+        SELECT conv_id, turn_idx, CAST(count(*) AS INT) AS n_words
+        FROM words GROUP BY conv_id, turn_idx
+    ),
+    tcount AS (
+        SELECT conv_id, turn_idx,
+               CAST(sum(1 - degenerate) AS INT) AS n_tables
+        FROM tbl GROUP BY conv_id, turn_idx
+    )
+    SELECT w.conv_id, w.turn_idx, w.n_words, t.n_tables
+    FROM wcount w
+    JOIN tcount t ON w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx
+    ORDER BY w.conv_id, w.turn_idx
+"""
