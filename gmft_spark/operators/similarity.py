@@ -259,15 +259,59 @@ ANN_IVF_SQL = f"""
 DEDUP_COSINE_THRESHOLD = 0.35
 
 
+def connected_components_min(
+    vertices: DataFrame, edges: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``label(v) <- min(label(v), min(label(neighbors)))`` to fixpoint.
+
+    ``vertices``: (vec_id); ``edges``: (vec_id, nb) SYMMETRIC. Returns
+    (vec_id, canonical_id) where canonical_id is the component minimum —
+    the transitive closure of near-dup pairs, so chain-shaped clusters
+    collapse to one canonical.
+
+    Scale notes: each round is one shuffle-join keyed on vec_id; rounds
+    needed = label-propagation diameter (log-ish for the star/chain
+    shapes near-dup graphs produce). Labels are localCheckpoint()ed per
+    round so the plan doesn't grow with iterations; convergence is one
+    scalar agg per round (sum of labels strictly decreases to fixpoint).
+    For corpus-scale graphs with adversarial diameters, the classic
+    large-star/small-star variant halves round count; not needed here."""
+    labels = vertices.select("vec_id", F.col("vec_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_total = labels.agg(F.sum("label")).collect()[0][0] or 0
+    for _ in range(max_iters):
+        nbmin = (
+            edges.alias("ed")
+            .join(labels.alias("lb"), F.col("ed.nb") == F.col("lb.vec_id"))
+            .groupBy(F.col("ed.vec_id").alias("vec_id"))
+            .agg(F.min("lb.label").alias("nbl"))
+        )
+        labels = (
+            labels.alias("lb")
+            .join(nbmin.alias("nm"), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = labels.agg(F.sum("label")).collect()[0][0] or 0
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.select("vec_id", F.col("label").alias("canonical_id"))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: LSH-bucketed candidate pairs (the
     scale path — no O(n²) cross join; only same-bucket pairs are scored),
-    exact cosine >= 0.35 confirmation, then single-pass canonicalization:
-    every vector maps to the minimum vec_id among itself and its near-dup
-    neighbors. (Full transitive closure needs an iterative
-    connected-components pass; the one-hop canonical is the deterministic,
-    oracle-checkable batch form and already collapses star-shaped dup
-    clusters, which is what near-dup detection produces in practice.)"""
+    exact cosine >= 0.35 confirmation, then TRANSITIVE canonicalization
+    via iterative min-label propagation (``connected_components_min``), so
+    chain-shaped dup clusters a~b~c collapse to one canonical id. The
+    DuckDB twin is a recursive-CTE reachability minimum."""
     e = _emb(spark, sf_dir)
     eb = e.select("vec_id", "v", _lsh_bucket().alias("bucket"))
     a, b = eb.alias("a"), eb.alias("b")
@@ -293,27 +337,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nb"))
     )
-    canon = (
-        e.select("vec_id")
-        .join(neighbors, "vec_id", "left")
-        .groupBy("vec_id")
-        .agg(F.min("nb").alias("mn"))
-        .select(
-            "vec_id",
-            F.least(
-                F.col("vec_id"), F.coalesce(F.col("mn"), F.col("vec_id"))
-            ).alias("canonical_id"),
-        )
-        .withColumn(
-            "is_dup", (F.col("canonical_id") < F.col("vec_id")).cast("int")
-        )
+    comp = connected_components_min(e.select("vec_id"), neighbors)
+    canon = comp.withColumn(
+        "is_dup", (F.col("canonical_id") < F.col("vec_id")).cast("int")
     )
     return canon.orderBy("vec_id")
 
 
 DEDUP_COSINE_SQL = (
     """
-    WITH e AS (
+    WITH RECURSIVE e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
     b AS (
@@ -337,14 +370,23 @@ DEDUP_COSINE_SQL = (
         SELECT vec_a AS vec_id, vec_b AS nb FROM pf
         UNION ALL
         SELECT vec_b AS vec_id, vec_a AS nb FROM pf
+    ),
+    -- transitive closure: minimum over every vertex reachable through
+    -- near-dup edges (recursive reachability; UNION dedups, so it
+    -- terminates at the component closure)
+    reach AS (
+        SELECT vec_id AS src, vec_id AS dst FROM e
+        UNION
+        SELECT r.src, n.nb AS dst
+        FROM reach r
+        JOIN nb n ON r.dst = n.vec_id
     )
-    SELECT e.vec_id,
-           least(e.vec_id, coalesce(min(nb.nb), e.vec_id)) AS canonical_id,
-           (CASE WHEN least(e.vec_id, coalesce(min(nb.nb), e.vec_id))
-                      < e.vec_id THEN 1 ELSE 0 END)::INT AS is_dup
-    FROM e LEFT JOIN nb ON e.vec_id = nb.vec_id
-    GROUP BY e.vec_id
-    ORDER BY e.vec_id
+    SELECT src AS vec_id,
+           min(dst) AS canonical_id,
+           (CASE WHEN min(dst) < src THEN 1 ELSE 0 END)::INT AS is_dup
+    FROM reach
+    GROUP BY src
+    ORDER BY src
 """
 )
 
