@@ -84,14 +84,52 @@ SHINGLES_SQL = """
 """
 
 
+def _mk_shingle(tk, i):
+    """Helper binding the array column (CLAUDE.md lambda-index gotcha)."""
+    return F.concat_ws(
+        " ",
+        F.element_at(tk, i),
+        F.element_at(tk, i + 1),
+        F.element_at(tk, i + 2),
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature computed entirely as array expressions —
+    shingling and all N salted minima run inside whole-stage codegen on
+    the scan, ZERO shuffles (the previous explode→window→distinct→groupBy
+    chain cost 4 exchanges per use and was recomputed per band branch).
+    min() is duplicate-insensitive, so skipping the distinct-shingle set
+    leaves every signature identical."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    out = (
+        d.select("doc_id", toks.alias("tk"))
+        .filter(F.size("tk") >= SHINGLE)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (SHINGLE - 1)),
+                lambda i: _mk_shingle(F.col("tk"), i),
+            ).alias("sh"),
+        )
+    )
+    def salted_min(k: int):
+        # helper binds k OUTSIDE the lambda: a defaulted second lambda
+        # parameter would receive the element INDEX (CLAUDE.md gotcha)
+        salt = f"s{k}|"
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(salt), s)))
+        )
+
+    return out.select(
+        "doc_id", *[salted_min(k).alias(f"mh{k}") for k in range(N_MINHASH)]
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature: min(md5(salt || shingle)) per salt."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"mh{k}")
-        for k in range(N_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
 MINHASH_SQL = f"""
@@ -106,30 +144,59 @@ MINHASH_SQL = f"""
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: signature split into bands of 2 minhashes; docs sharing
-    a band hash are near-dup candidates. Output: candidate pairs."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_MINHASH // 2):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
-                "bucket"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
-    a = bands.alias("a")
-    b_ = bands.alias("b")
+    a band hash are near-dup candidates. Output: candidate pairs.
+
+    Shuffle budget (the round-1 version spent 15 exchanges — per-band
+    union branches recomputed the signature chain, and the bucket
+    self-join shuffled both sides): signatures are now shuffle-free array
+    expressions, all bands leave one scan via posexplode, and candidate
+    pairs come from ONE groupBy (band, bucket) with in-bucket combination
+    expansion (sorted doc list → i<j pairs), then the distinct shuffle.
+    A pathological mega-bucket has the same output size either way;
+    banding width bounds bucket cardinality at corpus scale and AQE
+    splits residual skew."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    )
+                    for b in range(N_MINHASH // 2)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + 2,
+                            F.greatest(
+                                F.size("ids") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
