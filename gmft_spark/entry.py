@@ -40,6 +40,26 @@ def _pipeline_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversation_text(extract_tables(t)).orderBy("conv_id")
 
 
+def _pipeline_extract_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-recognition shape parity: recovered column structure +
+    error routing of the REAL extraction pipeline vs the scene's named
+    draws (scene_sql.EXTRACT_SHAPE_SQL)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables(t)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            "status",
+            F.coalesce("message", F.lit("")).alias("message"),
+            "n_cols",
+            F.coalesce(F.to_json("columns"), F.lit("")).alias("columns"),
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
 def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-turn text equality as a driver check: the REAL
     extraction pipeline's table_text (kernel select_table_words +
@@ -98,9 +118,16 @@ def _pipeline_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver form keeps the SQL-derivable columns (payload identity +
+    frame sampling — multimodal.MEDIA_FEATURES_ORACLE_SQL); the crc32
+    feature vector is pytest-covered (tests/test_multimodal.py)."""
     from gmft_spark.operators.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, 256)).orderBy("media_id")
+    return (
+        extract_features(synthesize_media(spark, 256))
+        .select("media_id", "modality", "sha256", "n_frames_sampled")
+        .orderBy("media_id")
+    )
 
 
 def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +192,6 @@ PIPELINE_QUERIES = {
         transcripts_from_documents(spark, sf_dir)
     ).orderBy("conv_id", "turn_idx", "table_id"),
     "pdf_payload_extract_pipeline": _pipeline_pdf_payload,
-    "media_feature_pipeline": _pipeline_media_features,
 }
 
 
@@ -178,6 +204,7 @@ def _oracled_pipelines():
         CURATION_ORACLE_SQL,
         HTML_ORACLE_SQL,
     )
+    from gmft_spark.operators.multimodal import MEDIA_FEATURES_ORACLE_SQL
 
     return {
         "detect_pipeline": (_pipeline_detect, scene_sql.DETECT_SQL),
@@ -190,6 +217,10 @@ def _oracled_pipelines():
             _pipeline_table_text,
             scene_sql.TABLE_TEXT_SQL,
         ),
+        "extract_shape_parity": (
+            _pipeline_extract_shape,
+            scene_sql.EXTRACT_SHAPE_SQL,
+        ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped
         # chars) straight from the template structure
@@ -198,6 +229,10 @@ def _oracled_pipelines():
             HTML_ORACLE_SQL,
         ),
         "training_data_curation": (_pipeline_curation, CURATION_ORACLE_SQL),
+        "media_feature_pipeline": (
+            _pipeline_media_features,
+            MEDIA_FEATURES_ORACLE_SQL,
+        ),
     }
 
 

@@ -154,6 +154,27 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# DuckDB oracle for the media feature pipeline: the synthetic payload is
+# repeat(md5(id), 8), so identity/content columns are re-derivable in SQL
+# (sha256 over the same UTF-8 bytes; every payload is 256 bytes so video
+# frame sampling is the constant 1). The crc32-based feature vector has no
+# DuckDB twin — it stays covered by tests/test_multimodal.py.
+MEDIA_FEATURES_ORACLE_SQL = """
+    WITH m AS (
+        SELECT g.id AS media_id,
+               CASE WHEN g.id % 3 = 0 THEN 'image'
+                    WHEN g.id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               repeat(md5(CAST(g.id AS VARCHAR)), 8) AS payload
+        FROM range(0, 256) AS g(id)
+    )
+    SELECT media_id, modality, sha256(payload) AS sha256,
+           1 AS n_frames_sampled
+    FROM m
+    ORDER BY media_id
+"""
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only rollup — must not read payload bytes (column
     pruning): per-modality byte/size accounting."""

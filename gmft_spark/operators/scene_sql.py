@@ -378,3 +378,31 @@ PAGE_COUNTS_SQL = SCENE_CTES + """,
     JOIN tcount t ON w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx
     ORDER BY w.conv_id, w.turn_idx
 """
+
+# ---------------------------------------------------------------------------
+# Structure-recognition shape parity: the extraction pipeline's recovered
+# column structure and error routing against the scene's named draws.
+# status/message: degenerate prediction sets (the 2% |deg draw) error with
+# the kernel's fixed message; otherwise the header row is recovered exactly
+# (columns = col0..col{n_cols-1}). n_rows is intentionally absent — the
+# Mersenne drop-row path can remove a trailing row (unrecoverable by
+# design, reference gap-fill only fills interior gaps), so row count is
+# not a function of the named draws.
+# ---------------------------------------------------------------------------
+
+EXTRACT_SHAPE_SQL = SCENE_CTES + """
+    SELECT conv_id, turn_idx, CAST(t AS INT) AS table_id,
+           CASE WHEN degenerate = 1 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN degenerate = 1 THEN 'No rows or columns detected'
+                ELSE '' END AS message,
+           CAST(CASE WHEN degenerate = 1 THEN 0 ELSE n_cols END AS INT)
+             AS n_cols,
+           CASE WHEN degenerate = 1 THEN ''
+                WHEN n_cols = 2 THEN '["col0","col1"]'
+                WHEN n_cols = 3 THEN '["col0","col1","col2"]'
+                WHEN n_cols = 4 THEN '["col0","col1","col2","col3"]'
+                ELSE '["col0","col1","col2","col3","col4"]'
+           END AS columns
+    FROM tbl
+    ORDER BY conv_id, turn_idx, table_id
+"""

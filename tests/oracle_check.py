@@ -39,7 +39,7 @@ def _norm(v):
     hash mismatches were all DuckDB HUGEINT sums surfacing as float64), so
     ints and floats must not compare equal here either."""
     if v is None:
-        return None
+        return "\x00:null"  # sortable sentinel (None < str comparisons fail)
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
