@@ -87,6 +87,32 @@ def _hcell(key: str):
     )
 
 
+class _PredStream:
+    """Prediction-only randomness: one bulk uniform block per table
+    (scalar RandomState.uniform calls and RandomState construction were
+    ~60% of scene cost in profiling). PCG64 seeded from the table key —
+    deterministic across executors, never consulted for word layout."""
+
+    __slots__ = ("u", "i")
+
+    def __init__(self, key: str, n: int = 160):
+        g = np.random.default_rng(zlib.crc32(key.encode("utf-8")) & 0xFFFFFFFF)
+        self.u = g.random(n)
+        self.i = 0
+
+    def rand(self) -> float:
+        v = self.u[self.i]
+        self.i += 1
+        return float(v)
+
+    def uniform(self, a: float, b: float) -> float:
+        return a + (b - a) * self.rand()
+
+    def randint(self, lo: int, hi: int) -> int:
+        """Uniform int in [lo, hi)."""
+        return lo + int(self.rand() * (hi - lo))
+
+
 @dataclass
 class SynthTable:
     table_id: int
@@ -153,15 +179,15 @@ def _token_of(v: int, r: int, c: int) -> str:
 
 def _make_table(
     tkey: str,
-    rng: np.random.RandomState,
     table_id: int,
     origin_x: float,
     origin_y: float,
     angle: int = 0,
 ):
-    """``tkey`` names the word-layout draws (SQL-reproducible); ``rng`` is
-    the prediction-only Mersenne stream (jitter/drop/dup — never moves a
-    word, so no oracle depends on it)."""
+    """``tkey`` names the word-layout draws (SQL-reproducible); the
+    prediction-only stream (jitter/drop/dup — never moves a word, so no
+    oracle depends on it) is a bulk-drawn ``_PredStream``."""
+    rng = _PredStream(f"{tkey}|pred")
     n_rows = _hint(f"{tkey}|nr", 3, 10)  # data rows
     n_cols = _hint(f"{tkey}|nc", 2, 6)
     col_widths = np.array(
@@ -231,7 +257,7 @@ def _make_table(
         labels.append(label)
         boxes.append(list(b))
 
-    jit = lambda s: float(rng.uniform(-s, s))  # noqa: E731
+    jit = lambda s: rng.uniform(-s, s)  # noqa: E731
 
     if _hrand(f"{tkey}|deg") < 0.02:
         # degenerate scene: the structure model found nothing usable —
@@ -254,8 +280,8 @@ def _make_table(
 
     add(0.999, LABEL_TABLE, (jit(0.5), jit(0.5), width + jit(0.5), height + jit(0.5)))
     add(0.99, LABEL_COLUMN_HEADER, (jit(0.4), jit(0.4), width + jit(0.4), ROW_HEIGHT + jit(0.4)))
-    drop_row = int(rng.randint(1, n_rows + 1)) if rng.rand() < 0.2 else -1
-    dup_row = int(rng.randint(1, n_rows + 1)) if rng.rand() < 0.25 else -1
+    drop_row = rng.randint(1, n_rows + 1) if rng.rand() < 0.2 else -1
+    dup_row = rng.randint(1, n_rows + 1) if rng.rand() < 0.25 else -1
     for r in range(n_rows + 1):
         if r == drop_row:
             continue  # exercises gap fill
@@ -276,7 +302,7 @@ def _make_table(
         )
     if rng.rand() < 0.15 and n_rows >= 4:
         # projected row header over one data row
-        pr = int(rng.randint(2, n_rows))
+        pr = rng.randint(2, n_rows)
         add(
             0.95,
             LABEL_PROJECTED_ROW_HEADER,
@@ -319,12 +345,8 @@ def synth_scene(conv_id: str, turn_idx: int) -> SynthScene:
     for tid in range(n_tables):
         tkey = f"{s}|{tid}"
         angle = 90 if _hrand(f"{tkey}|ang") < 0.1 else 0
-        pred_rng = np.random.RandomState(
-            zlib.crc32(f"{tkey}|pred".encode("utf-8")) & 0xFFFFFFFF
-        )
         tbl, words, texts = _make_table(
             tkey,
-            pred_rng,
             tid,
             72.0 + _huni(f"{tkey}|ox", 0.0, 20.0),
             y,
