@@ -48,21 +48,26 @@ DEDUP_EXACT_SQL = """
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams."""
+    """(doc_id, shingle) — distinct word 3-grams. Built as an array
+    expression on the scan (per-doc dedup via array_distinct is
+    partition-local), replacing the explode→window→distinct chain that
+    cost two shuffles before any consumer ran."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
-    ).filter(F.col("tok") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     return (
-        toks.withColumn("t1", F.lead("tok", 1).over(w))
-        .withColumn("t2", F.lead("tok", 2).over(w))
-        .filter(F.col("t2").isNotNull())
+        d.select("doc_id", toks.alias("tk"))
+        .filter(F.size("tk") >= SHINGLE)
         .select(
             "doc_id",
-            F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - (SHINGLE - 1)),
+                        lambda i: _mk_shingle(F.col("tk"), i),
+                    )
+                )
+            ).alias("shingle"),
         )
-        .distinct()
     )
 
 

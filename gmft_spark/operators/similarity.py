@@ -277,6 +277,10 @@ def connected_components_min(
     scalar agg per round (sum of labels strictly decreases to fixpoint).
     For corpus-scale graphs with adversarial diameters, the classic
     large-star/small-star variant halves round count; not needed here."""
+    # materialize the edge list ONCE — without this every round re-runs
+    # the upstream pair computation (LSH bucket join + exact cosine),
+    # multiplying the expensive stage by the round count
+    edges = edges.localCheckpoint(eager=True)
     labels = vertices.select("vec_id", F.col("vec_id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
     prev_total = labels.agg(F.sum("label")).collect()[0][0] or 0
