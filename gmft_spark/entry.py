@@ -60,6 +60,25 @@ def _pipeline_extract_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CSV parity for the flagship pipeline: the complete rendered
+    CSV (header + every cell) of extract_tables vs the independent SQL
+    derivation from the named draws (scene_sql.EXTRACT_CSV_SQL) —
+    validated cell-for-cell at sf0.01 and sf0.1 before registration."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables(t)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            "status",
+            F.coalesce("csv", F.lit("")).alias("csv"),
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
 def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-turn text equality as a driver check: the REAL
     extraction pipeline's table_text (kernel select_table_words +
@@ -220,6 +239,10 @@ def _oracled_pipelines():
         "extract_shape_parity": (
             _pipeline_extract_shape,
             scene_sql.EXTRACT_SHAPE_SQL,
+        ),
+        "tatr_extract_csv_parity": (
+            _pipeline_extract_csv,
+            scene_sql.EXTRACT_CSV_SQL,
         ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped

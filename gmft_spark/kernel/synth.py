@@ -280,7 +280,16 @@ def _make_table(
 
     add(0.999, LABEL_TABLE, (jit(0.5), jit(0.5), width + jit(0.5), height + jit(0.5)))
     add(0.99, LABEL_COLUMN_HEADER, (jit(0.4), jit(0.4), width + jit(0.4), ROW_HEIGHT + jit(0.4)))
-    drop_row = rng.randint(1, n_rows + 1) if rng.rand() < 0.2 else -1
+    # drop_row is a NAMED draw: dropping the LAST row box loses that row
+    # (gap fill only recovers interior gaps), so the expected CSV is a
+    # function of it — the SQL twin (scene_sql.EXTRACT_CSV_SQL) needs it.
+    # dup_row stays prediction-only (NMS always removes the lower-scored
+    # duplicate; output-invariant).
+    drop_row = (
+        _hint(f"{tkey}|dropr", 1, n_rows + 1)
+        if _hrand(f"{tkey}|dropq") < 0.2
+        else -1
+    )
     dup_row = rng.randint(1, n_rows + 1) if rng.rand() < 0.25 else -1
     for r in range(n_rows + 1):
         if r == drop_row:

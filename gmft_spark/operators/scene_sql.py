@@ -406,3 +406,75 @@ EXTRACT_SHAPE_SQL = SCENE_CTES + """
     FROM tbl
     ORDER BY conv_id, turn_idx, table_id
 """
+
+
+def _build_extract_csv_sql() -> str:
+    """Full-CSV oracle for the flagship extraction pipeline: the expected
+    ``render_csv`` output re-derived from the named draws — header row,
+    per-cell space-joined word text (second word only when it fits inside
+    the column), null-row removal (fully-sparse rows), and the dropped
+    LAST-row case (the named |dropq/|dropr draws; interior drops are
+    recovered by gap fill so they don't change the CSV). Validated
+    cell-for-cell against extract_turn on every table at sf0.01 and sf0.1
+    before being registered."""
+    m = "4294967296.0::DOUBLE"
+    tok1 = _token(f"{_hxs('h', 17)} % 1679616",
+                  "CAST(r AS VARCHAR) || CAST(c AS VARCHAR)")
+    tok2 = _token(f"{_hxs('h', 25)} % 1679616",
+                  "CAST(r AS VARCHAR) || CAST(c + 11 AS VARCHAR)")
+    # identical float text to the generator: x1raw for a 6-char data token
+    x1raw = "cx0 + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 6"
+    fits = (f"least({x1raw} + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 7, "
+            f"cx1 - 1.0::DOUBLE) > {x1raw} + 3.0::DOUBLE")
+    return SCENE_CTES + f""",
+    cstr AS (
+        SELECT conv_id, turn_idx, t, r, c,
+               CASE WHEN r > 0 AND {_hxs('h', 1)} / {m} < 0.08::DOUBLE
+                    THEN ''
+                    WHEN r = 0 THEN 'col' || CAST(c AS VARCHAR)
+                    WHEN {_hxs('h', 9)} / {m} < 0.15::DOUBLE AND {fits}
+                    THEN {tok1} || ' ' || {tok2}
+                    ELSE {tok1}
+               END AS cellstr
+        FROM cells
+    ),
+    crows AS (
+        SELECT conv_id, turn_idx, t, r,
+               string_agg(cellstr, ',' ORDER BY c) AS line,
+               max(CASE WHEN cellstr <> '' THEN 1 ELSE 0 END) AS nonempty
+        FROM cstr
+        GROUP BY conv_id, turn_idx, t, r
+    ),
+    tdrop AS (
+        SELECT conv_id, turn_idx, t, n_rows, degenerate,
+               CASE WHEN {_hrand("tk || '|dropq'")} < 0.2::DOUBLE
+                    THEN 1 + {_hx("tk || '|dropr'")} % n_rows
+                    ELSE -1 END AS dropr
+        FROM tbl
+    ),
+    tbody AS (
+        SELECT c.conv_id, c.turn_idx, c.t,
+               string_agg(c.line, chr(10) ORDER BY c.r) AS body
+        FROM crows c
+        JOIN tdrop d ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx
+                     AND c.t = d.t
+        WHERE c.r > 0 AND c.nonempty = 1
+          AND NOT (d.dropr = d.n_rows AND c.r = d.n_rows)
+        GROUP BY c.conv_id, c.turn_idx, c.t
+    )
+    SELECT d.conv_id, d.turn_idx, CAST(d.t AS INT) AS table_id,
+           CASE WHEN d.degenerate = 1 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN d.degenerate = 1 THEN ''
+                ELSE h.line || chr(10)
+                     || coalesce(b.body || chr(10), '')
+           END AS csv
+    FROM tdrop d
+    JOIN (SELECT conv_id, turn_idx, t, line FROM crows WHERE r = 0) h
+      ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.t = h.t
+    LEFT JOIN tbody b
+      ON d.conv_id = b.conv_id AND d.turn_idx = b.turn_idx AND d.t = b.t
+    ORDER BY d.conv_id, d.turn_idx, table_id
+"""
+
+
+EXTRACT_CSV_SQL = _build_extract_csv_sql()
