@@ -79,6 +79,24 @@ def _pipeline_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_ditr_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-CSV parity for the DITR formatter path: divider predictions
+    have no degenerate/dropped cases, so every row survives
+    (scene_sql.DITR_CSV_SQL)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables_ditr(t)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            "status",
+            F.coalesce("csv", F.lit("")).alias("csv"),
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
 def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-turn text equality as a driver check: the REAL
     extraction pipeline's table_text (kernel select_table_words +
@@ -243,6 +261,10 @@ def _oracled_pipelines():
         "tatr_extract_csv_parity": (
             _pipeline_extract_csv,
             scene_sql.EXTRACT_CSV_SQL,
+        ),
+        "ditr_extract_csv_parity": (
+            _pipeline_ditr_csv,
+            scene_sql.DITR_CSV_SQL,
         ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped

@@ -408,7 +408,7 @@ EXTRACT_SHAPE_SQL = SCENE_CTES + """
 """
 
 
-def _build_extract_csv_sql() -> str:
+def _build_extract_csv_sql(tatr: bool = True) -> str:
     """Full-CSV oracle for the flagship extraction pipeline: the expected
     ``render_csv`` output re-derived from the named draws — header row,
     per-cell space-joined word text (second word only when it fits inside
@@ -426,6 +426,21 @@ def _build_extract_csv_sql() -> str:
     x1raw = "cx0 + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 6"
     fits = (f"least({x1raw} + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 7, "
             f"cx1 - 1.0::DOUBLE) > {x1raw} + 3.0::DOUBLE")
+    if tatr:
+        # TATR model predictions: degenerate sets error out, a dropped
+        # LAST row box loses that row
+        drop_pred = "NOT (d.dropr = d.n_rows AND c.r = d.n_rows)"
+        status_expr = ("CASE WHEN d.degenerate = 1 THEN 'error' "
+                       "ELSE 'ok' END")
+        csv_expr = ("CASE WHEN d.degenerate = 1 THEN '' "
+                    "ELSE h.line || chr(10) "
+                    "|| coalesce(b.body || chr(10), '') END")
+    else:
+        # DITR divider predictions derive from the ground-truth grid:
+        # no degenerate path, no dropped dividers -> every row survives
+        drop_pred = "TRUE"
+        status_expr = "'ok'"
+        csv_expr = "h.line || chr(10) || coalesce(b.body || chr(10), '')"
     return SCENE_CTES + f""",
     cstr AS (
         SELECT conv_id, turn_idx, t, r, c,
@@ -459,15 +474,12 @@ def _build_extract_csv_sql() -> str:
         JOIN tdrop d ON c.conv_id = d.conv_id AND c.turn_idx = d.turn_idx
                      AND c.t = d.t
         WHERE c.r > 0 AND c.nonempty = 1
-          AND NOT (d.dropr = d.n_rows AND c.r = d.n_rows)
+          AND ({drop_pred})
         GROUP BY c.conv_id, c.turn_idx, c.t
     )
     SELECT d.conv_id, d.turn_idx, CAST(d.t AS INT) AS table_id,
-           CASE WHEN d.degenerate = 1 THEN 'error' ELSE 'ok' END AS status,
-           CASE WHEN d.degenerate = 1 THEN ''
-                ELSE h.line || chr(10)
-                     || coalesce(b.body || chr(10), '')
-           END AS csv
+           {status_expr} AS status,
+           {csv_expr} AS csv
     FROM tdrop d
     JOIN (SELECT conv_id, turn_idx, t, line FROM crows WHERE r = 0) h
       ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.t = h.t
@@ -478,3 +490,4 @@ def _build_extract_csv_sql() -> str:
 
 
 EXTRACT_CSV_SQL = _build_extract_csv_sql()
+DITR_CSV_SQL = _build_extract_csv_sql(tatr=False)
