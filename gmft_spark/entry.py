@@ -97,6 +97,24 @@ def _pipeline_ditr_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 caption-finder parity: the rolling-scan caption search's output
+    on the real pipeline vs its closed form for these scenes
+    (scene_sql.CAPTIONS_SQL)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables(t)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            F.coalesce("caption_above", F.lit("")).alias("caption_above"),
+            F.coalesce("caption_below", F.lit("")).alias("caption_below"),
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
 def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-turn text equality as a driver check: the REAL
     extraction pipeline's table_text (kernel select_table_words +
@@ -265,6 +283,10 @@ def _oracled_pipelines():
         "ditr_extract_csv_parity": (
             _pipeline_ditr_csv,
             scene_sql.DITR_CSV_SQL,
+        ),
+        "extract_captions_parity": (
+            _pipeline_captions,
+            scene_sql.CAPTIONS_SQL,
         ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped

