@@ -26,7 +26,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gmft_spark.operators import analytics, dedup, relational, similarity, textstats
 from gmft_spark.operators.extract import extract_tables
 from gmft_spark.plans.session import build_session
-from gmft_spark.sources.transcripts import synthesize_transcripts
+from gmft_spark.sources.transcripts import (
+    synthesize_transcripts,
+    transcripts_from_documents,
+)
+
+
+def _bench_detect(spark, sf_dir):
+    """Detection pipeline over the sf transcripts. The sandbox sf tables
+    are single-row-group parquet (one scan split), so the bench
+    repartitions to machine width — on a real corpus the scan splits
+    naturally and the registered query keeps its shuffle-free plan."""
+    from gmft_spark.operators.detect import detect_tables
+
+    cpus = spark.sparkContext.defaultParallelism
+    return detect_tables(
+        transcripts_from_documents(spark, sf_dir).repartition(cpus * 4)
+    )
+
+
+def _bench_extract(spark, sf_dir):
+    """Full TATR extraction pipeline over the sf transcripts (same
+    single-row-group note as _bench_detect)."""
+    cpus = spark.sparkContext.defaultParallelism
+    return extract_tables(
+        transcripts_from_documents(spark, sf_dir).repartition(cpus * 4)
+    )
+
 
 HEADLINE = [
     ("f7_cell_assignment", relational.f7_cell_assignment),
@@ -42,6 +68,9 @@ HEADLINE = [
     ("agg_pricing_summary", analytics.pricing_summary),
     ("join_revenue_by_nation", analytics.revenue_by_nation),
     ("window_sessionize_events", analytics.sessionize_events),
+    # oracle-checked pipeline paths (mapInPandas over the sf tables)
+    ("detect_pipeline", _bench_detect),
+    ("tatr_extract_pipeline", _bench_extract),
 ]
 
 
