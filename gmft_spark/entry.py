@@ -115,6 +115,41 @@ def _pipeline_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _csv_projection(df: DataFrame) -> DataFrame:
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "table_id",
+        "status",
+        F.coalesce("csv", F.lit("")).alias("csv"),
+    ).orderBy("conv_id", "turn_idx", "table_id")
+
+
+def _pipeline_pdf_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule REAL-payload path under the gate: per-turn PDF
+    byte-streams written and decoded with the from-scratch parser inside
+    mapInPandas, extraction CSV hash-checked against the same independent
+    SQL derivation as the scene path — i.e. the byte round-trip
+    (pdfgen -> pdfparse) is proven word-exact BY the oracle."""
+    from gmft_spark.operators.pdf_extract import extract_tables_from_pdfs
+
+    t = transcripts_from_documents(spark, sf_dir)
+    return _csv_projection(extract_tables_from_pdfs(t))
+
+
+def _pipeline_spanning_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanning/multi-header config parity: these scenes carry no spanning
+    predictions and a single header band, so the spanning machinery must
+    be a NO-OP — its output CSV hash-matches the default derivation (the
+    feature's distinctive behavior is pinned by the multi-header and
+    spanning goldens in tests/)."""
+    from gmft_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(semantic_spanning_cells=True, enable_multi_header=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    return _csv_projection(extract_tables(t, cfg))
+
+
 def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-turn text equality as a driver check: the REAL
     extraction pipeline's table_text (kernel select_table_words +
@@ -287,6 +322,14 @@ def _oracled_pipelines():
         "extract_captions_parity": (
             _pipeline_captions,
             scene_sql.CAPTIONS_SQL,
+        ),
+        "pdf_payload_csv_parity": (
+            _pipeline_pdf_csv,
+            scene_sql.EXTRACT_CSV_SQL,
+        ),
+        "spanning_extract_csv_parity": (
+            _pipeline_spanning_csv,
+            scene_sql.EXTRACT_CSV_SQL,
         ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped
