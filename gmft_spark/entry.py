@@ -150,6 +150,15 @@ def _pipeline_spanning_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _csv_projection(extract_tables(t, cfg))
 
 
+def _pipeline_histogram_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-formatter CSV parity (H1-H4 under the gate): the kernel's
+    sweep-line dividers + midpoint bucketing vs the independent SQL
+    re-derivation (scene_sql.HISTOGRAM_CSV_SQL) — including the extra
+    columns the sweep finds when second words form their own x-band."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return _csv_projection(extract_tables_histogram(t))
+
+
 def _pipeline_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-turn text equality as a driver check: the REAL
     extraction pipeline's table_text (kernel select_table_words +
@@ -330,6 +339,10 @@ def _oracled_pipelines():
         "spanning_extract_csv_parity": (
             _pipeline_spanning_csv,
             scene_sql.EXTRACT_CSV_SQL,
+        ),
+        "histogram_extract_csv_parity": (
+            _pipeline_histogram_csv,
+            scene_sql.HISTOGRAM_CSV_SQL,
         ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped

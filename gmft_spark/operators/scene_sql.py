@@ -509,3 +509,131 @@ CAPTIONS_SQL = SCENE_CTES + """
     FROM tbl
     ORDER BY conv_id, turn_idx, table_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram-formatter CSV oracle (H1→H4 under the gate): the sweep-line
+# interval histogram re-derived per table over the SQL scene words —
+# coverage profiles over 2dp-rounded word extents, maximal zero-coverage
+# gaps (x-gaps wider than 3 become column dividers, all y-gaps row
+# dividers), midpoint bucketing of the UNROUNDED words, first grid row as
+# header. Mirrors kernel/histogram.py exactly (incl. the no-trailing-gap
+# rule: the segment starting at the last change point never opens a gap,
+# and zero-width rounded extents are excluded from the sweep but still
+# bucketed).
+# ---------------------------------------------------------------------------
+
+def _hist_gap_cte(axis: str, lo: str, hi: str) -> str:
+    """Coverage-gap CTE chain for one axis over the ``hw`` words."""
+    return f"""
+    {axis}ev AS (
+        SELECT conv_id, turn_idx, t, {lo} AS p, 1 AS d FROM hw
+        WHERE {hi} > {lo}
+        UNION ALL
+        SELECT conv_id, turn_idx, t, {hi} AS p, -1 AS d FROM hw
+        WHERE {hi} > {lo}
+    ),
+    {axis}pts AS (
+        SELECT conv_id, turn_idx, t, p, CAST(sum(d) AS BIGINT) AS d
+        FROM {axis}ev GROUP BY conv_id, turn_idx, t, p
+    ),
+    {axis}cov AS (
+        SELECT *,
+               CAST(sum(d) OVER w AS BIGINT) AS cov,
+               lead(p) OVER w AS nxt
+        FROM {axis}pts
+        WINDOW w AS (PARTITION BY conv_id, turn_idx, t ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    {axis}segs AS (
+        SELECT *, CASE WHEN cov <= 0 THEN 1 ELSE 0 END AS low,
+               CAST(sum(CASE WHEN cov <= 0 THEN 0 ELSE 1 END) OVER (
+                   PARTITION BY conv_id, turn_idx, t ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS grp
+        FROM {axis}cov
+        WHERE nxt IS NOT NULL
+    ),
+    {axis}gaps AS (
+        SELECT conv_id, turn_idx, t,
+               min(p) AS gs, max(nxt) AS ge
+        FROM {axis}segs
+        WHERE low = 1
+        GROUP BY conv_id, turn_idx, t, grp
+    )"""
+
+
+def _build_histogram_csv_sql() -> str:
+    return SCENE_CTES + f""",
+    hw AS (
+        SELECT conv_id, turn_idx, t,
+               round(x0l, 2) AS wx0, round(x1l, 2) AS wx1,
+               round(y0l, 2) AS wy0, round(y1l, 2) AS wy1,
+               (x0l + x1l) / 2 AS xm, (y0l + y1l) / 2 AS ym,
+               txt, r, c, sec
+        FROM lwords
+    ),
+    {_hist_gap_cte('x', 'wx0', 'wx1')},
+    {_hist_gap_cte('y', 'wy0', 'wy1')},
+    xdiv AS (
+        SELECT conv_id, turn_idx, t, (gs + ge) / 2 AS xd
+        FROM xgaps WHERE (ge - gs) > 3.0::DOUBLE
+    ),
+    ydiv AS (
+        SELECT conv_id, turn_idx, t, (gs + ge) / 2 AS yd
+        FROM ygaps
+    ),
+    dims AS (
+        SELECT b.conv_id, b.turn_idx, b.t,
+               coalesce(x.nx, 0) + 1 AS n_cols,
+               coalesce(y.ny, 0) + 1 AS n_rows,
+               b.width, b.height
+        FROM tdim b
+        LEFT JOIN (SELECT conv_id, turn_idx, t, count(*) AS nx
+                   FROM xdiv GROUP BY conv_id, turn_idx, t) x
+          ON b.conv_id = x.conv_id AND b.turn_idx = x.turn_idx AND b.t = x.t
+        LEFT JOIN (SELECT conv_id, turn_idx, t, count(*) AS ny
+                   FROM ydiv GROUP BY conv_id, turn_idx, t) y
+          ON b.conv_id = y.conv_id AND b.turn_idx = y.turn_idx AND b.t = y.t
+    ),
+    bucketed AS (
+        SELECT w.conv_id, w.turn_idx, w.t, w.txt, w.r, w.c, w.sec,
+               (SELECT count(*) FROM xdiv d
+                WHERE d.conv_id = w.conv_id AND d.turn_idx = w.turn_idx
+                  AND d.t = w.t AND d.xd < w.xm) AS ci,
+               (SELECT count(*) FROM ydiv d
+                WHERE d.conv_id = w.conv_id AND d.turn_idx = w.turn_idx
+                  AND d.t = w.t AND d.yd < w.ym) AS ri
+        FROM hw w
+        JOIN tdim b ON w.conv_id = b.conv_id AND w.turn_idx = b.turn_idx
+                    AND w.t = b.t
+        WHERE 0.0::DOUBLE <= w.xm AND w.xm <= b.width
+          AND 0.0::DOUBLE <= w.ym AND w.ym <= b.height
+    ),
+    cellagg AS (
+        SELECT conv_id, turn_idx, t, ri, ci,
+               string_agg(txt, ' ' ORDER BY r, c, sec) AS cell
+        FROM bucketed
+        GROUP BY conv_id, turn_idx, t, ri, ci
+    ),
+    gridlines AS (
+        SELECT d.conv_id, d.turn_idx, d.t, gr.ri,
+               string_agg(coalesce(ca.cell, ''), ',' ORDER BY gc.ci) AS line
+        FROM dims d
+        JOIN range(0, 24) AS gr(ri) ON gr.ri < d.n_rows
+        JOIN range(0, 24) AS gc(ci) ON gc.ci < d.n_cols
+        LEFT JOIN cellagg ca
+          ON ca.conv_id = d.conv_id AND ca.turn_idx = d.turn_idx
+         AND ca.t = d.t AND ca.ri = gr.ri AND ca.ci = gc.ci
+        GROUP BY d.conv_id, d.turn_idx, d.t, gr.ri
+    )
+    SELECT conv_id, turn_idx, CAST(t AS INT) AS table_id,
+           'ok' AS status,
+           string_agg(line, chr(10) ORDER BY ri) || chr(10) AS csv
+    FROM gridlines
+    GROUP BY conv_id, turn_idx, t
+    ORDER BY conv_id, turn_idx, table_id
+"""
+
+
+HISTOGRAM_CSV_SQL = _build_histogram_csv_sql()
