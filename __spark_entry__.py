@@ -3,10 +3,12 @@
 ``entry(spark)`` runs the flagship per-turn table-extraction pipeline on
 sf0.001; ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data-pipeline operators); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for each relationally-expressible query. The custom
-extraction pipelines (gmft's heuristic algorithm inside mapInPandas) have
-no SQL equivalent and get the rows-only check; their byte-exactness is
-asserted against the reference's own golden fixtures in tests/.
+DuckDB-equivalent SQL for each query. The extraction pipelines are
+value-hash-checked through parity twins (complete CSV, per-table text,
+captions, shapes — re-derived independently in SQL from the named scene
+draws, gmft_spark/operators/scene_sql.py); the five full-output views stay
+rows-only and are pinned byte-exact by the reference's own golden fixtures
+in tests/.
 """
 
 from __future__ import annotations

@@ -1,9 +1,15 @@
 """Registry backing ``__spark_entry__.py`` (the driver contract).
 
-Aggregates every implemented operator's (R)-form query + DuckDB oracle,
-plus the custom pipeline operators that have no SQL equivalent (the driver
-records a rows-only check for those — structure extraction is gmft's
-heuristic algorithm, not relational algebra).
+Aggregates every implemented operator's (R)-form query + DuckDB oracle.
+The extraction pipelines are oracled through parity twins: the scene word
+layout comes from named md5 draws that operators/scene_sql.py re-derives
+in pure SQL, so the driver hash-checks the REAL pipelines' complete CSVs
+(TATR, DITR, histogram, spanning config, real PDF payload), per-table
+text, captions, shapes, detector output and conversation assembly against
+independent SQL derivations. The five remaining rows-only entries are the
+full-output views (csv + arrays + text + captions in one row) whose every
+column is value-checked through those twins and pinned byte-exact by the
+reference goldens in tests/.
 """
 
 from __future__ import annotations
