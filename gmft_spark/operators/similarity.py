@@ -300,6 +300,9 @@ def connected_components_min(
                     F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))
                 ).alias("label"),
             )
+            # eager checkpoint, NOT persist: labels feeds the next round's
+            # plan twice, so without lineage truncation the logical plan
+            # doubles per round and long chains OOM the planner
             .localCheckpoint(eager=True)
         )
         total = labels.agg(F.sum("label")).collect()[0][0] or 0
