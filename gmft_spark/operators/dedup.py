@@ -14,7 +14,7 @@ verifier only runs inside buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 N_MINHASH = 6  # salted permutations
 SHINGLE = 3  # words per shingle
@@ -405,27 +405,31 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-min is engine-independent. Output: per-doc distinct fingerprint
     count + the global minimum fingerprint (stable summary)."""
     d = _docs(spark, sf_dir)
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {WINNOW_K} + 1), "
-                f"i -> substring(text, i, {WINNOW_K}))"
-            )
-        ).alias("pos", "gram"),
-    ).filter(F.length("gram") == WINNOW_K)
-    hashed = grams.select("doc_id", "pos", F.md5("gram").alias("h"))
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
+    # whole pipeline as array expressions on the scan (no per-doc window
+    # shuffle): k-gram hashes -> per-position window minima via slice
+    # (slice caps at the array end, matching the shorter tail windows of
+    # the ROWS BETWEEN CURRENT AND W-1 FOLLOWING frame)
+    hashes = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K} + 1), "
+        f"i -> md5(substring(text, i, {WINNOW_K})))"
     )
-    mins = hashed.withColumn("wmin", F.min("h").over(win))
+    hcol = F.when(F.length("text") >= WINNOW_K, hashes).otherwise(
+        F.array().cast("array<string>")
+    )
+    wmins = F.expr(
+        f"transform(sequence(1, size(hs)), "
+        f"i -> array_min(slice(hs, i, {WINNOW_W})))"
+    )
     return (
-        mins.groupBy("doc_id")
-        .agg(
-            F.countDistinct("wmin").alias("n_fingerprints"),
-            F.min("wmin").alias("min_fingerprint"),
+        d.select("doc_id", hcol.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", wmins.alias("wm"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("wm")).cast("long").alias(
+                "n_fingerprints"
+            ),
+            F.array_min("wm").alias("min_fingerprint"),
         )
         .orderBy("doc_id")
     )

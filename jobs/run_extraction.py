@@ -31,6 +31,13 @@ def main(argv=None) -> int:
     parser.add_argument("--input", required=True, help="transcript parquet dir")
     parser.add_argument("--output", required=True, help="result sink dir")
     parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument(
+        "--formatter",
+        choices=("tatr", "ditr", "histogram"),
+        default="tatr",
+        help="structure-recognition model family (reference: TATR neural "
+        "structure, DITR divider model, non-deep histogram sweep)",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None, help="override (else spark-submit's)")
@@ -47,8 +54,18 @@ def main(argv=None) -> int:
         .getOrCreate()
     )
 
-    from gmft_spark.operators.extract import extract_tables
+    from gmft_spark.operators.extract import (
+        extract_tables,
+        extract_tables_ditr,
+        extract_tables_histogram,
+    )
     from gmft_spark.plans.lineage import resume_filter, write_results_with_lineage
+
+    formatters = {
+        "tatr": extract_tables,
+        "ditr": extract_tables_ditr,
+        "histogram": extract_tables_histogram,
+    }
 
     transcripts = spark.read.parquet(args.input)
     if args.resume:
@@ -60,7 +77,7 @@ def main(argv=None) -> int:
         return 0
 
     run_id = args.run_id or f"run-{int(time.time())}"
-    results = extract_tables(transcripts)
+    results = formatters[args.formatter](transcripts)
     lineage = write_results_with_lineage(
         spark, results, args.output, n_buckets=args.buckets, run_id=run_id
     )
