@@ -175,6 +175,127 @@ TOKEN_COUNTS_SQL = """
 """
 
 
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter signal: per-document fraction of tokens that are
+    corpus-rare (total count <= 2) — the CCNet-style rare-vocabulary
+    heuristic. Two shuffles: corpus token counts (balanced on token),
+    per-doc aggregation; the small count table broadcasts back."""
+    toks = _tokens(spark, sf_dir).select("doc_id", "tok")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("n") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_rare").cast("long").alias("n_rare"),
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias(
+                "rare_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+RARE_TOKEN_SQL = """
+    WITH toks AS (
+        SELECT doc_id, u.tok
+        FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(tok)
+        WHERE u.tok <> ''
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           round(CAST(sum(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS rare_ratio
+    FROM toks t JOIN counts c ON t.tok = c.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination signal: leading-content fingerprints (md5 of the
+    first 64 normalized chars — leakage between corpora usually shares
+    prefixes even when tails diverge) shared across different sources.
+    One fingerprint shuffle; overlapping source pairs from in-group
+    expansion."""
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.substring(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), "[^a-z0-9]+", " "
+                    )
+                ),
+                1,
+                64,
+            )
+        ).alias("fingerprint"),
+    )
+    groups = (
+        fp.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+        .filter(F.size("sources") >= 2)
+    )
+    pairs = groups.select(
+        "fingerprint",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "sources",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("sources"),
+                            i + 2,
+                            F.greatest(
+                                F.size("sources") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("src_a"), y.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+CROSS_SOURCE_SQL = """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(substr(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                              ' ', 'g')), 1, 64))
+                 AS fingerprint
+        FROM documents
+    ),
+    pairs AS (
+        SELECT DISTINCT a.fingerprint, a.source AS src_a, b.source AS src_b
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.source < b.source
+    )
+    SELECT src_a, src_b, count(*) AS n_shared_fingerprints
+    FROM pairs
+    GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+"""
+
+
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion summary of the heuristic against the labeled lang column."""
     guessed = lang_id(spark, sf_dir)
@@ -201,4 +322,6 @@ QUERIES = {
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
+    "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
 }
