@@ -53,3 +53,46 @@ def test_lineitem_filter_prunes_columns(spark):
     q = li.filter(F.col("l_orderkey") % 997 == 0).select("l_quantity")
     read = [l for l in _plan(q).split("\n") if "ReadSchema" in l][0]
     assert "l_quantity" in read and "l_extendedprice" not in read
+
+
+def test_minhash_lsh_shuffle_budget(spark):
+    """The round-2 rewrite pinned: signatures are shuffle-free array
+    expressions; candidate pairs need only the (band,bucket) groupBy, the
+    pair distinct and the output sort — 3 exchanges, not the 15 the
+    union-branch + self-join formulation cost."""
+    from gmft_spark.operators.dedup import dedup_minhash_lsh, minhash_signatures
+
+    assert _plan(minhash_signatures(spark, SF)).count("Exchange") <= 1
+    assert _plan(dedup_minhash_lsh(spark, SF)).count("Exchange") <= 3
+
+
+def test_winnowing_is_scan_side(spark):
+    from gmft_spark.operators.dedup import winnowing_fingerprints
+
+    plan = _plan(winnowing_fingerprints(spark, SF))
+    assert plan.count("Exchange") <= 1  # output sort only
+    assert "Window" not in plan  # per-doc minima run as array exprs
+
+
+def test_rare_token_counts_broadcast_back(spark):
+    from gmft_spark.operators.textstats import rare_token_ratio
+
+    plan = _plan(rare_token_ratio(spark, SF))
+    assert "BroadcastHashJoin" in plan  # corpus counts broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_parity_queries_stay_narrow(spark):
+    """The parity twins must not change the extraction stage's shape: one
+    exchange each (the determinism orderBy), zero joins."""
+    from gmft_spark import entry as E
+
+    for name in (
+        "extract_table_text_parity",
+        "tatr_extract_csv_parity",
+        "histogram_extract_csv_parity",
+    ):
+        fn = dict(E._oracled_pipelines())[name][0]
+        plan = _plan(fn(spark, SF))
+        assert plan.count("Exchange") <= 1, name
+        assert "Join" not in plan, name
