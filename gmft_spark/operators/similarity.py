@@ -256,6 +256,75 @@ ANN_IVF_SQL = f"""
 """
 
 
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search path: the vec_id=1 query probes ONLY its nearest
+    centroid's posting list (nprobe=1), scoring cosine against that
+    partition instead of the full corpus — the read-side complement of
+    ``ann_ivf_assign``. At corpus scale the posting lists are the
+    partition layout, so a probe touches one partition's files."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    dot = _dot(F.col("v"), F.col("cv"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            F.struct(
+                (-dot).alias("neg_dot"), F.col("centroid_id").alias("cid")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"), F.first("v").alias("v"))
+        .select("vec_id", F.col("best.cid").alias("centroid_id"), "v")
+    )
+    qrow = assigned.filter(F.col("vec_id") == 1).select(
+        F.col("centroid_id").alias("qcid"), F.col("v").alias("qv")
+    )
+    probe = assigned.filter(F.col("vec_id") != 1).join(
+        F.broadcast(qrow), F.col("centroid_id") == F.col("qcid")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        probe.select("vec_id", "centroid_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ANN_IVF_SEARCH_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY -list_dot_product(e.v, c.cv) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT centroid_id AS qcid, v AS qv FROM assigned WHERE vec_id = 1)
+    SELECT a.vec_id, a.centroid_id,
+           round(list_dot_product(a.v, qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM assigned a, q
+    WHERE a.centroid_id = q.qcid AND a.vec_id <> 1
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
 DEDUP_COSINE_THRESHOLD = 0.35
 
 
@@ -402,6 +471,7 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
+    "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
     "embedding_knn_join": (embedding_knn_join, EMBEDDING_KNN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_COSINE_SQL),
 }
