@@ -190,6 +190,16 @@ def _pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 page render under the gate: per-turn raster accounting (dims,
+    word count, ink pixels) value-hashed against the SQL per-word
+    clamped-area sum (scene_sql.PAGE_RENDER_SQL); the PNG payload bytes
+    are pytest-covered (tests/test_raster.py round-trips them)."""
+    from gmft_spark.operators.render import render_stats
+
+    return render_stats(transcripts_from_documents(spark, sf_dir))
+
+
 def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full value-hash oracle (scene_sql.DETECT_SQL): the SQL twin
     re-derives the word layout from the named md5 draws and replicates the
@@ -313,6 +323,7 @@ def _oracled_pipelines():
 
     return {
         "detect_pipeline": (_pipeline_detect, scene_sql.DETECT_SQL),
+        "page_render_pipeline": (_pipeline_render, scene_sql.PAGE_RENDER_SQL),
         "conversation_text_assembly": (
             _pipeline_conversation_text,
             scene_sql.CONV_TEXT_SQL,

@@ -1,0 +1,257 @@
+"""Page rasterization and a from-scratch PNG codec (pure stdlib + numpy).
+
+The reference renders pages through pdfium bitmaps (``PyPDFium2Document``
+rasterization, gmft/pdf_bindings/pdfium.py:86-101) and crops/pads table
+regions from the page image before structure recognition
+(gmft/detectors/base.py CroppedTable.image). This container has no
+pdfium/PIL, so the raster path is built from scratch at the fidelity the
+sandbox supports:
+
+- ``render_words``: word-occupancy bitmap — white canvas, each word box
+  filled with ink. This is exactly the signal the deterministic layout
+  detector consumes; glyph-level rasterization would need font rendering
+  the sandbox can't host (that seam stays documented in
+  operators/multimodal.py).
+- ``encode_png`` / ``decode_png``: a real PNG codec (zlib + struct, all
+  five scanline filters on decode), so rendered pages ship as genuine
+  ``image/png`` payloads and the multimodal ``decode_mode='real'`` path
+  actually decodes them.
+- ``crop`` / ``pad`` / ``resize_nearest`` / ``rotate90``: the D3 image
+  ops (reference crop/pad/rotate on table-region images) on real rasters.
+
+Scale notes: rasterization is per-turn work inside ``mapInPandas`` — a
+narrow map over the transcript scan, no shuffle; PNG bytes never leave
+their partition.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Sequence
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PNG color types for the bit-depth-8 layouts this codec supports
+_COLOR_GRAY = 0
+_COLOR_RGB = 2
+_COLOR_RGBA = 6
+_CHANNELS = {_COLOR_GRAY: 1, _COLOR_RGB: 3, _COLOR_RGBA: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a uint8 array as PNG bytes.
+
+    ``arr``: (H, W) grayscale, or (H, W, 3|4) RGB/RGBA. ``filter_type``
+    selects the scanline filter applied to EVERY row (0=None default;
+    1-4 exist so the decoder's filter inverses can be differentially
+    tested against this encoder)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, bpp = _COLOR_GRAY, 1
+        rows = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        color = _COLOR_RGB if a.shape[2] == 3 else _COLOR_RGBA
+        bpp = a.shape[2]
+        rows = a
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter type {filter_type}")
+
+    flat = rows.reshape(h, w * bpp).astype(np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), cur[:-bpp]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:  # Sub
+            enc = cur - left
+        elif filter_type == 2:  # Up
+            enc = cur - prev
+        elif filter_type == 3:  # Average
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            upleft = np.concatenate(
+                [np.zeros(bpp, dtype=np.int16), prev[:-bpp]]
+            )
+            enc = cur - _paeth(left, prev, upleft)
+        out.append(filter_type)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    # spec tie-breaking: left wins ties with up, up wins ties with upleft
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to a uint8 array ((H, W) for grayscale, (H, W, C)
+    otherwise). Supports bit depth 8, color types 0/2/6, no interlace —
+    everything ``encode_png`` emits plus all five scanline filters."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    bpp = _CHANNELS[color]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length mismatch")
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential per pixel group
+            cur = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                upleft = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    v = row[x] + left
+                elif ft == 3:
+                    v = row[x] + (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+                    v = row[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int16)
+    if color == _COLOR_GRAY:
+        return out
+    return out.reshape(height, width, bpp)
+
+
+# ---------------------------------------------------------------------------
+# Rasterization
+# ---------------------------------------------------------------------------
+
+
+def render_words(
+    word_boxes: Sequence[Sequence[float]],
+    page_width: float,
+    page_height: float,
+    scale: float = 1.0,
+    ink: int = 0,
+) -> np.ndarray:
+    """Word-occupancy bitmap: white (255) canvas, each word box filled
+    with ``ink``. Pixel coverage rule: box (x0,y0,x1,y1) inks rows
+    [floor(y0*s), ceil(y1*s)) and cols [floor(x0*s), ceil(x1*s)),
+    clamped to the canvas — the exact rule the SQL ink oracle sums
+    (operators/render.py), so ink counts are cross-checkable."""
+    w = max(1, int(np.ceil(page_width * scale)))
+    h = max(1, int(np.ceil(page_height * scale)))
+    arr = np.full((h, w), 255, dtype=np.uint8)
+    for x0, y0, x1, y1 in word_boxes:
+        c0 = max(0, int(np.floor(x0 * scale)))
+        c1 = min(w, int(np.ceil(x1 * scale)))
+        r0 = max(0, int(np.floor(y0 * scale)))
+        r1 = min(h, int(np.ceil(y1 * scale)))
+        if c1 > c0 and r1 > r0:
+            arr[r0:r1, c0:c1] = ink
+    return arr
+
+
+def ink_pixels(arr: np.ndarray, threshold: int = 128) -> int:
+    """Count inked (dark) pixels."""
+    return int((arr < threshold).sum())
+
+
+# ---------------------------------------------------------------------------
+# D3: crop / pad / resize / rotate on rasters (reference crops+pads table
+# regions from the page image before structure inference)
+# ---------------------------------------------------------------------------
+
+
+def crop(arr: np.ndarray, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+    """Crop a page-coordinate box out of a raster (coords at the raster's
+    own scale), clamped to bounds."""
+    h, w = arr.shape[:2]
+    c0 = max(0, int(np.floor(x0)))
+    c1 = min(w, int(np.ceil(x1)))
+    r0 = max(0, int(np.floor(y0)))
+    r1 = min(h, int(np.ceil(y1)))
+    return arr[r0:r1, c0:c1].copy()
+
+
+def pad(arr: np.ndarray, amount: int, value: int = 255) -> np.ndarray:
+    """Uniform border pad (the reference pads cropped table images before
+    structure inference)."""
+    widths = [(amount, amount), (amount, amount)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, widths, constant_values=value)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (deterministic, library-free)."""
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[rows][:, cols].copy()
+
+
+def rotate90(arr: np.ndarray, k: int = 1) -> np.ndarray:
+    """Rotate the raster by k*90° counterclockwise (matches
+    ``np.rot90``; the coordinate-space twin is geometry.rotate_words)."""
+    return np.rot90(arr, k).copy()

@@ -3,11 +3,13 @@
 Image/audio/video payloads ride as ``binary`` columns with a typed
 metadata struct — the pattern a 100 TB multimodal training-data pipeline
 needs. The Spark-side plumbing (schema, Arrow batch shape, partitioning,
-UDF signatures) is real and tested; the *codec* step is stubbed because
-this container has no image/audio libraries: ``decode_mode='fake'``
-produces a deterministic feature vector from the bytes, while
-``decode_mode='real'`` raises ``NotImplementedError`` at the exact seam
-where PIL/ffmpeg decoding plugs in.
+UDF signatures) is real and tested. The codec step: ``decode_mode='real'``
+genuinely decodes PNG images through the from-scratch codec in
+kernel/raster.py (16-bin intensity-histogram features); JPEG and
+audio/video decoding need libraries this container lacks, so those raise
+``NotImplementedError`` at the exact seam where PIL/ffmpeg plug in.
+``decode_mode='fake'`` keeps the library-free deterministic stand-in for
+every modality.
 
 Scale notes: payload bytes never leave their scan partition (narrow
 mapInPandas); metadata-only queries never touch the binary column thanks
@@ -99,6 +101,71 @@ def synthesize_media(spark: SparkSession, n: int = 256) -> DataFrame:
     )
 
 
+def synthesize_png_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Image media with REAL PNG payloads (the from-scratch codec in
+    kernel/raster.py): a deterministic per-id gradient pattern, generated
+    distributively inside mapInPandas — no driver-side byte buffers."""
+    from gmft_spark.kernel.raster import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                h, w = 32 + mid % 16, 48
+                arr = (
+                    (
+                        np.arange(h)[:, None] * 3
+                        + np.arange(w)[None, :] * 7
+                        + mid * 13
+                    )
+                    % 256
+                ).astype(np.uint8)
+                payload = encode_png(arr)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "modality": "image",
+                        "payload": payload,
+                        "meta": {
+                            "mime": "image/png",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _real_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Real decode path. Images: the from-scratch PNG codec
+    (kernel/raster.py) → 16-bin normalized intensity histogram. Other
+    image formats and audio/video stay behind the documented seam — JPEG
+    and media-container decoding need libraries this container lacks."""
+    from gmft_spark.kernel.raster import decode_png
+
+    if modality == "image":
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "non-PNG image decode needs PIL on executors; "
+                "install and implement here"
+            )
+        px = decode_png(payload)
+        hist = np.bincount(
+            (px.reshape(-1).astype(np.int32) >> 4), minlength=FEATURE_DIM
+        )[:FEATURE_DIM]
+        return (hist / max(1, px.size)).astype(np.float32)
+    raise NotImplementedError(
+        f"real {modality} decode needs ffmpeg on executors; "
+        "install and implement here"
+    )
+
+
 def _fake_decode(payload: bytes, modality: str) -> np.ndarray:
     """Deterministic stand-in for the real decoder: a FEATURE_DIM float32
     vector derived from a rolling crc over the bytes."""
@@ -129,11 +196,9 @@ def extract_features(
             ):
                 raw = bytes(payload)
                 if decode_mode == "real":
-                    raise NotImplementedError(
-                        "real decode needs PIL/ffmpeg on executors; "
-                        "install and implement here"
-                    )
-                feat = _fake_decode(raw, modality)
+                    feat = _real_decode(raw, modality)
+                else:
+                    feat = _fake_decode(raw, modality)
                 n_frames = (
                     max(1, len(raw) // (frame_stride * 64))
                     if modality == "video"

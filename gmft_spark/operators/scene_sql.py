@@ -380,6 +380,34 @@ PAGE_COUNTS_SQL = SCENE_CTES + """,
 """
 
 # ---------------------------------------------------------------------------
+# Page-render oracle (operators/render.py): the rasterizer inks pixel rows
+# [floor(y0), ceil(y1)) × cols [floor(x0), ceil(x1)) per word, clamped to
+# the 612×792 canvas. Scene word boxes never overlap at pixel resolution
+# (≥3pt construction gaps; differentially asserted in tests/test_raster.py),
+# so the per-word clamped-area sum IS the union ink count.
+# ---------------------------------------------------------------------------
+
+PAGE_RENDER_SQL = SCENE_CTES + """,
+    ink AS (
+        SELECT conv_id, turn_idx,
+               CAST(count(*) AS INT) AS n_words,
+               CAST(sum(
+                   greatest(0, least(CAST(ceil(px1) AS BIGINT), 612)
+                               - greatest(CAST(floor(px0) AS BIGINT), 0))
+                 * greatest(0, least(CAST(ceil(py1) AS BIGINT), 792)
+                               - greatest(CAST(floor(py0) AS BIGINT), 0))
+               ) AS BIGINT) AS n_ink_px
+        FROM words
+        GROUP BY conv_id, turn_idx
+    )
+    SELECT conv_id, turn_idx,
+           CAST(612 AS INT) AS width, CAST(792 AS INT) AS height,
+           n_words, n_ink_px
+    FROM ink
+    ORDER BY conv_id, turn_idx
+"""
+
+# ---------------------------------------------------------------------------
 # Structure-recognition shape parity: the extraction pipeline's recovered
 # column structure and error routing against the scene's named draws.
 # status/message: degenerate prediction sets (the 2% |deg draw) error with

@@ -1,0 +1,131 @@
+"""Raster kernel tests: PNG codec round-trips (all five filters), the
+render ink differential (numpy canvas vs the SQL per-word sum rule), D3
+image ops, and the real PNG decode path through the multimodal operator."""
+
+import numpy as np
+import pytest
+
+from gmft_spark.kernel.raster import (
+    crop,
+    decode_png,
+    encode_png,
+    ink_pixels,
+    pad,
+    render_words,
+    resize_nearest,
+    rotate90,
+)
+from gmft_spark.kernel.synth import synth_scene
+
+
+def _rng(seed):
+    return np.random.RandomState(seed)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [None, 3, 4])
+def test_png_roundtrip(filter_type, channels):
+    r = _rng(7 * (filter_type + 1) + (channels or 0))
+    shape = (23, 17) if channels is None else (23, 17, channels)
+    arr = r.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(arr, filter_type=filter_type))
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+def test_png_roundtrip_degenerate_sizes():
+    for shape in [(1, 1), (1, 40), (40, 1), (2, 2, 3)]:
+        arr = (_rng(3).randint(0, 256, size=shape)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_bytes_are_deterministic():
+    arr = (_rng(11).randint(0, 256, size=(16, 16))).astype(np.uint8)
+    assert encode_png(arr) == encode_png(arr)
+
+
+def test_render_ink_matches_clamped_area_sum():
+    """The SQL oracle (scene_sql.PAGE_RENDER_SQL) sums per-word clamped
+    pixel areas, which equals the canvas union only if scene word boxes
+    never overlap at pixel resolution. Assert that equality over many
+    scenes — the tripwire for both the rasterizer's coverage rule and
+    the scene-geometry non-overlap assumption."""
+    for i in range(60):
+        scene = synth_scene(f"conv{i}", i % 7)
+        arr = render_words(
+            scene.word_boxes, scene.page_width, scene.page_height
+        )
+        w, h = arr.shape[1], arr.shape[0]
+        total = 0
+        for x0, y0, x1, y1 in scene.word_boxes:
+            cw = min(int(np.ceil(x1)), w) - max(int(np.floor(x0)), 0)
+            ch = min(int(np.ceil(y1)), h) - max(int(np.floor(y0)), 0)
+            total += max(0, cw) * max(0, ch)
+        assert ink_pixels(arr) == total, f"scene conv{i}"
+        # and the PNG round-trip preserves the ink count exactly
+        assert ink_pixels(decode_png(encode_png(arr))) == total
+
+
+def test_render_scale():
+    scene = synth_scene("sc", 0)
+    half = render_words(
+        scene.word_boxes, scene.page_width, scene.page_height, scale=0.5
+    )
+    assert half.shape == (396, 306)
+    assert 0 < ink_pixels(half) < half.size
+
+
+def test_crop_pad_resize_rotate():
+    arr = np.full((20, 30), 255, dtype=np.uint8)
+    arr[5:10, 8:14] = 0
+    c = crop(arr, 8, 5, 14, 10)
+    assert c.shape == (5, 6) and (c == 0).all()
+    p = pad(c, 2)
+    assert p.shape == (9, 10)
+    assert (p[:2] == 255).all() and (p[2:-2, 2:-2] == 0).all()
+    r = resize_nearest(arr, 10, 15)
+    assert r.shape == (10, 15)
+    assert ink_pixels(r) > 0
+    rot = rotate90(arr, 1)
+    assert rot.shape == (30, 20)
+    assert ink_pixels(rot) == ink_pixels(arr)
+    assert np.array_equal(rotate90(rot, -1), arr)
+
+
+def test_real_png_decode_through_operator(spark):
+    from gmft_spark.operators.multimodal import (
+        extract_features,
+        synthesize_png_media,
+    )
+
+    m = synthesize_png_media(spark, 8)
+    feats = {r["media_id"]: r for r in extract_features(m, decode_mode="real").collect()}
+    assert len(feats) == 8
+    for r in feats.values():
+        v = np.array(r["feature"])
+        assert v.shape == (16,)
+        # normalized intensity histogram
+        assert abs(float(v.sum()) - 1.0) < 1e-5
+    # deterministic
+    feats2 = {r["media_id"]: r for r in extract_features(m, decode_mode="real").collect()}
+    assert feats[3]["feature"] == feats2[3]["feature"]
+    # the gradient differs per id, so features differ somewhere
+    assert feats[0]["feature"] != feats[5]["feature"]
+
+
+def test_render_pipeline_png_payloads(spark):
+    from gmft_spark.operators.render import render_pages
+    from gmft_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001").limit(12)
+    rows = render_pages(t).collect()
+    assert len(rows) == 12
+    for r in rows:
+        arr = decode_png(bytes(r["png"]))
+        assert arr.shape == (r["height"], r["width"]) == (792, 612)
+        assert ink_pixels(arr) == r["n_ink_px"]
