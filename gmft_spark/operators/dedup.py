@@ -47,27 +47,30 @@ DEDUP_EXACT_SQL = """
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams. Built as an array
-    expression on the scan (per-doc dedup via array_distinct is
+def _shingles(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """(doc_id, [*extra_cols,] shingle) — distinct word 3-grams. Built as
+    an array expression on the scan (per-doc dedup via array_distinct is
     partition-local), replacing the explode→window→distinct chain that
-    cost two shuffles before any consumer ran."""
+    cost two shuffles before any consumer ran. ``extra_cols`` carries
+    per-doc metadata (e.g. blocking keys) through the explode so
+    consumers never need a metadata-attach join."""
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    return (
-        d.select("doc_id", toks.alias("tk"))
-        .filter(F.size("tk") >= SHINGLE)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("tk") - (SHINGLE - 1)),
-                        lambda i: _mk_shingle(F.col("tk"), i),
-                    )
+    pre = d.select("doc_id", *extra_cols, toks.alias("tk"))
+    carried = [c for c in pre.columns if c not in ("doc_id", "tk")]
+    return pre.filter(F.size("tk") >= SHINGLE).select(
+        "doc_id",
+        *carried,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (SHINGLE - 1)),
+                    lambda i: _mk_shingle(F.col("tk"), i),
                 )
-            ).alias("shingle"),
-        )
+            )
+        ).alias("shingle"),
     )
 
 
@@ -295,31 +298,42 @@ DEDUP_MINHASH_CLUSTERS_SQL = f"""
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard similarity: candidate pairs share
     (lang, length-bucket); J = |A∩B| / |A∪B| over distinct shingles.
-    Returns pairs with J >= 0.2."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.floor(F.col("n_chars") / 64).cast("int").alias("lb")
+    Returns pairs with J >= 0.2.
+
+    Scale design — inverted index, not pair enumeration: the shingle
+    table self-joins on the shingle (each row carries its doc's block
+    key), so only pairs that actually SHARE content ever materialize.
+    A block-pair enumeration is O(n²) per block even when nothing
+    overlaps — at corpus scale a 1M-doc block would emit 10^12 candidate
+    rows regardless of similarity; the inverted index costs
+    O(Σ_shingle df²), bounded in practice because natural-text shingle
+    document-frequency is heavy-tailed-but-small within a block (a
+    df-cap on pathological hot shingles is the standard knob if a corpus
+    violates that; not applied here so the DuckDB twin stays exact).
+    Pairs sharing zero shingles have J=0 < 0.2, so the output is
+    identical to the enumeration form."""
+    sh = _shingles(
+        spark,
+        sf_dir,
+        extra_cols=(
+            "lang",
+            F.floor(F.col("n_chars") / 64).cast("int").alias("lb"),
+        ),
     )
-    sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
-    pairs = (
-        d.alias("x")
-        .join(
-            d.alias("y"),
-            (F.col("x.lang") == F.col("y.lang"))
-            & (F.col("x.lb") == F.col("y.lb"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-    )
     inter = (
-        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        sh.alias("sa")
         .join(
             sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.lang") == F.col("sb.lang"))
+            & (F.col("sa.lb") == F.col("sb.lb"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
         .agg(F.count("*").alias("n_inter"))
     )
     return (
