@@ -114,6 +114,56 @@ class _LayoutDetector:
             out.append((bbox, score))
         return out
 
+    def infer_raster(self, arr: np.ndarray):
+        """Image-input inference — the reference detector's actual input
+        modality (TATR consumes the rendered page image,
+        detectors/tatr.py:58-99). Pixel twin of ``infer``: ink-row runs
+        are lines, blank gaps ≤ block_gap merge runs into blocks, blocks
+        with ≥ min_lines runs become detections; the word count driving
+        the score is approximated by ink column-runs per line band.
+        Returns list of (bbox, score) in pixel coords (= page points at
+        render scale 1)."""
+        _line_gap, block_gap, min_lines, base, slope = self.weights
+        ink = arr < 128
+        rowful = np.flatnonzero(ink.any(axis=1))
+        if len(rowful) == 0:
+            return []
+        # ink-row runs (consecutive rows with any ink)
+        breaks = np.flatnonzero(np.diff(rowful) > 1)
+        run_starts = np.concatenate([[0], breaks + 1])
+        run_ends = np.concatenate([breaks, [len(rowful) - 1]])
+        runs = [(rowful[s], rowful[e]) for s, e in zip(run_starts, run_ends)]
+        # merge runs into blocks by blank-gap
+        blocks = [[runs[0]]]
+        for r in runs[1:]:
+            if r[0] - blocks[-1][-1][1] - 1 <= block_gap:
+                blocks[-1].append(r)
+            else:
+                blocks.append([r])
+        out = []
+        for blk in blocks:
+            if len(blk) < min_lines:
+                continue
+            r0, r1 = blk[0][0], blk[-1][1] + 1
+            band = ink[r0:r1]
+            cols = np.flatnonzero(band.any(axis=0))
+            n_words = 0
+            for a, b in blk:
+                colmask = ink[a : b + 1].any(axis=0)
+                # words per line = ink column-runs (0→1 transitions)
+                n_words += int(
+                    np.count_nonzero(np.diff(colmask.astype(np.int8)) == 1)
+                    + colmask[0]
+                )
+            bbox = (
+                float(cols.min()),
+                float(r0),
+                float(cols.max() + 1),
+                float(r1),
+            )
+            out.append((bbox, min(base + slope * n_words, 0.999)))
+        return out
+
 
 def detect_tables(transcripts: DataFrame, weights: np.ndarray | None = None) -> DataFrame:
     """Per-turn table detection. The weight vector is broadcast once;
@@ -150,5 +200,51 @@ def detect_tables(transcripts: DataFrame, weights: np.ndarray | None = None) -> 
                 yield pd.DataFrame(rows)
 
     return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=DETECT_SCHEMA
+    )
+
+
+def detect_tables_in_rasters(
+    rendered: DataFrame, weights: np.ndarray | None = None
+) -> DataFrame:
+    """Image-input detection over rendered pages (``operators/render.py``
+    output: conv_id, turn_idx, png): decode the PNG payload and run the
+    raster inference — the full reference shape (render → image →
+    detector) with the broadcast-weights / lazy-singleton / Arrow-batch
+    production pattern intact. Narrow map: payload bytes never leave
+    their partition."""
+    from gmft_spark.kernel.raster import decode_png
+
+    spark = rendered.sparkSession
+    bweights = spark.sparkContext.broadcast(
+        DEFAULT_WEIGHTS if weights is None else np.asarray(weights)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _LayoutDetector.get(bweights.value)
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx, png in zip(
+                batch["conv_id"], batch["turn_idx"], batch["png"]
+            ):
+                arr = decode_png(bytes(png))
+                for det_id, (bbox, score) in enumerate(model.infer_raster(arr)):
+                    rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "det_id": det_id,
+                            "x0": bbox[0],
+                            "y0": bbox[1],
+                            "x1": bbox[2],
+                            "y1": bbox[3],
+                            "score": score,
+                            "label": 0,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return rendered.select("conv_id", "turn_idx", "png").mapInPandas(
         run, schema=DETECT_SCHEMA
     )

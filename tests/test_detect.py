@@ -55,3 +55,38 @@ def test_detected_bboxes_capture_table_words(spark):
     )
     in_table = sum(1 for w in scene.word_boxes if iob(tuple(w), tbl.bbox) > 0.5)
     assert contained >= in_table  # detector envelope covers the table words
+
+
+def test_raster_detector_agrees_with_word_detector(spark):
+    """Image-input inference (render → PNG → decode → detect) recovers
+    the same table regions as the word-box path: matched count and
+    IoU ≥ 0.85 per detection on unrotated scenes (rotated tables blur
+    into one ink mass at raster fidelity — also genuinely harder for the
+    real image detector)."""
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import render_pages
+    from gmft_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4)
+    word_dets = defaultdict(list)
+    for r in detect_tables(t).collect():
+        word_dets[(r["conv_id"], r["turn_idx"])].append(
+            (r["x0"], r["y0"], r["x1"], r["y1"])
+        )
+    raster_dets = defaultdict(list)
+    for r in detect_tables_in_rasters(render_pages(t)).collect():
+        raster_dets[(r["conv_id"], r["turn_idx"])].append(
+            (r["x0"], r["y0"], r["x1"], r["y1"])
+        )
+    compared = 0
+    for key, wboxes in word_dets.items():
+        conv_id, turn_idx = key
+        scene = synth_scene(conv_id, turn_idx)
+        if any(tbl.angle == 90 for tbl in scene.tables):
+            continue
+        rboxes = raster_dets.get(key, [])
+        assert len(rboxes) == len(wboxes), key
+        for wb in wboxes:
+            assert max(_iou(wb, rb) for rb in rboxes) >= 0.85, (key, wb)
+            compared += 1
+    assert compared >= 20
