@@ -85,6 +85,67 @@ def render_pages(transcripts: DataFrame, scale: float = 1.0) -> DataFrame:
     )
 
 
+CROP_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("det_id", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_ink_px", LongType()),
+        StructField("png", BinaryType()),
+    ]
+)
+
+
+def crop_table_images(
+    rendered: DataFrame, detections: DataFrame, pad_px: int = 10
+) -> DataFrame:
+    """The reference's CroppedTable.image step (detectors/base.py: crop
+    the detected table region out of the page image, pad before structure
+    inference) over distributed rasters: join each page's PNG with its
+    detections on (conv_id, turn_idx) — an equi-join both sides can
+    co-partition on — then decode/crop/pad/re-encode per detection in a
+    narrow map. Output: one padded table image per detection."""
+    from gmft_spark.kernel.raster import crop, decode_png, ink_pixels, pad
+
+    joined = rendered.select("conv_id", "turn_idx", "png").join(
+        detections.select("conv_id", "turn_idx", "det_id", "x0", "y0", "x1", "y1"),
+        ["conv_id", "turn_idx"],
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx, png, det_id, x0, y0, x1, y1 in zip(
+                batch["conv_id"],
+                batch["turn_idx"],
+                batch["png"],
+                batch["det_id"],
+                batch["x0"],
+                batch["y0"],
+                batch["x1"],
+                batch["y1"],
+            ):
+                arr = decode_png(bytes(png))
+                tile = pad(crop(arr, x0, y0, x1, y1), pad_px)
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "det_id": int(det_id),
+                        "width": tile.shape[1],
+                        "height": tile.shape[0],
+                        "n_ink_px": ink_pixels(tile),
+                        "png": encode_png(tile),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(run, schema=CROP_SCHEMA)
+
+
 def render_stats(transcripts: DataFrame) -> DataFrame:
     """Driver form of the render pipeline: the SQL-derivable accounting
     columns (the PNG bytes themselves are pytest-covered — zlib output

@@ -129,3 +129,31 @@ def test_render_pipeline_png_payloads(spark):
         arr = decode_png(bytes(r["png"]))
         assert arr.shape == (r["height"], r["width"]) == (792, 612)
         assert ink_pixels(arr) == r["n_ink_px"]
+
+
+def test_crop_table_images(spark):
+    """Reference CroppedTable.image parity shape: each detection yields a
+    padded tile whose dims match the (clamped) bbox + 2*pad and whose ink
+    is a subset of the page's."""
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import crop_table_images, render_pages
+    from gmft_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001").limit(10)
+    rendered = render_pages(t)
+    dets = detect_tables_in_rasters(rendered)
+    tiles = crop_table_images(rendered, dets, pad_px=10).collect()
+    det_rows = {
+        (r["conv_id"], r["turn_idx"], r["det_id"]): r for r in dets.collect()
+    }
+    assert len(tiles) == len(det_rows) > 0
+    for r in tiles:
+        d = det_rows[(r["conv_id"], r["turn_idx"], r["det_id"])]
+        arr = decode_png(bytes(r["png"]))
+        assert arr.shape == (r["height"], r["width"])
+        # raster-detector boxes are integral pixel bounds inside the page
+        assert r["width"] == int(d["x1"]) - int(d["x0"]) + 20
+        assert r["height"] == int(d["y1"]) - int(d["y0"]) + 20
+        assert ink_pixels(arr) == r["n_ink_px"] > 0
+        # the pad border is blank
+        assert (arr[:10] == 255).all() and (arr[:, :10] == 255).all()
