@@ -45,6 +45,20 @@ def _bench_detect(spark, sf_dir):
     )
 
 
+def _bench_render(spark, sf_dir):
+    """Rasterize + PNG-encode every turn's page, then detect tables from
+    the images (the full image-side flow)."""
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import render_pages
+
+    cpus = spark.sparkContext.defaultParallelism
+    return detect_tables_in_rasters(
+        render_pages(
+            transcripts_from_documents(spark, sf_dir).repartition(cpus * 4)
+        )
+    )
+
+
 def _bench_extract(spark, sf_dir):
     """Full TATR extraction pipeline over the sf transcripts (same
     single-row-group note as _bench_detect)."""
@@ -60,6 +74,8 @@ HEADLINE = [
     ("d5_position_words", relational.d5_position_words),
     ("h1_sweep_gaps", relational.h1_sweep_gaps),
     ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
+    ("dedup_minhash_clusters", dedup.dedup_minhash_clusters),
+    ("dedup_ngram_jaccard", dedup.ngram_jaccard),
     ("dedup_simhash", dedup.simhash),
     ("ann_cosine_topk", similarity.ann_cosine_topk),
     ("embedding_knn_join", similarity.embedding_knn_join),
@@ -71,6 +87,7 @@ HEADLINE = [
     # oracle-checked pipeline paths (mapInPandas over the sf tables)
     ("detect_pipeline", _bench_detect),
     ("tatr_extract_pipeline", _bench_extract),
+    ("render_detect_pipeline", _bench_render),
 ]
 
 
