@@ -317,11 +317,116 @@ LANG_ACCURACY_SQL = f"""
 """
 
 
+def _mk_bigram(tk, i):
+    """Helper binding the array column (CLAUDE.md lambda-index gotcha)."""
+    return F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rule family): per document,
+    the duplicate-token fraction and the most-frequent-bigram fraction —
+    high values flag boilerplate/spam for the curation filter.
+
+    Scale design: everything is an array expression on the scan — token
+    dedup via array_distinct, and the top-bigram count as a single fold
+    over the SORTED bigram array (max run length of equal neighbors), so
+    the whole query is shuffle-free where the naive form spends two
+    shuffles per doc-bigram groupBy. The DuckDB twin computes the same
+    mode via group-by (different computation, same values)."""
+    d = _docs(spark, sf_dir)
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = d.select("doc_id", tk.alias("tk")).select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        F.when(
+            F.size("tk") >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: _mk_bigram(F.col("tk"), i),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sb"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.col("sb"), init, merge, lambda acc: acc["best"])
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.round(
+                best.cast("double") / (F.col("n_tokens") - 1).cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = """
+    WITH toks AS (
+        SELECT doc_id, tok, pos FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    seq AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM toks
+    ),
+    base AS (
+        SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
+        FROM seq GROUP BY doc_id
+    ),
+    bgc AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram, count(*) AS c
+        FROM seq a
+        JOIN seq b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+        GROUP BY a.doc_id, bigram
+    ),
+    top AS (SELECT doc_id, max(c) AS best FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n AS INT) AS n_tokens,
+           round(1.0::DOUBLE - CAST(b.nd AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+               AS dup_token_frac,
+           CASE WHEN b.n >= 2
+                THEN round(CAST(coalesce(t.best, 0) AS DOUBLE)
+                           / CAST(b.n - 1 AS DOUBLE), 6)
+                ELSE 0.0::DOUBLE END AS top_bigram_frac
+    FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
+    "text_repetition_stats": (repetition_stats, REPETITION_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
 }
