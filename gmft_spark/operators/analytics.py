@@ -260,6 +260,70 @@ ROLLUP_SQL = """
 """
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the classic operator Spark's DataFrame API lacks:
+    attribute each click event to the most recent prior (or same-instant)
+    view by the same user.
+
+    Scale design — the union trick, not a per-key loop: tag both streams,
+    union them, and take ``last(view, ignorenulls)`` over a
+    (user_id)-partitioned window ordered by (ts, side) — ONE shuffle
+    keyed on user_id, no range self-join (which explodes on long
+    histories) and no per-key collect. Ordering views (side 0) before
+    clicks (side 1) at equal ts gives the inclusive ts_click >= ts_view
+    match, exactly DuckDB's native ASOF LEFT JOIN — the oracle — whose
+    independent merge-based implementation cross-checks the window form.
+    The lag is a TIMESTAMP_NTZ microsecond diff (timestamp_diff), never
+    an epoch conversion (timezone-dependent; CLAUDE.md sessionize
+    gotcha)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("side")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(views).withColumn(
+        "last_view",
+        F.last(
+            F.when(
+                F.col("side") == 0,
+                F.struct(F.col("event_id"), F.col("ts").alias("vts")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("last_view.event_id").alias("view_event_id"),
+            F.timestamp_diff(
+                "MICROSECOND", F.col("last_view.vts"), F.col("ts")
+            ).alias("lag_us"),
+        )
+        .orderBy("click_event_id")
+    )
+
+
+ASOF_SQL = """
+    SELECT c.event_id AS click_event_id,
+           c.user_id,
+           v.event_id AS view_event_id,
+           date_diff('microsecond', v.ts, c.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    ORDER BY click_event_id
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
@@ -269,4 +333,5 @@ QUERIES = {
     "join_customers_without_orders": (customers_without_orders, NO_ORDERS_SQL),
     "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),
     "window_sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "join_asof_click_attribution": (asof_join_events, ASOF_SQL),
 }
