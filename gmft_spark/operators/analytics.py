@@ -324,6 +324,66 @@ ASOF_SQL = """
 """
 
 
+def range_join_clicks_before_errors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded range join — the scale pattern for interval predicates when
+    BOTH sides are large (a broadcast interval join needs a small side;
+    a raw theta-join is a cartesian): count the clicks in the 60s window
+    before each error event.
+
+    Scale design: time is binned into buckets exactly as wide as the
+    window, the probe side explodes each error into its 2 covering
+    buckets, and the join is a plain EQUI-join on the bucket followed by
+    the exact window post-filter — shuffles keyed on bucket (balanced by
+    construction, AQE splits hot buckets), never a cartesian. The DuckDB
+    twin is the direct interval LEFT JOIN."""
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    win_us = 60_000_000
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "us", F.timestamp_diff("MICROSECOND", anchor, F.col("ts"))
+    )
+    err = e.filter(F.col("event_type") == "error").select("event_id", "us")
+    bucket = F.floor(F.col("us") / float(win_us)).cast("long")
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("us").alias("cus"))
+        .withColumn("bucket", F.floor(F.col("cus") / float(win_us)).cast("long"))
+    )
+    probe = err.withColumn(
+        "bucket", F.explode(F.array(bucket - 1, bucket))
+    )
+    counts = (
+        probe.join(clk, "bucket")
+        .filter(
+            (F.col("cus") >= F.col("us") - win_us) & (F.col("cus") < F.col("us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        err.join(counts, "event_id", "left")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_clicks_60s"),
+        )
+        .orderBy("error_event_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+    WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+    clk AS (SELECT ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id AS error_event_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks_60s
+    FROM err e
+    LEFT JOIN clk c
+      ON c.ts >= e.ts - INTERVAL 60 SECOND AND c.ts < e.ts
+    GROUP BY e.event_id
+    ORDER BY error_event_id
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
@@ -334,4 +394,8 @@ QUERIES = {
     "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),
     "window_sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "join_asof_click_attribution": (asof_join_events, ASOF_SQL),
+    "join_range_clicks_before_errors": (
+        range_join_clicks_before_errors,
+        RANGE_JOIN_SQL,
+    ),
 }

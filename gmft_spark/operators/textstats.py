@@ -421,6 +421,85 @@ REPETITION_SQL = """
 """
 
 
+KMV_K = 64
+
+# 2^64 as a double — the hash-space size for the KMV fraction
+_KMV_SPACE = 18446744073709551616.0
+
+
+def _md5_lower64(col):
+    """Lower 64 bits of md5 as an unsigned number, matching DuckDB's
+    ``md5_number_lower`` (little-endian reinterpretation of digest bytes
+    8..16): reverse the hex byte pairs of the second half, then conv
+    base-16 → base-10 (unsigned)."""
+    h = F.md5(col)
+    rev = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(rev, 16, 10).cast("double")
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch over the corpus 3-gram
+    shingle vocabulary — a sketch whose estimate is EXACTLY reproducible
+    cross-engine (unlike HLL registers): hash every distinct shingle to
+    a fraction of the 64-bit space via md5's lower half, keep the k
+    smallest, and estimate distinct ≈ (k-1)/kth_min. Emitted next to the
+    exact distinct count so the estimate's error is part of the checked
+    output (shingles, not tokens: the token vocabulary here is smaller
+    than k, which is the sketch's degenerate regime).
+
+    Scale notes: the k-smallest pass is a TakeOrdered (map-side partial
+    top-k per partition, tiny merge at the driver-side limit) after one
+    hash-distinct shuffle; at corpus scale the sketch replaces a full
+    count-distinct shuffle wherever an approximate vocabulary size
+    suffices (per-shard sketches union by taking the k smallest of the
+    merged minima — the classic mergeable-sketch property)."""
+    from gmft_spark.operators.dedup import _shingles
+
+    toks = _shingles(spark, sf_dir).select(
+        F.col("shingle").alias("tok")
+    ).distinct()
+    fr = toks.select(
+        (_md5_lower64(F.col("tok")) / F.lit(_KMV_SPACE)).alias("f")
+    ).distinct()
+    kth = (
+        fr.orderBy("f")
+        .limit(KMV_K)
+        .agg(F.max("f").alias("kf"))
+    )
+    exact = toks.agg(F.count("*").alias("exact_distinct"))
+    return kth.crossJoin(exact).select(
+        F.lit(KMV_K).cast("int").alias("k"),
+        F.round(F.lit(float(KMV_K - 1)) / F.col("kf"), 4).alias("est_distinct"),
+        F.col("exact_distinct"),
+    )
+
+
+def _kmv_sql() -> str:
+    from gmft_spark.operators.dedup import SHINGLES_SQL
+
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT shingle AS tok FROM ({SHINGLES_SQL})
+    ),
+    fr AS (
+        SELECT DISTINCT CAST(md5_number_lower(tok) AS DOUBLE)
+                        / {_KMV_SPACE!r} AS f
+        FROM toks
+    ),
+    kth AS (
+        SELECT max(f) AS kf FROM (SELECT f FROM fr ORDER BY f LIMIT {KMV_K})
+    ),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM toks)
+    SELECT CAST({KMV_K} AS INT) AS k,
+           round({float(KMV_K - 1)!r}::DOUBLE / kf, 4) AS est_distinct,
+           exact_distinct
+    FROM kth, ex
+"""
+
+
+KMV_SQL = _kmv_sql()
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
@@ -428,5 +507,6 @@ QUERIES = {
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
+    "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
 }
