@@ -8,7 +8,7 @@ training-data pipeline. Everything is built-in string/aggregate functions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to"],
@@ -500,6 +500,109 @@ def _kmv_sql() -> str:
 KMV_SQL = _kmv_sql()
 
 
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the hash-split every
+    training-data pipeline needs: the split is a pure function of doc_id
+    (md5 lower-64 fraction of the hash space), so it is stable across
+    runs, engines, and partitionings — no sampling state, no seed
+    plumbing, and adding documents never reassigns existing ones.
+    80/10/10 by hash fraction. Shuffle-free (narrow map on the scan; the
+    orderBy is oracle determinism)."""
+    d = _docs(spark, sf_dir)
+    frac = _md5_lower64(F.col("doc_id").cast("string")) / F.lit(_KMV_SPACE)
+    split = (
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id", "source", split.alias("split")
+    ).orderBy("doc_id")
+
+
+SPLIT_SQL = f"""
+    SELECT doc_id, source,
+           CASE WHEN f < 0.8::DOUBLE THEN 'train'
+                WHEN f < 0.9::DOUBLE THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE)
+                   / {_KMV_SPACE!r} AS f
+        FROM documents
+    )
+    ORDER BY doc_id
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic relevance signal for
+    corpus exploration and keyword extraction. tf = in-doc frequency,
+    idf = ln(N/df); ranking uses the ROUNDED score (round 6, both
+    engines) with a token-ascending tiebreak so the cross-engine rank is
+    deterministic (CLAUDE.md float-boundary rule). Two partial-agg
+    shuffles (doc-term, term) + one doc-keyed window; the corpus size N
+    rides in as a broadcast 1-row frame, never a driver collect."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    ntok = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    ndocs = tf.select("doc_id").distinct().agg(F.count("*").alias("nd"))
+    scored = (
+        tf.join(ntok, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(F.col("nd").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "score")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_SQL = """
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    ntok AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+    scored AS (
+        SELECT t.doc_id, t.tok,
+               round((CAST(t.c AS DOUBLE) / CAST(k.n AS DOUBLE))
+                     * ln(CAST(nd.nd AS DOUBLE) / CAST(d.df AS DOUBLE)), 6)
+                   AS score
+        FROM tf t
+        JOIN ntok k ON t.doc_id = k.doc_id
+        JOIN dfreq d ON t.tok = d.tok
+        CROSS JOIN nd
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+"""
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
@@ -508,5 +611,7 @@ QUERIES = {
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
+    "split_train_val_test": (split_train_val_test, SPLIT_SQL),
+    "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
 }
