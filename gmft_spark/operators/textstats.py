@@ -538,17 +538,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus exploration and keyword extraction. tf = in-doc frequency,
     idf = ln(N/df); ranking uses the ROUNDED score (round 6, both
     engines) with a token-ascending tiebreak so the cross-engine rank is
-    deterministic (CLAUDE.md float-boundary rule). Two partial-agg
-    shuffles (doc-term, term) + one doc-keyed window; the corpus size N
-    rides in as a broadcast 1-row frame, never a driver collect."""
+    deterministic (CLAUDE.md float-boundary rule).
+
+    Scale shape: ONE doc-term aggregation, then per-doc totals and
+    document frequencies as WINDOW sums over that same frame — no
+    re-derivation joins (the naive three-branch join form recomputes the
+    tf chain per branch). Five data shuffles total: tf agg, doc window,
+    tok window, top-3 rank (with partial WindowGroupLimit bounding it to
+    3 rows/doc pre-shuffle), final sort; the corpus size N is a 1-row
+    broadcast computed straight off the scan, never a driver collect."""
     toks = _tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    ntok = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    ndocs = tf.select("doc_id").distinct().agg(F.count("*").alias("nd"))
+    d = _docs(spark, sf_dir)
+    has_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ) > 0
+    ndocs = d.filter(has_tok).agg(F.count("*").alias("nd"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    dfc = F.count("*").over(Window.partitionBy("tok"))
     scored = (
-        tf.join(ntok, "doc_id")
-        .join(dfreq, "tok")
+        tf.withColumn("n", n)
+        .withColumn("df", dfc)
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
