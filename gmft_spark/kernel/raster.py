@@ -110,10 +110,23 @@ def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
 
 
+# hostile-payload cap: decoded pixel budget per image (64 MP ≈ a 256 MB
+# RGBA allocation at most) — untrusted dimensions must not be able to
+# allocate arbitrary executor memory (same containment contract as the
+# PDF parser's FlateDecode cap, sources/pdfparse/objects.py)
+MAX_DECODE_PIXELS = 64_000_000
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to a uint8 array ((H, W) for grayscale, (H, W, C)
     otherwise). Supports bit depth 8, color types 0/2/6, no interlace —
-    everything ``encode_png`` emits plus all five scanline filters."""
+    everything ``encode_png`` emits plus all five scanline filters.
+
+    Untrusted-input containment: dimensions are capped (a hostile IHDR
+    cannot allocate unbounded memory) and the IDAT stream inflates
+    through a bounded decompressor (a kilobyte-scale zlib bomb cannot
+    expand past the size the IHDR promises) — oversized payloads raise
+    ValueError for the caller's error-row handling."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -135,6 +148,11 @@ def decode_png(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported color type {color}")
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
+            if width * height > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"image too large ({width}x{height} exceeds "
+                    f"{MAX_DECODE_PIXELS} pixel cap)"
+                )
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -143,8 +161,14 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     bpp = _CHANNELS[color]
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: never produce more bytes than the IHDR promises,
+    # regardless of what the deflate stream would expand to
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise ValueError("IDAT inflates past the declared image size")
+    if len(raw) != expected:
         raise ValueError("IDAT length mismatch")
 
     out = np.empty((height, stride), dtype=np.uint8)

@@ -157,3 +157,25 @@ def test_crop_table_images(spark):
         assert ink_pixels(arr) == r["n_ink_px"] > 0
         # the pad border is blank
         assert (arr[:10] == 255).all() and (arr[:, :10] == 255).all()
+
+
+def test_decode_rejects_hostile_payloads():
+    """Untrusted-input containment: oversized dims and zlib bombs raise
+    ValueError instead of allocating."""
+    import struct
+    import zlib
+
+    from gmft_spark.kernel.raster import _chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1M x 1M IHDR → pixel-cap rejection before any allocation
+    ihdr = struct.pack(">IIBBBBB", 1_000_000, 1_000_000, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(sig + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b""))
+    # a 4x4 IHDR whose IDAT inflates to megabytes → bounded-inflate error
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)
+    with pytest.raises(ValueError, match="inflates past|length mismatch"):
+        decode_png(
+            sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+        )
