@@ -227,7 +227,26 @@ def detect_tables_in_rasters(
             for conv_id, turn_idx, png in zip(
                 batch["conv_id"], batch["turn_idx"], batch["png"]
             ):
-                arr = decode_png(bytes(png))
+                try:
+                    arr = decode_png(bytes(png))
+                except ValueError:
+                    # corrupt/hostile payload: contained as an error
+                    # detection row (det_id -1), never a task failure —
+                    # same contract as the PDF decode path
+                    rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": int(turn_idx),
+                            "det_id": -1,
+                            "x0": 0.0,
+                            "y0": 0.0,
+                            "x1": 0.0,
+                            "y1": 0.0,
+                            "score": 0.0,
+                            "label": -1,
+                        }
+                    )
+                    continue
                 for det_id, (bbox, score) in enumerate(model.infer_raster(arr)):
                     rows.append(
                         {

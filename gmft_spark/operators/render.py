@@ -127,7 +127,10 @@ def crop_table_images(
                 batch["x1"],
                 batch["y1"],
             ):
-                arr = decode_png(bytes(png))
+                try:
+                    arr = decode_png(bytes(png))
+                except ValueError:
+                    continue  # corrupt page payload: no tile, no failure
                 tile = pad(crop(arr, x0, y0, x1, y1), pad_px)
                 rows.append(
                     {

@@ -90,3 +90,24 @@ def test_raster_detector_agrees_with_word_detector(spark):
             assert max(_iou(wb, rb) for rb in rboxes) >= 0.85, (key, wb)
             compared += 1
     assert compared >= 20
+
+
+def test_raster_detector_contains_corrupt_payloads(spark):
+    """Corrupt PNG payloads become error rows (det_id=-1, label=-1), not
+    task failures — the module containment contract."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import render_pages
+
+    t = synthesize_transcripts(spark, n_convs=2, turns_per_conv=2)
+    rendered = render_pages(t).withColumn(
+        "png",
+        F.when(F.col("turn_idx") == 0, F.encode(F.lit("garbage"), "utf-8"))
+        .otherwise(F.col("png")),
+    )
+    rows = detect_tables_in_rasters(rendered).collect()
+    bad = [r for r in rows if r["det_id"] == -1]
+    good = [r for r in rows if r["det_id"] >= 0]
+    assert len(bad) == 2 and all(r["label"] == -1 for r in bad)
+    assert all(r["turn_idx"] != 0 for r in good) and good
