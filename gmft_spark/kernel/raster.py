@@ -129,6 +129,17 @@ def decode_png(data: bytes) -> np.ndarray:
     ValueError for the caller's error-row handling."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
+    try:
+        return _decode_png_inner(data)
+    except (zlib.error, struct.error) as ex:
+        # containment contract: EVERY corrupt-payload failure surfaces as
+        # ValueError so callers' error-row handling catches one exception
+        # type (a PNG-signed payload with garbage IDAT raises zlib.error,
+        # a truncated IHDR raises struct.error)
+        raise ValueError(f"corrupt PNG: {ex}") from ex
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
     color = None

@@ -283,9 +283,14 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", F.lit(0).alias("side")
     )
+    # event_id completes the total order: without it, two same-user views
+    # at an identical ts would make last() shuffle-order-dependent (the
+    # input data has no such ties, but determinism must not rely on that;
+    # DuckDB's ASOF tie choice is likewise unspecified, so a tied corpus
+    # would need a tie-broken oracle too)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = clicks.unionByName(views).withColumn(

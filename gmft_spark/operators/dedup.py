@@ -243,23 +243,10 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_SQL = f"""
-    WITH sig AS ({MINHASH_SQL}),
-    bands AS (
-        {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1}) AS bucket FROM sig"
-            for b in range(N_MINHASH // 2)
-        )}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
-"""
-
-
-DEDUP_MINHASH_CLUSTERS_SQL = f"""
-    WITH RECURSIVE sig AS ({MINHASH_SQL}),
+# shared sig → bands → candidate-pair CTE chain: BOTH minhash oracles
+# compose this single fragment, so a banding change cannot desynchronize
+# the pair oracle from the cluster oracle
+_LSH_PAIRS_CTES = f"""sig AS ({MINHASH_SQL}),
     bands AS (
         {" UNION ALL ".join(
             f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1}) AS bucket FROM sig"
@@ -270,7 +257,18 @@ DEDUP_MINHASH_CLUSTERS_SQL = f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+DEDUP_MINHASH_SQL = f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT doc_a, doc_b FROM pf
+    ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     nb AS (
         SELECT doc_a AS vec_id, doc_b AS nb FROM pf
         UNION ALL
@@ -374,7 +372,9 @@ NGRAM_JACCARD_SQL = f"""
     FROM inter i
     JOIN sizes za ON i.doc_a = za.doc_id
     JOIN sizes zb ON i.doc_b = zb.doc_id
-    WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= 0.2
+    -- filter on the ROUNDED value, matching the Spark filter (CLAUDE.md
+    -- float rule: round both sides before any boundary comparison)
+    WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) >= 0.2
     ORDER BY doc_a, doc_b
 """
 

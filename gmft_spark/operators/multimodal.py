@@ -196,7 +196,24 @@ def extract_features(
             ):
                 raw = bytes(payload)
                 if decode_mode == "real":
-                    feat = _real_decode(raw, modality)
+                    try:
+                        feat = _real_decode(raw, modality)
+                    except ValueError:
+                        # corrupt payload: contained as an error row
+                        # (null feature, 0 frames) — never a task
+                        # failure. NotImplementedError (the missing-
+                        # library seam) still propagates: that is a
+                        # deployment gap, not bad data.
+                        rows.append(
+                            {
+                                "media_id": int(media_id),
+                                "modality": modality,
+                                "sha256": hashlib.sha256(raw).hexdigest(),
+                                "feature": None,
+                                "n_frames_sampled": 0,
+                            }
+                        )
+                        continue
                 else:
                     feat = _fake_decode(raw, modality)
                 n_frames = (

@@ -335,7 +335,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode via group-by (different computation, same values)."""
     d = _docs(spark, sf_dir)
     tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    base = d.select("doc_id", tk.alias("tk")).select(
+    # docs with zero tokens are absent from the oracle's token-derived
+    # CTE (and 0/0 would NULL the fraction) — filter them identically
+    base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 1).select(
         "doc_id",
         F.size("tk").alias("n_tokens"),
         F.size(F.array_distinct("tk")).alias("n_distinct"),

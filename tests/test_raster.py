@@ -179,3 +179,44 @@ def test_decode_rejects_hostile_payloads():
         decode_png(
             sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
         )
+
+
+def test_decode_translates_all_corrupt_failures_to_valueerror():
+    """PNG-signed payloads with garbage internals raise ValueError (not
+    zlib.error/struct.error) so caller containment catches one type."""
+    import struct
+
+    from gmft_spark.kernel.raster import _chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    # garbage IDAT (not zlib)
+    with pytest.raises(ValueError):
+        decode_png(
+            sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"\xff" * 32) + _chunk(b"IEND", b"")
+        )
+    # truncated IHDR payload
+    with pytest.raises(ValueError):
+        decode_png(sig + _chunk(b"IHDR", ihdr[:5]) + _chunk(b"IEND", b""))
+
+
+def test_real_decode_contains_corrupt_png(spark):
+    """A PNG-signed-but-corrupt image payload becomes an error feature row
+    (null feature, 0 frames); valid payloads in the same batch decode."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.multimodal import (
+        extract_features,
+        synthesize_png_media,
+    )
+
+    m = synthesize_png_media(spark, 4).withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") == 1,
+            F.concat(F.substring("payload", 1, 16), F.encode(F.lit("junk"), "utf-8")),
+        ).otherwise(F.col("payload")),
+    )
+    rows = {r["media_id"]: r for r in extract_features(m, decode_mode="real").collect()}
+    assert rows[1]["feature"] is None and rows[1]["n_frames_sampled"] == 0
+    assert rows[0]["feature"] is not None and rows[2]["feature"] is not None
