@@ -50,13 +50,17 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, compress_level: int = 6
+) -> bytes:
     """Encode a uint8 array as PNG bytes.
 
     ``arr``: (H, W) grayscale, or (H, W, 3|4) RGB/RGBA. ``filter_type``
     selects the scanline filter applied to EVERY row (0=None default;
     1-4 exist so the decoder's filter inverses can be differentially
-    tested against this encoder)."""
+    tested against this encoder). ``compress_level``: zlib level —
+    pipelines whose payloads are transient (stay in-partition) trade a
+    couple KB for ~2× encode speed at level 3."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         color, bpp = _COLOR_GRAY, 1
@@ -70,6 +74,21 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     h, w = a.shape[0], a.shape[1]
     if not 0 <= filter_type <= 4:
         raise ValueError(f"bad filter type {filter_type}")
+
+    if filter_type == 0:
+        # fast path (the production encode): no per-row Python — one
+        # (h, stride+1) buffer with the filter byte column prepended
+        stride = w * bpp
+        buf = np.empty((h, stride + 1), dtype=np.uint8)
+        buf[:, 0] = 0
+        buf[:, 1:] = rows.reshape(h, stride)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(buf.tobytes(), compress_level))
+            + _chunk(b"IEND", b"")
+        )
 
     flat = rows.reshape(h, w * bpp).astype(np.int16)
     prev = np.zeros(w * bpp, dtype=np.int16)
@@ -98,7 +117,7 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IDAT", zlib.compress(bytes(out), compress_level))
         + _chunk(b"IEND", b"")
     )
 
@@ -181,6 +200,15 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
         raise ValueError("IDAT inflates past the declared image size")
     if len(raw) != expected:
         raise ValueError("IDAT length mismatch")
+
+    grid = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not grid[:, 0].any():
+        # fast path: every scanline uses filter 0 (what encode_png's
+        # production path emits) — pure reshape, no per-row loop
+        out = grid[:, 1:].copy()
+        if color == _COLOR_GRAY:
+            return out
+        return out.reshape(height, width, bpp)
 
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)

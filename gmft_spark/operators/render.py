@@ -74,7 +74,8 @@ def render_pages(transcripts: DataFrame, scale: float = 1.0) -> DataFrame:
                         "height": arr.shape[0],
                         "n_words": len(scene.word_boxes),
                         "n_ink_px": ink_pixels(arr),
-                        "png": encode_png(arr),
+                        # level 3: payloads are transient (in-partition), ~2x faster
+                        "png": encode_png(arr, compress_level=3),
                     }
                 )
             if rows:
@@ -140,7 +141,7 @@ def crop_table_images(
                         "width": tile.shape[1],
                         "height": tile.shape[0],
                         "n_ink_px": ink_pixels(tile),
-                        "png": encode_png(tile),
+                        "png": encode_png(tile, compress_level=3),
                     }
                 )
             if rows:
