@@ -314,6 +314,35 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return arr[rows][:, cols].copy()
 
 
+def projection_gaps(arr: np.ndarray, axis: int, threshold: int = 128):
+    """Whitespace-projection structure analysis (the img2table-style
+    borderless-table method, reference gmft/detectors/img2table.py's
+    niche): project ink onto one axis and return the interior blank runs
+    [start, end) in pixels — the pixel-domain twin of the histogram
+    formatter's ``coverage_gaps`` (kernel/histogram.py:21), with the same
+    first-to-last-change-point scoping (leading/trailing whitespace is
+    not a gap).
+
+    ``axis=0`` collapses rows → a width-long column profile (→ column
+    dividers); ``axis=1`` collapses columns → a height-long row profile
+    (→ row dividers)."""
+    ink = (arr < threshold).any(axis=axis)
+    filled = np.flatnonzero(ink)
+    if len(filled) == 0:
+        return []
+    lo, hi = filled[0], filled[-1]
+    blank = ~ink[lo : hi + 1]
+    idx = np.flatnonzero(blank)
+    if len(idx) == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(idx) - 1]])
+    return [
+        (int(lo + idx[s]), int(lo + idx[e] + 1)) for s, e in zip(starts, ends)
+    ]
+
+
 def rotate90(arr: np.ndarray, k: int = 1) -> np.ndarray:
     """Rotate the raster by k*90° counterclockwise (matches
     ``np.rot90``; the coordinate-space twin is geometry.rotate_words)."""

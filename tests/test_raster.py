@@ -220,3 +220,85 @@ def test_real_decode_contains_corrupt_png(spark):
     rows = {r["media_id"]: r for r in extract_features(m, decode_mode="real").collect()}
     assert rows[1]["feature"] is None and rows[1]["n_frames_sampled"] == 0
     assert rows[0]["feature"] is not None and rows[2]["feature"] is not None
+
+
+def test_tile_structure_recognition(spark):
+    """img2table-niche coverage: whitespace-projection structure from
+    table IMAGES recovers the scene grid — exact row count (rows are
+    separated by real blank bands) and every true column boundary lies
+    near a recognized column divider (projection can oversplit inside a
+    cell whose words happen to align, never undersplit)."""
+    import json
+
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import (
+        crop_table_images,
+        recognize_tile_structure,
+        render_pages,
+    )
+    from gmft_spark.sources.transcripts import synthesize_transcripts
+
+    PAD = 10
+    t = synthesize_transcripts(spark, n_convs=10, turns_per_conv=2)
+    rendered = render_pages(t)
+    dets = detect_tables_in_rasters(rendered)
+    tiles = crop_table_images(rendered, dets, pad_px=PAD)
+    structs = {
+        (r["conv_id"], r["turn_idx"], r["det_id"]): r
+        for r in recognize_tile_structure(tiles).collect()
+    }
+    tile_pngs = {
+        (r["conv_id"], r["turn_idx"], r["det_id"]): r["png"]
+        for r in tiles.collect()
+    }
+    det_rows = {
+        (r["conv_id"], r["turn_idx"], r["det_id"]): r for r in dets.collect()
+    }
+    checked_rows = checked_cols = 0
+    for key, s in structs.items():
+        conv_id, turn_idx, det_id = key
+        d = det_rows[key]
+        scene = synth_scene(conv_id, turn_idx)
+        # match the detection to its scene table by bbox overlap
+        tbl = max(
+            scene.tables,
+            key=lambda tb: -abs(tb.bbox[1] - d["y0"]) - abs(tb.bbox[3] - d["y1"]),
+        )
+        if tbl.angle == 90:
+            continue  # rotated tables blur into one ink mass (documented)
+        ox, oy = tbl.bbox[0], tbl.bbox[1]
+        inside = [
+            (x0, y0, x1, y1)
+            for (x0, y0, x1, y1) in scene.word_boxes
+            if ox <= (x0 + x1) / 2 <= tbl.bbox[2]
+            and oy <= (y0 + y1) / 2 <= tbl.bbox[3]
+        ]
+        # expected rows: distinct word baselines inside the table
+        expected_rows = {round((y0 - oy - 2.5) / 14.0) for (_, y0, _, _) in inside}
+        assert s["n_rows"] == len(expected_rows), key
+        checked_rows += 1
+        # every true interior column edge lies INSIDE a blank projection
+        # run (dividers are run midpoints; a run can be wide when a cell's
+        # words end early, so edge-near-midpoint would be too strict)
+        from gmft_spark.kernel.raster import decode_png, projection_gaps
+        from gmft_spark.kernel.synth import _huni, _hint
+
+        tile_png = tile_pngs[key]
+        cgaps = projection_gaps(decode_png(bytes(tile_png)), axis=0)
+        tile_x0 = int(d["x0"])  # crop origin used by crop_table_images
+        tkey = f"{conv_id}|{turn_idx}|{tbl.table_id}"
+        n_cols = _hint(f"{tkey}|nc", 2, 6)
+        widths = [_huni(f"{tkey}|cw{c}", 55.0, 90.0) for c in range(n_cols)]
+        edge = ox
+        for w in widths[:-1]:
+            edge += w
+            tile_edge = edge - tile_x0 + PAD
+            assert any(a - 1 <= tile_edge <= b + 1 for a, b in cgaps), (
+                key,
+                tile_edge,
+                cgaps,
+            )
+            checked_cols += 1
+        assert s["n_cols"] >= n_cols
+        assert len(json.loads(s["col_dividers"])) == len(cgaps)
+    assert checked_rows >= 10 and checked_cols >= 20
