@@ -200,6 +200,81 @@ def _pipeline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_stats(transcripts_from_documents(spark, sf_dir))
 
 
+def _pipeline_raster_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-input detection under the gate: render each turn's page,
+    PNG-encode/decode, run the ink-run detector, and value-hash the
+    detections against scene_sql.DETECT_RASTER_SQL (interval-island
+    window merges re-deriving the pixel operations)."""
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import render_pages
+
+    d = detect_tables_in_rasters(
+        render_pages(transcripts_from_documents(spark, sf_dir))
+    )
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        "det_id",
+        F.col("x0").cast("int").alias("x0"),
+        F.col("y0").cast("int").alias("y0"),
+        F.col("x1").cast("int").alias("x1"),
+        F.col("y1").cast("int").alias("y1"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("conv_id", "turn_idx", "det_id")
+
+
+def _pipeline_raster_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE image pipeline under the gate — render → PNG → detect
+    → crop(+pad 10) → whitespace-projection structure — as divider rows:
+    (axis, div_idx, pos_x2=2·midpoint, always integral) plus one 'shape'
+    row per detection (div_idx=n_rows, pos_x2=n_cols). SQL twin:
+    scene_sql.STRUCTURE_RASTER_SQL."""
+    from gmft_spark.operators.detect import detect_tables_in_rasters
+    from gmft_spark.operators.render import (
+        crop_table_images,
+        recognize_tile_structure,
+        render_pages,
+    )
+
+    rendered = render_pages(transcripts_from_documents(spark, sf_dir))
+    tiles = crop_table_images(
+        rendered, detect_tables_in_rasters(rendered), pad_px=10
+    )
+    st = recognize_tile_structure(tiles)
+
+    def _axis_rows(col: str, axis: str) -> DataFrame:
+        return st.select(
+            "conv_id",
+            "turn_idx",
+            "det_id",
+            F.posexplode(
+                F.from_json(F.col(col), T.ArrayType(T.DoubleType()))
+            ).alias("div_idx", "mid"),
+        ).select(
+            "conv_id",
+            "turn_idx",
+            "det_id",
+            F.lit(axis).alias("axis"),
+            F.col("div_idx").cast("int").alias("div_idx"),
+            (F.col("mid") * 2).cast("int").alias("pos_x2"),
+        )
+
+    shape = st.select(
+        "conv_id",
+        "turn_idx",
+        "det_id",
+        F.lit("shape").alias("axis"),
+        F.col("n_rows").cast("int").alias("div_idx"),
+        F.col("n_cols").cast("int").alias("pos_x2"),
+    )
+    return (
+        _axis_rows("col_dividers", "col")
+        .unionByName(_axis_rows("row_dividers", "row"))
+        .unionByName(shape)
+        .orderBy("conv_id", "turn_idx", "det_id", "axis", "div_idx")
+    )
+
+
 def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full value-hash oracle (scene_sql.DETECT_SQL): the SQL twin
     re-derives the word layout from the named md5 draws and replicates the
@@ -324,6 +399,14 @@ def _oracled_pipelines():
     return {
         "detect_pipeline": (_pipeline_detect, scene_sql.DETECT_SQL),
         "page_render_pipeline": (_pipeline_render, scene_sql.PAGE_RENDER_SQL),
+        "raster_detect_parity": (
+            _pipeline_raster_detect,
+            scene_sql.DETECT_RASTER_SQL,
+        ),
+        "raster_structure_parity": (
+            _pipeline_raster_structure,
+            scene_sql.STRUCTURE_RASTER_SQL,
+        ),
         "conversation_text_assembly": (
             _pipeline_conversation_text,
             scene_sql.CONV_TEXT_SQL,

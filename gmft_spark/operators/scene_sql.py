@@ -665,3 +665,172 @@ def _build_histogram_csv_sql() -> str:
 
 
 HISTOGRAM_CSV_SQL = _build_histogram_csv_sql()
+
+
+# ---------------------------------------------------------------------------
+# Image-pipeline oracles (operators/render.py + detect.infer_raster): the
+# ENTIRE raster path — render (pixelized word boxes), ink-row-run detection
+# (blank-gap block merge, >=3 runs), crop, and whitespace-projection
+# structure — re-derived relationally: interval-island window merges stand
+# in for the pixel operations (exact because ink is the union of the
+# clamped floor/ceil word boxes). Divider positions are emitted as
+# pos_x2 = 2*midpoint (always integral) to avoid float-format drift.
+# ---------------------------------------------------------------------------
+
+RASTER_CTES = SCENE_CTES + """,
+    pix AS (
+        SELECT conv_id, turn_idx, ord,
+               greatest(CAST(floor(py0) AS BIGINT), 0) AS iy0,
+               least(CAST(ceil(py1) AS BIGINT), 792) AS iy1,
+               greatest(CAST(floor(px0) AS BIGINT), 0) AS ix0,
+               least(CAST(ceil(px1) AS BIGINT), 612) AS ix1
+        FROM words
+    ),
+    -- ink-row runs: islands of the pixelized y-intervals
+    yisl AS (
+        SELECT *, sum(brk) OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY iy0, iy1, ord
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM (
+            SELECT *, CASE WHEN prev_max IS NULL OR iy0 > prev_max THEN 1 ELSE 0 END AS brk
+            FROM (
+                SELECT *, max(iy1) OVER (PARTITION BY conv_id, turn_idx
+                                         ORDER BY iy0, iy1, ord
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS prev_max
+                FROM pix
+            )
+        )
+    ),
+    runs AS (
+        SELECT conv_id, turn_idx, run_id, min(iy0) AS r0, max(iy1) AS r1
+        FROM yisl GROUP BY conv_id, turn_idx, run_id
+    ),
+    -- runs -> blocks: merge when the blank gap (r0 - prev_r1) <= 25
+    blk AS (
+        SELECT *, sum(brk) OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY r0
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block_id
+        FROM (
+            SELECT *, CASE WHEN lag(r1) OVER (PARTITION BY conv_id, turn_idx ORDER BY r0) IS NULL
+                             OR r0 - lag(r1) OVER (PARTITION BY conv_id, turn_idx ORDER BY r0) > 25
+                           THEN 1 ELSE 0 END AS brk
+            FROM runs
+        )
+    ),
+    blocks AS (
+        SELECT conv_id, turn_idx, block_id,
+               min(r0) AS br0, max(r1) AS br1, count(*) AS n_runs
+        FROM blk GROUP BY conv_id, turn_idx, block_id
+    ),
+    dets AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY br0) - 1 AS INT) AS det_id
+        FROM blocks WHERE n_runs >= 3
+    ),
+    -- member words: each word joins its run's block
+    member AS (
+        SELECT y.conv_id, y.turn_idx, d.det_id, d.br0, d.br1,
+               b.run_id, b.r0 AS run_r0, b.r1 AS run_r1,
+               y.ix0, y.ix1, y.ord
+        FROM yisl y
+        JOIN blk b ON y.conv_id = b.conv_id AND y.turn_idx = b.turn_idx AND y.run_id = b.run_id
+        JOIN dets d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx AND b.block_id = d.block_id
+    ),
+    -- per-run x-islands (word count for the score)
+    xisl_run AS (
+        SELECT *, sum(brk) OVER (PARTITION BY conv_id, turn_idx, det_id, run_id
+                                 ORDER BY ix0, ix1, ord
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xid
+        FROM (
+            SELECT *, CASE WHEN prev_max IS NULL OR ix0 > prev_max THEN 1 ELSE 0 END AS brk
+            FROM (
+                SELECT *, max(ix1) OVER (PARTITION BY conv_id, turn_idx, det_id, run_id
+                                         ORDER BY ix0, ix1, ord
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM member
+            )
+        )
+    ),
+    det_words AS (
+        SELECT conv_id, turn_idx, det_id, count(*) AS n_words FROM (
+            SELECT DISTINCT conv_id, turn_idx, det_id, run_id, xid FROM xisl_run
+        ) GROUP BY conv_id, turn_idx, det_id
+    ),
+    det_x AS (
+        SELECT conv_id, turn_idx, det_id, min(ix0) AS bx0, max(ix1) AS bx1
+        FROM member GROUP BY conv_id, turn_idx, det_id
+    )
+"""
+
+DETECT_RASTER_SQL = RASTER_CTES + """
+    SELECT d.conv_id, d.turn_idx, d.det_id,
+           CAST(x.bx0 AS INT) AS x0, CAST(d.br0 AS INT) AS y0,
+           CAST(x.bx1 AS INT) AS x1, CAST(d.br1 AS INT) AS y1,
+           round(least(0.9::DOUBLE + 0.002::DOUBLE * w.n_words, 0.999::DOUBLE), 6) AS score
+    FROM dets d
+    JOIN det_x x ON d.conv_id = x.conv_id AND d.turn_idx = x.turn_idx AND d.det_id = x.det_id
+    JOIN det_words w ON d.conv_id = w.conv_id AND d.turn_idx = w.turn_idx AND d.det_id = w.det_id
+    ORDER BY d.conv_id, d.turn_idx, d.det_id
+"""
+
+STRUCTURE_RASTER_SQL = RASTER_CTES + """,
+    -- block-wide x-islands (column ink runs across the whole tile)
+    xisl_blk AS (
+        SELECT *, sum(brk) OVER (PARTITION BY conv_id, turn_idx, det_id
+                                 ORDER BY ix0, ix1, ord
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xid
+        FROM (
+            SELECT *, CASE WHEN prev_max IS NULL OR ix0 > prev_max THEN 1 ELSE 0 END AS brk
+            FROM (
+                SELECT *, max(ix1) OVER (PARTITION BY conv_id, turn_idx, det_id
+                                         ORDER BY ix0, ix1, ord
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM member
+            )
+        )
+    ),
+    xruns AS (
+        SELECT conv_id, turn_idx, det_id, xid, min(ix0) AS c0, max(ix1) AS c1
+        FROM xisl_blk GROUP BY conv_id, turn_idx, det_id, xid
+    ),
+    -- column dividers: gaps between consecutive x-islands, tile coords
+    -- (shift by -bx0 + pad); pos_x2 = start+end of the blank run
+    col_div AS (
+        SELECT x.conv_id, x.turn_idx, x.det_id,
+               CAST(row_number() OVER (PARTITION BY x.conv_id, x.turn_idx, x.det_id ORDER BY x.c0) - 1 AS INT) AS div_idx,
+               CAST(prev_c1 + x.c0 - 2 * d.bx0 + 20 AS INT) AS pos_x2
+        FROM (
+            SELECT *, lag(c1) OVER (PARTITION BY conv_id, turn_idx, det_id ORDER BY c0) AS prev_c1
+            FROM xruns
+        ) x
+        JOIN det_x d ON x.conv_id = d.conv_id AND x.turn_idx = d.turn_idx AND x.det_id = d.det_id
+        WHERE x.prev_c1 IS NOT NULL AND x.c0 > x.prev_c1
+    ),
+    -- row dividers: gaps between consecutive runs of the block, tile coords
+    row_div AS (
+        SELECT r.conv_id, r.turn_idx, r.det_id,
+               CAST(row_number() OVER (PARTITION BY r.conv_id, r.turn_idx, r.det_id ORDER BY r.r0) - 1 AS INT) AS div_idx,
+               CAST(prev_r1 + r.r0 - 2 * r.br0 + 20 AS INT) AS pos_x2
+        FROM (
+            SELECT b.conv_id, b.turn_idx, d.det_id, d.br0, b.r0, b.r1,
+                   lag(b.r1) OVER (PARTITION BY b.conv_id, b.turn_idx, d.det_id ORDER BY b.r0) AS prev_r1
+            FROM blk b
+            JOIN dets d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx AND b.block_id = d.block_id
+        ) r
+        WHERE r.prev_r1 IS NOT NULL AND r.r0 > r.prev_r1
+    ),
+    shape AS (
+        SELECT d.conv_id, d.turn_idx, d.det_id,
+               CAST(d.n_runs AS INT) AS a,
+               CAST((SELECT count(*) FROM xruns x
+                     WHERE x.conv_id = d.conv_id AND x.turn_idx = d.turn_idx
+                       AND x.det_id = d.det_id) AS INT) AS b
+        FROM dets d
+    )
+    SELECT conv_id, turn_idx, det_id, 'col' AS axis, div_idx, pos_x2 FROM col_div
+    UNION ALL
+    SELECT conv_id, turn_idx, det_id, 'row' AS axis, div_idx, pos_x2 FROM row_div
+    UNION ALL
+    SELECT conv_id, turn_idx, det_id, 'shape' AS axis, a AS div_idx, b AS pos_x2 FROM shape
+    ORDER BY conv_id, turn_idx, det_id, axis, div_idx
+"""
