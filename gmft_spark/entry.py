@@ -267,10 +267,21 @@ def _pipeline_raster_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("int").alias("div_idx"),
         F.col("n_cols").cast("int").alias("pos_x2"),
     )
+    # 'ink' rows value-check crop+pad ink conservation: the tile's ink
+    # count must equal the member words' clamped-area sum
+    ink = tiles.select(
+        "conv_id",
+        "turn_idx",
+        "det_id",
+        F.lit("ink").alias("axis"),
+        F.lit(-1).cast("int").alias("div_idx"),
+        F.col("n_ink_px").cast("int").alias("pos_x2"),
+    )
     return (
         _axis_rows("col_dividers", "col")
         .unionByName(_axis_rows("row_dividers", "row"))
         .unionByName(shape)
+        .unionByName(ink)
         .orderBy("conv_id", "turn_idx", "det_id", "axis", "div_idx")
     )
 

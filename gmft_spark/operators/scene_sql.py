@@ -731,7 +731,7 @@ RASTER_CTES = SCENE_CTES + """,
     member AS (
         SELECT y.conv_id, y.turn_idx, d.det_id, d.br0, d.br1,
                b.run_id, b.r0 AS run_r0, b.r1 AS run_r1,
-               y.ix0, y.ix1, y.ord
+               y.ix0, y.ix1, y.iy0, y.iy1, y.ord
         FROM yisl y
         JOIN blk b ON y.conv_id = b.conv_id AND y.turn_idx = b.turn_idx AND y.run_id = b.run_id
         JOIN dets d ON b.conv_id = d.conv_id AND b.turn_idx = d.turn_idx AND b.block_id = d.block_id
@@ -832,5 +832,12 @@ STRUCTURE_RASTER_SQL = RASTER_CTES + """,
     SELECT conv_id, turn_idx, det_id, 'row' AS axis, div_idx, pos_x2 FROM row_div
     UNION ALL
     SELECT conv_id, turn_idx, det_id, 'shape' AS axis, a AS div_idx, b AS pos_x2 FROM shape
+    UNION ALL
+    -- ink conservation under crop+pad: tile ink == member clamped-area sum
+    SELECT conv_id, turn_idx, det_id, 'ink' AS axis,
+           CAST(-1 AS INT) AS div_idx,
+           CAST(sum((ix1 - ix0) * (iy1 - iy0)) AS INT) AS pos_x2
+    FROM member
+    GROUP BY conv_id, turn_idx, det_id
     ORDER BY conv_id, turn_idx, det_id, axis, div_idx
 """
