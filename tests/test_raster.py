@@ -302,3 +302,24 @@ def test_tile_structure_recognition(spark):
         assert s["n_cols"] >= n_cols
         assert len(json.loads(s["col_dividers"])) == len(cgaps)
     assert checked_rows >= 10 and checked_cols >= 20
+
+
+def test_decode_png_bitflip_fuzz():
+    """Bit-flip fuzz (pdfparse hostile-input pattern): every mutation of a
+    valid PNG either decodes or raises ValueError — no other exception
+    type, no hang, no unbounded allocation."""
+    import zlib
+
+    r = _rng(99)
+    arr = (r.randint(0, 256, size=(24, 18))).astype(np.uint8)
+    base = bytearray(encode_png(arr))
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(r.randint(1, 4)):
+            pos = r.randint(0, len(data))
+            data[pos] ^= 1 << r.randint(0, 8)
+        try:
+            out = decode_png(bytes(data))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass  # the only allowed failure mode
