@@ -217,13 +217,13 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive canonicalization of the MinHash-LSH near-dup graph
     (reference behavior: a dedup pass keeps ONE representative per dup
     cluster, not one per pairwise edge): LSH candidate pairs become
-    symmetric edges, iterative min-label propagation
-    (``connected_components_min`` — one shuffle-join per round against a
-    checkpointed edge list) collapses chain-shaped clusters a~b~c to a
-    single canonical doc_id. Every document gets a row; docs outside any
+    symmetric edges, alternating-star connected components
+    (``connected_components_star`` — O(log diameter) rounds over a
+    checkpointed edge set, robust to adversarially long dup chains)
+    collapse chain-shaped clusters a~b~c to a single canonical doc_id. Every document gets a row; docs outside any
     cluster are their own canonical. The DuckDB twin is a recursive-CTE
     reachability minimum, exactly like ``dedup_embedding_cosine``."""
-    from gmft_spark.operators.similarity import connected_components_min
+    from gmft_spark.operators.similarity import connected_components_star
 
     pairs = _lsh_candidate_pairs(spark, sf_dir)
     neighbors = pairs.select(
@@ -232,7 +232,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("vec_id"), F.col("doc_a").alias("nb"))
     )
     vertices = _docs(spark, sf_dir).select(F.col("doc_id").alias("vec_id"))
-    comp = connected_components_min(vertices, neighbors)
+    comp = connected_components_star(vertices, neighbors)
     return (
         comp.select(
             F.col("vec_id").alias("doc_id"),

@@ -381,13 +381,111 @@ def connected_components_min(
     return labels.select("vec_id", F.col("label").alias("canonical_id"))
 
 
+def connected_components_star(
+    vertices: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star edge
+    rewriting (the MapReduce-era algorithm whose round count is
+    O(log diameter), vs min-label propagation's O(diameter)): each round,
+    every vertex rewires its larger neighbors (large-star) then its
+    smaller neighborhood (small-star) to its neighborhood minimum; the
+    edge set converges to stars centered at component minima.
+
+    Same interface as ``connected_components_min``; use THIS one when
+    component diameters are unbounded — a 200-long near-dup chain
+    converges in ~8 rounds here but needs 200 propagation rounds (the
+    equivalence and divergence are pinned in
+    tests/test_connected_components.py). Each round is two
+    groupBy+join passes keyed on vertex id; edges are eagerly
+    checkpointed per round (CLAUDE.md plan-growth rule)."""
+    # canonical undirected edge set (a < b), no self-loops
+    e = (
+        edges.filter(F.col("vec_id") != F.col("nb"))
+        .select(
+            F.least("vec_id", "nb").alias("a"),
+            F.greatest("vec_id", "nb").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("a") * F.lit(1000003) + F.col("b")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            df.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    prev = _sig(e)
+    for _ in range(max_iters):
+        # large-star: u connects every LARGER neighbor to min(N(u) ∪ {u})
+        sym = _sym(e)
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        e2 = (
+            large.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+        )
+        # small-star: u connects its SMALLER neighborhood (and itself) to
+        # the minimum of that neighborhood
+        symle = _sym(e2).filter(F.col("v") < F.col("u"))
+        minsle = symle.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            symle.join(minsle, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(
+                minsle.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        )
+        e = (
+            small.filter(F.col("x") != F.col("y"))
+            .select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixpoint edges are (root, member) stars
+    roots = e.groupBy(F.col("b").alias("vec_id")).agg(
+        F.min("a").alias("canonical_id")
+    )
+    return vertices.join(roots, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup: LSH-bucketed candidate pairs (the
     scale path — no O(n²) cross join; only same-bucket pairs are scored),
     exact cosine >= 0.35 confirmation, then TRANSITIVE canonicalization
-    via iterative min-label propagation (``connected_components_min``), so
-    chain-shaped dup clusters a~b~c collapse to one canonical id. The
-    DuckDB twin is a recursive-CTE reachability minimum."""
+    via alternating-star connected components
+    (``connected_components_star`` — O(log diameter) rounds, so even
+    adversarially long dup chains converge), collapsing chain-shaped dup
+    clusters a~b~c to one canonical id. The DuckDB twin is a
+    recursive-CTE reachability minimum."""
     e = _emb(spark, sf_dir)
     eb = e.select("vec_id", "v", _lsh_bucket().alias("bucket"))
     a, b = eb.alias("a"), eb.alias("b")
@@ -413,7 +511,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nb"))
     )
-    comp = connected_components_min(e.select("vec_id"), neighbors)
+    comp = connected_components_star(e.select("vec_id"), neighbors)
     canon = comp.withColumn(
         "is_dup", (F.col("canonical_id") < F.col("vec_id")).cast("int")
     )
