@@ -96,3 +96,38 @@ def test_pipeline_parity_queries_stay_narrow(spark):
         plan = _plan(fn(spark, SF))
         assert plan.count("Exchange") <= 1, name
         assert "Join" not in plan, name
+
+
+def test_ngram_jaccard_has_no_pair_enumeration(spark):
+    """Candidate generation must stay an inverted index: no doc-metadata
+    self-join materializing all block pairs, bounded exchanges, no
+    cartesian."""
+    from gmft_spark.operators.dedup import ngram_jaccard
+
+    plan = _plan(ngram_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 8
+    # the join keys must include the shingle itself (content join), not
+    # only the blocking keys
+    assert "shingle" in plan
+
+
+def test_tfidf_single_tf_aggregation(spark):
+    """TF-IDF must not re-derive the doc-term aggregation per branch:
+    one HashAggregate pair over the token explode, windows for the rest."""
+    from gmft_spark.operators.textstats import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(spark, SF))
+    assert "CartesianProduct" not in plan
+    # partial+final for tf, partial+final for the 1-row corpus count
+    assert plan.count("HashAggregate") <= 4
+    assert plan.count("WindowGroupLimit") >= 1  # rank bounded pre-shuffle
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    from gmft_spark.operators.analytics import asof_join_events
+
+    plan = _plan(asof_join_events(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure union + window
+    assert plan.count("Exchange") <= 2
