@@ -236,11 +236,17 @@ def _pipeline_raster_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_pages,
     )
 
-    rendered = render_pages(transcripts_from_documents(spark, sf_dir))
+    # the four output branches (col/row/shape/ink) all read tiles or st;
+    # without lineage truncation each branch re-runs the whole
+    # render→PNG→detect→crop chain (~8× redundant rasterization) —
+    # checkpoint once, branches scan the materialized frames
+    rendered = render_pages(
+        transcripts_from_documents(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     tiles = crop_table_images(
         rendered, detect_tables_in_rasters(rendered), pad_px=10
-    )
-    st = recognize_tile_structure(tiles)
+    ).localCheckpoint(eager=True)
+    st = recognize_tile_structure(tiles).localCheckpoint(eager=True)
 
     def _axis_rows(col: str, axis: str) -> DataFrame:
         return st.select(

@@ -178,6 +178,11 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported color type {color}")
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
+            if width == 0 or height == 0:
+                # zero-dim images would bypass the pixel cap below
+                # (0 * huge = 0) while expected = (0*bpp+1)*height still
+                # drives an unbounded inflate + filter loop
+                raise ValueError("zero-dimension image")
             if width * height > MAX_DECODE_PIXELS:
                 raise ValueError(
                     f"image too large ({width}x{height} exceeds "
@@ -314,6 +319,22 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return arr[rows][:, cols].copy()
 
 
+def mask_runs(mask: np.ndarray):
+    """Maximal runs of True in a 1-D boolean mask, as [start, end)
+    pairs — THE island-finding primitive shared by the raster detector
+    (ink-row runs, operators/detect.infer_raster) and the projection
+    structure analysis below; keep one copy so adjacency semantics can
+    never desynchronize them (their SQL twin is the interval-island
+    window merge in operators/scene_sql.RASTER_CTES)."""
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) > 1)
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(idx) - 1]])
+    return [(int(idx[s]), int(idx[e]) + 1) for s, e in zip(starts, ends)]
+
+
 def projection_gaps(arr: np.ndarray, axis: int, threshold: int = 128):
     """Whitespace-projection structure analysis (the img2table-style
     borderless-table method, reference gmft/detectors/img2table.py's
@@ -325,21 +346,17 @@ def projection_gaps(arr: np.ndarray, axis: int, threshold: int = 128):
 
     ``axis=0`` collapses rows → a width-long column profile (→ column
     dividers); ``axis=1`` collapses columns → a height-long row profile
-    (→ row dividers)."""
+    (→ row dividers). Grayscale (2-D) rasters only — a multi-channel
+    array would silently produce channel-interleaved positions."""
+    if arr.ndim != 2:
+        raise ValueError(f"projection_gaps needs a 2-D raster, got {arr.shape}")
     ink = (arr < threshold).any(axis=axis)
     filled = np.flatnonzero(ink)
     if len(filled) == 0:
         return []
     lo, hi = filled[0], filled[-1]
-    blank = ~ink[lo : hi + 1]
-    idx = np.flatnonzero(blank)
-    if len(idx) == 0:
-        return []
-    breaks = np.flatnonzero(np.diff(idx) > 1)
-    starts = np.concatenate([[0], breaks + 1])
-    ends = np.concatenate([breaks, [len(idx) - 1]])
     return [
-        (int(lo + idx[s]), int(lo + idx[e] + 1)) for s, e in zip(starts, ends)
+        (lo + a, lo + b) for a, b in mask_runs(~ink[lo : hi + 1])
     ]
 
 

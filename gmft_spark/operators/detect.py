@@ -123,16 +123,14 @@ class _LayoutDetector:
         the score is approximated by ink column-runs per line band.
         Returns list of (bbox, score) in pixel coords (= page points at
         render scale 1)."""
+        from gmft_spark.kernel.raster import mask_runs
+
         _line_gap, block_gap, min_lines, base, slope = self.weights
         ink = arr < 128
-        rowful = np.flatnonzero(ink.any(axis=1))
-        if len(rowful) == 0:
+        # ink-row runs (consecutive rows with any ink), INCLUSIVE ends
+        runs = [(a, b - 1) for a, b in mask_runs(ink.any(axis=1))]
+        if not runs:
             return []
-        # ink-row runs (consecutive rows with any ink)
-        breaks = np.flatnonzero(np.diff(rowful) > 1)
-        run_starts = np.concatenate([[0], breaks + 1])
-        run_ends = np.concatenate([breaks, [len(rowful) - 1]])
-        runs = [(rowful[s], rowful[e]) for s, e in zip(run_starts, run_ends)]
         # merge runs into blocks by blank-gap
         blocks = [[runs[0]]]
         for r in runs[1:]:

@@ -679,12 +679,17 @@ HISTOGRAM_CSV_SQL = _build_histogram_csv_sql()
 
 RASTER_CTES = SCENE_CTES + """,
     pix AS (
-        SELECT conv_id, turn_idx, ord,
-               greatest(CAST(floor(py0) AS BIGINT), 0) AS iy0,
-               least(CAST(ceil(py1) AS BIGINT), 792) AS iy1,
-               greatest(CAST(floor(px0) AS BIGINT), 0) AS ix0,
-               least(CAST(ceil(px1) AS BIGINT), 612) AS ix1
-        FROM words
+        -- the empty-extent filter mirrors render_words' `c1 > c0 and
+        -- r1 > r0` skip: a box clipped entirely off one page edge never
+        -- inks a pixel, so it must not create phantom runs/islands here
+        SELECT * FROM (
+            SELECT conv_id, turn_idx, ord,
+                   greatest(CAST(floor(py0) AS BIGINT), 0) AS iy0,
+                   least(CAST(ceil(py1) AS BIGINT), 792) AS iy1,
+                   greatest(CAST(floor(px0) AS BIGINT), 0) AS ix0,
+                   least(CAST(ceil(px1) AS BIGINT), 612) AS ix1
+            FROM words
+        ) WHERE ix1 > ix0 AND iy1 > iy0
     ),
     -- ink-row runs: islands of the pixelized y-intervals
     yisl AS (

@@ -409,21 +409,13 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
-    def _sig(df: DataFrame):
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.sum(
-                (F.col("a") * F.lit(1000003) + F.col("b")).cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     def _sym(df: DataFrame) -> DataFrame:
         return df.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             df.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
 
-    prev = _sig(e)
+    prev = e
+    prev_n = e.count()
     for _ in range(max_iters):
         # large-star: u connects every LARGER neighbor to min(N(u) ∪ {u})
         sym = _sym(e)
@@ -463,10 +455,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cur = _sig(e)
-        if cur == prev:
+        # EXACT fixpoint test (a hash/sum signature can collide, and the
+        # rewrite rounds are deterministic functions of the edge set, so
+        # set equality IS convergence): compare counts, then set-diff
+        n = e.count()
+        if n == prev_n and e.exceptAll(prev).isEmpty():
             break
-        prev = cur
+        prev, prev_n = e, n
     # at the fixpoint edges are (root, member) stars
     roots = e.groupBy(F.col("b").alias("vec_id")).agg(
         F.min("a").alias("canonical_id")

@@ -323,3 +323,24 @@ def test_decode_png_bitflip_fuzz():
             assert out.dtype == np.uint8
         except ValueError:
             pass  # the only allowed failure mode
+
+
+def test_decode_rejects_zero_dimension_bomb():
+    """width=0 bypassed the pixel cap (0*huge=0) while the scanline count
+    still drove the inflate — must be rejected outright."""
+    import struct
+
+    from gmft_spark.kernel.raster import _chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for w, h in [(0, 0xFFFFFFFF), (0xFFFFFFFF, 0), (0, 0)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        with pytest.raises(ValueError):
+            decode_png(sig + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b""))
+
+
+def test_projection_gaps_rejects_multichannel():
+    with pytest.raises(ValueError):
+        from gmft_spark.kernel.raster import projection_gaps
+
+        projection_gaps(np.zeros((4, 4, 3), dtype=np.uint8), axis=0)
