@@ -325,6 +325,99 @@ ANN_IVF_SEARCH_SQL = f"""
 """
 
 
+N_PROBE = 2
+
+
+def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe search — the recall/cost knob: the query probes its
+    ``N_PROBE`` nearest centroids' posting lists instead of one,
+    recovering neighbors that quantized into an adjacent cell at the cost
+    of scanning nprobe/n_centroids of the corpus. Same broadcast shape as
+    ``ann_ivf_search`` (the probed-centroid set is a tiny broadcast; the
+    posting-list scan stays partition-local)."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    dot = _dot(F.col("v"), F.col("cv"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            F.struct(
+                (-dot).alias("neg_dot"), F.col("centroid_id").alias("cid")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"), F.first("v").alias("v"))
+        .select("vec_id", F.col("best.cid").alias("centroid_id"), "v")
+    )
+    q = e.filter(F.col("vec_id") == 1).select(F.col("v").alias("qv"))
+    qdot = _dot(F.col("cv"), F.col("qv"))
+    qc = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.struct((-qdot).alias("neg_dot"), F.col("centroid_id").alias("cid")).alias(
+                "cand"
+            ),
+        )
+        .orderBy("cand")
+        .limit(N_PROBE)
+        .select("centroid_id")
+    )
+    probe = (
+        assigned.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(qc), "centroid_id")
+        .crossJoin(F.broadcast(q))
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        probe.select("vec_id", "centroid_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ANN_IVF_MULTIPROBE_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT e.vec_id, e.v, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY -list_dot_product(e.v, c.cv) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qc AS (
+        SELECT c.centroid_id
+        FROM cents c, q
+        ORDER BY -list_dot_product(c.cv, qv) ASC, c.centroid_id ASC
+        LIMIT {N_PROBE}
+    )
+    SELECT a.vec_id, a.centroid_id,
+           round(list_dot_product(a.v, qv)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM assigned a
+    JOIN qc ON a.centroid_id = qc.centroid_id, q
+    WHERE a.vec_id <> 1
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
 DEDUP_COSINE_THRESHOLD = 0.35
 
 
@@ -565,6 +658,10 @@ QUERIES = {
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
+    "ann_ivf_search_multiprobe": (
+        ann_ivf_search_multiprobe,
+        ANN_IVF_MULTIPROBE_SQL,
+    ),
     "embedding_knn_join": (embedding_knn_join, EMBEDDING_KNN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_COSINE_SQL),
 }
