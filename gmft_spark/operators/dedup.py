@@ -293,6 +293,93 @@ DEDUP_MINHASH_CLUSTERS_SQL = f"""
 """
 
 
+INCREMENTAL_SPLIT = 400  # docs >= this id play the "newly ingested" batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the dominant production
+    shape: a NEW batch of documents is checked against the EXISTING
+    corpus's MinHash band index, never against itself and never
+    re-pairing the corpus. Per new doc: how many corpus band-matches it
+    has and the smallest matching corpus doc (its canonical if dup).
+
+    Scale notes: the corpus side of the join is the stored band index
+    (in production a bucketed table keyed on (band, bucket) — the join
+    co-locates without shuffling the corpus); only the new batch
+    shuffles. Cost per ingest is O(|new| · bands), independent of corpus
+    self-pair count."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")))
+                    for b in range(N_MINHASH // 2)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    corpus = bands.filter(F.col("doc_id") < INCREMENTAL_SPLIT).select(
+        "band", "bucket", F.col("doc_id").alias("corpus_id")
+    )
+    new = bands.filter(F.col("doc_id") >= INCREMENTAL_SPLIT)
+    matches = (
+        new.join(corpus, ["band", "bucket"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_corpus_matches"),
+            F.min("corpus_id").alias("first_match"),
+        )
+    )
+    new_docs = _docs(spark, sf_dir).filter(
+        F.col("doc_id") >= INCREMENTAL_SPLIT
+    ).select("doc_id")
+    return (
+        new_docs.join(matches, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_matches", F.lit(0).cast("long")).alias(
+                "n_corpus_matches"
+            ),
+            "first_match",
+            (F.col("n_corpus_matches").isNotNull()).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+    WITH sig AS ({MINHASH_SQL}),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1}) AS bucket FROM sig"
+            for b in range(N_MINHASH // 2)
+        )}
+    ),
+    m AS (
+        SELECT n.doc_id,
+               count(DISTINCT c.doc_id) AS n_corpus_matches,
+               min(c.doc_id) AS first_match
+        FROM bands n
+        JOIN bands c ON n.band = c.band AND n.bucket = c.bucket
+                    AND c.doc_id < {INCREMENTAL_SPLIT}
+        WHERE n.doc_id >= {INCREMENTAL_SPLIT}
+        GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches,
+           m.first_match,
+           (CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)::INT AS is_dup
+    FROM documents d
+    LEFT JOIN m ON d.doc_id = m.doc_id
+    WHERE d.doc_id >= {INCREMENTAL_SPLIT}
+    ORDER BY d.doc_id
+"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard similarity: candidate pairs share
     (lang, length-bucket); J = |A∩B| / |A∪B| over distinct shingles.
@@ -552,6 +639,7 @@ QUERIES = {
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_minhash_clusters": (dedup_minhash_clusters, DEDUP_MINHASH_CLUSTERS_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (simhash, SIMHASH_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
