@@ -23,7 +23,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gmft_spark.operators import analytics, dedup, relational, similarity, textstats
+from gmft_spark.operators import (
+    analytics,
+    curation,
+    dedup,
+    relational,
+    similarity,
+    textstats,
+)
 from gmft_spark.operators.extract import extract_tables
 from gmft_spark.plans.session import build_session
 from gmft_spark.sources.transcripts import (
@@ -81,6 +88,9 @@ HEADLINE = [
     ("embedding_knn_join", similarity.embedding_knn_join),
     ("dedup_embedding_cosine", similarity.dedup_embedding_cosine),
     ("text_quality_score", textstats.quality_score),
+    ("dedup_lines_corpus", curation.dedup_lines_corpus),
+    ("pack_sequences", curation.pack_sequences),
+    ("pii_redact", curation.pii_redact),
     ("agg_pricing_summary", analytics.pricing_summary),
     ("join_revenue_by_nation", analytics.revenue_by_nation),
     ("window_sessionize_events", analytics.sessionize_events),

@@ -18,7 +18,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from gmft_spark.operators import analytics, dedup, relational, similarity, textstats
+from gmft_spark.operators import (
+    analytics,
+    curation,
+    dedup,
+    relational,
+    similarity,
+    textstats,
+)
 from gmft_spark.operators.extract import (
     assemble_pages,
     extract_tables,
@@ -28,7 +35,7 @@ from gmft_spark.operators.extract import (
 from gmft_spark.plans.skew import assemble_conversation_text
 from gmft_spark.sources.transcripts import transcripts_from_documents
 
-_ORACLE_MODULES = (relational, dedup, similarity, textstats, analytics)
+_ORACLE_MODULES = (relational, dedup, similarity, textstats, analytics, curation)
 
 
 def _pipeline_tatr(spark: SparkSession, sf_dir: str) -> DataFrame:

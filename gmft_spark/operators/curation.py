@@ -1,0 +1,309 @@
+"""Corpus-curation operators beyond the per-document stats in textstats:
+line-level boilerplate dedup, training-sequence packing, and PII
+redaction. These are the remaining high-frequency stages of a web-scale
+training-data pipeline (CCNet/RefinedWeb-style curation) and are
+first-class here: each has a DuckDB oracle twin and a pinned plan shape.
+
+Scale notes (100 TB framing):
+- Line dedup aggregates line hashes once (shuffle keyed on the line —
+  balanced by construction), but the *banned* set (doc-frequency >=
+  threshold) is tiny by Zipf's law, so the removal join is a broadcast:
+  the corpus itself is never shuffled a second time. Reassembly is one
+  groupBy doc_id (bounded rows per doc).
+- Sequence packing needs a global prefix sum; a naive ORDER BY window
+  collapses to ONE partition at any scale. The implementation uses the
+  classic two-level scan: coarse doc_id buckets -> per-bucket subtotals
+  (tiny aggregate) -> cumulative bucket offsets (window over #buckets
+  rows only) broadcast back -> per-bucket windows run in parallel.
+- PII redaction is a pure narrow map (regexp_replace is JVM-side
+  codegen); zero shuffles before the final ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+LINE_TOKENS = 3  # tokens per "line" (synthetic docs carry no newlines)
+BAN_DF = 5  # lines appearing in >= this many docs are boilerplate
+CTX_TOKENS = 256  # packing context length
+PACK_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line_no, line): consecutive LINE_TOKENS-token chunks of the
+    whitespace tokenization (last chunk may be short). Built as an array
+    expression on the scan — no shuffle to *form* lines."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_lines = F.expr(
+        f"(size(filter(split(text, ' '), t -> t != '')) + {LINE_TOKENS - 1})"
+        f" DIV {LINE_TOKENS}"
+    )
+
+    def _line(i):
+        return F.array_join(
+            F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+        )
+
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), _line)
+    return d.select(
+        "doc_id", F.posexplode(lines).alias("line_no", "line")
+    )
+
+
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup: drop every line whose
+    doc-frequency across the corpus is >= BAN_DF (boilerplate), keep the
+    rest in document order. Output is per-doc: how many lines survived
+    and the md5/length of the reassembled text.
+
+    The banned set is aggregated once (one shuffle keyed on the line) and
+    is tiny, so membership is a broadcast left join — the corpus never
+    re-shuffles for the removal itself; reassembly groups by doc_id."""
+    lines = _doc_lines(spark, sf_dir)
+    banned = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BAN_DF)
+        .select("line", F.lit(1).alias("is_banned"))
+    )
+    flagged = lines.join(F.broadcast(banned), "line", "left").select(
+        "doc_id",
+        "line_no",
+        "line",
+        F.coalesce(F.col("is_banned"), F.lit(0)).alias("is_banned"),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.array_sort(
+            F.collect_list(F.struct("line_no", "is_banned", "line"))
+        ).alias("ordered"),
+    )
+    kept = F.filter(F.col("ordered"), lambda s: s["is_banned"] == 0)
+    kept_text = F.array_join(
+        F.transform(kept, lambda s: s["line"]), "\n"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(kept_text).alias("kept_hash"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+    ).orderBy("doc_id")
+
+
+_LINES_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, t.tok, t.idx
+        FROM documents, LATERAL (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok,
+                   generate_subscripts(list_filter(string_split(text, ' '),
+                                       x -> x <> ''), 1) AS idx
+        ) t
+    ), lines AS (
+        SELECT doc_id,
+               CAST((idx - 1) // {LINE_TOKENS} AS BIGINT) AS line_no,
+               string_agg(tok, ' ' ORDER BY idx) AS line
+        FROM toks
+        GROUP BY doc_id, (idx - 1) // {LINE_TOKENS}
+    )
+"""
+
+DEDUP_LINES_SQL = (
+    _LINES_CTE
+    + f""",
+    banned AS (
+        SELECT line FROM lines
+        GROUP BY line
+        HAVING count(DISTINCT doc_id) >= {BAN_DF}
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE b.line IS NULL) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(l.line, chr(10) ORDER BY l.line_no)
+                            FILTER (WHERE b.line IS NULL), '')) AS kept_hash,
+           CAST(length(coalesce(string_agg(l.line, chr(10) ORDER BY l.line_no)
+                            FILTER (WHERE b.line IS NULL), '')) AS BIGINT)
+               AS kept_chars
+    FROM lines l LEFT JOIN banned b USING (line)
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+"""
+)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order are
+    concatenated and cut into CTX_TOKENS-token training sequences; each
+    doc is attributed to the sequence where it starts. Output is one row
+    per sequence (doc span + token sum + docs packed).
+
+    The prefix sum is the distributed two-level scan described in the
+    module docstring — the only single-partition step touches one row
+    per PACK_BUCKET docs, so it stays O(n / PACK_BUCKET) rows at any
+    scale, and the per-doc windows parallelize across buckets."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).cast("long").alias("n_toks"),
+    )
+    bucket_offsets = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_toks").alias("btoks"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(
+                F.sum("btoks").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "bucket_offset")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.join(F.broadcast(bucket_offsets), "bucket").select(
+        "doc_id",
+        "n_toks",
+        (
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+        ).alias("cum_before"),
+    )
+    return (
+        cum.select(
+            F.expr(f"cum_before DIV {CTX_TOKENS}").alias("seq_id"),
+            "doc_id",
+            "n_toks",
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_toks,
+               coalesce(sum(n_toks) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM t
+    )
+    SELECT CAST(cum_before // {CTX_TOKENS} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+    FROM c
+    GROUP BY cum_before // {CTX_TOKENS}
+    ORDER BY seq_id
+"""
+
+# PII patterns: identical semantics under Java regex (Spark) and RE2
+# (DuckDB) — character classes and bounded quantifiers only, no
+# lookaround, no backreferences.
+_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.com"
+_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over synthesized contact text (an e-mail derived
+    from c_name, a phone derived arithmetically from c_custkey — the
+    sandbox customer table carries no comment/phone columns): count and
+    redact e-mail / phone spans, emit the redacted hash. Narrow map,
+    JVM-side regex — zero Python, zero shuffles before the ordering."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        ((k * 7) % 900 + 100).cast("string"),
+        ((k * 13) % 900 + 100).cast("string"),
+        ((k * 31) % 9000 + 1000).cast("string"),
+    )
+    text = F.concat(
+        F.lower(F.col("c_mktsegment")),
+        F.lit(" segment, reach me at "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com or call "),
+        phone,
+    )
+    t = c.select("c_custkey", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "c_custkey",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+        F.length(redacted).cast("long").alias("redacted_chars"),
+    ).orderBy("c_custkey")
+
+
+PII_REDACT_SQL = f"""
+    WITH t AS (
+        SELECT c_custkey,
+               lower(c_mktsegment) || ' segment, reach me at '
+                   || lower(replace(c_name, '#', '.'))
+                   || '@example.com or call '
+                   || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+                   || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR) || '-'
+                   || CAST((c_custkey * 13) % 900 + 100 AS VARCHAR) || '-'
+                   || CAST((c_custkey * 31) % 9000 + 1000 AS VARCHAR) AS text
+        FROM customer
+    ), r AS (
+        SELECT c_custkey, text,
+               regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM t
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(redacted) AS redacted_hash,
+           CAST(length(redacted) AS BIGINT) AS redacted_chars
+    FROM r
+    ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
+    "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
+}

@@ -131,3 +131,36 @@ def test_asof_join_is_window_not_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # pure union + window
     assert plan.count("Exchange") <= 2
+
+
+def test_line_dedup_banned_set_broadcasts(spark):
+    """Corpus-level line dedup must not shuffle the corpus for the
+    removal join: the banned set (tiny by Zipf) goes broadcast; the only
+    wide ops are the line-frequency agg, per-doc reassembly and the
+    output sort."""
+    from gmft_spark.operators.curation import dedup_lines_corpus
+
+    plan = _plan(dedup_lines_corpus(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 5
+
+
+def test_pack_sequences_two_level_scan(spark):
+    """The packing prefix sum must be the two-level scan: a per-bucket
+    window (parallel) plus a window over the tiny bucket-subtotal frame
+    broadcast back — never one global ORDER BY window over the docs."""
+    from gmft_spark.operators.curation import pack_sequences
+
+    plan = _plan(pack_sequences(spark, SF))
+    assert plan.count("Window") == 2
+    assert "BroadcastHashJoin" in plan  # offsets join back via broadcast
+    assert plan.count("Exchange") <= 6
+
+
+def test_pii_redact_is_narrow_map(spark):
+    from gmft_spark.operators.curation import pii_redact
+
+    plan = _plan(pii_redact(spark, SF))
+    assert plan.count("Exchange") <= 1  # output sort only
+    assert "Join" not in plan and "Window" not in plan
