@@ -633,8 +633,172 @@ WINNOWING_SQL = f"""
 """
 
 
+SPAN_L = 5  # tokens per sliding window (minimum reportable span length)
+SPAN_MAX_BUCKET = 8  # window-hash bucket cap (recall/cost knob, see below)
+
+
+def duplicate_spans_frame(docs: DataFrame) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection over a ``(doc_id:int,
+    text:string)`` frame: find maximal runs of >= SPAN_L consecutive
+    tokens shared verbatim between two documents. One output row per
+    document pair that shares at least one such span: span count, the
+    longest span's token length, and total duplicated tokens.
+
+    Method (suffix-array-free, shuffle-friendly): hash every SPAN_L-token
+    sliding window (an array expression on the scan — no shuffle to form
+    windows), bucket by window hash, emit cross-doc position pairs inside
+    each bucket, then merge consecutive matches into maximal spans with
+    the diagonal-islands trick — windows of the same pair whose position
+    offset ``pos_a - pos_b`` (the diagonal) is constant and whose pos_a
+    values are consecutive belong to one maximal span, so
+    ``pos_a - row_number()`` per (pair, diagonal) labels the islands.
+
+    Scale design: the only corpus-sized shuffle is the window-hash
+    groupBy, balanced by construction (md5 keys). Buckets holding more
+    than SPAN_MAX_BUCKET occurrences are dropped — the standard
+    document-frequency cap on pathologically hot windows (boilerplate),
+    without which a window occurring k times emits O(k²) pairs. The cap
+    is applied IDENTICALLY in the DuckDB twin, so the oracle stays exact.
+    Everything after the bucket stage runs on candidate pairs only, a
+    vanishing fraction of the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_win = F.size(toks) - F.lit(SPAN_L - 1)
+    wins = F.when(n_win >= 1, F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, SPAN_L), " ")).alias("wh"),
+        ),
+    )).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
+    w = docs.select("doc_id", F.explode(wins).alias("e")).select(
+        "doc_id", F.col("e.pos").alias("pos"), F.col("e.wh").alias("wh")
+    )
+    # distinct-doc membership is derived from the collected array rather
+    # than a count_distinct aggregate: count_distinct would force a
+    # second two-phase aggregation (one more Exchange) for a fact the
+    # array already carries.
+    buckets = (
+        w.groupBy("wh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("entries"),
+        )
+        .filter(
+            (F.size("entries") >= 2)
+            & (F.size("entries") <= SPAN_MAX_BUCKET)
+            & (
+                F.size(
+                    F.array_distinct(
+                        F.transform(F.col("entries"), lambda e: e["doc_id"])
+                    )
+                )
+                >= 2
+            )
+        )
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("entries"),
+            lambda a: F.transform(
+                F.filter(
+                    F.col("entries"), lambda b: b["doc_id"] > a["doc_id"]
+                ),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    a["pos"].alias("pos_a"),
+                    b["doc_id"].alias("doc_b"),
+                    b["pos"].alias("pos_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
+    iw = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    spans = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+            (F.col("pos_a") - F.row_number().over(iw)).alias("island"),
+        )
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("n_windows"))
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            (F.max("n_windows") + F.lit(SPAN_L - 1))
+            .cast("long")
+            .alias("max_span_tokens"),
+            F.sum(F.col("n_windows") + F.lit(SPAN_L - 1))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans_frame(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+DUPLICATE_SPANS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ), p AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - {SPAN_L - 1})) AS pos
+        FROM toks
+    ), w AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(tk[pos:pos + {SPAN_L - 1}], ' ')) AS wh
+        FROM p
+    ), buck AS (
+        SELECT wh, list({{'d': doc_id, 'p': pos}} ORDER BY doc_id, pos)
+                   AS entries
+        FROM w GROUP BY wh
+        HAVING count(*) BETWEEN 2 AND {SPAN_MAX_BUCKET}
+           AND count(DISTINCT doc_id) >= 2
+    ), pairs AS (
+        SELECT DISTINCT a.entry.d AS doc_a, a.entry.p AS pos_a,
+                        b.entry.d AS doc_b, b.entry.p AS pos_b
+        FROM buck, unnest(entries) a(entry), unnest(entries) b(entry)
+        WHERE a.entry.d < b.entry.d
+    ), runs AS (
+        SELECT doc_a, doc_b,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+               ) AS island,
+               pos_a - pos_b AS diag
+        FROM pairs
+    ), spans AS (
+        SELECT doc_a, doc_b, diag, island, count(*) AS n_windows
+        FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(n_windows + {SPAN_L - 1}) AS BIGINT) AS max_span_tokens,
+           CAST(sum(n_windows + {SPAN_L - 1}) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_span_exact": (duplicate_spans, DUPLICATE_SPANS_SQL),
     "dedup_winnowing": (winnowing_fingerprints, WINNOWING_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
