@@ -54,6 +54,11 @@ class TableResult:
     projecting: List[int] = field(default_factory=list)
     hier_left: List[int] = field(default_factory=list)
     outliers: dict = field(default_factory=dict)
+    # F7b diagnostic (structure.py:748-750,963-966): per-row y-midpoints of
+    # the words assigned under large_table_guess, in word order. The
+    # reference collects but never reads this; kept as a result field (not
+    # an output column) so downstream schemas and goldens are unaffected.
+    row_means: Optional[List[List[float]]] = None
 
 
 def _box(conf: float, label: int, bbox) -> dict:
@@ -341,9 +346,12 @@ def _fill_grid(
     cols_bbox: np.ndarray,
     config: ExtractConfig,
     outliers: dict,
+    row_means: Optional[List[List[float]]] = None,
 ) -> np.ndarray:
     """Assign every word to (best row × best column) and concatenate cell
-    text in word order (structure.py:671-757), vectorized."""
+    text in word order (structure.py:671-757), vectorized. When
+    ``row_means`` is given (large_table_guess, structure.py:748-750) each
+    kept word's y-midpoint is appended to its row's list in word order."""
     n_rows, n_cols = len(rows_bbox), len(cols_bbox)
     grid = np.empty((n_rows, n_cols), dtype=object)
     if len(words) == 0:
@@ -383,8 +391,16 @@ def _fill_grid(
     if len(low):
         outliers["lowest iob"] = min(outliers.get("lowest iob", 1), float(low.min()))
 
-    # concatenate cell text in word order (stable sort by cell keeps it)
     kept_idx = np.flatnonzero(keep)
+    if row_means is not None and len(kept_idx):
+        mids = (wy0[kept_idx] + wy1[kept_idx]) / 2
+        rws = best_r[kept_idx]
+        # stable grouping preserves original word order within each row
+        order = np.argsort(rws, kind="stable")
+        for j in order:
+            row_means[rws[j]].append(float(mids[j]))
+
+    # concatenate cell text in word order (stable sort by cell keeps it)
     if len(kept_idx):
         flat = best_r[kept_idx] * n_cols + best_c[kept_idx]
         _join_into_grid(grid, flat, texts, kept_idx)
@@ -567,10 +583,18 @@ def extract_table(
     if total_area > (1 + config.total_overlap_warn_threshold) * table_area:
         outliers["high overlap"] = total_area / table_area - 1
 
-    # F7: word→cell assignment (:671-757,968-975)
+    # F7: word→cell assignment (:671-757,968-975); F7b row-mean tracking
+    # is active exactly when the large-table guess is (:963-966)
     rows_bbox = np.array([r["bbox"] for r in rows], dtype=np.float64)
     cols_bbox = np.array([c["bbox"] for c in columns], dtype=np.float64)
-    grid = _fill_grid(local_words, local_texts, rows_bbox, cols_bbox, config, outliers)
+    row_means: Optional[List[List[float]]] = (
+        [[] for _ in range(len(rows))] if large else None
+    )
+    grid = _fill_grid(
+        local_words, local_texts, rows_bbox, cols_bbox, config, outliers,
+        row_means=row_means,
+    )
+    res.row_means = row_means
 
     # F8: null-row removal (:980-987)
     if config.remove_null_rows:

@@ -112,9 +112,16 @@ def _sym1(a0, a1, b0, b1):
 
 
 def oracle_extract(
-    scores, labels, boxes, word_boxes, texts, table_bbox, config, angle=0
+    scores, labels, boxes, word_boxes, texts, table_bbox, config, angle=0,
+    row_means_out=None,
 ):
-    """Returns (status, csv, top_header, projecting, hier_left, outliers)."""
+    """Returns (status, csv, top_header, projecting, hier_left, outliers).
+
+    ``row_means_out``: optional list; when the large-table guess fires it
+    is filled with one list per (pre-null-removal) row holding each kept
+    word's y-midpoint in word order (F7b, structure.py:748-750) —
+    left empty when the guess does not fire, mirroring the reference's
+    ``row_means = None`` outside large_table_guess."""
     outliers = {}
 
     # word selection (strict intersection) + offset + rotation
@@ -303,6 +310,9 @@ def oracle_extract(
     if total > (1 + config.total_overlap_warn_threshold) * table_area:
         outliers["high overlap"] = total / table_area - 1
 
+    track_means = large and row_means_out is not None
+    if track_means:
+        row_means_out.extend([] for _ in range(len(rows)))
     grid = np.empty((len(rows), len(columns)), dtype=object)
     for x0, y0, x1, y1, t in words:
         tb = (x0, y0, x1, y1)
@@ -321,6 +331,8 @@ def oracle_extract(
             continue
         if score < config.iob_warn_threshold:
             outliers["lowest iob"] = min(outliers.get("lowest iob", 1), score)
+        if track_means:
+            row_means_out[rnum].append((y1 + y0) / 2)
         if grid[rnum, cnum] is None:
             grid[rnum, cnum] = t
         else:

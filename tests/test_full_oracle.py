@@ -37,6 +37,7 @@ def _compare(scene, tbl, cfg):
         cfg,
         angle=tbl.angle,
     )
+    oracle_means = []
     status, csv, top_header, proj, hier_left, outliers = oracle_extract(
         tbl.scores,
         tbl.labels,
@@ -46,8 +47,17 @@ def _compare(scene, tbl, cfg):
         tbl.bbox,
         cfg,
         angle=tbl.angle,
+        row_means_out=oracle_means,
     )
     assert res.status == status, (scene.conv_id, scene.turn_idx, tbl.table_id)
+    # F7b: per-row word-midpoint tracking exists iff large_table_guess
+    # fired, with identical per-row sequences (word order preserved)
+    if res.row_means is None:
+        assert oracle_means == []
+    else:
+        assert len(res.row_means) == len(oracle_means)
+        for got, want in zip(res.row_means, oracle_means):
+            assert got == pytest.approx(want)
     if status == "ok":
         assert res.csv == csv, (scene.conv_id, scene.turn_idx, tbl.table_id, cfg)
         assert res.top_header == top_header
