@@ -653,10 +653,194 @@ DEDUP_COSINE_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# K-means centroid training (Lloyd's algorithm) — the "train" half of the
+# IVF index (ann_ivf_assign/search quantize against centroids; this is
+# where those centroids come from). All arithmetic is FIXED-POINT INTEGER
+# (1e-6 resolution): float sums are order-dependent under Spark's
+# unordered partial aggregation, so member means are computed as exact
+# integer sums — bit-identical across engines, partitionings and runs.
+#
+# Scale shape (per iteration): the K×d centroid model BROADCASTS to every
+# task (assignment is a narrow map — no shuffle of the vectors); the
+# update explodes members to (cid, dim) rows whose map-side partial
+# aggregation collapses each task's output to ≤ K·d partial rows, so the
+# shuffle moves O(tasks · K · d) tiny rows, never O(n · d). This is the
+# classic Lloyd layout for 10^9-vector corpora. Each round's centroid
+# frame is localCheckpoint'ed: it feeds the next plan twice (assign +
+# empty-cluster fallback), and per CLAUDE.md unbounded iterative chains
+# double the logical plan per round.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_FP = 1000000.0  # fixed-point scale: 1e-6 resolution
+
+
+def _fixed_vec(col):
+    """array<double> → array<long> at 1e-6 resolution; floor(x·1e6 + 0.5)
+    is the portable rounding (identical in Spark and DuckDB, unlike the
+    double→int CAST whose round-vs-truncate rules differ)."""
+    return F.transform(
+        col, lambda x: F.floor(x * F.lit(_FP) + F.lit(0.5)).cast("long")
+    )
+
+
+def _kmeans_assign(ef: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by maximal integer dot product, ties to the lower
+    cid. The member vector rides inside the min-struct so the update stage
+    needs no join back to the corpus."""
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("c"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ef.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                (-dot).alias("neg_dot"),
+                F.col("cid").alias("cid"),
+                F.col("q").alias("q"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "vec_id", F.col("best.cid").alias("cid"), F.col("best.q").alias("q")
+        )
+    )
+
+
+def _kmeans_update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """New centroid = per-dim rounded member mean (exact integer sum, then
+    one portable floor(s/cnt + 0.5)); a cluster that lost every member
+    keeps its previous centroid so K never shrinks mid-run."""
+    sums = (
+        assigned.select("cid", F.posexplode("q").alias("dim", "qv"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("cnt"))
+        .withColumn(
+            "cv",
+            F.floor(
+                F.col("s").cast("double") / F.col("cnt") + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    newc = (
+        sums.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("p"))
+        .select("cid", F.transform("p", lambda st: st["cv"]).alias("c"))
+    )
+    return (
+        prev.select("cid", F.col("c").alias("c_prev"))
+        .join(newc.withColumnRenamed("c", "c_new"), "cid", "left")
+        .select("cid", F.coalesce("c_new", "c_prev").alias("c"))
+    )
+
+
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train KMEANS_K IVF centroids with KMEANS_ITERS Lloyd iterations
+    (deterministic init: the first K vectors by vec_id). Output is the
+    final fixed-point centroid matrix exploded to scalar rows
+    (centroid_id, dim, c_fixed) plus each cluster's final member count —
+    every value integral, hash-exact against the unrolled SQL twin."""
+    e = _emb(spark, sf_dir)
+    ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    cents = ef.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("c")
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(ef, cents)
+        cents = _kmeans_update(assigned, cents).localCheckpoint(eager=True)
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        cents.select("cid", F.posexplode("c").alias("dim", "c_fixed"))
+        .join(counts, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("c_fixed").cast("long").alias("c_fixed"),
+            F.coalesce(F.col("n_members"), F.lit(0))
+            .cast("long")
+            .alias("n_members"),
+        )
+        .orderBy("centroid_id", "dim")
+    )
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ef AS (
+        SELECT vec_id,
+               CAST(floor(x * {_FP!r} + 0.5) AS BIGINT) AS q,
+               CAST(dim AS INT) - 1 AS dim
+        FROM (SELECT vec_id, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS dim
+              FROM e)
+    ),
+    c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, dim, q AS c
+        FROM ef WHERE vec_id < {KMEANS_K}
+    )"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    d{i} AS (
+        SELECT ef.vec_id, c.cid, sum(ef.q * c.c) AS dot
+        FROM ef JOIN c{p} c ON ef.dim = c.dim
+        GROUP BY ef.vec_id, c.cid
+    ),
+    a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cid ASC) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    s{i} AS (
+        SELECT a.cid, ef.dim,
+               CAST(floor(CAST(sum(ef.q) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS cv
+        FROM a{i} a JOIN ef ON a.vec_id = ef.vec_id
+        GROUP BY a.cid, ef.dim
+    ),
+    c{i} AS (
+        SELECT c{p}.cid, c{p}.dim, coalesce(s{i}.cv, c{p}.c) AS c
+        FROM c{p} LEFT JOIN s{i}
+          ON c{p}.cid = s{i}.cid AND c{p}.dim = s{i}.dim
+    )"""
+        )
+    n = KMEANS_ITERS
+    parts.append(
+        f""",
+    cnt AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+        FROM a{n} GROUP BY cid
+    )
+    SELECT c{n}.cid AS centroid_id, c{n}.dim AS dim, c{n}.c AS c_fixed,
+           coalesce(cnt.n_members, 0) AS n_members
+    FROM c{n} LEFT JOIN cnt ON c{n}.cid = cnt.cid
+    ORDER BY centroid_id, dim
+"""
+    )
+    return "".join(parts)
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
+    "ann_kmeans_train": (ann_kmeans_train, KMEANS_SQL),
     "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
     "ann_ivf_search_multiprobe": (
         ann_ivf_search_multiprobe,
