@@ -39,6 +39,13 @@ def main(argv=None) -> int:
         "structure, DITR divider model, non-deep histogram sweep)",
     )
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--snapshot-table",
+        default=None,
+        help="also commit results to a snapshot table (Iceberg-style "
+        "commit log: time travel, incremental scans, atomic publish — "
+        "plans/snapshots.py)",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None, help="override (else spark-submit's)")
     args = parser.parse_args(argv)
@@ -86,6 +93,17 @@ def main(argv=None) -> int:
         f"run {run_id}: {n_input} turns in, "
         f"{stats[0]} tables out ({stats[1]} ok / {stats[2]} error)"
     )
+    if args.snapshot_table:
+        from pyspark.sql import functions as F
+
+        from gmft_spark.plans.snapshots import commit_append
+
+        sid = commit_append(
+            spark,
+            results.withColumn("run_id", F.lit(run_id)),
+            args.snapshot_table,
+        )
+        print(f"snapshot {sid} committed to {args.snapshot_table}")
     return 0
 
 

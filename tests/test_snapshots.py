@@ -1,0 +1,110 @@
+"""Snapshot-layer guarantees: atomic visibility, time travel, incremental
+scans, optimistic-concurrency conflicts, rollback, expiry+vacuum."""
+
+import os
+
+import pytest
+
+from gmft_spark.plans import snapshots as S
+
+
+def _batch(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"doc-{i}") for i in ids], "doc_id long, text string"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_append_time_travel_and_incremental(spark, table):
+    s1 = S.commit_append(spark, _batch(spark, [1, 2]), table)
+    s2 = S.commit_append(spark, _batch(spark, [3]), table)
+    s3 = S.commit_append(spark, _batch(spark, [4, 5]), table)
+    assert (s1, s2, s3) == (1, 2, 3)
+    assert S.current_snapshot_id(table) == 3
+
+    assert _ids(S.read_table(spark, table)) == [1, 2, 3, 4, 5]
+    assert _ids(S.read_table(spark, table, snapshot_id=1)) == [1, 2]
+    assert _ids(S.read_table(spark, table, snapshot_id=2)) == [1, 2, 3]
+
+    assert _ids(S.incremental_scan(spark, table, since_snapshot_id=1)) == [3, 4, 5]
+    assert _ids(
+        S.incremental_scan(spark, table, since_snapshot_id=1, until_snapshot_id=2)
+    ) == [3]
+    assert S.incremental_scan(spark, table, since_snapshot_id=3) is None
+
+    summaries = [s["summary"]["added_rows"] for s in S.snapshots(table)]
+    assert summaries == [2, 1, 2]
+
+
+def test_commit_conflict_raises_and_preserves_state(spark, table):
+    S.commit_append(spark, _batch(spark, [1]), table)
+    # a competing writer that built on the SAME parent publishes first
+    stale = {
+        "snapshot_id": 2,
+        "parent_id": 1,
+        "operation": "append",
+        "files": S.load_snapshot(table, 1)["files"],
+        "summary": {},
+    }
+    S._publish(table, dict(stale, snapshot_id=2), expected_parent=1)
+    with pytest.raises(S.CommitConflict):
+        S._publish(table, dict(stale, snapshot_id=2), expected_parent=1)
+    assert S.current_snapshot_id(table) == 2
+    # the loser retries on fresh state and succeeds
+    sid = S.commit_append(spark, _batch(spark, [9]), table)
+    assert sid == 3
+    assert _ids(S.read_table(spark, table)) == [1, 9]
+
+
+def test_rollback_is_append_only(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    S.commit_append(spark, _batch(spark, [3]), table)
+    sid = S.rollback(table, to_snapshot_id=1)
+    assert sid == 3
+    assert _ids(S.read_table(spark, table)) == [1, 2]
+    # history intact: the rolled-back-over snapshot still time-travels
+    assert _ids(S.read_table(spark, table, snapshot_id=2)) == [1, 2, 3]
+    # appends continue from the rollback state
+    S.commit_append(spark, _batch(spark, [7]), table)
+    assert _ids(S.read_table(spark, table)) == [1, 2, 7]
+
+
+def test_expire_vacuums_unreferenced_files(spark, table):
+    S.commit_append(spark, _batch(spark, [1]), table)
+    S.commit_append(spark, _batch(spark, [2]), table)
+    S.rollback(table, to_snapshot_id=1)  # snap 2's file now unreferenced
+    stats = S.expire_snapshots(table, keep_last=1)
+    assert stats["expired_snapshots"] == 2
+    assert stats["deleted_files"] >= 1
+    assert _ids(S.read_table(spark, table)) == [1]
+    with pytest.raises(FileNotFoundError):
+        S.load_snapshot(table, 2)
+    # no orphan parquet anywhere on disk
+    live = set(S.load_snapshot(table, S.current_snapshot_id(table))["files"])
+    on_disk = {
+        os.path.relpath(os.path.join(root, f), table)
+        for root, _, fs in os.walk(os.path.join(table, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_crash_orphan_commit_is_invisible_then_vacuumed(spark, table):
+    S.commit_append(spark, _batch(spark, [1]), table)
+    # simulate a writer that crashed after landing data, before publishing
+    orphan_dir = os.path.join(table, "data", "deadbeef")
+    _batch(spark, [99]).write.parquet(orphan_dir)
+    assert _ids(S.read_table(spark, table)) == [1]  # never visible
+    stats = S.expire_snapshots(table, keep_last=1)
+    assert stats["deleted_files"] >= 1
+    assert not os.path.exists(orphan_dir)
+    assert _ids(S.read_table(spark, table)) == [1]
