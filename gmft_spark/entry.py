@@ -73,6 +73,31 @@ def _pipeline_extract_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_extract_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags/diagnostics parity: the output columns the shape/CSV/text
+    oracles don't cover — top_header, projecting, hier_left, the outliers
+    channel (skipped-text composition), row count and confidence — vs
+    their independent re-derivation from the named draws
+    (scene_sql.EXTRACT_FLAGS_SQL)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables(t)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            "status",
+            F.to_json("top_header").alias("top_header"),
+            F.to_json("projecting").alias("projecting"),
+            F.to_json("hier_left").alias("hier_left"),
+            F.to_json("outliers").alias("outliers"),
+            "n_rows",
+            "confidence",
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
 def _pipeline_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-CSV parity for the flagship pipeline: the complete rendered
     CSV (header + every cell) of extract_tables vs the independent SQL
@@ -443,6 +468,10 @@ def _oracled_pipelines():
         "extract_shape_parity": (
             _pipeline_extract_shape,
             scene_sql.EXTRACT_SHAPE_SQL,
+        ),
+        "extract_flags_parity": (
+            _pipeline_extract_flags,
+            scene_sql.EXTRACT_FLAGS_SQL,
         ),
         "tatr_extract_csv_parity": (
             _pipeline_extract_csv,

@@ -50,10 +50,11 @@ def stable_seed(conv_id: str, turn_idx: int) -> int:
 # the driver's DuckDB oracle can re-derive scene words, detector output and
 # per-table text independently (operators/scene_sql.py holds the SQL twin).
 # Draws that only perturb the structure PREDICTIONS (score jitter,
-# dropped/duplicated row boxes, projected headers) stay on a Mersenne
-# stream keyed off the same seed: they never move a word, and the
-# extraction heuristics are designed to absorb them, so no oracle needs
-# them.
+# duplicated row boxes) stay on a Mersenne stream keyed off the same
+# seed: they never move a word, and the extraction heuristics are
+# designed to absorb them, so no oracle needs them. Prediction draws the
+# OUTPUT depends on (dropped row boxes → CSV, projected headers →
+# `projecting`) are named draws too, so their oracles can re-derive them.
 
 
 def _h32(key: str) -> int:
@@ -309,9 +310,13 @@ def _make_table(
             LABEL_COLUMN,
             (col_x[c] + jit(0.4), jit(0.4), col_x[c + 1] + jit(0.4), height + jit(0.4)),
         )
-    if rng.rand() < 0.15 and n_rows >= 4:
-        # projected row header over one data row
-        pr = rng.randint(2, n_rows)
+    # projected row header over one data row. A NAMED draw (like drop_row):
+    # it never moves a word, but the pipeline's `projecting` output column
+    # is a function of it, so the flags oracle
+    # (scene_sql.EXTRACT_FLAGS_SQL) needs to re-derive it. Stream-safe
+    # conversion: these were the LAST Mersenne consumptions per table.
+    if n_rows >= 4 and _hrand(f"{tkey}|prq") < 0.15:
+        pr = _hint(f"{tkey}|prr", 2, n_rows)
         add(
             0.95,
             LABEL_PROJECTED_ROW_HEADER,

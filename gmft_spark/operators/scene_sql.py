@@ -436,15 +436,10 @@ EXTRACT_SHAPE_SQL = SCENE_CTES + """
 """
 
 
-def _build_extract_csv_sql(tatr: bool = True) -> str:
-    """Full-CSV oracle for the flagship extraction pipeline: the expected
-    ``render_csv`` output re-derived from the named draws — header row,
-    per-cell space-joined word text (second word only when it fits inside
-    the column), null-row removal (fully-sparse rows), and the dropped
-    LAST-row case (the named |dropq/|dropr draws; interior drops are
-    recovered by gap fill so they don't change the CSV). Validated
-    cell-for-cell against extract_turn on every table at sf0.01 and sf0.1
-    before being registered."""
+def _cstr_cte() -> str:
+    """Per-cell expected text: '' for sparse cells, 'colC' for the header
+    row, tok1 (+' '+tok2 when the second word fires AND its clamped box is
+    non-degenerate) for data cells — shared by the CSV and flags oracles."""
     m = "4294967296.0::DOUBLE"
     tok1 = _token(f"{_hxs('h', 17)} % 1679616",
                   "CAST(r AS VARCHAR) || CAST(c AS VARCHAR)")
@@ -454,6 +449,28 @@ def _build_extract_csv_sql(tatr: bool = True) -> str:
     x1raw = "cx0 + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 6"
     fits = (f"least({x1raw} + 3.0::DOUBLE + 4.0::DOUBLE + 4.6::DOUBLE * 7, "
             f"cx1 - 1.0::DOUBLE) > {x1raw} + 3.0::DOUBLE")
+    return f"""cstr AS (
+        SELECT conv_id, turn_idx, t, r, c,
+               CASE WHEN r > 0 AND {_hxs('h', 1)} / {m} < 0.08::DOUBLE
+                    THEN ''
+                    WHEN r = 0 THEN 'col' || CAST(c AS VARCHAR)
+                    WHEN {_hxs('h', 9)} / {m} < 0.15::DOUBLE AND {fits}
+                    THEN {tok1} || ' ' || {tok2}
+                    ELSE {tok1}
+               END AS cellstr
+        FROM cells
+    )"""
+
+
+def _build_extract_csv_sql(tatr: bool = True) -> str:
+    """Full-CSV oracle for the flagship extraction pipeline: the expected
+    ``render_csv`` output re-derived from the named draws — header row,
+    per-cell space-joined word text (second word only when it fits inside
+    the column), null-row removal (fully-sparse rows), and the dropped
+    LAST-row case (the named |dropq/|dropr draws; interior drops are
+    recovered by gap fill so they don't change the CSV). Validated
+    cell-for-cell against extract_turn on every table at sf0.01 and sf0.1
+    before being registered."""
     if tatr:
         # TATR model predictions: degenerate sets error out, a dropped
         # LAST row box loses that row
@@ -470,17 +487,7 @@ def _build_extract_csv_sql(tatr: bool = True) -> str:
         status_expr = "'ok'"
         csv_expr = "h.line || chr(10) || coalesce(b.body || chr(10), '')"
     return SCENE_CTES + f""",
-    cstr AS (
-        SELECT conv_id, turn_idx, t, r, c,
-               CASE WHEN r > 0 AND {_hxs('h', 1)} / {m} < 0.08::DOUBLE
-                    THEN ''
-                    WHEN r = 0 THEN 'col' || CAST(c AS VARCHAR)
-                    WHEN {_hxs('h', 9)} / {m} < 0.15::DOUBLE AND {fits}
-                    THEN {tok1} || ' ' || {tok2}
-                    ELSE {tok1}
-               END AS cellstr
-        FROM cells
-    ),
+    {_cstr_cte()},
     crows AS (
         SELECT conv_id, turn_idx, t, r,
                string_agg(cellstr, ',' ORDER BY c) AS line,
@@ -519,6 +526,103 @@ def _build_extract_csv_sql(tatr: bool = True) -> str:
 
 EXTRACT_CSV_SQL = _build_extract_csv_sql()
 DITR_CSV_SQL = _build_extract_csv_sql(tatr=False)
+
+
+def _build_extract_flags_sql() -> str:
+    """Flags/diagnostics parity for the flagship pipeline — the output
+    columns the CSV/shape/text oracles don't cover, re-derived from the
+    named draws:
+
+    * ``top_header``: '[0]' whenever extraction succeeds (the header row
+      box is never dropped; multi-header is off in the default config so
+      kernel/table.py emits ``[0] if header_indices else []``);
+    * ``projecting``: the |prq/|prr named draws place a projected-row
+      header over data row ``pr``; the output index is pr's rank among
+      SURVIVING data rows (fully-sparse rows are removed by F8; only the
+      LAST row can be lost to the |dropq/|dropr draw — interior drops are
+      gap-filled back). A fully-sparse pr row is removed before the
+      iob>0.7 test, so the flag vanishes;
+    * ``outliers``: the only key these scenes can produce is
+      'skipped text' — the dropped LAST row's words (their row band is
+      gone and no band reaches iob 0.05). Misfit second words never
+      exist as words (the generator clamps them away), NMS removals stay
+      under nms_warn_threshold=5, and in-band words have iob 1 (so no
+      'lowest iob'). Value = ' ' + ' '.join(row words in generation
+      order), which is the row's nonempty cellstrs joined by ' ';
+    * ``hier_left`` '[]' (spanning semantics off) and ``confidence`` 1.0.
+
+    Validated against extract_turn on every table at sf0.01 and sf0.1
+    before registration."""
+    return SCENE_CTES + f""",
+    {_cstr_cte()},
+    rflag AS (
+        SELECT conv_id, turn_idx, t, r,
+               max(CASE WHEN cellstr <> '' THEN 1 ELSE 0 END) AS nonempty,
+               string_agg(cellstr, ' ' ORDER BY c)
+                 FILTER (WHERE cellstr <> '') AS rowtext
+        FROM cstr
+        WHERE r > 0
+        GROUP BY conv_id, turn_idx, t, r
+    ),
+    tflag AS (
+        SELECT conv_id, turn_idx, t, tk, n_rows, degenerate,
+               CASE WHEN {_hrand("tk || '|dropq'")} < 0.2::DOUBLE
+                    THEN 1 + {_hx("tk || '|dropr'")} % n_rows
+                    ELSE -1 END AS dropr,
+               CASE WHEN n_rows >= 4
+                         AND {_hrand("tk || '|prq'")} < 0.15::DOUBLE
+                    THEN 2 + {_hx("tk || '|prr'")} % (n_rows - 2)
+                    ELSE -1 END AS pr
+        FROM tbl
+    ),
+    surv AS (
+        SELECT f.conv_id, f.turn_idx, f.t, f.r, d.pr
+        FROM rflag f
+        JOIN tflag d ON f.conv_id = d.conv_id AND f.turn_idx = d.turn_idx
+                     AND f.t = d.t
+        WHERE f.nonempty = 1
+          AND NOT (f.r = d.dropr AND d.dropr = d.n_rows)
+    ),
+    counts AS (
+        SELECT conv_id, turn_idx, t,
+               count(*) AS n_out,
+               max(CASE WHEN r = pr THEN 1 ELSE 0 END) AS pr_alive,
+               sum(CASE WHEN r < pr THEN 1 ELSE 0 END) AS pr_rank
+        FROM surv
+        GROUP BY conv_id, turn_idx, t
+    ),
+    skip AS (
+        SELECT f.conv_id, f.turn_idx, f.t, f.rowtext
+        FROM rflag f
+        JOIN tflag d ON f.conv_id = d.conv_id AND f.turn_idx = d.turn_idx
+                     AND f.t = d.t
+        WHERE d.dropr = d.n_rows AND f.r = d.n_rows
+          AND f.rowtext IS NOT NULL
+    )
+    SELECT d.conv_id, d.turn_idx, CAST(d.t AS INT) AS table_id,
+           CASE WHEN d.degenerate = 1 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN d.degenerate = 1 THEN '[]' ELSE '[0]' END AS top_header,
+           CASE WHEN d.degenerate = 0 AND d.pr >= 0
+                     AND coalesce(c.pr_alive, 0) = 1
+                THEN '[' || CAST(c.pr_rank AS VARCHAR) || ']'
+                ELSE '[]' END AS projecting,
+           '[]' AS hier_left,
+           CASE WHEN d.degenerate = 1 OR s.rowtext IS NULL THEN '{{}}'
+                ELSE '{{"skipped text":" ' || s.rowtext || '"}}'
+           END AS outliers,
+           CAST(CASE WHEN d.degenerate = 1 THEN 0
+                     ELSE coalesce(c.n_out, 0) END AS INT) AS n_rows,
+           1.0::DOUBLE AS confidence
+    FROM tflag d
+    LEFT JOIN counts c ON d.conv_id = c.conv_id AND d.turn_idx = c.turn_idx
+                       AND d.t = c.t
+    LEFT JOIN skip s ON d.conv_id = s.conv_id AND d.turn_idx = s.turn_idx
+                     AND d.t = s.t
+    ORDER BY d.conv_id, d.turn_idx, table_id
+"""
+
+
+EXTRACT_FLAGS_SQL = _build_extract_flags_sql()
 
 
 # Caption parity (D6 under the gate): for these scenes the rolling-scan

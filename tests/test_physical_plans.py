@@ -91,6 +91,7 @@ def test_pipeline_parity_queries_stay_narrow(spark):
         "extract_table_text_parity",
         "tatr_extract_csv_parity",
         "histogram_extract_csv_parity",
+        "extract_flags_parity",
     ):
         fn = dict(E._oracled_pipelines())[name][0]
         plan = _plan(fn(spark, SF))
