@@ -98,6 +98,26 @@ def _pipeline_extract_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-span parity: the `cells` column (res.grid as (row, col, text)
+    spans) exploded to scalar rows vs scene_sql.CELLS_SQL — with this,
+    every output column of the flagship extraction row is value-hashed."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables(t)
+        .select("conv_id", "turn_idx", "table_id", F.explode("cells").alias("cell"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            F.col("cell.row").alias("row"),
+            F.col("cell.col").alias("col"),
+            F.col("cell.text").alias("text"),
+        )
+        .orderBy("conv_id", "turn_idx", "table_id", "row", "col")
+    )
+
+
 def _pipeline_extract_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-CSV parity for the flagship pipeline: the complete rendered
     CSV (header + every cell) of extract_tables vs the independent SQL
@@ -472,6 +492,10 @@ def _oracled_pipelines():
         "extract_flags_parity": (
             _pipeline_extract_flags,
             scene_sql.EXTRACT_FLAGS_SQL,
+        ),
+        "extract_cells_parity": (
+            _pipeline_extract_cells,
+            scene_sql.CELLS_SQL,
         ),
         "tatr_extract_csv_parity": (
             _pipeline_extract_csv,

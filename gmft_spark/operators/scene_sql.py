@@ -553,6 +553,13 @@ def _build_extract_flags_sql() -> str:
 
     Validated against extract_turn on every table at sf0.01 and sf0.1
     before registration."""
+    return _flags_ctes() + _FLAGS_SELECT
+
+
+def _flags_ctes() -> str:
+    """Shared derivation for the flags and cell-span oracles: per-row
+    nonempty/word-text flags, the drop/projected named draws, and the
+    surviving-data-row set."""
     return SCENE_CTES + f""",
     {_cstr_cte()},
     rflag AS (
@@ -582,7 +589,10 @@ def _build_extract_flags_sql() -> str:
                      AND f.t = d.t
         WHERE f.nonempty = 1
           AND NOT (f.r = d.dropr AND d.dropr = d.n_rows)
-    ),
+    )"""
+
+
+_FLAGS_SELECT = """,
     counts AS (
         SELECT conv_id, turn_idx, t,
                count(*) AS n_out,
@@ -607,8 +617,8 @@ def _build_extract_flags_sql() -> str:
                 THEN '[' || CAST(c.pr_rank AS VARCHAR) || ']'
                 ELSE '[]' END AS projecting,
            '[]' AS hier_left,
-           CASE WHEN d.degenerate = 1 OR s.rowtext IS NULL THEN '{{}}'
-                ELSE '{{"skipped text":" ' || s.rowtext || '"}}'
+           CASE WHEN d.degenerate = 1 OR s.rowtext IS NULL THEN '{}'
+                ELSE '{"skipped text":" ' || s.rowtext || '"}'
            END AS outliers,
            CAST(CASE WHEN d.degenerate = 1 THEN 0
                      ELSE coalesce(c.n_out, 0) END AS INT) AS n_rows,
@@ -623,6 +633,32 @@ def _build_extract_flags_sql() -> str:
 
 
 EXTRACT_FLAGS_SQL = _build_extract_flags_sql()
+
+
+# Cell-span parity: the pipeline's `cells` column (array<struct<row,col,
+# text>> over res.grid = the SURVIVING data rows) exploded to scalar rows.
+# row = the cell's rank among surviving data rows (F8 re-index), col = the
+# original column, text = the cell's space-joined words; None cells
+# (sparse — no word assigned) don't emit a span, error rows emit nothing.
+# With this, EVERY output column of the flagship extraction row is under
+# the driver's value hash. Validated at sf0.01 and sf0.1.
+CELLS_SQL = _flags_ctes() + """,
+    rowidx AS (
+        SELECT conv_id, turn_idx, t, r,
+               CAST(row_number() OVER (PARTITION BY conv_id, turn_idx, t
+                                       ORDER BY r) - 1 AS INT) AS out_row
+        FROM surv
+    )
+    SELECT s.conv_id, s.turn_idx, CAST(s.t AS INT) AS table_id,
+           i.out_row AS row, CAST(s.c AS INT) AS col, s.cellstr AS text
+    FROM cstr s
+    JOIN rowidx i ON s.conv_id = i.conv_id AND s.turn_idx = i.turn_idx
+                  AND s.t = i.t AND s.r = i.r
+    JOIN tflag d ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
+                 AND s.t = d.t
+    WHERE s.cellstr <> '' AND d.degenerate = 0
+    ORDER BY s.conv_id, s.turn_idx, table_id, row, col
+"""
 
 
 # Caption parity (D6 under the gate): for these scenes the rolling-scan
