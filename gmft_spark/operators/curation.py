@@ -302,8 +302,101 @@ PII_REDACT_SQL = f"""
 """
 
 
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing — the per-source sampling-weight step every training
+    corpus goes through (web 2 epochs, books 1, low-quality crawl 0.25,
+    ...). Each source gets a mixing weight w; a document yields
+    ``floor(w)`` guaranteed copies plus one more with probability
+    ``w - floor(w)``, decided by a STABLE hash fraction of the doc id
+    (md5 lower-64, the same portable trick as the train/val/test split) —
+    so the mix is reproducible across runs/engines/partitionings, adding
+    documents never re-decides existing ones, and a resumed job redraws
+    the identical sample with no sampling state to checkpoint.
+
+    Weights here are a 4-tier demo spec keyed on the source index
+    (2.0 / 1.0 / 0.5 / 0.25 — upsampling AND downsampling both exercised).
+
+    Scale shape: a narrow map on the scan — the weight is a pure
+    expression, the copy fan-out is an in-row ``explode(sequence(...))``
+    (upsampled rows never pass through the driver or a shuffle; the only
+    exchange is the determinism orderBy, absent in production)."""
+    d = _docs(spark, sf_dir)
+    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
+
+    tier = (F.substring("source", 4, 2).cast("int") % 4).alias("tier")
+    base = (
+        F.when(F.col("tier") == 0, 2).when(F.col("tier") == 1, 1).otherwise(0)
+    )
+    rem = (
+        F.when(F.col("tier") == 2, 0.5)
+        .when(F.col("tier") == 3, 0.25)
+        .otherwise(0.0)
+    )
+    weight = (
+        F.when(F.col("tier") == 0, 2.0)
+        .when(F.col("tier") == 1, 1.0)
+        .when(F.col("tier") == 2, 0.5)
+        .otherwise(0.25)
+    )
+    frac = _md5_lower64(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))
+    ) / F.lit(_KMV_SPACE)
+    n_copies = base + F.when(frac < rem, 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", tier)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            weight.alias("weight"),
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias(
+                "copy"
+            ),
+        )
+        .select(
+            "doc_id", "source", "weight", F.col("copy").cast("int").alias("copy")
+        )
+        .orderBy("doc_id", "copy")
+    )
+
+
+def _mix_sql() -> str:
+    from gmft_spark.operators.textstats import _KMV_SPACE
+
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4, 2) AS INT) % 4 AS tier,
+               CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || '|mix')
+                    AS DOUBLE) / {_KMV_SPACE!r} AS frac
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source,
+               CASE tier WHEN 0 THEN 2.0::DOUBLE WHEN 1 THEN 1.0::DOUBLE
+                         WHEN 2 THEN 0.5::DOUBLE
+                         ELSE 0.25::DOUBLE END AS weight,
+               (CASE tier WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)
+               + (CASE WHEN frac < (CASE tier WHEN 2 THEN 0.5::DOUBLE
+                                              WHEN 3 THEN 0.25::DOUBLE
+                                              ELSE 0.0::DOUBLE END)
+                       THEN 1 ELSE 0 END) AS n_copies
+        FROM d
+    )
+    SELECT doc_id, source, weight, CAST(g.k AS INT) AS copy
+    FROM c, (VALUES (0), (1)) AS g(k)
+    WHERE g.k < c.n_copies
+    ORDER BY doc_id, copy
+"""
+
+
+MIX_SQL = _mix_sql()
+
+
 QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
 }
