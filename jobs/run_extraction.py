@@ -28,7 +28,20 @@ import time
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--input", required=True, help="transcript parquet dir")
+    parser.add_argument("--input", default=None, help="transcript parquet dir")
+    parser.add_argument(
+        "--input-snapshot-table",
+        default=None,
+        help="read the transcripts from a snapshot table instead of a raw "
+        "parquet dir (plans/snapshots.py)",
+    )
+    parser.add_argument(
+        "--since-snapshot",
+        type=int,
+        default=None,
+        help="with --input-snapshot-table: process only rows appended "
+        "AFTER this snapshot id (incremental run); without it, read HEAD",
+    )
     parser.add_argument("--output", required=True, help="result sink dir")
     parser.add_argument("--buckets", type=int, default=64)
     parser.add_argument(
@@ -74,7 +87,25 @@ def main(argv=None) -> int:
         "histogram": extract_tables_histogram,
     }
 
-    transcripts = spark.read.parquet(args.input)
+    if bool(args.input) == bool(args.input_snapshot_table):
+        parser.error("exactly one of --input / --input-snapshot-table")
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        from gmft_spark.plans.snapshots import incremental_scan, read_table
+
+        if args.since_snapshot is not None:
+            transcripts = incremental_scan(
+                spark, args.input_snapshot_table, args.since_snapshot
+            )
+            if transcripts is None:
+                print(
+                    "nothing to do: no new input since snapshot "
+                    f"{args.since_snapshot}"
+                )
+                return 0
+        else:
+            transcripts = read_table(spark, args.input_snapshot_table)
     if args.resume:
         transcripts = resume_filter(spark, transcripts, args.output, args.buckets)
 

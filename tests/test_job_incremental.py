@@ -1,0 +1,76 @@
+"""End-to-end incremental processing: the extraction job consuming a
+snapshot table's changelog — batch 2 lands as snapshot 2, an incremental
+run extracts ONLY those turns, and an empty delta is a clean no-op."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmft_spark.plans import snapshots as S
+from gmft_spark.sources.transcripts import transcripts_from_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def snap_input(spark, tmp_path):
+    """Transcripts split into two snapshot commits (by turn parity)."""
+    table = str(tmp_path / "in_tbl")
+    t = transcripts_from_documents(spark, SF_DIR)
+    S.commit_append(spark, t.filter(F.col("turn_idx") % 2 == 0), table)
+    S.commit_append(spark, t.filter(F.col("turn_idx") % 2 == 1), table)
+    return table
+
+
+def _run(args):
+    import jobs.run_extraction as J
+
+    return J.main(args)
+
+
+def test_incremental_run_extracts_only_the_delta(spark, snap_input, tmp_path):
+    out_full = str(tmp_path / "out_full")
+    out_inc = str(tmp_path / "out_inc")
+    assert (
+        _run(
+            ["--input-snapshot-table", snap_input, "--output", out_full,
+             "--buckets", "8", "--run-id", "full"]
+        )
+        == 0
+    )
+    assert (
+        _run(
+            ["--input-snapshot-table", snap_input, "--since-snapshot", "1",
+             "--output", out_inc, "--buckets", "8", "--run-id", "inc"]
+        )
+        == 0
+    )
+    full = spark.read.parquet(os.path.join(out_full, "results"))
+    inc = spark.read.parquet(os.path.join(out_inc, "results"))
+    # the delta is exactly the odd-turn half of the full run
+    assert inc.filter(F.col("turn_idx") % 2 == 0).count() == 0
+    assert inc.count() == full.filter(F.col("turn_idx") % 2 == 1).count()
+
+
+def test_empty_delta_is_a_noop(snap_input, tmp_path, capsys):
+    out = str(tmp_path / "out_noop")
+    assert (
+        _run(
+            ["--input-snapshot-table", snap_input, "--since-snapshot", "2",
+             "--output", out, "--buckets", "8"]
+        )
+        == 0
+    )
+    assert "no new input since snapshot 2" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(out, "results"))
+
+
+def test_input_flags_are_exclusive(snap_input):
+    with pytest.raises(SystemExit):
+        _run(["--output", "/tmp/x"])
+    with pytest.raises(SystemExit):
+        _run(
+            ["--input", "/tmp/a", "--input-snapshot-table", snap_input,
+             "--output", "/tmp/x"]
+        )
