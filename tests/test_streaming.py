@@ -30,6 +30,34 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert g == b
 
 
+def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Second drain with the SAME checkpoint processes only files that
+    arrived after the first — nothing reprocessed, nothing dropped."""
+    src = str(tmp_path / "in3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+
+    first = synthesize_transcripts(spark, n_convs=4, turns_per_conv=3)
+    first.write.parquet(src)
+    run_available_now(stream_extract(stream_transcripts(spark, src)), out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == extract_tables(first).count()
+
+    from pyspark.sql import functions as F
+
+    second = synthesize_transcripts(spark, n_convs=4, turns_per_conv=3).withColumn(
+        "conv_id", F.concat(F.lit("late-"), F.col("conv_id"))
+    )
+    second.write.mode("append").parquet(src)
+    run_available_now(stream_extract(stream_transcripts(spark, src)), out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = extract_tables(spark.read.parquet(src))
+    assert got.count() == batch.count()  # no reprocessing, no loss
+    keys = [(r["conv_id"], r["turn_idx"], r["table_id"]) for r in got.collect()]
+    assert len(keys) == len(set(keys))
+
+
 def test_stream_metrics_watermarked(spark, tmp_path):
     src = str(tmp_path / "in2")
     out = str(tmp_path / "out2")
