@@ -615,10 +615,75 @@ TFIDF_SQL = """
 """
 
 
+def quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gating (the CCNet-style move): instead of a
+    fixed cutoff, drop the bottom decile of the corpus's OWN quality
+    distribution. The threshold is an exact discrete percentile — the
+    smallest quality q with rank(q) >= ceil(n/10) — computed from the
+    histogram of 6dp-rounded scores, NOT a percentile builtin (Spark
+    interpolates, DuckDB has three quantile variants; the histogram
+    cumsum is engine-proof and tie-stable under RANGE window semantics).
+
+    Scale shape: scoring is the quality_score narrow aggregation; the
+    percentile runs over the tiny (distinct-score, count) frame — one
+    partial-agg shuffle of <=n_distinct rows, a window over that small
+    frame, and a 1-row broadcast threshold joined back to the scan. No
+    global sort of the corpus."""
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    hist = q.groupBy("quality").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("quality").rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    n = q.agg(F.count("*").alias("cnt"))
+    thr = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.expr("(cnt + 9) div 10"))
+        .agg(F.min("quality").alias("threshold"))
+    )
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "quality",
+            "threshold",
+            F.when(F.col("quality") >= F.col("threshold"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+    WITH q AS (SELECT doc_id, quality FROM ({QUALITY_SQL})),
+    h AS (SELECT quality, count(*) AS c FROM q GROUP BY quality),
+    cum AS (
+        SELECT quality, sum(c) OVER (ORDER BY quality) AS cum FROM h
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM q),
+    thr AS (
+        SELECT min(quality) AS threshold
+        FROM cum, n WHERE cum >= (cnt + 9) // 10
+    )
+    SELECT q.doc_id, q.quality, thr.threshold,
+           CAST(CASE WHEN q.quality >= thr.threshold THEN 1 ELSE 0 END
+                AS INT) AS kept
+    FROM q, thr
+    ORDER BY q.doc_id
+"""
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
+    "text_quality_filter_adaptive": (quality_filter_adaptive, QUALITY_FILTER_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
