@@ -88,6 +88,9 @@ HEADLINE = [
     ("embedding_knn_join", similarity.embedding_knn_join),
     ("dedup_embedding_cosine", similarity.dedup_embedding_cosine),
     ("text_quality_score", textstats.quality_score),
+    ("text_quality_filter_adaptive", textstats.quality_filter_adaptive),
+    ("ann_kmeans_train", similarity.ann_kmeans_train),
+    ("mix_sources_weighted", curation.mix_sources_weighted),
     ("dedup_lines_corpus", curation.dedup_lines_corpus),
     ("pack_sequences", curation.pack_sequences),
     ("pii_redact", curation.pii_redact),

@@ -98,6 +98,35 @@ def _pipeline_extract_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _formatter_flags(extract_fn):
+    """DITR/histogram flags parity: the flag columns are closed-form on
+    these scenes; the distinctive content is the recovered grid shape
+    (scene_sql._formatter_flags_sql re-derives n_rows/n_cols from the
+    formatter's proven CSV derivation)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = transcripts_from_documents(spark, sf_dir)
+        return (
+            extract_fn(t)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "table_id",
+                "status",
+                F.to_json("top_header").alias("top_header"),
+                F.to_json("projecting").alias("projecting"),
+                F.to_json("hier_left").alias("hier_left"),
+                F.to_json("outliers").alias("outliers"),
+                "n_rows",
+                "n_cols",
+                "confidence",
+            )
+            .orderBy("conv_id", "turn_idx", "table_id")
+        )
+
+    return fn
+
+
 def _pipeline_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-span parity: the `cells` column (res.grid as (row, col, text)
     spans) exploded to scalar rows vs scene_sql.CELLS_SQL — with this,
@@ -496,6 +525,14 @@ def _oracled_pipelines():
         "extract_cells_parity": (
             _pipeline_extract_cells,
             scene_sql.CELLS_SQL,
+        ),
+        "ditr_flags_parity": (
+            _formatter_flags(extract_tables_ditr),
+            scene_sql.DITR_FLAGS_SQL,
+        ),
+        "histogram_flags_parity": (
+            _formatter_flags(extract_tables_histogram),
+            scene_sql.HISTOGRAM_FLAGS_SQL,
         ),
         "tatr_extract_csv_parity": (
             _pipeline_extract_csv,

@@ -661,6 +661,34 @@ CELLS_SQL = _flags_ctes() + """,
 """
 
 
+def _formatter_flags_sql(csv_sql: str) -> str:
+    """Flags parity for the DITR/histogram formatter paths. Their flag
+    columns are closed-form on these scenes (all-ok status, single header,
+    no projected classification, no spanning, empty outliers — DITR keeps
+    every row, the histogram path buckets every word), so the distinctive
+    content is the grid SHAPE: n_rows/n_cols are re-derived by line/comma
+    counting over the formatter's own (already value-hash-proven) CSV
+    derivation — cell tokens are alnum, so the CSV is quote-free."""
+    header = "split_part(csv, chr(10), 1)"
+    return f"""
+    WITH base AS ({csv_sql})
+    SELECT conv_id, turn_idx, table_id, status,
+           '[0]' AS top_header, '[]' AS projecting, '[]' AS hier_left,
+           '{{}}' AS outliers,
+           CAST(length(csv) - length(replace(csv, chr(10), '')) - 1 AS INT)
+             AS n_rows,
+           CAST(length({header}) - length(replace({header}, ',', '')) + 1
+                AS INT) AS n_cols,
+           1.0::DOUBLE AS confidence
+    FROM base
+    ORDER BY conv_id, turn_idx, table_id
+"""
+
+
+DITR_FLAGS_SQL = _formatter_flags_sql(DITR_CSV_SQL)
+# HISTOGRAM_FLAGS_SQL is built after HISTOGRAM_CSV_SQL, end of module.
+
+
 # Caption parity (D6 under the gate): for these scenes the rolling-scan
 # caption finder resolves to a closed form — the page's caption line binds
 # to the FIRST table (reading-order neighbour inside the 50pt margin
@@ -805,6 +833,7 @@ def _build_histogram_csv_sql() -> str:
 
 
 HISTOGRAM_CSV_SQL = _build_histogram_csv_sql()
+HISTOGRAM_FLAGS_SQL = _formatter_flags_sql(HISTOGRAM_CSV_SQL)
 
 
 # ---------------------------------------------------------------------------
