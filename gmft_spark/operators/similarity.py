@@ -836,11 +836,202 @@ def _kmeans_sql() -> str:
 KMEANS_SQL = _kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory half of a billion-scale IVF-PQ
+# index: each 64-dim vector compresses to PQ_M one-byte codes (one
+# nearest-centroid id per 8-dim subspace), and search scores candidates
+# with asymmetric distance (ADC): the query's exact distance to each
+# candidate's RECONSTRUCTION (sum of per-subspace query→centroid
+# distances). Distances are fixed-point-integer L2, so encode and search
+# are bit-exact against the SQL twins. Codebooks here are the
+# deterministic init (the first PQ_K vectors' subvectors); ann_kmeans_train
+# is the refinement path when trained codebooks are wanted.
+#
+# Scale shape: the PQ_M×PQ_K×8 codebook broadcasts (a few KB); encode is a
+# narrow map (argmin over K per subspace inside the row); search broadcasts
+# the query's PQ_M×PQ_K distance table and scans CODES, not vectors — the
+# 64-dim float vector never leaves the scan after encode, which is the
+# entire point of PQ at 10^9 vectors.
+
+PQ_M = 8  # subspaces
+PQ_D = 8  # dims per subspace (PQ_M * PQ_D = 64)
+PQ_K = 8  # centroids per subspace
+
+
+def _pq_codebook(ef: DataFrame) -> DataFrame:
+    """(sub, cid, c: array<long>) — subvectors of the first PQ_K vectors."""
+    subs = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("sub"),
+                F.slice(F.col("q"), j * PQ_D + 1, PQ_D).alias("c"),
+            ),
+        )
+    )
+    return (
+        ef.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), subs.alias("s"))
+        .select("cid", F.col("s.sub").alias("sub"), F.col("s.c").alias("c"))
+    )
+
+
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: per (vector, subspace), the nearest codebook centroid by
+    fixed-point L2 (ties to the lower cid). Output (vec_id, sub, code,
+    dist) — the code column is what a PQ index stores per vector."""
+    e = _emb(spark, sf_dir)
+    ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    cb = _pq_codebook(ef)
+    qsub = ef.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("sub"),
+                    F.slice(F.col("q"), j * PQ_D + 1, PQ_D).alias("qs"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.qs").alias("qs"))
+    scored = qsub.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        F.struct(
+            _l2(F.col("qs"), F.col("c")).alias("d"), F.col("cid").alias("cid")
+        ).alias("cand"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("best.cid").alias("code"),
+            F.col("best.d").alias("dist"),
+        )
+        .orderBy("vec_id", "sub")
+    )
+
+
+def _pq_sql_ctes() -> str:
+    """Shared exploded fixed-point subvector + codebook CTEs."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ef AS (
+        SELECT vec_id,
+               CAST(floor(x * {_FP!r} + 0.5) AS BIGINT) AS q,
+               CAST(dim AS INT) - 1 AS dim
+        FROM (SELECT vec_id, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS dim
+              FROM e)
+    ),
+    sub AS (
+        SELECT vec_id, CAST(dim // {PQ_D} AS INT) AS sub,
+               dim % {PQ_D} AS sdim, q
+        FROM ef
+    ),
+    cb AS (
+        SELECT CAST(vec_id AS INT) AS cid, sub, sdim, q AS c
+        FROM sub WHERE vec_id < {PQ_K}
+    ),
+    dists AS (
+        SELECT s.vec_id, s.sub, c.cid,
+               sum((s.q - c.c) * (s.q - c.c)) AS d
+        FROM sub s JOIN cb c ON s.sub = c.sub AND s.sdim = c.sdim
+        GROUP BY s.vec_id, s.sub, c.cid
+    ),
+    codes AS (
+        SELECT vec_id, sub, cid AS code, d AS dist FROM (
+            SELECT vec_id, sub, cid, d,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )"""
+
+
+ANN_PQ_ENCODE_SQL = _pq_sql_ctes() + """
+    SELECT vec_id, sub, code, CAST(dist AS BIGINT) AS dist
+    FROM codes
+    ORDER BY vec_id, sub
+"""
+
+
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search: score every candidate AGAINST ITS CODES ONLY — the
+    vec_id=0 query precomputes its distance to all PQ_M×PQ_K centroids
+    (the broadcast lookup table), and a candidate's approximate distance
+    is the sum of the table entries its PQ_M codes select. Top 10 by
+    (adc, vec_id)."""
+    e = _emb(spark, sf_dir)
+    ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    cb = _pq_codebook(ef)
+    qsub = (
+        ef.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("sub"),
+                        F.slice(F.col("q"), j * PQ_D + 1, PQ_D).alias("qs"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.sub").alias("sub"), F.col("s.qs").alias("qs"))
+    )
+    # the PQ_M × PQ_K query→centroid distance table (tiny; broadcasts)
+    dtab = qsub.join(cb, "sub").select(
+        "sub", "cid", _l2(F.col("qs"), F.col("c")).alias("qd")
+    )
+    codes = ann_pq_encode(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cid"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc"))
+        .select("vec_id", F.col("adc").cast("long").alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+ANN_PQ_SEARCH_SQL = _pq_sql_ctes() + """,
+    dtab AS (
+        SELECT s.sub, c.cid, sum((s.q - c.c) * (s.q - c.c)) AS qd
+        FROM sub s JOIN cb c ON s.sub = c.sub AND s.sdim = c.sdim
+        WHERE s.vec_id = 0
+        GROUP BY s.sub, c.cid
+    )
+    SELECT k.vec_id, CAST(sum(t.qd) AS BIGINT) AS adc
+    FROM codes k JOIN dtab t ON k.sub = t.sub AND k.code = t.cid
+    WHERE k.vec_id <> 0
+    GROUP BY k.vec_id
+    ORDER BY adc ASC, vec_id ASC
+    LIMIT 10
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "ann_kmeans_train": (ann_kmeans_train, KMEANS_SQL),
+    "ann_pq_encode": (ann_pq_encode, ANN_PQ_ENCODE_SQL),
+    "ann_pq_search": (ann_pq_search, ANN_PQ_SEARCH_SQL),
     "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
     "ann_ivf_search_multiprobe": (
         ann_ivf_search_multiprobe,
