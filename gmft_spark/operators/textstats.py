@@ -679,11 +679,114 @@ QUALITY_FILTER_SQL = f"""
 """
 
 
+def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity scoring (the CCNet/KenLM-style quality
+    signal) at sandbox fidelity: train an add-1-smoothed BIGRAM model on
+    the corpus itself, then score every document by its average negative
+    log-likelihood per bigram — low nll ≈ fluent/common phrasing, high
+    nll ≈ noise. ln values are computed once per distinct bigram and
+    FIXED-POINTED (floor(x·1e6 + 0.5)) before the per-document sum, so
+    the sum is an exact integer — order-independent under Spark's
+    unordered partial aggregation and bit-equal to the SQL twin.
+
+    Scale shape: one bigram-count aggregation and one context-count
+    aggregation (map-side combined); vocabulary size is a 1-row broadcast;
+    scoring joins doc-bigram instances to the model on the bigram key
+    (sort-merge when both sides are corpus-sized; the model broadcasts
+    when the vocabulary is small); the per-doc reduction is a partial-agg
+    integer sum. Docs with < 2 tokens have no bigrams and are excluded."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    dt = d.select("doc_id", toks.alias("toks"))
+    docs2 = dt.filter(F.size("toks") >= 2)
+    bg = docs2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.get("toks", i - 1).alias("a"), F.get("toks", i).alias("b")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    counts = bg.groupBy("a", "b").agg(F.count("*").alias("c"))
+    ctx = bg.groupBy("a").agg(F.count("*").alias("cx"))
+    vocab = (
+        dt.select(F.explode("toks").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    model = (
+        counts.join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                (F.log(F.col("c") + 1) - F.log(F.col("cx") + F.col("v")))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lnp_fixed"),
+        )
+    )
+    return (
+        bg.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.sum("lnp_fixed").alias("s"), F.count("*").alias("n_bigrams"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("s").cast("double") / (1000000.0 * F.col("n_bigrams")), 6
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_NLL_SQL = """
+    WITH dt AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    d2 AS (SELECT doc_id, toks FROM dt WHERE len(toks) >= 2),
+    idx AS (
+        SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks))) AS INT) AS i
+        FROM d2
+    ),
+    bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM idx),
+    counts AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, count(*) AS cx FROM bg GROUP BY a),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM dt)
+    ),
+    model AS (
+        SELECT counts.a, counts.b,
+               CAST(floor((ln(counts.c + 1) - ln(ctx.cx + vocab.v))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lnp_fixed
+        FROM counts JOIN ctx ON counts.a = ctx.a, vocab
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-CAST(sum(m.lnp_fixed) AS DOUBLE)
+                 / (1000000.0 * count(*)), 6) AS nll
+    FROM bg JOIN model m ON bg.a = m.a AND bg.b = m.b
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+"""
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_quality_filter_adaptive": (quality_filter_adaptive, QUALITY_FILTER_SQL),
+    "text_bigram_nll": (bigram_nll, BIGRAM_NLL_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
