@@ -165,3 +165,49 @@ def test_pii_redact_is_narrow_map(spark):
     plan = _plan(pii_redact(spark, SF))
     assert plan.count("Exchange") <= 1  # output sort only
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_kmeans_model_broadcasts_and_update_combines_mapside(spark):
+    """Lloyd iteration shape: the centroid model reaches assignment via
+    broadcast (never a SortMergeJoin of vectors against centroids), and
+    the (cid, dim) update aggregation has a partial (map-side) phase."""
+    from gmft_spark.operators.similarity import ann_kmeans_train
+
+    plan = _plan(ann_kmeans_train(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_pq_codebook_and_distance_table_broadcast(spark):
+    """PQ encode joins subvectors to the codebook via broadcast; ADC
+    search scores codes against a broadcast distance table — candidate
+    vectors are never shuffled."""
+    from gmft_spark.operators.similarity import ann_pq_encode, ann_pq_search
+
+    enc = _plan(ann_pq_encode(spark, SF))
+    assert "BroadcastExchange" in enc
+    assert "SortMergeJoin" not in enc
+    srch = _plan(ann_pq_search(spark, SF))
+    assert "BroadcastExchange" in srch
+
+
+def test_mix_sources_is_a_narrow_map(spark):
+    """Source mixing is explode-on-the-scan: the only exchange is the
+    determinism orderBy."""
+    from gmft_spark.operators.curation import mix_sources_weighted
+
+    plan = _plan(mix_sources_weighted(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_adaptive_quality_threshold_windows_only_the_histogram(spark):
+    """The percentile window runs over the distinct-score histogram frame
+    (post-aggregation), never the raw corpus: every Window in the plan
+    sits above an aggregate of quality scores."""
+    from gmft_spark.operators.textstats import quality_filter_adaptive
+
+    plan = _plan(quality_filter_adaptive(spark, SF))
+    assert "Window" in plan
+    # the corpus reaches the threshold only through broadcast joins
+    assert "SortMergeJoin" not in plan
