@@ -88,7 +88,21 @@ def extract_turn_from_pdf(
         [w[:4] for w in words], dtype=np.float64
     ).reshape(-1, 4)
     word_texts = [w[4] for w in words]
+    return _extract_page_tables(
+        conv_id, turn_idx, scene, word_boxes, word_texts, config
+    )
 
+
+def _extract_page_tables(
+    conv_id: str,
+    turn_idx: int,
+    scene,
+    word_boxes: np.ndarray,
+    word_texts: list,
+    config: ExtractConfig,
+) -> list:
+    """Run structure recognition for every table on one decoded page —
+    shared by the per-turn and per-conversation payload paths."""
     out = []
     for tbl in scene.tables:
         try:
@@ -169,6 +183,61 @@ def extract_tables_from_pdfs(
                 yield pd.DataFrame(rows)
 
     return transcripts.select(*cols).mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+def extract_tables_from_conversation_pdfs(
+    transcripts: DataFrame, config: Optional[ExtractConfig] = None
+) -> DataFrame:
+    """Document-shaped payload path: ONE multi-page PDF per conversation
+    (page i = turn i's scene — the reference's BasePDFDocument model),
+    decoded once and extracted page-by-page. Produces rows byte-equal to
+    the per-turn payload path for the same turns
+    (tests/test_conversation_pdf.py).
+
+    Scale notes: the unit of work is a DOCUMENT — one groupBy(conv_id)
+    shuffle of the (tiny) key rows builds each conversation's page list,
+    then the decode+extract runs as a narrow Arrow map over conversations.
+    A pathological multi-thousand-page conversation makes one big task
+    (a PDF must be decoded whole); the per-TURN payload path
+    (extract_tables_from_pdfs) is the skew-immune alternative when
+    payloads arrive per turn — this operator exists for corpora whose
+    storage shape is real multi-page documents."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.sources.pdfgen import conversation_pdf
+
+    cfg = config or ExtractConfig()
+    convs = transcripts.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list("turn_idx")).alias("turns")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turns in zip(batch["conv_id"], batch["turns"]):
+                turn_list = [int(t) for t in turns]
+                payload = conversation_pdf(conv_id, turn_list)
+                doc = ParsedPDF(payload)
+                for page_no, t in enumerate(turn_list):
+                    words = doc.page_words(page_no)
+                    word_boxes = np.array(
+                        [w[:4] for w in words], dtype=np.float64
+                    ).reshape(-1, 4)
+                    word_texts = [w[4] for w in words]
+                    rows.extend(
+                        _extract_page_tables(
+                            conv_id,
+                            t,
+                            synth_scene(conv_id, t),
+                            word_boxes,
+                            word_texts,
+                            cfg,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return convs.mapInPandas(run, schema=RESULT_SCHEMA)
 
 
 def corpus_page_words(binary_docs: DataFrame) -> DataFrame:

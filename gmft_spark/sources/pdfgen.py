@@ -62,28 +62,42 @@ def _word_ops(
 
 def scene_to_pdf(scene: SynthScene) -> bytes:
     """Render the scene's words into a single-page uncompressed PDF."""
-    content = bytearray()
-    for (x0, y0, x1, y1), text in zip(
-        scene.word_boxes.tolist(), scene.word_texts
-    ):
-        content += _word_ops(x0, y0, x1, y1, text, scene.page_height)
+    return scenes_to_pdf([scene])
+
+
+def scenes_to_pdf(scenes: List[SynthScene]) -> bytes:
+    """Render N scenes as one N-page PDF (one Page + Contents pair per
+    scene, shared font objects). Object numbering keeps the historical
+    single-page layout for N=1 (Catalog 1, Pages 2, Page 3, Contents 4,
+    Font, Descriptor), so ``scenes_to_pdf([s]) == scene_to_pdf(s)``
+    byte-for-byte — pinned in tests/test_conversation_pdf.py."""
+    n = len(scenes)
+    font_id = 3 + 2 * n
+    desc_id = font_id + 1
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n))
 
     objects: List[bytes] = []
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objects.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
-    objects.append(
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %.2f %.2f] "
-        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
-        % (scene.page_width, scene.page_height)
-    )
-    objects.append(
-        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
-    )
+    objects.append(b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n))
+    for i, scene in enumerate(scenes):
+        content = bytearray()
+        for (x0, y0, x1, y1), text in zip(
+            scene.word_boxes.tolist(), scene.word_texts
+        ):
+            content += _word_ops(x0, y0, x1, y1, text, scene.page_height)
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %.2f %.2f] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (scene.page_width, scene.page_height, font_id, 4 + 2 * i)
+        )
+        objects.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+        )
     widths = b" ".join(b"500" for _ in range(32, 127))
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthMono "
         b"/FirstChar 32 /LastChar 126 /Widths [%s] "
-        b"/FontDescriptor 6 0 R >>" % widths
+        b"/FontDescriptor %d 0 R >>" % (widths, desc_id)
     )
     objects.append(
         b"<< /Type /FontDescriptor /FontName /SynthMono /Flags 32 "
@@ -113,3 +127,10 @@ def scene_to_pdf(scene: SynthScene) -> bytes:
 def turn_pdf(conv_id: str, turn_idx: int) -> bytes:
     """The deterministic per-turn PDF payload."""
     return scene_to_pdf(synth_scene(conv_id, turn_idx))
+
+
+def conversation_pdf(conv_id: str, turn_idxs: List[int]) -> bytes:
+    """One multi-page PDF per conversation — page ``i`` is turn
+    ``turn_idxs[i]``'s scene (the reference's actual document shape:
+    BasePDFDocument = ordered page collection, S1/S2)."""
+    return scenes_to_pdf([synth_scene(conv_id, t) for t in turn_idxs])
