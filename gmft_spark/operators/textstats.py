@@ -781,12 +781,99 @@ BIGRAM_NLL_SQL = """
 """
 
 
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (the single-round vocabulary-induction
+    signal): top-20 adjacent word pairs by pointwise mutual information
+    over bigram positions — PMI = ln(c(a,b)·N / (c(a,·)·c(·,b))) — with a
+    min-count floor of 5. Each ln is fixed-pointed per distinct count
+    before the integer combination, so ranking is exact cross-engine
+    (ln of identical doubles, then pure integer arithmetic).
+
+    Scale shape: one bigram-count aggregation plus two marginal
+    aggregations OVER the (much smaller) bigram-count frame; N is a 1-row
+    broadcast; the top-20 is a TakeOrdered, never a global sort of the
+    pair space."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    docs2 = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = docs2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.get("toks", i - 1).alias("a"), F.get("toks", i).alias("b")
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    counts = bg.groupBy("a", "b").agg(F.count("*").alias("c"))
+    ca = counts.groupBy("a").agg(F.sum("c").alias("ca"))
+    cb = counts.groupBy("b").agg(F.sum("c").alias("cb"))
+    n = counts.agg(F.sum("c").alias("nb"))
+
+    def _lnfx(col):
+        return F.floor(F.log(col) * 1000000.0 + F.lit(0.5)).cast("long")
+
+    scored = (
+        counts.filter(F.col("c") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c",
+            (
+                _lnfx(F.col("c"))
+                + _lnfx(F.col("nb"))
+                - _lnfx(F.col("ca"))
+                - _lnfx(F.col("cb"))
+            ).alias("pmi_x1e6"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_x1e6").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
+
+
+COLLOCATIONS_SQL = """
+    WITH dt AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    d2 AS (SELECT doc_id, toks FROM dt WHERE len(toks) >= 2),
+    idx AS (
+        SELECT doc_id, toks,
+               CAST(unnest(range(1, len(toks))) AS INT) AS i
+        FROM d2
+    ),
+    bg AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM idx),
+    counts AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+    ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM counts GROUP BY a),
+    cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM counts GROUP BY b),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM counts)
+    SELECT k.a, k.b, CAST(k.c AS BIGINT) AS c,
+           CAST(floor(ln(k.c) * 1000000.0 + 0.5) AS BIGINT)
+           + CAST(floor(ln(n.nb) * 1000000.0 + 0.5) AS BIGINT)
+           - CAST(floor(ln(ca.ca) * 1000000.0 + 0.5) AS BIGINT)
+           - CAST(floor(ln(cb.cb) * 1000000.0 + 0.5) AS BIGINT) AS pmi_x1e6
+    FROM counts k
+    JOIN ca ON k.a = ca.a
+    JOIN cb ON k.b = cb.b, n
+    WHERE k.c >= 5
+    ORDER BY pmi_x1e6 DESC, k.a ASC, k.b ASC
+    LIMIT 20
+"""
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_quality_filter_adaptive": (quality_filter_adaptive, QUALITY_FILTER_SQL),
     "text_bigram_nll": (bigram_nll, BIGRAM_NLL_SQL),
+    "text_collocations_pmi": (collocations_pmi, COLLOCATIONS_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
