@@ -225,14 +225,29 @@ def _pipeline_pdf_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_spanning_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spanning/multi-header config parity: these scenes carry no spanning
-    predictions and a single header band, so the spanning machinery must
-    be a NO-OP — its output CSV hash-matches the default derivation (the
-    feature's distinctive behavior is pinned by the multi-header and
-    spanning goldens in tests/)."""
+    """Spanning config parity — the DISTINCTIVE F10/F11 behavior under
+    the gate: ~10% of scenes carry two named-draw hier-left spanning
+    cells over column 0, which the 'algorithm' fill mode (the default)
+    answers by forward-filling that column; the oracle
+    (scene_sql.SPANNING_ALGO_CSV_SQL) re-derives the filled CSV.
+    Multi-header stays enabled (single header band → same CSV shape)."""
     from gmft_spark.config import ExtractConfig
 
     cfg = ExtractConfig(semantic_spanning_cells=True, enable_multi_header=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    return _csv_projection(extract_tables(t, cfg))
+
+
+def _pipeline_spanning_deep_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep hier-left fill parity: each spanning window fills locally
+    (one empty cell takes the other row's value) instead of the
+    column-wide forward fill (scene_sql.SPANNING_DEEP_CSV_SQL)."""
+    from gmft_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(
+        semantic_spanning_cells=True,
+        semantic_hierarchical_left_fill="deep",
+    )
     t = transcripts_from_documents(spark, sf_dir)
     return _csv_projection(extract_tables(t, cfg))
 
@@ -552,7 +567,11 @@ def _oracled_pipelines():
         ),
         "spanning_extract_csv_parity": (
             _pipeline_spanning_csv,
-            scene_sql.EXTRACT_CSV_SQL,
+            scene_sql.SPANNING_ALGO_CSV_SQL,
+        ),
+        "spanning_deep_csv_parity": (
+            _pipeline_spanning_deep_csv,
+            scene_sql.SPANNING_DEEP_CSV_SQL,
         ),
         "histogram_extract_csv_parity": (
             _pipeline_histogram_csv,

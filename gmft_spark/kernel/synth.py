@@ -28,6 +28,7 @@ from gmft_spark.config import (
     LABEL_COLUMN_HEADER,
     LABEL_PROJECTED_ROW_HEADER,
     LABEL_ROW,
+    LABEL_SPANNING_CELL,
     LABEL_TABLE,
 )
 
@@ -322,6 +323,22 @@ def _make_table(
             LABEL_PROJECTED_ROW_HEADER,
             (0.0, pr * ROW_HEIGHT, width, (pr + 1) * ROW_HEIGHT),
         )
+    # two disjoint hierarchical-left spanning cells over column 0 (NAMED
+    # draws): under semantic_spanning_cells the 'algorithm' mode needs ≥2
+    # spans in a column to forward-fill it, and 'deep' mode fills each
+    # span locally — both oracled (scene_sql SPANNING_*_CSV_SQL). Inert
+    # in the default config (F1 partitions spanning cells out and nothing
+    # reads them). Rows 1-2 and [sp, sp+1] with sp ≥ 3 never overlap, so
+    # the hier-left NMS keeps both; sp+1 ≤ n_rows-1 stays clear of the
+    # droppable last row.
+    if n_rows >= 5 and _hrand(f"{tkey}|spq") < 0.1:
+        sp = _hint(f"{tkey}|spr", 3, n_rows - 1)
+        for a in (1, sp):
+            add(
+                0.95,
+                LABEL_SPANNING_CELL,
+                (0.0, a * ROW_HEIGHT, float(col_x[1]), (a + 2) * ROW_HEIGHT),
+            )
 
     return (
         SynthTable(

@@ -579,7 +579,11 @@ def _flags_ctes() -> str:
                CASE WHEN n_rows >= 4
                          AND {_hrand("tk || '|prq'")} < 0.15::DOUBLE
                     THEN 2 + {_hx("tk || '|prr'")} % (n_rows - 2)
-                    ELSE -1 END AS pr
+                    ELSE -1 END AS pr,
+               CASE WHEN n_rows >= 5
+                         AND {_hrand("tk || '|spq'")} < 0.1::DOUBLE
+                    THEN 3 + {_hx("tk || '|spr'")} % (n_rows - 4)
+                    ELSE -1 END AS sp
         FROM tbl
     ),
     surv AS (
@@ -659,6 +663,105 @@ CELLS_SQL = _flags_ctes() + """,
     WHERE s.cellstr <> '' AND d.degenerate = 0
     ORDER BY s.conv_id, s.turn_idx, table_id, row, col
 """
+
+
+def _build_spanning_csv_sql(mode: str) -> str:
+    """Full-CSV oracle for the spanning-cells config — the DISTINCTIVE
+    F10/F11 behavior under the gate, not a no-op check: the |spq/|spr
+    named draws place two disjoint hier-left spanning cells over column 0
+    (kernel/synth.py), and the oracle re-derives the fill:
+
+    * 'algorithm' (the default hier-left mode): two spans in column 0
+      trip the >= 2 count rule, so the WHOLE column forward-fills — each
+      surviving data row's col-0 cell becomes the last non-empty col-0
+      value at or above it (among surviving rows; rows before the first
+      value stay empty);
+    * 'deep': each span [a, a+1] fills locally — when both rows survive
+      and exactly one of the two col-0 cells is empty, it takes the other
+      row's value; any other state is a no-op (incl. a span row removed
+      as fully sparse: the surviving single-row window can never fill).
+
+    Null-row removal precedes the fill (kernel order), so survival uses
+    PRE-fill emptiness. Validated cell-for-cell at sf0.01 and sf0.1."""
+    if mode == "algorithm":
+        fill = """
+    fill AS (
+        SELECT c0.conv_id, c0.turn_idx, c0.t, c0.r,
+               coalesce(last_value(nullif(c0.c0, '') IGNORE NULLS) OVER (
+                   PARTITION BY c0.conv_id, c0.turn_idx, c0.t
+                   ORDER BY c0.r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), '') AS newc0
+        FROM c0
+        JOIN tflag d ON c0.conv_id = d.conv_id AND c0.turn_idx = d.turn_idx
+                     AND c0.t = d.t
+        WHERE d.sp >= 0 AND d.degenerate = 0
+    )"""
+    else:
+        fill = """
+    spans AS (
+        SELECT d.conv_id, d.turn_idx, d.t,
+               CASE g.k WHEN 0 THEN 1 ELSE d.sp END AS a
+        FROM tflag d, (VALUES (0), (1)) AS g(k)
+        WHERE d.sp >= 0 AND d.degenerate = 0
+    ),
+    fill AS (
+        SELECT s.conv_id, s.turn_idx, s.t,
+               CASE WHEN c1.c0 <> '' THEN s.a + 1 ELSE s.a END AS r,
+               CASE WHEN c1.c0 <> '' THEN c1.c0 ELSE c2.c0 END AS newc0
+        FROM spans s
+        JOIN c0 c1 ON c1.conv_id = s.conv_id AND c1.turn_idx = s.turn_idx
+                   AND c1.t = s.t AND c1.r = s.a
+        JOIN c0 c2 ON c2.conv_id = s.conv_id AND c2.turn_idx = s.turn_idx
+                   AND c2.t = s.t AND c2.r = s.a + 1
+        WHERE (c1.c0 <> '') <> (c2.c0 <> '')
+    )"""
+    return _flags_ctes() + f""",
+    c0 AS (
+        SELECT s.conv_id, s.turn_idx, s.t, s.r, cs.cellstr AS c0
+        FROM surv s
+        JOIN cstr cs ON cs.conv_id = s.conv_id AND cs.turn_idx = s.turn_idx
+                     AND cs.t = s.t AND cs.r = s.r AND cs.c = 0
+    ),{fill},
+    cstr2 AS (
+        SELECT cs.conv_id, cs.turn_idx, cs.t, cs.r, cs.c,
+               CASE WHEN cs.c = 0 AND f.newc0 IS NOT NULL THEN f.newc0
+                    ELSE cs.cellstr END AS cellstr
+        FROM cstr cs
+        LEFT JOIN fill f ON f.conv_id = cs.conv_id
+                         AND f.turn_idx = cs.turn_idx AND f.t = cs.t
+                         AND f.r = cs.r AND cs.c = 0
+    ),
+    crows2 AS (
+        SELECT conv_id, turn_idx, t, r,
+               string_agg(cellstr, ',' ORDER BY c) AS line
+        FROM cstr2
+        GROUP BY conv_id, turn_idx, t, r
+    ),
+    tbody2 AS (
+        SELECT c.conv_id, c.turn_idx, c.t,
+               string_agg(c.line, chr(10) ORDER BY c.r) AS body
+        FROM crows2 c
+        JOIN surv s ON s.conv_id = c.conv_id AND s.turn_idx = c.turn_idx
+                    AND s.t = c.t AND s.r = c.r
+        GROUP BY c.conv_id, c.turn_idx, c.t
+    )
+    SELECT d.conv_id, d.turn_idx, CAST(d.t AS INT) AS table_id,
+           CASE WHEN d.degenerate = 1 THEN 'error' ELSE 'ok' END AS status,
+           CASE WHEN d.degenerate = 1 THEN ''
+                ELSE h.line || chr(10) || coalesce(b.body || chr(10), '')
+           END AS csv
+    FROM tflag d
+    JOIN (SELECT conv_id, turn_idx, t, line FROM crows2 WHERE r = 0) h
+      ON d.conv_id = h.conv_id AND d.turn_idx = h.turn_idx AND d.t = h.t
+    LEFT JOIN tbody2 b
+      ON d.conv_id = b.conv_id AND d.turn_idx = b.turn_idx AND d.t = b.t
+    ORDER BY d.conv_id, d.turn_idx, table_id
+"""
+
+
+SPANNING_ALGO_CSV_SQL = _build_spanning_csv_sql("algorithm")
+SPANNING_DEEP_CSV_SQL = _build_spanning_csv_sql("deep")
 
 
 def _formatter_flags_sql(csv_sql: str) -> str:

@@ -94,15 +94,30 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.select(
         "doc_id",
         n_toks.alias("n_tokens"),
+        F.col("n_chars").alias("nc"),
+        n_stop.alias("ns"),
         F.round(F.col("n_chars") / n_toks, 6).alias("mean_tok_len"),
         F.round(n_stop / n_toks, 6).alias("stop_ratio"),
     )
-    score = (
-        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
-        + F.col("stop_ratio") * 0.3
-        + F.least(F.col("mean_tok_len") / 8.0, F.lit(1.0)) * 0.2
-    )
-    return feats.withColumn("quality", F.round(score, 6)).orderBy("doc_id")
+    # composite score in FIXED-POINT (×1e6) integer arithmetic: summing
+    # three rounded doubles flipped the 6th decimal on ~0.04% of docs at
+    # sf0.1 (last-ulp divergence between engines); each term is now an
+    # exact integer, so the sum is exact everywhere
+    t1 = F.least(F.col("n_tokens") * 5000, F.lit(500000)).cast("long")
+    t2 = F.floor(
+        F.col("ns") * 300000.0 / F.col("n_tokens") + F.lit(0.5)
+    ).cast("long")
+    t3 = F.least(
+        F.floor(F.col("nc") * 25000.0 / F.col("n_tokens") + F.lit(0.5)),
+        F.lit(200000),
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "stop_ratio",
+        ((t1 + t2 + t3) / 1000000.0).alias("quality"),
+    ).orderBy("doc_id")
 
 
 _ALL_STOP_SQL = ", ".join(
@@ -123,14 +138,18 @@ QUALITY_SQL = f"""
     feats AS (
         SELECT d.doc_id,
                a.n_tokens,
+               d.n_chars AS nc,
+               a.n_stop AS ns,
                round(CAST(d.n_chars AS DOUBLE) / a.n_tokens, 6) AS mean_tok_len,
                round(CAST(a.n_stop AS DOUBLE) / a.n_tokens, 6) AS stop_ratio
         FROM documents d JOIN agg a ON d.doc_id = a.doc_id
     )
+    -- fixed-point composite (exact integer terms; see the python twin)
     SELECT doc_id, n_tokens, mean_tok_len, stop_ratio,
-           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-                 + stop_ratio * 0.3
-                 + least(mean_tok_len / 8.0, 1.0) * 0.2, 6) AS quality
+           (CAST(least(n_tokens * 5000, 500000) AS BIGINT)
+            + CAST(floor(ns * 300000.0 / n_tokens + 0.5) AS BIGINT)
+            + CAST(least(floor(nc * 25000.0 / n_tokens + 0.5), 200000)
+                   AS BIGINT)) / 1000000.0 AS quality
     FROM feats
     ORDER BY doc_id
 """
