@@ -127,6 +127,32 @@ def _formatter_flags(extract_fn):
     return fn
 
 
+def _pipeline_spanning_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags parity under the spanning config: hier_left must become [0]
+    exactly on the tables whose named-draw spans fired (algorithm-mode
+    count rule); everything else matches the default flags derivation."""
+    from gmft_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(semantic_spanning_cells=True, enable_multi_header=True)
+    t = transcripts_from_documents(spark, sf_dir)
+    return (
+        extract_tables(t, cfg)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "table_id",
+            "status",
+            F.to_json("top_header").alias("top_header"),
+            F.to_json("projecting").alias("projecting"),
+            F.to_json("hier_left").alias("hier_left"),
+            F.to_json("outliers").alias("outliers"),
+            "n_rows",
+            "confidence",
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+    )
+
+
 def _pipeline_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-span parity: the `cells` column (res.grid as (row, col, text)
     spans) exploded to scalar rows vs scene_sql.CELLS_SQL — with this,
@@ -572,6 +598,10 @@ def _oracled_pipelines():
         "spanning_deep_csv_parity": (
             _pipeline_spanning_deep_csv,
             scene_sql.SPANNING_DEEP_CSV_SQL,
+        ),
+        "spanning_flags_parity": (
+            _pipeline_spanning_flags,
+            scene_sql.SPANNING_FLAGS_SQL,
         ),
         "histogram_extract_csv_parity": (
             _pipeline_histogram_csv,

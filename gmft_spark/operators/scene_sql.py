@@ -764,6 +764,20 @@ SPANNING_ALGO_CSV_SQL = _build_spanning_csv_sql("algorithm")
 SPANNING_DEEP_CSV_SQL = _build_spanning_csv_sql("deep")
 
 
+# Flags parity under the spanning config: identical to the default flags
+# derivation EXCEPT hier_left, which becomes [0] exactly when the two
+# named-draw spans fired (the 'algorithm' mode's c<3 & count>=2 rule on
+# column 0; empty otherwise — including degenerate tables, which never
+# get predictions). The fill itself never changes row survival (it runs
+# after null-row removal), so n_rows and the rest carry over.
+SPANNING_FLAGS_SQL = _build_extract_flags_sql().replace(
+    "'[]' AS hier_left,",
+    "CASE WHEN d.degenerate = 0 AND d.sp >= 0 THEN '[0]' ELSE '[]' END"
+    " AS hier_left,",
+)
+assert "d.sp >= 0" in SPANNING_FLAGS_SQL
+
+
 def _formatter_flags_sql(csv_sql: str) -> str:
     """Flags parity for the DITR/histogram formatter paths. Their flag
     columns are closed-form on these scenes (all-ok status, single header,
