@@ -75,6 +75,20 @@ def _bench_extract(spark, sf_dir):
     )
 
 
+def _bench_conversation_pdfs(spark, sf_dir):
+    """Document-shaped decode: one multi-page PDF per conversation,
+    written + parsed + extracted inside the batch (unit of work = a
+    document; repartition note as in _bench_detect)."""
+    from gmft_spark.operators.pdf_extract import (
+        extract_tables_from_conversation_pdfs,
+    )
+
+    cpus = spark.sparkContext.defaultParallelism
+    return extract_tables_from_conversation_pdfs(
+        transcripts_from_documents(spark, sf_dir).repartition(cpus * 4)
+    )
+
+
 HEADLINE = [
     ("f7_cell_assignment", relational.f7_cell_assignment),
     ("h3_divider_fill", relational.h3_divider_fill),
@@ -101,6 +115,7 @@ HEADLINE = [
     ("detect_pipeline", _bench_detect),
     ("tatr_extract_pipeline", _bench_extract),
     ("render_detect_pipeline", _bench_render),
+    ("pdf_conversation_pipeline", _bench_conversation_pdfs),
 ]
 
 
