@@ -1,0 +1,87 @@
+"""Training-data curation job entrypoint: transcripts with HTML payloads
+→ main-content extraction → scoring → fingerprint dedup → curated corpus
+with lineage (and optionally an Iceberg-style snapshot commit).
+
+Cluster deployment mirrors jobs/run_extraction.py:
+
+    zip -r gmft_spark.zip gmft_spark
+    spark-submit --master <cluster> --py-files gmft_spark.zip \\
+        jobs/run_curation.py \\
+        --input  s3://.../transcripts/  (parquet with conv_id, turn_idx, text) \\
+        --output s3://.../curated/ \\
+        --min-quality 0.3 --buckets 4096 --snapshot-table s3://.../corpus/
+
+Every stage is an operator with its own driver oracle or tests
+(operators/html_content.py, training_pipeline.py); this entrypoint wires
+resume/lineage/snapshot plumbing around them the way a production
+curation run deploys.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="transcript parquet dir")
+    parser.add_argument("--output", required=True, help="curated sink dir")
+    parser.add_argument("--min-quality", type=float, default=0.3)
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--snapshot-table", default=None)
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    builder = SparkSession.builder.appName("gmft-spark-curate")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from gmft_spark.operators.training_pipeline import curate
+    from gmft_spark.plans.lineage import resume_filter, write_results_with_lineage
+
+    transcripts = spark.read.parquet(args.input)
+    if args.resume:
+        transcripts = resume_filter(spark, transcripts, args.output, args.buckets)
+
+    n_input = transcripts.count()
+    if n_input == 0:
+        print("nothing to do: all buckets completed")
+        return 0
+
+    run_id = args.run_id or f"curate-{int(time.time())}"
+    curated = curate(transcripts, min_quality=args.min_quality).withColumn(
+        "status", F.lit("ok")  # lineage sink's ok/error accounting column
+    )
+    lineage = write_results_with_lineage(
+        spark, curated, args.output, n_buckets=args.buckets, run_id=run_id
+    )
+    stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
+    print(
+        f"run {run_id}: {n_input} turns in, {stats[0]} curated docs out "
+        f"({stats[1]} ok)"
+    )
+    if args.snapshot_table:
+        from gmft_spark.plans.snapshots import commit_append
+
+        sid = commit_append(
+            spark,
+            curated.withColumn("run_id", F.lit(run_id)),
+            args.snapshot_table,
+        )
+        print(f"snapshot {sid} committed to {args.snapshot_table}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

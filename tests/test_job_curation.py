@@ -1,0 +1,43 @@
+"""Curation job entrypoint: end-to-end run, dedup/quality effect,
+bucket-resume no-op, snapshot commit."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from gmft_spark.operators.html_content import synthesize_html_transcripts
+from gmft_spark.plans import snapshots as S
+
+
+def test_curation_job_end_to_end(spark, tmp_path, capsys):
+    import jobs.run_curation as J
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    tbl = str(tmp_path / "tbl")
+    synthesize_html_transcripts(spark, n_convs=20, turns_per_conv=5).write.parquet(src)
+
+    assert (
+        J.main(
+            ["--input", src, "--output", out, "--buckets", "8",
+             "--min-quality", "0.1", "--snapshot-table", tbl,
+             "--run-id", "t1"]
+        )
+        == 0
+    )
+    curated = spark.read.parquet(os.path.join(out, "results"))
+    assert curated.count() > 0
+    assert curated.filter(F.col("quality") < 0.1).count() == 0
+    # fingerprint dedup kept one representative per fingerprint
+    dup = curated.groupBy("fingerprint").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    # snapshot committed and readable
+    assert S.current_snapshot_id(tbl) == 1
+    assert S.read_table(spark, tbl).count() == curated.count()
+
+    # resume: all buckets complete -> clean no-op
+    assert (
+        J.main(["--input", src, "--output", out, "--buckets", "8", "--resume"])
+        == 0
+    )
+    assert "nothing to do" in capsys.readouterr().out
