@@ -738,6 +738,48 @@ F11_SQL = """
 """
 
 
+def f9_multiheader_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 multi-header column naming (structure.py:1056-1060): when more
+    than one header row survives, each column's name is the ' \\n'-joined
+    (space + literal backslash-n, the reference's exact separator)
+    concatenation of its NON-EMPTY header cells, top row first. Synthetic
+    two-header grid: 5 tables × 5 columns off the nation table; every
+    third second-row header cell is empty and must vanish from the join
+    (no dangling separator)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    g = n.select(
+        F.floor(F.col("n_nationkey") / 5).cast("int").alias("tbl"),
+        (F.col("n_nationkey") % 5).cast("int").alias("col"),
+        F.concat(
+            F.lit("col"), (F.col("n_nationkey") % 5).cast("string")
+        ).alias("h0"),
+        F.when(
+            F.col("n_nationkey") % 3 != 0, F.substring("n_name", 1, 4)
+        )
+        .otherwise(F.lit(""))
+        .alias("h1"),
+    )
+    name = F.when(
+        F.col("h1") != "",
+        F.concat(F.col("h0"), F.lit(" \\n"), F.col("h1")),
+    ).otherwise(F.col("h0"))
+    return g.select(
+        "tbl", "col", name.alias("column_name")
+    ).orderBy("tbl", "col")
+
+
+F9_MULTIHEADER_SQL = r"""
+    SELECT CAST(n_nationkey // 5 AS INT) AS tbl,
+           CAST(n_nationkey % 5 AS INT) AS col,
+           'col' || CAST(n_nationkey % 5 AS VARCHAR)
+           || CASE WHEN n_nationkey % 3 <> 0
+                   THEN ' \n' || substr(n_name, 1, 4)
+                   ELSE '' END AS column_name
+    FROM nation
+    ORDER BY tbl, col
+"""
+
+
 def histogram_formatter_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENTIRE histogram formatter (H1→H4,
     formatters/histogram.py:142-199) as one declarative plan: per-page
@@ -915,6 +957,7 @@ QUERIES = {
     "h1_sweep_gaps": (h1_sweep_gaps, H1_SQL),
     "h3_divider_fill": (h3_divider_fill, H3_SQL),
     "t3_interval_complement": (t3_interval_complement, T3_SQL),
+    "f9_multiheader_columns": (f9_multiheader_columns, F9_MULTIHEADER_SQL),
     "f11_forward_fill": (f11_forward_fill, F11_SQL),
     "histogram_formatter_relational": (
         histogram_formatter_relational,
