@@ -36,6 +36,30 @@ from gmft_spark.sources.pdfgen import scene_to_pdf
 from gmft_spark.sources.pdfparse import ParsedPDF
 
 
+# template for per-document decode failures (containment contract: a
+# corrupt byte-stream becomes error rows, never a dead task)
+_ERROR_ROW = {
+    "conv_id": None,
+    "turn_idx": 0,
+    "table_id": -1,
+    "status": "error",
+    "message": None,
+    "csv": None,
+    "n_rows": 0,
+    "n_cols": 0,
+    "columns": [],
+    "top_header": [],
+    "projecting": [],
+    "hier_left": [],
+    "outliers": {},
+    "table_text": None,
+    "caption_above": None,
+    "caption_below": None,
+    "confidence": 0.0,
+    "cells": [],
+}
+
+
 def extract_turn_from_pdf(
     conv_id: str,
     turn_idx: int,
@@ -64,24 +88,10 @@ def extract_turn_from_pdf(
     if n_pages == 0:  # corrupt payload → one error row, task survives
         return [
             {
+                **_ERROR_ROW,
                 "conv_id": conv_id,
                 "turn_idx": int(turn_idx),
-                "table_id": -1,
-                "status": "error",
                 "message": f"unparseable PDF payload ({decode_error})",
-                "csv": None,
-                "n_rows": 0,
-                "n_cols": 0,
-                "columns": [],
-                "top_header": [],
-                "projecting": [],
-                "hier_left": [],
-                "outliers": {},
-                "table_text": None,
-                "caption_above": None,
-                "caption_below": None,
-                "confidence": 0.0,
-                "cells": [],
             }
         ]
     word_boxes = np.array(
@@ -186,7 +196,9 @@ def extract_tables_from_pdfs(
 
 
 def extract_tables_from_conversation_pdfs(
-    transcripts: DataFrame, config: Optional[ExtractConfig] = None
+    transcripts: DataFrame,
+    config: Optional[ExtractConfig] = None,
+    pdf_fn=None,
 ) -> DataFrame:
     """Document-shaped payload path: ONE multi-page PDF per conversation
     (page i = turn i's scene — the reference's BasePDFDocument model),
@@ -206,6 +218,8 @@ def extract_tables_from_conversation_pdfs(
 
     from gmft_spark.sources.pdfgen import conversation_pdf
 
+    if pdf_fn is None:
+        pdf_fn = conversation_pdf  # injectable for corruption tests
     cfg = config or ExtractConfig()
     convs = transcripts.groupBy("conv_id").agg(
         F.sort_array(F.collect_list("turn_idx")).alias("turns")
@@ -216,8 +230,27 @@ def extract_tables_from_conversation_pdfs(
             rows = []
             for conv_id, turns in zip(batch["conv_id"], batch["turns"]):
                 turn_list = [int(t) for t in turns]
-                payload = conversation_pdf(conv_id, turn_list)
-                doc = ParsedPDF(payload)
+                payload = pdf_fn(conv_id, turn_list)
+                try:
+                    doc = ParsedPDF(payload)
+                    if len(doc) != len(turn_list):
+                        raise ValueError(
+                            f"page count {len(doc)} != turns {len(turn_list)}"
+                        )
+                except Exception as exc:  # corrupt document → one error
+                    # row per TURN (the document is the failure unit, but
+                    # downstream joins key on turns), task survives
+                    rows.extend(
+                        {
+                            **_ERROR_ROW,
+                            "conv_id": conv_id,
+                            "turn_idx": t,
+                            "message": "unparseable conversation PDF "
+                            f"({type(exc).__name__}: {exc})",
+                        }
+                        for t in turn_list
+                    )
+                    continue
                 for page_no, t in enumerate(turn_list):
                     words = doc.page_words(page_no)
                     word_boxes = np.array(

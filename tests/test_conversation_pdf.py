@@ -58,6 +58,34 @@ def test_conversation_path_equals_per_turn_path(spark):
     assert a == b
 
 
+def test_corrupt_conversation_pdf_becomes_error_rows(spark):
+    """A document that fails to parse (or loses pages) degrades to one
+    error row per turn — the task survives (containment contract)."""
+    from gmft_spark.kernel.synth import synth_scene
+    from gmft_spark.sources.pdfgen import scenes_to_pdf
+
+    def bad_pdf(conv_id, turn_idxs):
+        if conv_id.endswith("-0"):
+            return b"%PDF-1.4 truncated garbage"
+        if conv_id.endswith("-1"):
+            # parses, but with a missing page
+            return scenes_to_pdf(
+                [synth_scene(conv_id, t) for t in turn_idxs[:-1]]
+            )
+        return scenes_to_pdf([synth_scene(conv_id, t) for t in turn_idxs])
+
+    t = transcripts_from_documents(spark, SF_DIR)
+    out = extract_tables_from_conversation_pdfs(t, pdf_fn=bad_pdf)
+    bad = out.filter(out["conv_id"].endswith("-0") | out["conv_id"].endswith("-1"))
+    assert bad.count() > 0
+    assert {r["status"] for r in bad.collect()} == {"error"}
+    assert all(
+        "unparseable conversation PDF" in r["message"] for r in bad.collect()
+    )
+    good = out.filter(~(out["conv_id"].endswith("-0") | out["conv_id"].endswith("-1")))
+    assert good.filter(good["status"] == "ok").count() > 0
+
+
 def test_conversation_pdf_is_deterministic():
     assert conversation_pdf("conv-c", [0, 2]) == conversation_pdf(
         "conv-c", [0, 2]
