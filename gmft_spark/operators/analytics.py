@@ -389,6 +389,130 @@ RANGE_JOIN_SQL = """
 """
 
 
+PAGERANK_ITERS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event handoff graph — the canonical iterative
+    graph workload, bit-exact against an unrolled SQL twin. Graph: edge
+    src→dst whenever consecutive events (by event_id) belong to different
+    users, weighted by occurrence count. Ranks are FIXED-POINT (×1e6)
+    integers: each iteration distributes floor(rank·w/out_degree) along
+    edges (double division of exact ints — identical in both engines) and
+    damps with r' = 150000 + floor(0.85·Σcontrib + 0.5), so every rank is
+    an exact integer at every step. Dangling-node mass leaks (standard
+    simplification, documented).
+
+    Scale shape: the edge list aggregates once (one shuffle) and is
+    reused every round; each iteration is one join keyed on src (rank
+    frame × edges — sort-merge when both are web-scale, broadcast when
+    the rank frame fits) plus a map-side-combined contribution sum keyed
+    on dst. Rank frames localCheckpoint per round (CLAUDE.md iterative
+    plan-growth rule)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    nxt = e.select(
+        (F.col("event_id") - 1).alias("event_id"),
+        F.col("user_id").alias("dst"),
+    )
+    edges = (
+        e.select("event_id", F.col("user_id").alias("src"))
+        .join(nxt, "event_id")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("d"))
+    nodes = e.select("user_id").distinct()
+    ranks = nodes.select("user_id", F.lit(1000000).cast("long").alias("rx"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges["src"] == ranks["user_id"])
+            .select(
+                "dst",
+                F.floor(F.col("rx") * F.col("w") / F.col("d"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["user_id"] == contrib["dst"], "left")
+            .select(
+                "user_id",
+                (
+                    F.lit(150000)
+                    + F.floor(0.85 * F.coalesce(F.col("s"), F.lit(0)) + F.lit(0.5))
+                )
+                .cast("long")
+                .alias("rx"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(deg, ranks["user_id"] == deg["src"], "left")
+        .select(
+            "user_id",
+            F.col("rx").alias("rank_x1e6"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("out_weight"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        """
+    WITH e AS (SELECT event_id, user_id FROM events),
+    edges AS (
+        SELECT a.user_id AS src, b.user_id AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM e a
+        JOIN e b ON b.event_id = a.event_id + 1 AND a.user_id <> b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT user_id FROM e),
+    r0 AS (SELECT user_id, CAST(1000000 AS BIGINT) AS rx FROM nodes)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+        SELECT ed.dst,
+               CAST(sum(CAST(floor(r.rx * ed.w / dg.d) AS BIGINT)) AS BIGINT)
+                 AS s
+        FROM edges ed
+        JOIN deg dg ON ed.src = dg.src
+        JOIN r{i - 1} r ON r.user_id = ed.src
+        GROUP BY ed.dst
+    ),
+    r{i} AS (
+        SELECT n.user_id,
+               CAST(150000 + floor(0.85 * coalesce(c.s, 0) + 0.5) AS BIGINT)
+                 AS rx
+        FROM nodes n LEFT JOIN c{i} c ON n.user_id = c.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT r.user_id, r.rx AS rank_x1e6,
+           coalesce(dg.d, 0) AS out_weight
+    FROM r{PAGERANK_ITERS} r
+    LEFT JOIN deg dg ON r.user_id = dg.src
+    ORDER BY r.user_id
+"""
+    )
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
@@ -403,4 +527,5 @@ QUERIES = {
         range_join_clicks_before_errors,
         RANGE_JOIN_SQL,
     ),
+    "graph_pagerank": (graph_pagerank, PAGERANK_SQL),
 }
