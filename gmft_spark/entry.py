@@ -322,6 +322,16 @@ def _pipeline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_stats(transcripts_from_documents(spark, sf_dir))
 
 
+def _pipeline_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash bit plane of every rendered page (visual
+    near-dup signal) — 64 integer tile counts + bits per turn, value-
+    hashed against the clamped word-area re-derivation
+    (scene_sql.AHASH_SQL)."""
+    from gmft_spark.operators.render import page_ahash
+
+    return page_ahash(transcripts_from_documents(spark, sf_dir))
+
+
 def _pipeline_raster_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-input detection under the gate: render each turn's page,
     PNG-encode/decode, run the ink-run detector, and value-hash the
@@ -538,6 +548,7 @@ def _oracled_pipelines():
     return {
         "detect_pipeline": (_pipeline_detect, scene_sql.DETECT_SQL),
         "page_render_pipeline": (_pipeline_render, scene_sql.PAGE_RENDER_SQL),
+        "page_ahash_parity": (_pipeline_ahash, scene_sql.AHASH_SQL),
         "raster_detect_parity": (
             _pipeline_raster_detect,
             scene_sql.DETECT_RASTER_SQL,

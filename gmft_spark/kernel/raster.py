@@ -287,6 +287,25 @@ def ink_pixels(arr: np.ndarray, threshold: int = 128) -> int:
     return int((arr < threshold).sum())
 
 
+def block_ahash(arr: np.ndarray, blocks: int = 8):
+    """Perceptual average-hash bit plane: split the bitmap into
+    ``blocks × blocks`` integer-boundary tiles (tile b spans pixels
+    ``[b·dim // blocks, (b+1)·dim // blocks)``), count ink per tile, and
+    set a tile's bit when its ink count is STRICTLY above the page's mean
+    tile ink (``ink · n_tiles > total`` — pure integer comparison, so the
+    plane is exactly reproducible in SQL from the scene's clamped
+    word-area sums). Returns ``(ink_counts, bits)`` arrays of shape
+    (blocks, blocks)."""
+    h, w = arr.shape
+    mask = (arr < 128).astype(np.int64)
+    ys = [(b * h) // blocks for b in range(blocks)]
+    xs = [(b * w) // blocks for b in range(blocks)]
+    sums = np.add.reduceat(np.add.reduceat(mask, ys, axis=0), xs, axis=1)
+    total = int(sums.sum())
+    bits = (sums * (blocks * blocks) > total).astype(np.int64)
+    return sums, bits
+
+
 # ---------------------------------------------------------------------------
 # D3: crop / pad / resize / rotate on rasters (reference crops+pads table
 # regions from the page image before structure inference)

@@ -252,3 +252,61 @@ def render_stats(transcripts: DataFrame) -> DataFrame:
         .mapInPandas(run, schema=STATS_SCHEMA)
         .orderBy("conv_id", "turn_idx")
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("block_y", IntegerType()),
+        StructField("block_x", IntegerType()),
+        StructField("ink_px", LongType()),
+        StructField("bit", IntegerType()),
+    ]
+)
+
+
+def page_ahash(transcripts: DataFrame) -> DataFrame:
+    """Perceptual average-hash of each turn's rendered page — the visual
+    near-dup signal for image corpora: 64 rows per page (8×8 tile grid),
+    each carrying the tile's ink count and its hash bit (tile ink
+    strictly above the page's mean tile ink). Two visually-similar pages
+    differ in few bits (Hamming distance over the plane); identical
+    layouts collide exactly.
+
+    Narrow map over the scan (rasterize + integer tile sums per turn, no
+    PNG encode); the SQL twin (scene_sql.AHASH_SQL) re-derives every tile
+    count from the scene words' clamped pixel areas — valid because scene
+    word boxes never overlap at pixel resolution (the render-ink
+    tripwire, tests/test_raster.py)."""
+    from gmft_spark.kernel.raster import block_ahash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                scene = synth_scene(conv_id, int(turn_idx))
+                arr = render_words(
+                    scene.word_boxes, scene.page_width, scene.page_height
+                )
+                sums, bits = block_ahash(arr)
+                for by in range(8):
+                    for bx in range(8):
+                        rows.append(
+                            {
+                                "conv_id": conv_id,
+                                "turn_idx": int(turn_idx),
+                                "block_y": by,
+                                "block_x": bx,
+                                "ink_px": int(sums[by, bx]),
+                                "bit": int(bits[by, bx]),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (
+        transcripts.select("conv_id", "turn_idx")
+        .mapInPandas(run, schema=AHASH_SCHEMA)
+        .orderBy("conv_id", "turn_idx", "block_y", "block_x")
+    )

@@ -408,6 +408,45 @@ PAGE_RENDER_SQL = SCENE_CTES + """,
 """
 
 # ---------------------------------------------------------------------------
+# Perceptual average-hash oracle (operators/render.page_ahash): the 8×8
+# tile ink counts re-derived as clamped word-area sums intersected with the
+# integer tile boundaries (tile b spans pixels [b·dim//8, (b+1)·dim//8));
+# bit = tile ink · 64 strictly above the page total. Valid because scene
+# word boxes never overlap at pixel resolution (render-ink tripwire).
+# ---------------------------------------------------------------------------
+
+AHASH_SQL = SCENE_CTES + """,
+    blocks AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) b(i)
+    ),
+    tileink AS (
+        SELECT w.conv_id, w.turn_idx,
+               CAST(by.i AS INT) AS block_y, CAST(bx.i AS INT) AS block_x,
+               CAST(sum(
+                   greatest(0,
+                       least(CAST(ceil(w.px1) AS BIGINT), 612,
+                             ((bx.i + 1) * 612) // 8)
+                       - greatest(CAST(floor(w.px0) AS BIGINT), 0,
+                                  (bx.i * 612) // 8))
+                 * greatest(0,
+                       least(CAST(ceil(w.py1) AS BIGINT), 792,
+                             ((by.i + 1) * 792) // 8)
+                       - greatest(CAST(floor(w.py0) AS BIGINT), 0,
+                                  (by.i * 792) // 8))
+               ) AS BIGINT) AS ink_px
+        FROM words w, blocks bx, blocks by
+        GROUP BY w.conv_id, w.turn_idx, by.i, bx.i
+    )
+    SELECT conv_id, turn_idx, block_y, block_x, ink_px,
+           CAST(CASE WHEN ink_px * 64 >
+                          sum(ink_px) OVER (PARTITION BY conv_id, turn_idx)
+                     THEN 1 ELSE 0 END AS INT) AS bit
+    FROM tileink
+    ORDER BY conv_id, turn_idx, block_y, block_x
+"""
+
+
+# ---------------------------------------------------------------------------
 # Structure-recognition shape parity: the extraction pipeline's recovered
 # column structure and error routing against the scene's named draws.
 # status/message: degenerate prediction sets (the 2% |deg draw) error with

@@ -344,3 +344,26 @@ def test_projection_gaps_rejects_multichannel():
         from gmft_spark.kernel.raster import projection_gaps
 
         projection_gaps(np.zeros((4, 4, 3), dtype=np.uint8), axis=0)
+
+
+def test_block_ahash_boundaries_and_bits():
+    """Integer tile boundaries cover the whole canvas exactly (612 and
+    792 are not multiples of 8), tile counts sum to the page ink, and a
+    bit is set only strictly above the mean tile ink."""
+    import numpy as np
+
+    from gmft_spark.kernel.raster import block_ahash, ink_pixels
+
+    arr = np.full((792, 612), 255, dtype=np.uint8)
+    arr[0:100, 0:80] = 0  # one dark patch in the top-left tile region
+    sums, bits = block_ahash(arr)
+    assert sums.shape == (8, 8) and bits.shape == (8, 8)
+    assert int(sums.sum()) == ink_pixels(arr) == 100 * 80
+    assert bits.sum() >= 1 and bits[0, 0] == 1
+    # uniform page -> zero ink -> no bit can be strictly above the mean
+    z_sums, z_bits = block_ahash(np.full((792, 612), 255, dtype=np.uint8))
+    assert int(z_sums.sum()) == 0 and int(z_bits.sum()) == 0
+    # all-dark page: every tile equals the mean -> strictly-above = none
+    d_sums, d_bits = block_ahash(np.zeros((792, 612), dtype=np.uint8))
+    assert int(d_sums.sum()) == 792 * 612
+    assert int(d_bits.sum()) == 0 or int(d_bits.sum()) < 64  # unequal tiles
