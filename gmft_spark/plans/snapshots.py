@@ -190,15 +190,65 @@ def incremental_scan(
 ) -> DataFrame | None:
     """Rows appended AFTER ``since`` (exclusive) up to ``until``/HEAD
     (inclusive) — the append-only changelog an incremental consumer reads
-    instead of re-scanning the table. Returns None when there is no delta."""
-    new = set(_resolve_files(table_dir, until_snapshot_id)) - set(
-        _resolve_files(table_dir, since_snapshot_id)
+    instead of re-scanning the table. Returns None when there is no delta.
+
+    Only ``append`` snapshots contribute: a ``compact`` (rewrite) snapshot
+    adds files that contain OLD rows, so a naive file-set diff would
+    re-deliver data a consumer already processed — exactly why Iceberg's
+    incremental reads skip replace snapshots. Each append's delta is its
+    file list minus its parent's."""
+    until = (
+        until_snapshot_id
+        if until_snapshot_id is not None
+        else current_snapshot_id(table_dir)
     )
+    if until is None:
+        return None
+    new: list[str] = []
+    for s in snapshots(table_dir):
+        sid = int(s["snapshot_id"])
+        if since_snapshot_id < sid <= until and s["operation"] == "append":
+            parent = s["parent_id"]
+            prev = set(
+                load_snapshot(table_dir, parent)["files"] if parent else []
+            )
+            new.extend(p for p in s["files"] if p not in prev)
     if not new:
         return None
     return spark.read.parquet(
-        *[os.path.join(table_dir, p) for p in sorted(new)]
+        *[os.path.join(table_dir, p) for p in sorted(set(new))]
     )
+
+
+def compact(
+    spark: SparkSession, table_dir: str, target_partitions: int = 1
+) -> int:
+    """Rewrite the table's live files into ``target_partitions`` larger
+    files and commit the result as a ``compact`` snapshot — the
+    small-files maintenance every long-lived append table needs (each
+    micro-batch/ingest commit leaves small parquet files; scan cost
+    tracks file count). Readers see an atomic swap, time travel to
+    pre-compaction snapshots still works (old files stay until
+    ``expire_snapshots``), and incremental consumers skip the rewrite
+    (``incremental_scan`` reads only append deltas)."""
+    parent = current_snapshot_id(table_dir)
+    df = read_table(spark, table_dir)
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_uuid)
+    df.coalesce(target_partitions).write.mode("error").parquet(data_dir)
+    files = sorted(
+        os.path.join("data", commit_uuid, name)
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet")
+    )
+    snap = {
+        "snapshot_id": (parent or 0) + 1,
+        "parent_id": parent,
+        "operation": "compact",
+        "files": files,
+        "summary": {"total_files": len(files)},
+    }
+    return _publish(table_dir, snap, parent)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:

@@ -98,6 +98,28 @@ def test_expire_vacuums_unreferenced_files(spark, table):
     assert on_disk == live
 
 
+def test_compaction_preserves_rows_and_changelog_semantics(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    S.commit_append(spark, _batch(spark, [3]), table)
+    sid = S.compact(spark, table, target_partitions=1)
+    assert sid == 3
+    assert S.load_snapshot(table, 3)["operation"] == "compact"
+    # rows identical; file count down to 1
+    assert _ids(S.read_table(spark, table)) == [1, 2, 3]
+    assert len(S.load_snapshot(table, 3)["files"]) == 1
+    # time travel to pre-compaction still works
+    assert _ids(S.read_table(spark, table, snapshot_id=1)) == [1, 2]
+    # incremental consumers never re-see compacted rows...
+    assert S.incremental_scan(spark, table, since_snapshot_id=2) is None
+    # ...but still see genuine appends across the compaction
+    S.commit_append(spark, _batch(spark, [9]), table)
+    assert _ids(S.incremental_scan(spark, table, since_snapshot_id=2)) == [9]
+    assert _ids(S.incremental_scan(spark, table, since_snapshot_id=1)) == [3, 9]
+    # expiry vacuums the pre-compaction small files, reads stay intact
+    S.expire_snapshots(table, keep_last=2)
+    assert _ids(S.read_table(spark, table)) == [1, 2, 3, 9]
+
+
 def test_crash_orphan_commit_is_invisible_then_vacuumed(spark, table):
     S.commit_append(spark, _batch(spark, [1]), table)
     # simulate a writer that crashed after landing data, before publishing
