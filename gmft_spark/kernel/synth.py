@@ -293,17 +293,37 @@ def _make_table(
         else -1
     )
     dup_row = rng.randint(1, n_rows + 1) if rng.rand() < 0.25 else -1
+    # nms-burst: six FIXED-score duplicate row boxes (NAMED draw) — NMS
+    # removes all six, tripping the "nms removed rows" outlier past
+    # nms_warn_threshold=5, so the F12 channel is a function of the draws
+    # (scene_sql flags oracle). Fires only when the drop draw did NOT (a
+    # dup whose base band was dropped would become a band and change the
+    # grid) and rows 1..6 all exist; 6 stays under the large-table
+    # trigger (>= 8 removals). The Mersenne dup_row stays DRAWN (stream
+    # stability) but is not emitted in a burst table, keeping the removal
+    # count at exactly 6.
+    nms_burst = (
+        drop_row == -1 and n_rows >= 7 and _hrand(f"{tkey}|nmq") < 0.08
+    )
     for r in range(n_rows + 1):
         if r == drop_row:
             continue  # exercises gap fill
         y0 = r * ROW_HEIGHT + jit(0.3)
         y1 = (r + 1) * ROW_HEIGHT + jit(0.3)
         add(float(rng.uniform(0.85, 0.999)), LABEL_ROW, (jit(0.4), y0, width + jit(0.4), y1))
-        if r == dup_row:  # exercises NMS
+        if r == dup_row and not nms_burst:  # exercises NMS
             add(
                 float(rng.uniform(0.4, 0.8)),
                 LABEL_ROW,
                 (jit(0.4), y0 + jit(1.5), width + jit(0.4), y1 + jit(1.5)),
+            )
+    if nms_burst:
+        for r in range(1, 7):
+            y0 = r * ROW_HEIGHT
+            add(
+                0.5,
+                LABEL_ROW,
+                (0.0, y0 + 1.5, width, y0 + ROW_HEIGHT + 1.5),
             )
     for c in range(n_cols):
         add(

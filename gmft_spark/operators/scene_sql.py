@@ -622,7 +622,11 @@ def _flags_ctes() -> str:
                CASE WHEN n_rows >= 5
                          AND {_hrand("tk || '|spq'")} < 0.1::DOUBLE
                     THEN 3 + {_hx("tk || '|spr'")} % (n_rows - 4)
-                    ELSE -1 END AS sp
+                    ELSE -1 END AS sp,
+               CASE WHEN {_hrand("tk || '|dropq'")} >= 0.2::DOUBLE
+                         AND n_rows >= 7
+                         AND {_hrand("tk || '|nmq'")} < 0.08::DOUBLE
+                    THEN 1 ELSE 0 END AS nmb
         FROM tbl
     ),
     surv AS (
@@ -660,7 +664,9 @@ _FLAGS_SELECT = """,
                 THEN '[' || CAST(c.pr_rank AS VARCHAR) || ']'
                 ELSE '[]' END AS projecting,
            '[]' AS hier_left,
-           CASE WHEN d.degenerate = 1 OR s.rowtext IS NULL THEN '{}'
+           CASE WHEN d.degenerate = 1 THEN '{}'
+                WHEN d.nmb = 1 THEN '{"nms removed rows":"6"}'
+                WHEN s.rowtext IS NULL THEN '{}'
                 ELSE '{"skipped text":" ' || s.rowtext || '"}'
            END AS outliers,
            CAST(CASE WHEN d.degenerate = 1 THEN 0
