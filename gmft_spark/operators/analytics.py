@@ -389,6 +389,112 @@ RANGE_JOIN_SQL = """
 """
 
 
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: per user, the deepest
+    view → click → purchase stage reached, each step within ONE HOUR of
+    the previous stage's anchor (strictly increasing event time; the
+    anchor is the FIRST qualifying event in the window). Stage 0 = no
+    view, 3 = full conversion within both windows; the chosen
+    anchor event ids ride along so the whole path is value-checked, not
+    just the count.
+
+    Scale shape: three per-user aggregations (map-side combined) chained
+    by equi-joins on user_id — no window over the raw event stream and no
+    self-join of events against events; each stage joins the (much
+    smaller) per-user anchor frame back to one filtered scan."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("vts"),
+            F.min_by("event_id", "ts").alias("first_view_id"),
+        )
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.select("user_id", "vts"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("vts"))
+            & (F.col("ts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("cts"),
+            F.min_by("event_id", "ts").alias("first_click_id"),
+        )
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "cts"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("cts"))
+            & (F.col("ts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min_by("event_id", "ts").alias("first_purchase_id"))
+    )
+    users = e.select("user_id").distinct()
+    stage = (
+        F.when(F.col("first_purchase_id").isNotNull(), 3)
+        .when(F.col("first_click_id").isNotNull(), 2)
+        .when(F.col("first_view_id").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v.select("user_id", "first_view_id"), "user_id", "left")
+        .join(c.select("user_id", "first_click_id"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("int").alias("stage"),
+            "first_view_id",
+            "first_click_id",
+            "first_purchase_id",
+        )
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_SQL = """
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+    v AS (
+        SELECT user_id, min(ts) AS vts,
+               arg_min(event_id, ts) AS first_view_id
+        FROM e WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS cts,
+               arg_min(e.event_id, e.ts) AS first_click_id
+        FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.vts
+                   AND e.ts <= v.vts + INTERVAL 1 HOUR
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, arg_min(e.event_id, e.ts) AS first_purchase_id
+        FROM e JOIN c ON e.user_id = c.user_id AND e.ts > c.cts
+                   AND e.ts <= c.cts + INTERVAL 1 HOUR
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.first_purchase_id IS NOT NULL THEN 3
+                     WHEN c.first_click_id IS NOT NULL THEN 2
+                     WHEN v.first_view_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           v.first_view_id, c.first_click_id, p.first_purchase_id
+    FROM u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    ORDER BY u.user_id
+"""
+
+
 PAGERANK_ITERS = 3
 
 
@@ -528,4 +634,5 @@ QUERIES = {
         RANGE_JOIN_SQL,
     ),
     "graph_pagerank": (graph_pagerank, PAGERANK_SQL),
+    "window_funnel_stages": (funnel_stages, FUNNEL_SQL),
 }
