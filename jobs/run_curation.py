@@ -26,7 +26,14 @@ import time
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--input", required=True, help="transcript parquet dir")
+    parser.add_argument("--input", default=None, help="transcript parquet dir")
+    parser.add_argument(
+        "--input-snapshot-table",
+        default=None,
+        help="read transcripts from a snapshot table (plans/snapshots.py); "
+        "with --since-snapshot, curate only the appended delta",
+    )
+    parser.add_argument("--since-snapshot", type=int, default=None)
     parser.add_argument("--output", required=True, help="curated sink dir")
     parser.add_argument("--min-quality", type=float, default=0.3)
     parser.add_argument("--buckets", type=int, default=64)
@@ -50,7 +57,25 @@ def main(argv=None) -> int:
     from gmft_spark.operators.training_pipeline import curate
     from gmft_spark.plans.lineage import resume_filter, write_results_with_lineage
 
-    transcripts = spark.read.parquet(args.input)
+    if bool(args.input) == bool(args.input_snapshot_table):
+        parser.error("exactly one of --input / --input-snapshot-table")
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        from gmft_spark.plans.snapshots import incremental_scan, read_table
+
+        if args.since_snapshot is not None:
+            transcripts = incremental_scan(
+                spark, args.input_snapshot_table, args.since_snapshot
+            )
+            if transcripts is None:
+                print(
+                    "nothing to do: no new input since snapshot "
+                    f"{args.since_snapshot}"
+                )
+                return 0
+        else:
+            transcripts = read_table(spark, args.input_snapshot_table)
     if args.resume:
         transcripts = resume_filter(spark, transcripts, args.output, args.buckets)
 
