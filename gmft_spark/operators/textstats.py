@@ -886,6 +886,100 @@ COLLOCATIONS_SQL = """
 """
 
 
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row (small on purpose: collisions must occur at
+#             test scale so the estimate column actually exercises the
+#             min-over-rows bound, not just echo the exact count)
+CMS_TOPK = 20
+
+
+def _h32_col(col):
+    """First 8 hex chars of md5 as a 32-bit int (Spark twin of
+    kernel.synth._h32 / scene_sql._hxs)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the exact
+    top-K tokens — estimate next to truth so the sketch's one-sided error
+    is part of the checked output.
+
+    The sketch is the classic fixed-size mergeable frequency summary: d
+    hash rows × w buckets of counters; est(tok) = min_i cell[i][h_i(tok)],
+    always ≥ the true count. Hashes are md5-derived (kernel.synth._h32
+    convention) so DuckDB reproduces every bucket assignment bit-exactly.
+
+    Scale notes: the sketch build is ONE map-side-combinable groupBy on
+    (row, bucket) — d·w = 256 cells total regardless of vocabulary size,
+    so partial aggregation does essentially all the work and the shuffle
+    carries ≤ 256 rows per map task. Per-shard sketches merge by cell-wise
+    addition (the mergeable-sketch property), which is exactly what the
+    combiner does. The probe side broadcasts the 256-cell sketch. At
+    100 TB this replaces a full token-frequency shuffle wherever an
+    upper-bound frequency suffices (heavy-hitter gating, stopword
+    induction)."""
+    toks = _tokens(spark, sf_dir)
+    counts = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    probes = counts.select(
+        "tok",
+        "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+    ).withColumn(
+        "b",
+        _h32_col(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("tok")))
+        % CMS_W,
+    )
+    sketch = probes.groupBy("r", "b").agg(F.sum("exact_count").alias("cell"))
+    top = counts.orderBy(F.desc("exact_count"), F.asc("tok")).limit(CMS_TOPK)
+    est = (
+        top.join(probes.select("tok", "r", "b"), "tok")
+        .join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select("tok", "exact_count", "cms_estimate").orderBy(
+        F.desc("exact_count"), F.asc("tok")
+    )
+
+
+def _cms_sql() -> str:
+    from gmft_spark.operators.scene_sql import _hxs
+
+    h = _hxs("md5(CAST(r AS VARCHAR) || '|' || tok)")
+    bucket = f"({h} % {CMS_W})"
+    return f"""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    toks AS (SELECT tok FROM t WHERE tok <> ''),
+    counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+        FROM toks GROUP BY tok
+    ),
+    probes AS (
+        SELECT tok, exact_count, r, {bucket} AS b
+        FROM counts, (SELECT unnest([{", ".join(str(i) for i in range(CMS_D))}]) AS r)
+    ),
+    sketch AS (
+        SELECT r, b, CAST(sum(exact_count) AS BIGINT) AS cell
+        FROM probes GROUP BY r, b
+    ),
+    top AS (
+        SELECT tok, exact_count FROM counts
+        ORDER BY exact_count DESC, tok ASC LIMIT {CMS_TOPK}
+    )
+    SELECT top.tok, top.exact_count, min(s.cell) AS cms_estimate
+    FROM top
+    JOIN probes p ON top.tok = p.tok
+    JOIN sketch s ON s.r = p.r AND s.b = p.b
+    GROUP BY top.tok, top.exact_count
+    ORDER BY top.exact_count DESC, top.tok ASC
+"""
+
+
+CMS_SQL = _cms_sql()
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
@@ -897,6 +991,7 @@ QUERIES = {
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
+    "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "split_train_val_test": (split_train_val_test, SPLIT_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
