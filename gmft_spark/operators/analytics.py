@@ -619,6 +619,134 @@ def _pagerank_sql() -> str:
 PAGERANK_SQL = _pagerank_sql()
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected event handoff graph
+    (same edge derivation as graph_pagerank, direction dropped).
+
+    Uses the degree-ordered node-iterator (Schank–Wagner / "node-
+    iterator++"): orient every undirected edge from its lower-(degree,id)
+    endpoint to its higher one, enumerate wedges only at the lower-ranked
+    apex, and close them with an equi-join back onto the oriented edge
+    list. Orientation bounds each apex's wedge fan-out by its oriented
+    out-degree (O(sqrt(m)) on any graph), so the wedge join is O(m^1.5)
+    total work in equi-joins — no cartesian, no high-degree hub blowup,
+    which is what makes triangle counting survive a web-scale power-law
+    graph. All joins are keyed on node ids (sort-merge at scale; AQE
+    handles residual apex skew)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    nxt = e.select(
+        (F.col("event_id") - 1).alias("event_id"),
+        F.col("user_id").alias("dst"),
+    )
+    und = (
+        e.select("event_id", F.col("user_id").alias("src"))
+        .join(nxt, "event_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ornt = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("bd"),
+    )
+    x, y = ornt.alias("x"), ornt.alias("y")
+    wedges = (
+        x.join(y, F.col("x.a") == F.col("y.a"))
+        .filter(
+            (F.col("x.bd") < F.col("y.bd"))
+            | ((F.col("x.bd") == F.col("y.bd")) & (F.col("x.b") < F.col("y.b")))
+        )
+        .select(
+            F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c")
+        )
+    )
+    tri = wedges.join(
+        ornt.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TRIANGLES_SQL = """
+    WITH e AS (SELECT event_id, user_id FROM events),
+    und AS (
+        SELECT DISTINCT least(a.user_id, b.user_id) AS u,
+                        greatest(a.user_id, b.user_id) AS v
+        FROM e a
+        JOIN e b ON b.event_id = a.event_id + 1 AND a.user_id <> b.user_id
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        GROUP BY node
+    ),
+    ornt AS (
+        SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+                    THEN u ELSE v END AS a,
+               CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+                    THEN v ELSE u END AS b,
+               CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+                    THEN dv.deg ELSE du.deg END AS bd
+        FROM und
+        JOIN deg du ON du.node = und.u
+        JOIN deg dv ON dv.node = und.v
+    ),
+    wedges AS (
+        SELECT x.a, x.b, y.b AS c
+        FROM ornt x
+        JOIN ornt y ON x.a = y.a
+              AND ((x.bd < y.bd) OR (x.bd = y.bd AND x.b < y.b))
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN ornt o ON o.a = w.b AND o.b = w.c
+    ),
+    pn AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        )
+        GROUP BY node
+    )
+    SELECT d.node AS user_id, d.deg AS degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    ORDER BY user_id
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
@@ -634,5 +762,6 @@ QUERIES = {
         RANGE_JOIN_SQL,
     ),
     "graph_pagerank": (graph_pagerank, PAGERANK_SQL),
+    "graph_triangles": (graph_triangles, TRIANGLES_SQL),
     "window_funnel_stages": (funnel_stages, FUNNEL_SQL),
 }
