@@ -796,6 +796,122 @@ DUPLICATE_SPANS_SQL = f"""
 """
 
 
+BLOOM_M = 65536  # filter bits
+BLOOM_K = 3  # hash functions
+_EVAL_MOD = 7  # doc_id % 7 == 0 stands in for the held-out benchmark set
+
+
+def _bloom_bit(j: int, col):
+    """Bit position j-th hash of a shingle (kernel.synth._h32 convention:
+    first 8 md5 hex chars as a 32-bit int), mod the filter size."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8), 16, 10
+    ).cast("long")
+    return h % BLOOM_M
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter of eval-set shingles
+    (doc_id % 7 == 0 stands in for the held-out benchmark): a training
+    document is flagged when any of its 3-gram shingles has ALL k Bloom
+    bits set. The exact-membership count is emitted next to the Bloom
+    count so the filter's one-sided false-positive behavior is part of
+    the checked output (bloom ≥ exact always; equality when no FP fired).
+
+    Scale notes: the filter is a FIXED-SIZE bit set (m=4096 positions
+    here; sized m ≈ -n·ln(p)/ln(2)² for a real eval corpus) built by one
+    distinct over ≤ m rows and broadcast — the training corpus then
+    probes it with a narrow map + broadcast-hash-join, so decontaminating
+    100 TB never shuffles the corpus and never joins it against the eval
+    set directly. The exact-hit column is the verification channel only;
+    at scale it would be dropped (that join is what the Bloom replaces)."""
+    sh = _shingles(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    tr = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    bits = (
+        ev.select(
+            F.explode(
+                F.array(*[_bloom_bit(j, F.col("shingle")) for j in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probe = tr.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_bit(j, F.col("shingle")) for j in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    bloom_hits = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "shingle")
+        .agg((F.sum(F.coalesce("set_", F.lit(0))) == BLOOM_K).alias("bloom_hit"))
+    )
+    ev_set = ev.select("shingle").distinct().withColumn("in_eval", F.lit(1))
+    per_doc = (
+        bloom_hits.join(F.broadcast(ev_set), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_bloom_hits"),
+            F.sum(F.coalesce("in_eval", F.lit(0))).cast("long").alias("n_exact_hits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "n_exact_hits",
+        (F.col("n_bloom_hits") > 0).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+def _bloom_sql() -> str:
+    def bit(j: int) -> str:
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef',"
+            f" substr(md5('{j}|' || shingle), {1 + i}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        return f"(({terms}) % {BLOOM_M})"
+
+    bits_list = ", ".join(bit(j) for j in range(BLOOM_K))
+    return f"""
+    WITH shingles AS ({SHINGLES_SQL}),
+    ev AS (SELECT * FROM shingles WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT * FROM shingles WHERE doc_id % {_EVAL_MOD} <> 0),
+    bits AS (
+        SELECT DISTINCT unnest([{bits_list}]) AS bit FROM ev
+    ),
+    probe AS (
+        SELECT doc_id, shingle, unnest([{bits_list}]) AS bit FROM tr
+    ),
+    bloom_hits AS (
+        SELECT doc_id, shingle,
+               (count(b.bit) = {BLOOM_K}) AS bloom_hit
+        FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+        GROUP BY doc_id, shingle
+    ),
+    ev_set AS (SELECT DISTINCT shingle FROM ev)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_hits,
+           (sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) > 0) AS flagged
+    FROM bloom_hits h LEFT JOIN ev_set e ON h.shingle = e.shingle
+    GROUP BY h.doc_id
+    ORDER BY h.doc_id
+"""
+
+
+BLOOM_DECONTAMINATE_SQL = _bloom_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_span_exact": (duplicate_spans, DUPLICATE_SPANS_SQL),
@@ -807,4 +923,5 @@ QUERIES = {
     "dedup_ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (simhash, SIMHASH_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "dedup_bloom_decontaminate": (bloom_decontaminate, BLOOM_DECONTAMINATE_SQL),
 }
