@@ -1025,6 +1025,93 @@ ANN_PQ_SEARCH_SQL = _pq_sql_ctes() + """,
 """
 
 
+PQ_RERANK_CAND = 25  # ADC shortlist size feeding the exact stage
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: the ADC index shortlists PQ_RERANK_CAND
+    candidates (codes only — raw vectors never scanned), then the exact
+    fixed-point L2 re-ranks just those against the query. Output keeps
+    both distances so the oracle checks the quantization error the
+    re-rank corrects (adc vs exact ordering can and does differ).
+
+    Scale shape: stage 1 reads only the PQ code table (M bytes/vector vs
+    4·dim — the memory half of IVF-PQ) with a broadcast 64-entry distance
+    table; stage 2 is a fetch-by-id of |shortlist| raw vectors (a
+    broadcast-hash semi-join against the shortlist ids, never a corpus
+    scan) — the standard serving topology where recall is bought back
+    from the lossy quantizer for a constant extra cost."""
+    e = _emb(spark, sf_dir)
+    ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    cb = _pq_codebook(ef)
+    qsub = (
+        ef.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("sub"),
+                        F.slice(F.col("q"), j * PQ_D + 1, PQ_D).alias("qs"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.sub").alias("sub"), F.col("s.qs").alias("qs"))
+    )
+    dtab = qsub.join(cb, "sub").select(
+        "sub", "cid", _l2(F.col("qs"), F.col("c")).alias("qd")
+    )
+    codes = ann_pq_encode(spark, sf_dir).filter(F.col("vec_id") != 0)
+    shortlist = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cid"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(PQ_RERANK_CAND)
+    )
+    qvec = ef.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    exact = (
+        shortlist.join(ef, "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "adc", _l2(F.col("q"), F.col("qv")).alias("exact_d"))
+    )
+    return exact.orderBy(F.col("exact_d").asc(), F.col("vec_id").asc()).limit(10)
+
+
+ANN_PQ_RERANK_SQL = _pq_sql_ctes() + f""",
+    dtab AS (
+        SELECT s.sub, c.cid, sum((s.q - c.c) * (s.q - c.c)) AS qd
+        FROM sub s JOIN cb c ON s.sub = c.sub AND s.sdim = c.sdim
+        WHERE s.vec_id = 0
+        GROUP BY s.sub, c.cid
+    ),
+    shortlist AS (
+        SELECT k.vec_id, CAST(sum(t.qd) AS BIGINT) AS adc
+        FROM codes k JOIN dtab t ON k.sub = t.sub AND k.code = t.cid
+        WHERE k.vec_id <> 0
+        GROUP BY k.vec_id
+        ORDER BY adc ASC, vec_id ASC
+        LIMIT {PQ_RERANK_CAND}
+    ),
+    ex AS (
+        SELECT a.vec_id,
+               CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_d
+        FROM ef a
+        JOIN ef b ON a.dim = b.dim AND b.vec_id = 0
+        JOIN shortlist s ON s.vec_id = a.vec_id
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.adc, x.exact_d
+    FROM shortlist s JOIN ex x ON s.vec_id = x.vec_id
+    ORDER BY exact_d ASC, s.vec_id ASC
+    LIMIT 10
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
@@ -1032,6 +1119,7 @@ QUERIES = {
     "ann_kmeans_train": (ann_kmeans_train, KMEANS_SQL),
     "ann_pq_encode": (ann_pq_encode, ANN_PQ_ENCODE_SQL),
     "ann_pq_search": (ann_pq_search, ANN_PQ_SEARCH_SQL),
+    "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
     "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
     "ann_ivf_search_multiprobe": (
         ann_ivf_search_multiprobe,
