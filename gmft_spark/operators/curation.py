@@ -394,9 +394,150 @@ def _mix_sql() -> str:
 MIX_SQL = _mix_sql()
 
 
+BPE_MERGES = 8  # learned merge rules
+# Symbol sequences are encoded as individually-wrapped tokens
+# ("|a||b||c|"): a merge is then ONE literal replace of "|a||b|" with
+# "|ab|" — wrapped tokens never share characters, so leftmost
+# non-overlapping literal replace (identical semantics in Spark and
+# DuckDB, verified incl. the a==b run case) IS the greedy BPE merge
+# pass. Tokens never contain '|' (guarded by filter).
+
+
+def _bpe_wrap(tok_col):
+    return F.concat(
+        F.lit("|"), F.array_join(F.split(tok_col, ""), "||"), F.lit("|")
+    )
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """(a, b, c): adjacent-symbol pair counts weighted by word-type count."""
+    toks = F.split(
+        F.expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|"
+    ).alias("tk")
+    # filter BEFORE sequence(): F.sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty), and element_at(tk, 0) then errors
+    idx = words.select(toks, "cnt").filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("a"),
+                    F.element_at(F.col("tk"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return idx.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("cnt").alias("c")
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich-style): learn BPE_MERGES merge
+    rules over the corpus. Each round counts adjacent symbol pairs
+    weighted by word-type frequency, picks the max-count pair (ties →
+    lexicographic (a, b) ascending), and applies it greedily
+    left-to-right, non-overlapping, to every word. Output is the merge
+    table: (round, tok_a, tok_b, pair_count).
+
+    Scale notes: the corpus collapses ONCE to (word-type, count) — the
+    classic BPE-trainer reduction; every round after that is O(vocab),
+    not O(corpus): one map-side-combinable pair-count groupBy over word
+    types, a 1-row TakeOrdered argmax broadcast back via crossJoin, and
+    a narrow literal-replace map. The per-round word-type frame is
+    localCheckpointed (CLAUDE.md iterative plan-growth rule)."""
+    from gmft_spark.operators.textstats import _tokens
+
+    words = (
+        _tokens(spark, sf_dir)
+        .filter(~F.col("tok").contains("|"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(_bpe_wrap(F.col("tok")).alias("seq"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for r in range(1, BPE_MERGES + 1):
+        best = (
+            _bpe_pairs(words)
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.col("c").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best)
+        words = words.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit("|"), "tok_a", F.lit("||"), "tok_b", F.lit("|")),
+                F.concat(F.lit("|"), "tok_a", F.col("tok_b"), F.lit("|")),
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
+
+
+def _bpe_sql() -> str:
+    parts = [
+        """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    w0 AS (
+        SELECT '|' || array_to_string(string_split(tok, ''), '||') || '|'
+                 AS seq,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE tok <> '' AND NOT contains(tok, '|')
+        GROUP BY tok
+    )"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""",
+    t{r} AS (
+        SELECT string_split(trim(seq, '|'), '||') AS tk, cnt FROM w{r - 1}
+    ),
+    p{r} AS (
+        SELECT tk[i] AS a, tk[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (
+            SELECT tk, cnt, unnest(range(1, len(tk))) AS i
+            FROM t{r} WHERE len(tk) >= 2
+        )
+        GROUP BY tk[i], tk[i + 1]
+    ),
+    b{r} AS (
+        SELECT {r} AS round, a AS tok_a, b AS tok_b, c AS pair_count
+        FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{r} AS (
+        SELECT replace(seq, '|' || tok_a || '||' || tok_b || '|',
+                       '|' || tok_a || tok_b || '|') AS seq, cnt
+        FROM w{r - 1}, b{r}
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, BPE_MERGES + 1)
+    )
+    parts.append(f"\n    {sel}\n    ORDER BY round\n")
+    return "".join(parts)
+
+
+BPE_TRAIN_SQL = _bpe_sql()
+
+
 QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
+    "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
 }
