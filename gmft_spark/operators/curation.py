@@ -433,13 +433,12 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training (Sennrich-style): learn BPE_MERGES merge
-    rules over the corpus. Each round counts adjacent symbol pairs
-    weighted by word-type frequency, picks the max-count pair (ties →
-    lexicographic (a, b) ascending), and applies it greedily
-    left-to-right, non-overlapping, to every word. Output is the merge
-    table: (round, tok_a, tok_b, pair_count).
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """Shared trainer loop: returns (final word-type frame with columns
+    (tok, seq, cnt), list of 1-row merge frames). Each round counts
+    adjacent symbol pairs weighted by word-type frequency, picks the
+    max-count pair (ties → lexicographic (a, b) ascending), and applies
+    it greedily left-to-right, non-overlapping, to every word.
 
     Scale notes: the corpus collapses ONCE to (word-type, count) — the
     classic BPE-trainer reduction; every round after that is O(vocab),
@@ -454,7 +453,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("tok").contains("|"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
-        .select(_bpe_wrap(F.col("tok")).alias("seq"), "cnt")
+        .select("tok", _bpe_wrap(F.col("tok")).alias("seq"), "cnt")
         .localCheckpoint(eager=True)
     )
     merges = []
@@ -473,6 +472,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append(best)
         words = words.crossJoin(F.broadcast(best)).select(
+            "tok",
             F.replace(
                 F.col("seq"),
                 F.concat(F.lit("|"), "tok_a", F.lit("||"), "tok_b", F.lit("|")),
@@ -480,23 +480,66 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "cnt",
         ).localCheckpoint(eager=True)
+    return words, merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich-style): learn BPE_MERGES merge
+    rules over the corpus (see _bpe_run). Output is the merge table:
+    (round, tok_a, tok_b, pair_count)."""
+    _, merges = _bpe_run(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
 
 
-def _bpe_sql() -> str:
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table: per document, word count, character
+    count, and the BPE token count after all BPE_MERGES rules — the
+    train→apply half of the tokenizer (compression the merges bought is
+    n_chars vs n_bpe_tokens).
+
+    Scale notes: encoding joins the corpus token stream against the
+    word-type → segmentation table keyed on the word; tokenizer tables
+    are small by construction, so the join broadcasts (hot words are the
+    skew case and a broadcast join is immune to it). The corpus side is
+    a narrow map — no shuffle before the per-doc aggregation."""
+    from gmft_spark.operators.textstats import _tokens
+
+    words, _ = _bpe_run(spark, sf_dir)
+    n_syms = F.size(
+        F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|")
+    )
+    seg = words.select("tok", n_syms.cast("long").alias("n_syms"))
+    dtoks = _tokens(spark, sf_dir).filter(~F.col("tok").contains("|"))
+    return (
+        dtoks.join(F.broadcast(seg), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("tok")).alias("n_chars"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_sql_ctes() -> str:
+    """Shared unrolled trainer: dtoks (doc_id, tok), w0..wN word-type
+    frames (tok, seq, cnt), b1..bN 1-row best-pair frames."""
     parts = [
         """
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    WITH dtoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
     ),
     w0 AS (
-        SELECT '|' || array_to_string(string_split(tok, ''), '||') || '|'
+        SELECT tok,
+               '|' || array_to_string(string_split(tok, ''), '||') || '|'
                  AS seq,
                CAST(count(*) AS BIGINT) AS cnt
-        FROM toks WHERE tok <> '' AND NOT contains(tok, '|')
+        FROM dtoks WHERE tok <> '' AND NOT contains(tok, '|')
         GROUP BY tok
     )"""
     ]
@@ -519,19 +562,40 @@ def _bpe_sql() -> str:
         FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1
     ),
     w{r} AS (
-        SELECT replace(seq, '|' || tok_a || '||' || tok_b || '|',
+        SELECT tok,
+               replace(seq, '|' || tok_a || '||' || tok_b || '|',
                        '|' || tok_a || tok_b || '|') AS seq, cnt
         FROM w{r - 1}, b{r}
     )"""
         )
-    sel = " UNION ALL ".join(
-        f"SELECT * FROM b{r}" for r in range(1, BPE_MERGES + 1)
-    )
-    parts.append(f"\n    {sel}\n    ORDER BY round\n")
     return "".join(parts)
 
 
-BPE_TRAIN_SQL = _bpe_sql()
+def _bpe_train_sql() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, BPE_MERGES + 1)
+    )
+    return _bpe_sql_ctes() + f"\n    {sel}\n    ORDER BY round\n"
+
+
+def _bpe_encode_sql() -> str:
+    return (
+        _bpe_sql_ctes()
+        + f"""
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(d.tok)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(trim(w.seq, '|'), '||'))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM dtoks d JOIN w{BPE_MERGES} w ON d.tok = w.tok
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+"""
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 QUERIES = {
@@ -540,4 +604,5 @@ QUERIES = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
+    "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_SQL),
 }
