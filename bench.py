@@ -111,6 +111,10 @@ HEADLINE = [
     ("agg_pricing_summary", analytics.pricing_summary),
     ("join_revenue_by_nation", analytics.revenue_by_nation),
     ("window_sessionize_events", analytics.sessionize_events),
+    ("graph_triangles", analytics.graph_triangles),
+    ("dedup_bloom_decontaminate", dedup.bloom_decontaminate),
+    ("bpe_train_merges", curation.bpe_train_merges),
+    ("sketch_cms_heavy_hitters", textstats.sketch_cms_heavy_hitters),
     # oracle-checked pipeline paths (mapInPandas over the sf tables)
     ("detect_pipeline", _bench_detect),
     ("tatr_extract_pipeline", _bench_extract),

@@ -649,11 +649,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
+        # und feeds deg AND the orientation join; deg feeds both endpoint
+        # attaches and the output — materialize once instead of replaying
+        # the scan + consecutive-event join per branch (same rule as the
+        # connected-components rounds)
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     ed = (
         und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
@@ -666,7 +672,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("bd"),
-    )
+    ).localCheckpoint(eager=True)  # consumed 3×: both wedge sides + close
     x, y = ornt.alias("x"), ornt.alias("y")
     wedges = (
         x.join(y, F.col("x.a") == F.col("y.a"))

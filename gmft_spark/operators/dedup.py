@@ -826,7 +826,9 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set directly. The exact-hit column is the verification channel only;
     at scale it would be dropped (that join is what the Bloom replaces)."""
     sh = _shingles(spark, sf_dir)
-    ev = sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    # the eval side is small by definition and consumed twice (bit set +
+    # exact-membership set): materialize it once
+    ev = sh.filter(F.col("doc_id") % _EVAL_MOD == 0).localCheckpoint(eager=True)
     tr = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
     bits = (
         ev.select(

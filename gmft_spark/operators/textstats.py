@@ -919,7 +919,13 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper-bound frequency suffices (heavy-hitter gating, stopword
     induction)."""
     toks = _tokens(spark, sf_dir)
-    counts = toks.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        # feeds probes AND the exact top-k: materialize the corpus
+        # aggregation once rather than replaying the scan+shuffle
+        .localCheckpoint(eager=True)
+    )
     probes = counts.select(
         "tok",
         "exact_count",
@@ -928,7 +934,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         _h32_col(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("tok")))
         % CMS_W,
-    )
+    ).localCheckpoint(eager=True)  # feeds the sketch build AND the probe join
     sketch = probes.groupBy("r", "b").agg(F.sum("exact_count").alias("cell"))
     top = counts.orderBy(F.desc("exact_count"), F.asc("tok")).limit(CMS_TOPK)
     est = (

@@ -211,3 +211,63 @@ def test_adaptive_quality_threshold_windows_only_the_histogram(spark):
     assert "Window" in plan
     # the corpus reaches the threshold only through broadcast joins
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_single_pass(spark):
+    """The CMS build must be the fixed-size combinable aggregation: no
+    SortMergeJoin (the 256-cell sketch broadcasts to the probe side),
+    bounded exchanges (token counts materialize once, not per branch)."""
+    from gmft_spark.operators.textstats import sketch_cms_heavy_hitters
+
+    plan = _plan(sketch_cms_heavy_hitters(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 5
+
+
+def test_triangles_wedges_stay_equi_joins(spark):
+    """Degree-ordered triangle counting: no cartesian anywhere, and the
+    checkpointed edge/degree/orientation frames keep the plan at the
+    wedge join + close join + aggregations (the un-checkpointed form
+    replayed the consecutive-event derivation per branch: 39 exchanges)."""
+    from gmft_spark.operators.analytics import graph_triangles
+
+    plan = _plan(graph_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 8
+
+
+def test_bloom_filter_broadcasts_to_probe(spark):
+    """Decontamination must probe via broadcast: the corpus side never
+    shuffles against the eval set (no SortMergeJoin), the bit set and
+    the exact-membership set both arrive as BroadcastHashJoins."""
+    from gmft_spark.operators.dedup import bloom_decontaminate
+
+    plan = _plan(bloom_decontaminate(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_rerank_fetches_by_id(spark):
+    """Two-stage retrieval: the exact stage joins the shortlist ids back
+    to vectors via broadcast (fetch-by-id), never a corpus-wide
+    SortMergeJoin."""
+    from gmft_spark.operators.similarity import ann_pq_rerank
+
+    plan = _plan(ann_pq_rerank(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_bpe_encode_broadcasts_segmentation(spark):
+    """Corpus encoding joins tokens against the learned segmentation via
+    broadcast (tokenizer tables are small by construction; hot words are
+    the skew case and broadcast is immune to it)."""
+    from gmft_spark.operators.curation import bpe_encode_corpus
+
+    plan = _plan(bpe_encode_corpus(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 3

@@ -77,3 +77,57 @@ def test_stream_metrics_watermarked(spark, tmp_path):
     # spans it; just assert the sink schema landed and the query ran clean
     df = spark.read.parquet(out)
     assert {"window", "role", "n_turns"} <= set(df.columns)
+
+
+def test_watermark_drops_late_rows_across_drains(spark, tmp_path):
+    """Three availableNow drains against one checkpoint pin the actual
+    late-data contract: the watermark is carried in the checkpoint, a
+    row older than it is DROPPED from its (already closed) window, and
+    append mode emits a window exactly once. Drain 1 seeds window
+    [10:00,10:01) with 2 rows; drain 2 advances the watermark past the
+    window via a much later row; drain 3 delivers a late row for the
+    closed window — the emitted count must stay 2."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    src = str(tmp_path / "in4")
+    out = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+
+    def turn(ts, idx):
+        return Row(
+            conv_id="c0", turn_idx=idx, role="user", text="x", tool="",
+            ts=dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=ts),
+        )
+
+    def drain():
+        metrics = stream_turn_metrics(stream_transcripts(spark, src))
+        q = (
+            metrics.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from gmft_spark.streaming.pipeline import TRANSCRIPT_SCHEMA as sch
+
+    spark.createDataFrame([turn(5, 0), turn(30, 1)], sch).write.parquet(src)
+    drain()
+    # drain 2: a row 2h later pushes the watermark (10 min) far past the
+    # 10:00 window
+    spark.createDataFrame([turn(7200, 2)], sch).write.mode("append").parquet(src)
+    drain()
+    # drain 3: a LATE row inside the 10:00 window, now below the watermark
+    spark.createDataFrame([turn(40, 3)], sch).write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out)
+    w0 = got.filter(
+        F.col("window.start") == dt.datetime(2024, 1, 1, 10, 0, 0)
+    ).collect()
+    assert len(w0) == 1, f"window emitted {len(w0)} times"
+    assert w0[0]["n_turns"] == 2  # the late drain-3 row was dropped
