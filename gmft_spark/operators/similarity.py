@@ -1025,6 +1025,192 @@ ANN_PQ_SEARCH_SQL = _pq_sql_ctes() + """,
 """
 
 
+IVFPQ_QUERY = 20  # query vector id (not a centroid, not a codebook seed)
+
+
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (FAISS IndexIVFPQ shape): coarse-assign every vector to
+    its nearest of N_CENTROIDS coarse centroids by fixed-point L2, PQ-
+    encode the RESIDUAL (v − coarse centroid) against a shared residual
+    codebook (residuals of vec_ids 8..15, sliced per subspace), then
+    answer the query by probing ONLY its own coarse cell and scoring that
+    cell's codes against the query-residual distance table (ADC). Output:
+    top-10 (vec_id, centroid_id, adc).
+
+    Scale shape: the posting-list layout is the data partitioning — the
+    probe is a partition-pruned read, never a corpus scan; the residual
+    codebook and the 64-entry distance table broadcast; candidate
+    vectors are represented by PQ_M byte codes (the memory half). The
+    residual trick is what makes one shared codebook work across cells:
+    residual magnitudes are comparable everywhere, unlike raw positions.
+    All arithmetic is fixed-point integer (CLAUDE.md cross-engine
+    recipe), so the oracle reproduces every distance bit-exactly."""
+    e = _emb(spark, sf_dir)
+    ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    cents = ef.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("c")
+    )
+    assigned = (
+        ef.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "q",
+            F.struct(
+                _l2(F.col("q"), F.col("c")).alias("d"), F.col("cid").alias("cid")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("best"), F.first("q").alias("q"))
+        .select("vec_id", F.col("best.cid").alias("centroid_id"), "q")
+    )
+    resid = assigned.join(
+        F.broadcast(cents), assigned["centroid_id"] == cents["cid"]
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with("q", "c", lambda x, y: x - y).alias("r"),
+    ).localCheckpoint(eager=True)  # feeds codebook, encode AND the query
+    rsub = resid.select(
+        "vec_id",
+        "centroid_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("sub"),
+                    F.slice(F.col("r"), j * PQ_D + 1, PQ_D).alias("rs"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", "centroid_id", F.col("s.sub").alias("sub"), F.col("s.rs").alias("rs")
+    )
+    cb = rsub.filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < N_CENTROIDS + PQ_K)
+    ).select(
+        (F.col("vec_id") - N_CENTROIDS).cast("int").alias("code_id"),
+        "sub",
+        F.col("rs").alias("cbv"),
+    )
+    codes = (
+        rsub.filter(F.col("vec_id") != IVFPQ_QUERY)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "sub",
+            F.struct(
+                _l2(F.col("rs"), F.col("cbv")).alias("d"),
+                F.col("code_id").alias("code_id"),
+            ).alias("cand"),
+        )
+        .groupBy("vec_id", "centroid_id", "sub")
+        .agg(F.min("cand").alias("best"))
+        .select("vec_id", "centroid_id", "sub", F.col("best.code_id").alias("code"))
+    )
+    qcell = resid.filter(F.col("vec_id") == IVFPQ_QUERY).select(
+        F.col("centroid_id").alias("qcid")
+    )
+    dtab = (
+        rsub.filter(F.col("vec_id") == IVFPQ_QUERY)
+        .join(F.broadcast(cb), "sub")
+        .select("sub", "code_id", _l2(F.col("rs"), F.col("cbv")).alias("qd"))
+    )
+    return (
+        codes.join(F.broadcast(qcell), codes["centroid_id"] == qcell["qcid"])
+        .join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["code_id"]),
+        )
+        .groupBy("vec_id", "centroid_id")
+        .agg(F.sum("qd").cast("long").alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _ivfpq_sql() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ef AS (
+        SELECT vec_id,
+               CAST(floor(x * {_FP!r} + 0.5) AS BIGINT) AS q,
+               CAST(dim AS INT) - 1 AS dim
+        FROM (SELECT vec_id, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS dim
+              FROM e)
+    ),
+    cents AS (
+        SELECT CAST(vec_id AS INT) AS cid, dim, q AS c
+        FROM ef WHERE vec_id < {N_CENTROIDS}
+    ),
+    adist AS (
+        SELECT f.vec_id, c.cid, sum((f.q - c.c) * (f.q - c.c)) AS d
+        FROM ef f JOIN cents c ON f.dim = c.dim
+        GROUP BY f.vec_id, c.cid
+    ),
+    assign AS (
+        SELECT vec_id, cid AS centroid_id FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM adist
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT f.vec_id, a.centroid_id, f.dim, f.q - c.c AS r
+        FROM ef f
+        JOIN assign a ON f.vec_id = a.vec_id
+        JOIN cents c ON c.cid = a.centroid_id AND c.dim = f.dim
+    ),
+    rsub AS (
+        SELECT vec_id, centroid_id, CAST(dim // {PQ_D} AS INT) AS sub,
+               dim % {PQ_D} AS sdim, r
+        FROM resid
+    ),
+    cb AS (
+        SELECT CAST(vec_id - {N_CENTROIDS} AS INT) AS code_id, sub, sdim,
+               r AS cbv
+        FROM rsub
+        WHERE vec_id >= {N_CENTROIDS} AND vec_id < {N_CENTROIDS + PQ_K}
+    ),
+    cdist AS (
+        SELECT s.vec_id, s.centroid_id, s.sub, b.code_id,
+               sum((s.r - b.cbv) * (s.r - b.cbv)) AS d
+        FROM rsub s JOIN cb b ON s.sub = b.sub AND s.sdim = b.sdim
+        WHERE s.vec_id <> {IVFPQ_QUERY}
+        GROUP BY s.vec_id, s.centroid_id, s.sub, b.code_id
+    ),
+    codes AS (
+        SELECT vec_id, centroid_id, sub, code_id AS code FROM (
+            SELECT vec_id, centroid_id, sub, code_id, d,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d ASC, code_id ASC) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    ),
+    qcell AS (
+        SELECT centroid_id AS qcid FROM assign WHERE vec_id = {IVFPQ_QUERY}
+    ),
+    dtab AS (
+        SELECT s.sub, b.code_id, sum((s.r - b.cbv) * (s.r - b.cbv)) AS qd
+        FROM rsub s JOIN cb b ON s.sub = b.sub AND s.sdim = b.sdim
+        WHERE s.vec_id = {IVFPQ_QUERY}
+        GROUP BY s.sub, b.code_id
+    )
+    SELECT k.vec_id, k.centroid_id, CAST(sum(t.qd) AS BIGINT) AS adc
+    FROM codes k
+    JOIN qcell ON k.centroid_id = qcell.qcid
+    JOIN dtab t ON k.sub = t.sub AND k.code = t.code_id
+    GROUP BY k.vec_id, k.centroid_id
+    ORDER BY adc ASC, vec_id ASC
+    LIMIT 10
+"""
+
+
+ANN_IVFPQ_SQL = _ivfpq_sql()
+
+
 PQ_RERANK_CAND = 25  # ADC shortlist size feeding the exact stage
 
 
@@ -1120,6 +1306,7 @@ QUERIES = {
     "ann_pq_encode": (ann_pq_encode, ANN_PQ_ENCODE_SQL),
     "ann_pq_search": (ann_pq_search, ANN_PQ_SEARCH_SQL),
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
+    "ann_ivfpq_search": (ann_ivfpq_search, ANN_IVFPQ_SQL),
     "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
     "ann_ivf_search_multiprobe": (
         ann_ivf_search_multiprobe,
