@@ -271,3 +271,47 @@ def test_bpe_encode_broadcasts_segmentation(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 3
+
+
+def test_aqe_splits_the_skewed_join_partition(spark):
+    """The scale notes lean on 'AQE splits residual skew' — pin that the
+    engine configuration this repo ships actually does it: a join with a
+    90%-hot key must show SortMergeJoin(skew=true) in the final adaptive
+    plan once the hot partition crosses the (lowered) thresholds."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.sum(F.col("payload") + F.col("r")).alias("s"))
+        )
+        [row] = j.collect()
+        assert row["s"] == 80004120000  # correctness under the split
+        plan = _plan(j)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
