@@ -886,6 +886,73 @@ COLLOCATIONS_SQL = """
 """
 
 
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-dedup normalization (the CCNet/Gopher first
+    stage): lowercase, strip every character outside [a-z0-9 ], collapse
+    whitespace runs, trim. Runs over text that actually carries case and
+    punctuation (customer names like "Customer#000000001 MACHINERY") plus
+    an already-clean source (part names) so BOTH the changed and identity
+    paths are value-checked; ``documents`` text is pre-normalized by
+    construction and would make this a no-op.
+
+    The character class is explicit ASCII on purpose: Java regex and RE2
+    agree on it byte-for-byte (Unicode classes like \\p{{P}} do not agree
+    across engines — the same reason NFKC is out of scope here). Pure
+    narrow map over both scans, zero shuffles before the output sort."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").cast("long").alias("id"),
+        F.concat_ws(" ", "c_name", "c_mktsegment").alias("text"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_name").alias("text"),
+    )
+    d = cust.unionByName(part)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "src",
+        "id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+        (norm != F.col("text")).alias("changed"),
+    ).orderBy("src", "id")
+
+
+NORMALIZE_SQL = """
+    WITH src AS (
+        SELECT 'customer' AS src, CAST(c_custkey AS BIGINT) AS id,
+               c_name || ' ' || c_mktsegment AS text
+        FROM customer
+        UNION ALL
+        SELECT 'part' AS src, CAST(p_partkey AS BIGINT) AS id,
+               p_name AS text
+        FROM part
+    ),
+    n AS (
+        SELECT src, id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM src
+    )
+    SELECT src, id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(norm) AS BIGINT) AS n_norm_chars,
+           md5(norm) AS norm_hash,
+           (norm <> text) AS changed
+    FROM n
+    ORDER BY src, id
+"""
+
+
 CMS_D = 4  # hash rows
 CMS_W = 64  # buckets per row (small on purpose: collisions must occur at
 #             test scale so the estimate column actually exercises the
@@ -994,6 +1061,7 @@ QUERIES = {
     "text_bigram_nll": (bigram_nll, BIGRAM_NLL_SQL),
     "text_collocations_pmi": (collocations_pmi, COLLOCATIONS_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "text_normalize": (normalize_text, NORMALIZE_SQL),
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
