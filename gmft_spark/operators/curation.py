@@ -55,6 +55,52 @@ def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lines_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal (the within-page half of
+    CCNet's paragraph dedup; corpus-level is ``dedup_lines_corpus``):
+    keep only the FIRST occurrence of each line within a document,
+    reassemble in order. Output per doc: line counts before/after and
+    the md5 of the deduped text.
+
+    Scale shape: entirely array expressions on the scan — a document's
+    lines never leave their row, so this is a ZERO-shuffle narrow map at
+    any corpus size (the output sort is the only exchange). The dedup
+    rule is first-occurrence-wins via array_position (first match,
+    1-based — identical semantics to DuckDB list_position)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_lines = F.expr(
+        f"(size(filter(split(text, ' '), t -> t != '')) + {LINE_TOKENS - 1})"
+        f" DIV {LINE_TOKENS}"
+    )
+
+    def _line(i):
+        return F.array_join(
+            F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+        )
+
+    la = d.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n_lines - 1), _line).alias("lines"),
+    )
+    # the 2-param transform lambda receives the element INDEX — used
+    # intentionally here (the CLAUDE.md gotcha is about accidental use)
+    idx = F.transform(
+        F.col("lines"), lambda x, i: F.struct(x.alias("line"), i.alias("i"))
+    )
+    kept = F.filter(
+        idx,
+        lambda s: F.array_position(F.col("lines"), s["line"]) == s["i"] + 1,
+    )
+    kept_text = F.array_join(F.transform(kept, lambda s: s["line"]), "\n")
+    return la.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(kept_text).alias("kept_hash"),
+    ).orderBy("doc_id")
+
+
 def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup: drop every line whose
     doc-frequency across the corpus is >= BAN_DF (boilerplate), keep the
@@ -131,6 +177,29 @@ DEDUP_LINES_SQL = (
                             FILTER (WHERE b.line IS NULL), '')) AS BIGINT)
                AS kept_chars
     FROM lines l LEFT JOIN banned b USING (line)
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+"""
+)
+
+
+DEDUP_LINES_WITHIN_SQL = (
+    _LINES_CTE
+    + """,
+    firsts AS (
+        SELECT doc_id, line_no, line,
+               min(line_no) OVER (PARTITION BY doc_id, line) AS first_no
+        FROM lines
+    ),
+    kept AS (SELECT doc_id, line_no, line FROM firsts WHERE line_no = first_no)
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE k.line IS NOT NULL) AS BIGINT)
+             AS n_kept,
+           md5(string_agg(k.line, chr(10) ORDER BY l.line_no)
+               FILTER (WHERE k.line IS NOT NULL)) AS kept_hash
+    FROM lines l
+    LEFT JOIN kept k ON k.doc_id = l.doc_id AND k.line_no = l.line_no
     GROUP BY l.doc_id
     ORDER BY l.doc_id
 """
@@ -600,6 +669,7 @@ BPE_ENCODE_SQL = _bpe_encode_sql()
 
 QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
+    "dedup_lines_within_doc": (dedup_lines_within_doc, DEDUP_LINES_WITHIN_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
