@@ -1208,7 +1208,69 @@ def _ivfpq_sql() -> str:
 """
 
 
+def _ivfpq_ctes() -> str:
+    """The WITH-chain of _ivfpq_sql without the final SELECT, reusable by
+    the recall query."""
+    full = _ivfpq_sql()
+    return full[: full.rindex("    SELECT k.vec_id")]
+
+
 ANN_IVFPQ_SQL = _ivfpq_sql()
+
+
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ index against exact search — the quality
+    metric every ANN deployment tracks ("measure, don't guess"): how many
+    of the query's TRUE 10 nearest neighbors (exact fixed-point L2 over
+    the full corpus) survive both the coarse-cell restriction (nprobe=1
+    misses neighbors quantized into adjacent cells) and the lossy
+    residual codes. Output: (method, k, n_overlap) — the driver hash
+    pins the measured recall, so an index regression (wrong cell math,
+    broken codebook) fails the gate even when the top-10 still *looks*
+    plausible."""
+    e = _emb(spark, sf_dir)
+    ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    qv = ef.filter(F.col("vec_id") == IVFPQ_QUERY).select(F.col("q").alias("qv"))
+    exact = (
+        ef.filter(F.col("vec_id") != IVFPQ_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _l2(F.col("q"), F.col("qv")).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    approx = ann_ivfpq_search(spark, sf_dir).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.lit("ivfpq").alias("method"),
+        F.lit(10).cast("int").alias("k"),
+        F.count("*").alias("n_overlap"),
+    )
+
+
+ANN_RECALL_IVFPQ_SQL = (
+    lambda: _ivfpq_ctes()
+    + f""",
+    exact AS (
+        SELECT f.vec_id, sum((f.q - b.q) * (f.q - b.q)) AS d
+        FROM ef f JOIN ef b ON f.dim = b.dim AND b.vec_id = {IVFPQ_QUERY}
+        WHERE f.vec_id <> {IVFPQ_QUERY}
+        GROUP BY f.vec_id
+        ORDER BY d ASC, f.vec_id ASC
+        LIMIT 10
+    ),
+    approx AS (
+        SELECT k.vec_id
+        FROM codes k
+        JOIN qcell ON k.centroid_id = qcell.qcid
+        JOIN dtab t ON k.sub = t.sub AND k.code = t.code_id
+        GROUP BY k.vec_id, k.centroid_id
+        ORDER BY CAST(sum(t.qd) AS BIGINT) ASC, k.vec_id ASC
+        LIMIT 10
+    )
+    SELECT 'ivfpq' AS method, CAST(10 AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_overlap
+    FROM exact e JOIN approx a ON e.vec_id = a.vec_id
+"""
+)()
 
 
 PQ_RERANK_CAND = 25  # ADC shortlist size feeding the exact stage
@@ -1307,6 +1369,7 @@ QUERIES = {
     "ann_pq_search": (ann_pq_search, ANN_PQ_SEARCH_SQL),
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
     "ann_ivfpq_search": (ann_ivfpq_search, ANN_IVFPQ_SQL),
+    "ann_recall_ivfpq": (ann_recall_ivfpq, ANN_RECALL_IVFPQ_SQL),
     "ann_ivf_search": (ann_ivf_search, ANN_IVF_SEARCH_SQL),
     "ann_ivf_search_multiprobe": (
         ann_ivf_search_multiprobe,
