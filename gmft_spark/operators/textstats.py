@@ -902,7 +902,9 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.lit("customer").alias("src"),
         F.col("c_custkey").cast("long").alias("id"),
-        F.concat_ws(" ", "c_name", "c_mktsegment").alias("text"),
+        # F.concat (NULL-propagating) not concat_ws (NULL-skipping): the
+        # oracle's `||` propagates NULL, so the engines must agree on it
+        F.concat("c_name", F.lit(" "), "c_mktsegment").alias("text"),
     )
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.lit("part").alias("src"),
