@@ -498,6 +498,26 @@ FUNNEL_SQL = """
 PAGERANK_ITERS = 3
 
 
+def _handoff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) for every consecutive event pair (by event_id) whose
+    users differ — THE handoff-graph edge derivation. graph_pagerank and
+    graph_triangles both build on this so the graph definition (which
+    events form an edge) lives in exactly one place."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    nxt = e.select(
+        (F.col("event_id") - 1).alias("event_id"),
+        F.col("user_id").alias("dst"),
+    )
+    return (
+        e.select("event_id", F.col("user_id").alias("src"))
+        .join(nxt, "event_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event handoff graph — the canonical iterative
     graph workload, bit-exact against an unrolled SQL twin. Graph: edge
@@ -515,23 +535,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank frame fits) plus a map-side-combined contribution sum keyed
     on dst. Rank frames localCheckpoint per round (CLAUDE.md iterative
     plan-growth rule)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id"
-    )
-    nxt = e.select(
-        (F.col("event_id") - 1).alias("event_id"),
-        F.col("user_id").alias("dst"),
-    )
     edges = (
-        e.select("event_id", F.col("user_id").alias("src"))
-        .join(nxt, "event_id")
-        .filter(F.col("src") != F.col("dst"))
+        _handoff_pairs(spark, sf_dir)
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("d"))
-    nodes = e.select("user_id").distinct()
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+    )
     ranks = nodes.select("user_id", F.lit(1000000).cast("long").alias("rx"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
@@ -633,17 +648,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what makes triangle counting survive a web-scale power-law
     graph. All joins are keyed on node ids (sort-merge at scale; AQE
     handles residual apex skew)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id"
-    )
-    nxt = e.select(
-        (F.col("event_id") - 1).alias("event_id"),
-        F.col("user_id").alias("dst"),
-    )
     und = (
-        e.select("event_id", F.col("user_id").alias("src"))
-        .join(nxt, "event_id")
-        .filter(F.col("src") != F.col("dst"))
+        _handoff_pairs(spark, sf_dir)
         .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),

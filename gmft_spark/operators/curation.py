@@ -33,11 +33,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, line_no, line): consecutive LINE_TOKENS-token chunks of the
-    whitespace tokenization (last chunk may be short). Built as an array
-    expression on the scan — no shuffle to *form* lines."""
-    d = _docs(spark, sf_dir)
+def _lines_array():
+    """array<string> of consecutive LINE_TOKENS-token chunks of the
+    whitespace tokenization (last chunk may be short) — the single place
+    that defines what a "line" is. Empty/whitespace-only text yields an
+    EMPTY array: sequence(0, -1) is DESCENDING [0, -1], not empty (the
+    CLAUDE.md gotcha), so the zero-line case is guarded explicitly."""
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     n_lines = F.expr(
         f"(size(filter(split(text, ' '), t -> t != '')) + {LINE_TOKENS - 1})"
@@ -49,9 +50,17 @@ def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
         )
 
-    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), _line)
+    return F.when(
+        n_lines >= 1, F.transform(F.sequence(F.lit(0), n_lines - 1), _line)
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def _doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line_no, line): exploded _lines_array. Built as an array
+    expression on the scan — no shuffle to *form* lines."""
+    d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", F.posexplode(lines).alias("line_no", "line")
+        "doc_id", F.posexplode(_lines_array()).alias("line_no", "line")
     )
 
 
@@ -66,22 +75,12 @@ def dedup_lines_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines never leave their row, so this is a ZERO-shuffle narrow map at
     any corpus size (the output sort is the only exchange). The dedup
     rule is first-occurrence-wins via array_position (first match,
-    1-based — identical semantics to DuckDB list_position)."""
+    1-based — identical semantics to DuckDB list_position). Docs with
+    zero lines are absent from the output, matching the oracle (which
+    groups over the lines CTE and so never sees them)."""
     d = _docs(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    n_lines = F.expr(
-        f"(size(filter(split(text, ' '), t -> t != '')) + {LINE_TOKENS - 1})"
-        f" DIV {LINE_TOKENS}"
-    )
-
-    def _line(i):
-        return F.array_join(
-            F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
-        )
-
-    la = d.select(
-        "doc_id",
-        F.transform(F.sequence(F.lit(0), n_lines - 1), _line).alias("lines"),
+    la = d.select("doc_id", _lines_array().alias("lines")).filter(
+        F.size("lines") > 0
     )
     # the 2-param transform lambda receives the element INDEX — used
     # intentionally here (the CLAUDE.md gotcha is about accidental use)
@@ -540,12 +539,22 @@ def _bpe_run(spark: SparkSession, sf_dir: str):
             .localCheckpoint(eager=True)
         )
         merges.append(best)
-        words = words.crossJoin(F.broadcast(best)).select(
+        # LEFT join on TRUE, not crossJoin: if the pair supply is
+        # exhausted (no word type has >= 2 symbols left) `best` is 0
+        # rows and a cross join would annihilate the word-type table;
+        # the left join keeps every word and coalesce makes the round a
+        # no-op (replace() of a NULL pattern is NULL in both engines).
+        words = words.join(F.broadcast(best), F.lit(True), "left").select(
             "tok",
-            F.replace(
+            F.coalesce(
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit("|"), "tok_a", F.lit("||"), "tok_b", F.lit("|")
+                    ),
+                    F.concat(F.lit("|"), "tok_a", F.col("tok_b"), F.lit("|")),
+                ),
                 F.col("seq"),
-                F.concat(F.lit("|"), "tok_a", F.lit("||"), "tok_b", F.lit("|")),
-                F.concat(F.lit("|"), "tok_a", F.col("tok_b"), F.lit("|")),
             ).alias("seq"),
             "cnt",
         ).localCheckpoint(eager=True)
@@ -631,10 +640,13 @@ def _bpe_sql_ctes() -> str:
         FROM p{r} ORDER BY c DESC, a ASC, b ASC LIMIT 1
     ),
     w{r} AS (
+        -- LEFT JOIN ON TRUE + coalesce: exhausted pair supply (empty
+        -- b{r}) must be a no-op round, not annihilate the word table
         SELECT tok,
-               replace(seq, '|' || tok_a || '||' || tok_b || '|',
-                       '|' || tok_a || tok_b || '|') AS seq, cnt
-        FROM w{r - 1}, b{r}
+               coalesce(replace(seq, '|' || tok_a || '||' || tok_b || '|',
+                                '|' || tok_a || tok_b || '|'), seq) AS seq,
+               cnt
+        FROM w{r - 1} LEFT JOIN b{r} ON TRUE
     )"""
         )
     return "".join(parts)

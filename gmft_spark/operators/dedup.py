@@ -802,12 +802,11 @@ _EVAL_MOD = 7  # doc_id % 7 == 0 stands in for the held-out benchmark set
 
 
 def _bloom_bit(j: int, col):
-    """Bit position j-th hash of a shingle (kernel.synth._h32 convention:
-    first 8 md5 hex chars as a 32-bit int), mod the filter size."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8), 16, 10
-    ).cast("long")
-    return h % BLOOM_M
+    """Bit position j-th hash of a shingle (kernel.synth._h32 convention,
+    shared via textstats._h32_col), mod the filter size."""
+    from gmft_spark.operators.textstats import _h32_col
+
+    return _h32_col(F.concat(F.lit(f"{j}|"), col)) % BLOOM_M
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,7 +817,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     count so the filter's one-sided false-positive behavior is part of
     the checked output (bloom ≥ exact always; equality when no FP fired).
 
-    Scale notes: the filter is a FIXED-SIZE bit set (m=4096 positions
+    Scale notes: the filter is a FIXED-SIZE bit set (m=65536 positions
     here; sized m ≈ -n·ln(p)/ln(2)² for a real eval corpus) built by one
     distinct over ≤ m rows and broadcast — the training corpus then
     probes it with a narrow map + broadcast-hash-join, so decontaminating
@@ -871,14 +870,11 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_sql() -> str:
+    from gmft_spark.operators.scene_sql import _hxs
+
     def bit(j: int) -> str:
-        terms = " + ".join(
-            f"(strpos('0123456789abcdef',"
-            f" substr(md5('{j}|' || shingle), {1 + i}, 1)) - 1)"
-            f" * {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        return f"(({terms}) % {BLOOM_M})"
+        hexed = f"md5('{j}|' || shingle)"
+        return f"(({_hxs(hexed)}) % {BLOOM_M})"
 
     bits_list = ", ".join(bit(j) for j in range(BLOOM_K))
     return f"""

@@ -1129,7 +1129,9 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_ctes() -> str:
+    """The IVF-PQ WITH-chain (ef/cents/assign/resid/cb/codes/qcell/dtab),
+    shared by the search query and the recall query."""
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     ef AS (
@@ -1198,24 +1200,24 @@ def _ivfpq_sql() -> str:
         WHERE s.vec_id = {IVFPQ_QUERY}
         GROUP BY s.sub, b.code_id
     )
-    SELECT k.vec_id, k.centroid_id, CAST(sum(t.qd) AS BIGINT) AS adc
+"""
+
+
+# The ADC ranking SELECT — the search query's tail AND the recall
+# query's `approx` CTE body, shared so a change to the index's ranking
+# (tie-break, shortlist size) cannot silently diverge between the
+# shipped search and the recall metric that measures it.
+_IVFPQ_RANK = """SELECT k.vec_id, k.centroid_id,
+           CAST(sum(t.qd) AS BIGINT) AS adc
     FROM codes k
     JOIN qcell ON k.centroid_id = qcell.qcid
     JOIN dtab t ON k.sub = t.sub AND k.code = t.code_id
     GROUP BY k.vec_id, k.centroid_id
     ORDER BY adc ASC, vec_id ASC
-    LIMIT 10
-"""
+    LIMIT 10"""
 
 
-def _ivfpq_ctes() -> str:
-    """The WITH-chain of _ivfpq_sql without the final SELECT, reusable by
-    the recall query."""
-    full = _ivfpq_sql()
-    return full[: full.rindex("    SELECT k.vec_id")]
-
-
-ANN_IVFPQ_SQL = _ivfpq_sql()
+ANN_IVFPQ_SQL = _ivfpq_ctes() + "    " + _IVFPQ_RANK + "\n"
 
 
 def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,7 +1249,7 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_RECALL_IVFPQ_SQL = (
-    lambda: _ivfpq_ctes()
+    _ivfpq_ctes()
     + f""",
     exact AS (
         SELECT f.vec_id, sum((f.q - b.q) * (f.q - b.q)) AS d
@@ -1258,19 +1260,13 @@ ANN_RECALL_IVFPQ_SQL = (
         LIMIT 10
     ),
     approx AS (
-        SELECT k.vec_id
-        FROM codes k
-        JOIN qcell ON k.centroid_id = qcell.qcid
-        JOIN dtab t ON k.sub = t.sub AND k.code = t.code_id
-        GROUP BY k.vec_id, k.centroid_id
-        ORDER BY CAST(sum(t.qd) AS BIGINT) ASC, k.vec_id ASC
-        LIMIT 10
+        {_IVFPQ_RANK}
     )
     SELECT 'ivfpq' AS method, CAST(10 AS INT) AS k,
            CAST(count(*) AS BIGINT) AS n_overlap
     FROM exact e JOIN approx a ON e.vec_id = a.vec_id
 """
-)()
+)
 
 
 PQ_RERANK_CAND = 25  # ADC shortlist size feeding the exact stage

@@ -1,0 +1,65 @@
+"""Edge cases in the curation operators found by review: empty documents
+must not grow phantom lines (sequence(0, -1) is descending, not empty),
+and a BPE round with an exhausted pair supply must be a no-op rather
+than annihilate the word-type table through an empty cross join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmft_spark.operators import curation
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_empty_doc_has_zero_lines(spark):
+    df = spark.createDataFrame(
+        [("a b c a b c",), ("",), ("   ",)], "text string"
+    )
+    sizes = [
+        r["n"]
+        for r in df.select(
+            F.size(curation._lines_array()).alias("n")
+        ).collect()
+    ]
+    assert sizes == [2, 0, 0]
+
+
+def test_empty_doc_absent_from_line_dedup(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c a b c", "en", "src00", 11),
+            (2, "", "en", "src01", 0),
+            (3, "   ", "en", "src02", 3),
+        ],
+    )
+    within = curation.dedup_lines_within_doc(spark, sf).collect()
+    assert [r["doc_id"] for r in within] == [1]
+    assert within[0]["n_lines"] == 2 and within[0]["n_kept"] == 1
+    corpus = curation.dedup_lines_corpus(spark, sf).collect()
+    assert [r["doc_id"] for r in corpus] == [1]
+
+
+def test_bpe_exhausted_pairs_is_noop(spark, tmp_path):
+    # every word type is a single symbol -> zero pairs from round 1 on
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a b c", "en", "src00", 5), (2, "b c a", "en", "src01", 5)],
+    )
+    merges = curation.bpe_train_merges(spark, sf).collect()
+    assert merges == []  # no learnable pair -> no merge rows, no crash
+    enc = curation.bpe_encode_corpus(spark, sf).orderBy("doc_id").collect()
+    # the word table must survive the empty rounds: both docs encoded,
+    # every 1-char token stays 1 BPE symbol
+    assert [r["doc_id"] for r in enc] == [1, 2]
+    assert all(r["n_bpe_tokens"] == r["n_words"] == 3 for r in enc)
