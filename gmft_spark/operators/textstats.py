@@ -1055,6 +1055,130 @@ def _cms_sql() -> str:
 CMS_SQL = _cms_sql()
 
 
+# BM25 retrieval (Robertson/Okapi): the standard ranked-retrieval scorer
+# a curation stack uses to pull topical slices out of a corpus (tfidf
+# above is the per-doc keyword view; this is the query→corpus view).
+BM25_TERMS = ["hash", "join", "stream", "batch"]  # fixed demo query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed term query. Per matched
+    (doc, term): idf·tf-saturation with doc-length normalization,
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Robertson-Sparck-Jones
+    form, always positive), tf_norm = tf·(k1+1)/(tf + k1·(1 − b +
+    b·dl/avgdl)). Each per-term score is FIXED-POINTED (floor(x·1e6+0.5))
+    before the per-doc sum (CLAUDE.md cross-engine recipe: never sum raw
+    doubles under groupBy), and the final rank breaks ties doc_id
+    ascending.
+
+    Scale shape: the inverted-index topology — the corpus tokenizes once;
+    the tf aggregation is PRE-FILTERED to the query terms (predicate
+    reaches the scan side of the shuffle, so the shuffle carries only
+    matching postings, not the corpus); df and the corpus stats are tiny
+    1-row/4-row broadcasts; dl joins on doc_id (sort-merge at corpus
+    scale); the final TakeOrdered(k) never materializes a global sort."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_toks_expr = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    )
+    stats = _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks_expr).alias("tot"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    avgdl = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tf_norm * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("s_fp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("s_fp").alias("bm25_fp"),
+        )
+        .orderBy(F.col("bm25_fp").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk
+           GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS tot
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+           WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+    dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+            GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(floor(
+                   ln(1.0::DOUBLE + (s.n_docs - q.df + 0.5::DOUBLE)
+                                    / (q.df + 0.5::DOUBLE))
+                   * ((t.tf * {BM25_K1 + 1.0}::DOUBLE)
+                      / (t.tf + {BM25_K1}::DOUBLE
+                         * ({1.0 - BM25_B}::DOUBLE
+                            + {BM25_B}::DOUBLE * l.dl
+                              / (CAST(s.tot AS DOUBLE)
+                                 / CAST(s.n_docs AS DOUBLE)))))
+                   * 1000000.0::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS s_fp
+        FROM tf t
+        JOIN dfq q USING (tok)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(s_fp) AS BIGINT) AS bm25_fp
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25_fp DESC, doc_id ASC
+    LIMIT {BM25_TOPK}
+"""
+
+
+BM25_SQL = _bm25_sql()
+
+
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
@@ -1070,5 +1194,6 @@ QUERIES = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "split_train_val_test": (split_train_val_test, SPLIT_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "text_bm25_topk": (bm25_topk, BM25_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
 }
