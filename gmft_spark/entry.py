@@ -25,6 +25,7 @@ from gmft_spark.operators import (
     relational,
     similarity,
     textstats,
+    toolcalls,
 )
 from gmft_spark.operators.extract import (
     assemble_pages,
@@ -35,7 +36,15 @@ from gmft_spark.operators.extract import (
 from gmft_spark.plans.skew import assemble_conversation_text
 from gmft_spark.sources.transcripts import transcripts_from_documents
 
-_ORACLE_MODULES = (relational, dedup, similarity, textstats, analytics, curation)
+_ORACLE_MODULES = (
+    relational,
+    dedup,
+    similarity,
+    textstats,
+    analytics,
+    curation,
+    toolcalls,
+)
 
 
 def _pipeline_tatr(spark: SparkSession, sf_dir: str) -> DataFrame:

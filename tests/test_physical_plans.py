@@ -315,3 +315,25 @@ def test_aqe_splits_the_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_is_inverted_index_shaped(spark):
+    """BM25: TakeOrdered top-k (no global sort), df/stats broadcast, and
+    the query-term filter applied BEFORE the postings aggregation."""
+    from gmft_spark.operators.textstats import bm25_topk
+
+    plan = _plan(bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_toolcall_stats_single_aggregation_no_python(spark):
+    """Tool-call parsing is a JVM from_json narrow map: one partial-agg
+    groupBy on the tool key, no Python evaluation, no joins."""
+    from gmft_spark.operators.toolcalls import toolcall_stats
+
+    plan = _plan(toolcall_stats(spark, SF))
+    assert plan.count("Exchange") <= 2  # groupBy + output sort
+    assert "Join" not in plan
+    assert "Python" not in plan  # BatchEvalPython / ArrowEvalPython
