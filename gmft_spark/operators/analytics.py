@@ -759,11 +759,103 @@ TRIANGLES_SQL = """
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily report via ``pivot``: one row per day, one
+    count column per event type (the reshaping step every metrics
+    dashboard export needs). The value list is EXPLICIT — with it Spark
+    skips the extra distinct-values job and the output schema is fixed
+    at plan time; missing (day, type) combos fill 0 to match the SQL
+    twin's FILTER counts (count never returns NULL there).
+
+    Scale shape: a pivot with an explicit value list compiles to ONE
+    map-side-combinable aggregation with 5 conditional counts — same
+    plan as a manual CASE WHEN rollup, one shuffle keyed on day."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+PIVOT_SQL = """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+               AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS view
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    ORDER BY day
+"""
+
+
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 1-hour windows sliding every 30
+    minutes (each event lands in exactly 2 overlapping windows) — the
+    smoothing shape behind every rate/alerting dashboard, and the same
+    windowing Structured Streaming uses (``F.window`` is identical in
+    batch and streaming, so this query IS the streaming aggregation's
+    batch twin). events.ts is TIMESTAMP_NTZ: window boundaries are
+    wall-clock arithmetic, no timezone dependence (CLAUDE.md rule).
+
+    Scale shape: the window explode is in-row (2 rows per event, before
+    the shuffle's map-side combine); one aggregation keyed on window
+    start — balanced by construction since the key is time."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("win_start")
+    )
+
+
+SLIDING_SQL = """
+    WITH s AS (
+        SELECT ts, user_id,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS win_start
+        FROM events
+    )
+    SELECT win_start,
+           win_start + INTERVAL '1 hour' AS win_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s
+    WHERE ts >= win_start AND ts < win_start + INTERVAL '1 hour'
+    GROUP BY win_start
+    ORDER BY win_start
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
     "agg_priority_rollup": (priority_rollup, ROLLUP_SQL),
     "agg_hourly_event_rollup": (hourly_event_rollup, HOURLY_SQL),
+    "agg_event_type_pivot": (pivot_event_types, PIVOT_SQL),
+    "agg_sliding_window_events": (sliding_window_events, SLIDING_SQL),
     "join_revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "join_customers_without_orders": (customers_without_orders, NO_ORDERS_SQL),
     "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),
