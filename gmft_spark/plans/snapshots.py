@@ -22,6 +22,11 @@ Guarantees (each pinned by tests/test_snapshots.py):
     ``read_table(..., snapshot_id=k)`` reconstructs any historical state.
   * **Incremental scan** — files added strictly after snapshot ``k``
     (append-only changelog), the input side of resumable/CDC jobs.
+  * **Keyed upsert (MERGE)** — copy-on-write at file granularity: only
+    data files containing a matched key are rewritten; untouched files
+    carry over, and incremental scans skip the replace commit (its files
+    re-emit old rows), matching Iceberg's CoW MERGE + incremental-read
+    rules.
   * **Rollback** — a new snapshot re-pointing at an old file set; history
     is never rewritten.
   * **Expiry** — drop old snapshots and vacuum data files no retained
@@ -144,6 +149,87 @@ def commit_append(
             "added_files": len(added),
             "added_rows": added_rows,
             "total_files": len(prev_files) + len(added),
+        },
+    }
+    return _publish(table_dir, snap, parent)
+
+
+def commit_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+) -> int:
+    """MERGE (keyed upsert) with copy-on-write semantics: rows in ``df``
+    replace live rows sharing their key; unmatched rows insert. Keys in
+    ``df`` must be unique (one row per key per batch — the caller's
+    ingest contract, as in Iceberg's MERGE cardinality check).
+
+    Copy-on-write at FILE granularity, like Iceberg's CoW writer: only
+    data files that actually contain a matched key are rewritten (their
+    surviving rows re-emitted alongside the upsert batch); every other
+    live file is carried into the new snapshot untouched. The
+    matched-file discovery is a broadcast semi-join of the table against
+    the batch's (small) key set, and the only driver-side collect is the
+    distinct FILE LIST — bounded by file count, i.e. manifest-scale
+    metadata, never row data.
+
+    The commit's operation is ``overwrite``: ``incremental_scan`` skips
+    it (its new files contain OLD rows a changelog consumer has already
+    seen), exactly as Iceberg's incremental reads skip replace commits."""
+    from pyspark.sql import functions as F
+
+    parent = current_snapshot_id(table_dir)
+    if parent is None:
+        return commit_append(spark, df, table_dir)
+    prev_files = load_snapshot(table_dir, parent)["files"]
+    abs_of = {p: os.path.join(table_dir, p) for p in prev_files}
+    cur = spark.read.parquet(*abs_of.values()).withColumn(
+        "_file", F.input_file_name()
+    )
+    keys = df.select(*key_cols).distinct()
+    hit_uris = {
+        r["_file"]
+        for r in cur.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    }
+
+    def _uri_to_path(uri: str) -> str:
+        path = uri.split(":", 1)[1] if ":" in uri else uri
+        return "/" + path.lstrip("/")
+
+    hit_paths = {os.path.normpath(_uri_to_path(u)) for u in hit_uris}
+    rewritten = [
+        p for p in prev_files if os.path.normpath(abs_of[p]) in hit_paths
+    ]
+    carried = [p for p in prev_files if p not in set(rewritten)]
+
+    out = df
+    if rewritten:
+        survivors = spark.read.parquet(
+            *[abs_of[p] for p in rewritten]
+        ).join(F.broadcast(keys), key_cols, "left_anti")
+        out = survivors.unionByName(df)
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_uuid)
+    out.write.mode("error").parquet(data_dir)
+    added = sorted(
+        os.path.join("data", commit_uuid, name)
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet")
+    )
+    snap = {
+        "snapshot_id": (parent or 0) + 1,
+        "parent_id": parent,
+        "operation": "overwrite",
+        "files": carried + added,
+        "summary": {
+            "files_rewritten": len(rewritten),
+            "files_carried": len(carried),
+            "added_files": len(added),
+            "total_files": len(carried) + len(added),
         },
     }
     return _publish(table_dir, snap, parent)

@@ -120,6 +120,54 @@ def test_compaction_preserves_rows_and_changelog_semantics(spark, table):
     assert _ids(S.read_table(spark, table)) == [1, 2, 3, 9]
 
 
+def test_upsert_rewrites_only_matched_files(spark, table):
+    # one data file per commit so file-granularity assertions are exact
+    S.commit_append(spark, _batch(spark, [1, 2]).coalesce(1), table)
+    S.commit_append(spark, _batch(spark, [3]).coalesce(1), table)
+    file_a = set(S.load_snapshot(table, 1)["files"])
+    file_b = set(S.load_snapshot(table, 2)["files"]) - file_a
+    assert len(file_a) == len(file_b) == 1
+    batch = spark.createDataFrame(
+        [(2, "doc-2-v2"), (9, "doc-9")], "doc_id long, text string"
+    )
+    sid = S.commit_upsert(spark, batch, table, key_cols=["doc_id"])
+    assert sid == 3
+    snap = S.load_snapshot(table, 3)
+    assert snap["operation"] == "overwrite"
+    # key 2 lives in file_a → rewritten; file_b (key 3 only) carries over
+    assert file_a.isdisjoint(snap["files"])
+    assert file_b <= set(snap["files"])
+    assert snap["summary"]["files_rewritten"] == 1
+    assert snap["summary"]["files_carried"] == 1
+
+    rows = {r["doc_id"]: r["text"] for r in S.read_table(spark, table).collect()}
+    assert rows == {1: "doc-1", 2: "doc-2-v2", 3: "doc-3", 9: "doc-9"}
+    # time travel to the pre-merge state is intact
+    assert _ids(S.read_table(spark, table, snapshot_id=2)) == [1, 2, 3]
+    # changelog consumers skip the replace commit entirely...
+    assert S.incremental_scan(spark, table, since_snapshot_id=2) is None
+    # ...but still see appends that follow it
+    S.commit_append(spark, _batch(spark, [7]), table)
+    assert _ids(S.incremental_scan(spark, table, since_snapshot_id=2)) == [7]
+
+
+def test_upsert_on_empty_table_is_an_append(spark, table):
+    batch = _batch(spark, [1, 2])
+    sid = S.commit_upsert(spark, batch, table, key_cols=["doc_id"])
+    assert sid == 1
+    assert S.load_snapshot(table, 1)["operation"] == "append"
+    assert _ids(S.read_table(spark, table)) == [1, 2]
+
+
+def test_upsert_with_no_matches_carries_every_file(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    sid = S.commit_upsert(spark, _batch(spark, [9]), table, key_cols=["doc_id"])
+    snap = S.load_snapshot(table, sid)
+    assert snap["summary"]["files_rewritten"] == 0
+    assert set(S.load_snapshot(table, 1)["files"]) <= set(snap["files"])
+    assert _ids(S.read_table(spark, table)) == [1, 2, 9]
+
+
 def test_crash_orphan_commit_is_invisible_then_vacuumed(spark, table):
     S.commit_append(spark, _batch(spark, [1]), table)
     # simulate a writer that crashed after landing data, before publishing
