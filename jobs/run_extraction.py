@@ -59,6 +59,15 @@ def main(argv=None) -> int:
         "commit log: time travel, incremental scans, atomic publish — "
         "plans/snapshots.py)",
     )
+    parser.add_argument(
+        "--snapshot-mode",
+        choices=("append", "upsert"),
+        default="append",
+        help="with --snapshot-table: 'append' adds the batch as new rows "
+        "(changelog-visible); 'upsert' MERGEs on (conv_id, turn_idx, "
+        "table_id) so reprocessing the same turns REPLACES their prior "
+        "rows (copy-on-write; idempotent re-runs)",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None, help="override (else spark-submit's)")
     args = parser.parse_args(argv)
@@ -127,14 +136,22 @@ def main(argv=None) -> int:
     if args.snapshot_table:
         from pyspark.sql import functions as F
 
-        from gmft_spark.plans.snapshots import commit_append
+        from gmft_spark.plans.snapshots import commit_append, commit_upsert
 
-        sid = commit_append(
-            spark,
-            results.withColumn("run_id", F.lit(run_id)),
-            args.snapshot_table,
+        batch = results.withColumn("run_id", F.lit(run_id))
+        if args.snapshot_mode == "upsert":
+            sid = commit_upsert(
+                spark,
+                batch,
+                args.snapshot_table,
+                key_cols=["conv_id", "turn_idx", "table_id"],
+            )
+        else:
+            sid = commit_append(spark, batch, args.snapshot_table)
+        print(
+            f"snapshot {sid} committed to {args.snapshot_table} "
+            f"({args.snapshot_mode})"
         )
-        print(f"snapshot {sid} committed to {args.snapshot_table}")
     return 0
 
 

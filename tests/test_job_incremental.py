@@ -66,6 +66,25 @@ def test_empty_delta_is_a_noop(snap_input, tmp_path, capsys):
     assert not os.path.exists(os.path.join(out, "results"))
 
 
+def test_upsert_mode_makes_reprocessing_idempotent(spark, snap_input, tmp_path):
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    snap_out = str(tmp_path / "results_tbl")
+    base = ["--input-snapshot-table", snap_input, "--buckets", "8",
+            "--snapshot-table", snap_out, "--snapshot-mode", "upsert"]
+    assert _run(base + ["--output", out_a, "--run-id", "r1"]) == 0
+    n1 = S.read_table(spark, snap_out).count()
+    # reprocess the SAME input: rows replace, not duplicate
+    assert _run(base + ["--output", out_b, "--run-id", "r2"]) == 0
+    t = S.read_table(spark, snap_out)
+    assert t.count() == n1
+    assert t.select("run_id").distinct().collect()[0]["run_id"] == "r2"
+    assert (
+        t.groupBy("conv_id", "turn_idx", "table_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+
 def test_input_flags_are_exclusive(snap_input):
     with pytest.raises(SystemExit):
         _run(["--output", "/tmp/x"])
