@@ -849,6 +849,173 @@ SLIDING_SQL = """
 """
 
 
+def cube_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup: event counts + value sums at every margin of
+    (event_type, day) — the all-subtotals report a dashboard backend
+    materializes once instead of running 4 separate GROUP BYs. Grouping
+    nulls become 'ALL' (the input columns are never null, so the
+    coalesce is unambiguous). Value sums go through the fixed-point rule
+    (floor(v·1e6+0.5) per row, integer sum, divide back) so the
+    unordered double sum is engine-exact (CLAUDE.md recipe).
+
+    Scale shape: Spark expands CUBE before the shuffle (each input row
+    emits its 4 grouping combos map-side, then one partial-agg shuffle
+    keyed on the grouping set) — one pass over the data for all margins,
+    and the key space stays tiny (types × days + margins)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vfp = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        e.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            vfp.alias("vfp"),
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("vfp") / F.lit(1000000.0), 4).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+CUBE_SQL = """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(day, 'ALL') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(vfp) AS BIGINT) / 1000000.0, 4) AS value_sum
+    FROM (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vfp
+        FROM events
+    )
+    GROUP BY CUBE (event_type, day)
+    ORDER BY event_type, day
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: recency (days since last event, vs the
+    corpus max day), frequency (event count), monetary (fixed-point
+    value sum), each quartiled with ``ntile(4)`` (score 1 = best
+    quartile) and mapped to a segment label — the classic audience-split
+    every growth/curation pipeline runs. All three orderings carry a
+    user_id tiebreak and sort INTEGER keys (days, counts, fixed-point
+    sums), so the quartile boundaries are engine-deterministic; both
+    engines share SQL-standard ntile (first ``n mod k`` buckets one row
+    larger).
+
+    Scale shape: one map-side-combinable groupBy(user_id), a 1-row
+    global-max broadcast, then three global ntile windows. A global
+    ntile is a total sort — correct here because the frame is one row
+    per USER (already aggregated, ~10^6-10^8 rows at corpus scale, not
+    10^12 events); at larger user counts the quartile boundaries would
+    come from approx_percentile instead and scores from a broadcast
+    range join against them."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vfp = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    per_user = e.select(
+        "user_id", F.to_date("ts").alias("day"), vfp.alias("vfp")
+    ).groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum("vfp").alias("mon_fp"),
+    )
+    corpus_max = e.agg(F.max(F.to_date("ts")).alias("max_day"))
+    scored = (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .withColumn("recency_days", F.datediff("max_day", "last_day"))
+        .withColumn(
+            "r_score",
+            F.ntile(4).over(
+                Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("mon_fp"), F.asc("user_id"))
+            ),
+        )
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") == 1)
+            & (F.col("m_score") == 1),
+            "champion",
+        )
+        .when((F.col("r_score") == 4) & (F.col("f_score") == 4), "churned")
+        .when(F.col("m_score") == 1, "big_spender")
+        .when(F.col("r_score") == 1, "recent")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round(F.col("mon_fp") / F.lit(1000000.0), 4).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    ).orderBy("user_id")
+
+
+RFM_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CAST(ts AS DATE)) AS last_day,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mon_fp
+        FROM events
+        GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               date_diff('day', last_day,
+                         (SELECT max(CAST(ts AS DATE)) FROM events))
+                   AS recency_days,
+               frequency, mon_fp,
+               ntile(4) OVER (ORDER BY date_diff('day', last_day,
+                         (SELECT max(CAST(ts AS DATE)) FROM events)) ASC,
+                         user_id ASC) AS r_score,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id ASC)
+                   AS f_score,
+               ntile(4) OVER (ORDER BY mon_fp DESC, user_id ASC)
+                   AS m_score
+        FROM per_user
+    )
+    SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency,
+           round(mon_fp / 1000000.0, 4) AS monetary,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 AND m_score = 1
+                    THEN 'champion'
+                WHEN r_score = 4 AND f_score = 4 THEN 'churned'
+                WHEN m_score = 1 THEN 'big_spender'
+                WHEN r_score = 1 THEN 'recent'
+                ELSE 'regular' END AS segment
+    FROM scored
+    ORDER BY user_id
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
@@ -856,6 +1023,8 @@ QUERIES = {
     "agg_hourly_event_rollup": (hourly_event_rollup, HOURLY_SQL),
     "agg_event_type_pivot": (pivot_event_types, PIVOT_SQL),
     "agg_sliding_window_events": (sliding_window_events, SLIDING_SQL),
+    "agg_cube_event_rollup": (cube_event_rollup, CUBE_SQL),
+    "window_rfm_segments": (rfm_segments, RFM_SQL),
     "join_revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
     "join_customers_without_orders": (customers_without_orders, NO_ORDERS_SQL),
     "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),

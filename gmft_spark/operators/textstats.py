@@ -461,7 +461,9 @@ def _md5_lower64(col):
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch over the corpus 3-gram
     shingle vocabulary — a sketch whose estimate is EXACTLY reproducible
-    cross-engine (unlike HLL registers): hash every distinct shingle to
+    cross-engine (see sketch_hll_distinct for the register-based
+    alternative, made engine-exact the same way): hash every distinct
+    shingle to
     a fraction of the 64-bit space via md5's lower half, keep the k
     smallest, and estimate distinct ≈ (k-1)/kth_min. Emitted next to the
     exact distinct count so the estimate's error is part of the checked
@@ -519,6 +521,116 @@ def _kmv_sql() -> str:
 
 
 KMV_SQL = _kmv_sql()
+
+
+HLL_M = 64  # registers (p=6); h32 = 6 register bits + 26 rho bits
+HLL_ALPHA = 0.709  # Flajolet alpha_64
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, per event_type: estimated
+    distinct (user, day) pairs next to the exact count. Registers are a
+    pure INTEGER function of md5 (kernel.synth._h32 convention: register
+    = h32 % m, rho = leading-zero rank of the remaining 26 bits via
+    bit-length, bit-length via length(bin(w)) — no float log), so DuckDB
+    reproduces every register bit-exactly; the estimate's harmonic sum
+    adds exact dyadic rationals (2^-rho), which is order-independent in
+    IEEE double, so even the float stage is engine-exact. Raw Flajolet
+    estimator (alpha_64·m²/S) — at ~1.6k distinct per type, n/m ≈ 25 is
+    the asymptotic regime, no small-range correction branch.
+
+    Scale notes: unlike KMV (which needs a distinct pass), HLL reads the
+    raw event stream — duplicates land in the same register with the
+    same rho, so the build is ONE map-side-combinable groupBy on
+    (event_type, register) whose shuffle carries ≤ types·m rows per map
+    task, and per-shard sketches merge by register-wise max (the
+    mergeable-sketch property — exactly what the combiner computes).
+    At 10^12 events this replaces the count-distinct shuffle wherever
+    the ~1.04/√m relative error (≈13% at m=64; m is the knob) suffices.
+    The exact count alongside is verification-only."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.to_date("ts").cast("string"),
+    )
+    h = _h32_col(key)
+    w = F.floor(h / HLL_M).cast("long")  # exact: h < 2^32
+    rho = F.when(w == 0, F.lit(27)).otherwise(27 - F.length(F.bin(w)))
+    regs = (
+        e.select("event_type", (h % HLL_M).alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("n_zero_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_used"),
+    )
+    exact = e.select("event_type", key.alias("k")).groupBy("event_type").agg(
+        F.count_distinct("k").alias("exact_distinct")
+    )
+    est = F.round(
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        / (F.col("s_used") + F.col("n_zero_registers")),
+        4,
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.lit(HLL_M).cast("int").alias("m"),
+            "n_zero_registers",
+            est.alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_sql() -> str:
+    from gmft_spark.operators.scene_sql import _hxs
+
+    h = _hxs(
+        "md5(CAST(user_id AS VARCHAR) || '|' || "
+        "CAST(CAST(ts AS DATE) AS VARCHAR))"
+    )
+    return f"""
+    WITH hs AS (
+        SELECT event_type, {h} AS h FROM events
+    ),
+    rr AS (
+        SELECT event_type, h % {HLL_M} AS j,
+               CASE WHEN h // {HLL_M} = 0 THEN 27
+                    ELSE 27 - length(bin(h // {HLL_M})) END AS rho
+        FROM hs
+    ),
+    regs AS (
+        SELECT event_type, j, max(rho) AS r FROM rr GROUP BY event_type, j
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST({HLL_M} - count(*) AS BIGINT) AS n_zero_registers,
+               sum(pow(2.0::DOUBLE, -r)) AS s_used
+        FROM regs GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT CAST(user_id AS VARCHAR) || '|' ||
+                          CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT)
+                   AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, CAST({HLL_M} AS INT) AS m, n_zero_registers,
+           round({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                 / (s_used + n_zero_registers), 4) AS est_distinct,
+           exact_distinct
+    FROM per_type p JOIN ex ON p.event_type = ex.event_type
+    ORDER BY p.event_type
+"""
+
+
+HLL_SQL = _hll_sql()
 
 
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,6 +1303,7 @@ QUERIES = {
     "text_rare_token_ratio": (rare_token_ratio, RARE_TOKEN_SQL),
     "text_repetition_stats": (repetition_stats, REPETITION_SQL),
     "sketch_kmv_distinct": (sketch_kmv_distinct, KMV_SQL),
+    "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "split_train_val_test": (split_train_val_test, SPLIT_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
