@@ -117,14 +117,21 @@ def _publish(table_dir: str, snap: dict, expected_parent: int | None) -> int:
 
 
 def commit_append(
-    spark: SparkSession, df: DataFrame, table_dir: str
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    summary_extra: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
 
     Data lands under a fresh UUID directory first (invisible to readers —
     no snapshot references it yet), then the manifest commit makes it
     live. A crash between the two leaves orphan files that
-    ``expire_snapshots`` vacuums, never a partial table state."""
+    ``expire_snapshots`` vacuums, never a partial table state.
+
+    ``summary_extra`` merges caller metadata into the snapshot summary —
+    the idempotence key for streaming sinks (Iceberg stores Structured
+    Streaming's batch id the same way, in snapshot summary properties)."""
     parent = current_snapshot_id(table_dir)
     prev_files = load_snapshot(table_dir, parent)["files"] if parent else []
     commit_uuid = uuid.uuid4().hex
@@ -149,6 +156,7 @@ def commit_append(
             "added_files": len(added),
             "added_rows": added_rows,
             "total_files": len(prev_files) + len(added),
+            **(summary_extra or {}),
         },
     }
     return _publish(table_dir, snap, parent)

@@ -66,3 +66,48 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def snapshot_batch_committer(table_dir: str):
+    """Per-micro-batch committer for a ``foreachBatch`` sink into the
+    snapshot table, made EXACTLY-ONCE on top of foreachBatch's
+    at-least-once contract: each commit stamps the streaming batch id
+    into the snapshot summary, and a replayed batch (failure after the
+    table commit but before the checkpoint advanced) finds its id in the
+    commit log and returns without writing — the same idempotence recipe
+    Iceberg's streaming writer uses (batch id in snapshot summary
+    properties). The scan is over manifest JSON, metadata-scale."""
+    from gmft_spark.plans import snapshots as S
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        committed = any(
+            s["summary"].get("stream_batch_id") == batch_id
+            for s in S.snapshots(table_dir)
+        )
+        if committed:
+            return
+        S.commit_append(
+            batch_df.sparkSession,
+            batch_df,
+            table_dir,
+            summary_extra={"stream_batch_id": batch_id},
+        )
+
+    return _commit
+
+
+def run_snapshot_sink(
+    stream_df: DataFrame, table_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain the stream into a snapshot table (one atomic snapshot per
+    micro-batch, exactly-once via the batch-id stamp), availableNow.
+    Downstream consumers read the table's changelog with
+    ``snapshots.incremental_scan`` — streaming in, incremental batch
+    out, no duplicate rows across failures."""
+    q = (
+        stream_df.writeStream.foreachBatch(snapshot_batch_committer(table_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

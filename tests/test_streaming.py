@@ -131,3 +131,68 @@ def test_watermark_drops_late_rows_across_drains(spark, tmp_path):
     ).collect()
     assert len(w0) == 1, f"window emitted {len(w0)} times"
     assert w0[0]["n_turns"] == 2  # the late drain-3 row was dropped
+
+
+def test_snapshot_sink_commits_batches_exactly_once(spark, tmp_path):
+    """foreachBatch → snapshot-table sink: one atomic snapshot per
+    micro-batch, replayed batch ids skipped, changelog consumable."""
+    from gmft_spark.plans import snapshots as S
+    from gmft_spark.streaming.pipeline import (
+        run_snapshot_sink,
+        snapshot_batch_committer,
+    )
+
+    src = str(tmp_path / "in4")
+    tbl = str(tmp_path / "tbl4")
+    ckpt = str(tmp_path / "ckpt4")
+
+    t = synthesize_transcripts(spark, n_convs=5, turns_per_conv=3)
+    t.write.parquet(src)
+    run_snapshot_sink(stream_transcripts(spark, src), tbl, ckpt)
+
+    head = S.current_snapshot_id(tbl)
+    assert head is not None
+    assert S.read_table(spark, tbl).count() == t.count()
+    batch_ids = [
+        s["summary"].get("stream_batch_id") for s in S.snapshots(tbl)
+    ]
+    assert all(b is not None for b in batch_ids)
+
+    # simulate foreachBatch's at-least-once replay: re-deliver an
+    # already-committed batch id — no new snapshot, no duplicate rows
+    commit = snapshot_batch_committer(tbl)
+    commit(spark.read.parquet(src), batch_ids[-1])
+    assert S.current_snapshot_id(tbl) == head
+    assert S.read_table(spark, tbl).count() == t.count()
+
+    # a genuinely new batch id commits, and the changelog sees only it
+    commit(spark.read.parquet(src).limit(2), max(batch_ids) + 1)
+    assert S.current_snapshot_id(tbl) == head + 1
+    assert S.incremental_scan(spark, tbl, since_snapshot_id=head).count() == 2
+
+
+def test_snapshot_sink_second_drain_appends_only_new_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gmft_spark.plans import snapshots as S
+    from gmft_spark.streaming.pipeline import run_snapshot_sink
+
+    src = str(tmp_path / "in5")
+    tbl = str(tmp_path / "tbl5")
+    ckpt = str(tmp_path / "ckpt5")
+
+    first = synthesize_transcripts(spark, n_convs=3, turns_per_conv=2)
+    first.write.parquet(src)
+    run_snapshot_sink(stream_transcripts(spark, src), tbl, ckpt)
+    n1 = S.read_table(spark, tbl).count()
+    assert n1 == first.count()
+
+    second = synthesize_transcripts(spark, n_convs=2, turns_per_conv=2).withColumn(
+        "conv_id", F.concat(F.lit("late-"), F.col("conv_id"))
+    )
+    second.write.mode("append").parquet(src)
+    run_snapshot_sink(stream_transcripts(spark, src), tbl, ckpt)
+    t = S.read_table(spark, tbl)
+    assert t.count() == n1 + second.count()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in t.collect()]
+    assert len(keys) == len(set(keys))
