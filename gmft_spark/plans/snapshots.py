@@ -27,6 +27,11 @@ Guarantees (each pinned by tests/test_snapshots.py):
     carry over, and incremental scans skip the replace commit (its files
     re-emit old rows), matching Iceberg's CoW MERGE + incremental-read
     rules.
+  * **File skipping** — opt-in per-file [min, max] column bounds in the
+    manifest (read from parquet footers at commit time, metadata-only);
+    ``plan_files``/``read_table(prune=...)`` skip files that provably
+    can't match a range predicate, Iceberg's scan planning. Sound by
+    construction: files lacking stats are always kept.
   * **Rollback** — a new snapshot re-pointing at an old file set; history
     is never rewritten.
   * **Expiry** — drop old snapshots and vacuum data files no retained
@@ -116,11 +121,94 @@ def _publish(table_dir: str, snap: dict, expected_parent: int | None) -> int:
     return sid
 
 
+def _jsonable_stat(v):
+    """Footer min/max → JSON-storable value (numbers and strings carry
+    their type; anything else stringifies, which keeps ordering only for
+    homogeneous values — the caller's stat columns should be numeric or
+    string, like Iceberg's recommended sort/partition columns)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (int, float, str)):
+        return v
+    return str(v)
+
+
+def _collect_file_stats(
+    table_dir: str, rel_paths: list[str], stat_cols: list[str]
+) -> dict:
+    """Per-file [min, max] for each stat column, merged across row
+    groups — read from the parquet FOOTERS (metadata-only, no data
+    scan; this is exactly where Iceberg's manifest column bounds come
+    from). A column with absent/unusable footer stats in a file simply
+    has no entry for that file (that file is never skipped)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in rel_paths:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        colstats = {}
+        for c in stat_cols:
+            lo = hi = None
+            usable = True
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                found = False
+                for ci in range(grp.num_columns):
+                    col = grp.column(ci)
+                    if col.path_in_schema != c:
+                        continue
+                    found = True
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        usable = False
+                        break
+                    mn, mx = _jsonable_stat(st.min), _jsonable_stat(st.max)
+                    if mn is None or mx is None:
+                        usable = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if not found or not usable:
+                    usable = False
+                    break
+            if usable and lo is not None:
+                colstats[c] = [lo, hi]
+        out[rel] = colstats
+    return out
+
+
+def _inherited_stats(
+    table_dir: str,
+    parent: int | None,
+    carried: list[str],
+    added: list[str],
+    stat_cols: list[str] | None,
+) -> tuple[list[str], dict]:
+    """Resolve the commit's stat columns (explicit, else inherited from
+    the parent snapshot) and build its stats map: carried files keep the
+    parent's entries, added files get fresh footer reads."""
+    parent_snap = load_snapshot(table_dir, parent) if parent else {}
+    cols = (
+        stat_cols
+        if stat_cols is not None
+        else parent_snap.get("stat_cols", [])
+    )
+    prev_stats = parent_snap.get("stats", {})
+    stats = {p: prev_stats[p] for p in carried if p in prev_stats}
+    if cols:
+        stats.update(_collect_file_stats(table_dir, added, cols))
+    return cols, stats
+
+
 def commit_append(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     summary_extra: dict | None = None,
+    stat_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -131,7 +219,13 @@ def commit_append(
 
     ``summary_extra`` merges caller metadata into the snapshot summary —
     the idempotence key for streaming sinks (Iceberg stores Structured
-    Streaming's batch id the same way, in snapshot summary properties)."""
+    Streaming's batch id the same way, in snapshot summary properties).
+
+    ``stat_cols`` opts the table into manifest file-skipping: per-file
+    [min, max] bounds for those columns land in the snapshot (read from
+    parquet footers, metadata-only) and ``read_table(..., prune=...)`` /
+    ``plan_files`` skip files whose range can't match. Once set, later
+    commits inherit the columns without re-passing them."""
     parent = current_snapshot_id(table_dir)
     prev_files = load_snapshot(table_dir, parent)["files"] if parent else []
     commit_uuid = uuid.uuid4().hex
@@ -147,11 +241,14 @@ def commit_append(
         if added
         else 0
     )
+    cols, stats = _inherited_stats(table_dir, parent, prev_files, added, stat_cols)
     snap = {
         "snapshot_id": (parent or 0) + 1,
         "parent_id": parent,
         "operation": "append",
         "files": prev_files + added,
+        "stat_cols": cols,
+        "stats": stats,
         "summary": {
             "added_files": len(added),
             "added_rows": added_rows,
@@ -228,11 +325,14 @@ def commit_upsert(
         for name in os.listdir(data_dir)
         if name.endswith(".parquet")
     )
+    cols, stats = _inherited_stats(table_dir, parent, carried, added, None)
     snap = {
         "snapshot_id": (parent or 0) + 1,
         "parent_id": parent,
         "operation": "overwrite",
         "files": carried + added,
+        "stat_cols": cols,
+        "stats": stats,
         "summary": {
             "files_rewritten": len(rewritten),
             "files_carried": len(carried),
@@ -254,6 +354,8 @@ def rollback(table_dir: str, to_snapshot_id: int) -> int:
         "operation": "rollback",
         "rolled_back_to": to_snapshot_id,
         "files": target["files"],
+        "stat_cols": target.get("stat_cols", []),
+        "stats": target.get("stats", {}),
         "summary": {"total_files": len(target["files"])},
     }
     return _publish(table_dir, snap, parent)
@@ -266,12 +368,63 @@ def _resolve_files(table_dir: str, snapshot_id: int | None) -> list[str]:
     return load_snapshot(table_dir, sid)["files"]
 
 
+def plan_files(
+    table_dir: str,
+    prune: dict[str, tuple] | None = None,
+    snapshot_id: int | None = None,
+) -> list[str]:
+    """The file list a scan with predicate ``prune`` must read — manifest
+    file-skipping, Iceberg's scan planning. ``prune`` maps column →
+    (lo, hi) inclusive bounds (either side None = unbounded); a file is
+    skipped only when its manifest [min, max] provably cannot intersect
+    EVERY bound. Files without stats for a pruned column are always kept
+    (skipping must be sound, never guessy). Pure metadata — no Spark, no
+    file opens; at 10^5-10^6 files this is a driver-side pass over a
+    few MB of JSON, the same cost profile as Iceberg manifest pruning."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
+    if sid is None:
+        return []
+    snap = load_snapshot(table_dir, sid)
+    if not prune:
+        return list(snap["files"])
+    stats = snap.get("stats", {})
+    kept = []
+    for p in snap["files"]:
+        fstats = stats.get(p, {})
+        keep = True
+        for col, (lo, hi) in prune.items():
+            if col not in fstats:
+                continue
+            fmin, fmax = fstats[col]
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                keep = False
+                break
+        if keep:
+            kept.append(p)
+    return kept
+
+
 def read_table(
-    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
-    """Read the table as of HEAD, or any historical snapshot (time travel)."""
-    files = _resolve_files(table_dir, snapshot_id)
+    """Read the table as of HEAD, or any historical snapshot (time
+    travel). ``prune`` skips files via manifest stats (``plan_files``);
+    it is an ADVISORY scan reduction, not a filter — kept files can
+    still carry non-matching rows, so the caller applies the real
+    predicate on the returned frame (Spark then also pushes it into the
+    surviving files' row groups — two-level skipping, manifest + footer,
+    exactly Iceberg's read path)."""
+    files = plan_files(table_dir, prune, snapshot_id)
     if not files:
+        live = _resolve_files(table_dir, snapshot_id)
+        if live:
+            # pruned to nothing: empty frame, schema from any live file
+            return spark.read.parquet(
+                os.path.join(table_dir, live[0])
+            ).limit(0)
         raise FileNotFoundError(f"no snapshot to read in {table_dir}")
     return spark.read.parquet(*[os.path.join(table_dir, p) for p in files])
 
@@ -335,11 +488,14 @@ def compact(
         for name in os.listdir(data_dir)
         if name.endswith(".parquet")
     )
+    cols, stats = _inherited_stats(table_dir, parent, [], files, None)
     snap = {
         "snapshot_id": (parent or 0) + 1,
         "parent_id": parent,
         "operation": "compact",
         "files": files,
+        "stat_cols": cols,
+        "stats": stats,
         "summary": {"total_files": len(files)},
     }
     return _publish(table_dir, snap, parent)

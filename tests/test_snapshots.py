@@ -168,6 +168,66 @@ def test_upsert_with_no_matches_carries_every_file(spark, table):
     assert _ids(S.read_table(spark, table)) == [1, 2, 9]
 
 
+def test_file_skipping_prunes_by_manifest_stats(spark, table):
+    # three sorted single-file batches: id ranges [1,3], [10,12], [20,22]
+    for lo in (1, 10, 20):
+        S.commit_append(
+            spark,
+            _batch(spark, [lo, lo + 1, lo + 2]).coalesce(1),
+            table,
+            stat_cols=["doc_id"],  # inherited by later commits
+        )
+    snap = S.load_snapshot(table, 3)
+    assert snap["stat_cols"] == ["doc_id"]
+    assert all(snap["stats"][p].get("doc_id") for p in snap["files"])
+
+    assert len(S.plan_files(table)) == 3
+    assert len(S.plan_files(table, {"doc_id": (10, 12)})) == 1
+    assert len(S.plan_files(table, {"doc_id": (3, 10)})) == 2  # spans two
+    assert len(S.plan_files(table, {"doc_id": (None, 5)})) == 1
+    assert len(S.plan_files(table, {"doc_id": (100, None)})) == 0
+
+    # pruned read + real filter == full-scan filter
+    import pyspark.sql.functions as F
+
+    pruned = S.read_table(spark, table, prune={"doc_id": (10, 12)})
+    want = _ids(S.read_table(spark, table).filter(F.col("doc_id") >= 10)
+                .filter(F.col("doc_id") <= 12))
+    assert _ids(pruned.filter(F.col("doc_id").between(10, 12))) == want
+    # pruned-to-nothing: empty frame, schema intact
+    empty = S.read_table(spark, table, prune={"doc_id": (100, 200)})
+    assert empty.count() == 0 and empty.columns == ["doc_id", "text"]
+
+
+def test_file_skipping_keeps_statless_files(spark, table):
+    S.commit_append(spark, _batch(spark, [1]).coalesce(1), table)  # no stats
+    S.commit_append(
+        spark, _batch(spark, [50]).coalesce(1), table, stat_cols=["doc_id"]
+    )
+    # the stat-less file survives any prune; the stated one is skippable
+    assert len(S.plan_files(table, {"doc_id": (40, 60)})) == 2
+    assert len(S.plan_files(table, {"doc_id": (90, 99)})) == 1
+    assert _ids(S.read_table(spark, table, prune={"doc_id": (90, 99)})) == [1]
+
+
+def test_file_skipping_survives_upsert_and_compact(spark, table):
+    S.commit_append(
+        spark, _batch(spark, [1, 2]).coalesce(1), table, stat_cols=["doc_id"]
+    )
+    S.commit_append(spark, _batch(spark, [10, 11]).coalesce(1), table)
+    S.commit_upsert(
+        spark, _batch(spark, [2]).coalesce(1), table, key_cols=["doc_id"]
+    )
+    snap = S.load_snapshot(table, S.current_snapshot_id(table))
+    assert snap["stat_cols"] == ["doc_id"]  # inherited through the merge
+    assert all("doc_id" in snap["stats"][p] for p in snap["files"])
+    # the untouched [10,11] file is still individually skippable
+    assert len(S.plan_files(table, {"doc_id": (10, 11)})) == 1
+    sid = S.compact(spark, table, target_partitions=1)
+    snap = S.load_snapshot(table, sid)
+    assert len(snap["files"]) == 1 and "doc_id" in snap["stats"][snap["files"][0]]
+
+
 def test_crash_orphan_commit_is_invisible_then_vacuumed(spark, table):
     S.commit_append(spark, _batch(spark, [1]), table)
     # simulate a writer that crashed after landing data, before publishing
