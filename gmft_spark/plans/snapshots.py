@@ -32,6 +32,11 @@ Guarantees (each pinned by tests/test_snapshots.py):
     ``plan_files``/``read_table(prune=...)`` skip files that provably
     can't match a range predicate, Iceberg's scan planning. Sound by
     construction: files lacking stats are always kept.
+  * **Z-order clustering** — ``cluster_by`` rewrites live rows in Morton
+    order on N columns (one range shuffle, pure-integer z expression) so
+    file skipping bites on every clustered column, Iceberg/Delta ZORDER.
+  * **Additive schema evolution** — ``read_table(merge_schema=True)``
+    unions file schemas; older files surface later-added columns as null.
   * **Rollback** — a new snapshot re-pointing at an old file set; history
     is never rewritten.
   * **Expiry** — drop old snapshots and vacuum data files no retained
@@ -409,6 +414,7 @@ def read_table(
     table_dir: str,
     snapshot_id: int | None = None,
     prune: dict[str, tuple] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table as of HEAD, or any historical snapshot (time
     travel). ``prune`` skips files via manifest stats (``plan_files``);
@@ -416,17 +422,27 @@ def read_table(
     still carry non-matching rows, so the caller applies the real
     predicate on the returned frame (Spark then also pushes it into the
     surviving files' row groups — two-level skipping, manifest + footer,
-    exactly Iceberg's read path)."""
+    exactly Iceberg's read path).
+
+    ``merge_schema`` supports additive schema evolution (a later commit
+    appended files with NEW columns): the scan unions all file schemas
+    and older files surface the new columns as null, Iceberg's
+    add-column semantics. Off by default — merging reads every file's
+    footer at planning time; a fixed-schema table shouldn't pay it."""
     files = plan_files(table_dir, prune, snapshot_id)
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not files:
         live = _resolve_files(table_dir, snapshot_id)
         if live:
-            # pruned to nothing: empty frame, schema from any live file
-            return spark.read.parquet(
-                os.path.join(table_dir, live[0])
-            ).limit(0)
+            # pruned to nothing: empty frame, schema from the live files
+            paths = [os.path.join(table_dir, p) for p in live]
+            return (
+                reader.parquet(*paths).limit(0)
+                if merge_schema
+                else reader.parquet(paths[0]).limit(0)
+            )
         raise FileNotFoundError(f"no snapshot to read in {table_dir}")
-    return spark.read.parquet(*[os.path.join(table_dir, p) for p in files])
+    return reader.parquet(*[os.path.join(table_dir, p) for p in files])
 
 
 def incremental_scan(
@@ -497,6 +513,87 @@ def compact(
         "stat_cols": cols,
         "stats": stats,
         "summary": {"total_files": len(files)},
+    }
+    return _publish(table_dir, snap, parent)
+
+
+ZORDER_BITS = 8  # 256 cells per dimension — plenty for file-level locality
+
+
+def _zvalue(cols: list[str], mins: dict, maxs: dict):
+    """Morton/Z-value expression: each column scales linearly into
+    [0, 2^bits) against its broadcast global min/max, then the bits
+    interleave. Pure integer column arithmetic — no UDF, whole-stage
+    codegen keeps it JVM-side."""
+    from pyspark.sql import functions as F
+
+    top = (1 << ZORDER_BITS) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        span = max(float(maxs[c] - mins[c]), 1e-12)
+        scaled = F.floor(
+            (F.col(c).cast("double") - float(mins[c])) / span * top + 0.5
+        ).cast("long")
+        for b in range(ZORDER_BITS):
+            bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cols) + i)
+    return z
+
+
+def cluster_by(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    target_files: int = 8,
+) -> int:
+    """Z-order the table's live rows on ``cols`` and commit the rewrite —
+    the data-layout maintenance that makes manifest file-skipping bite on
+    MULTIPLE columns at once (a plain sort helps only its leading
+    column; Morton interleaving gives every clustered column locality,
+    Iceberg/Delta's ZORDER). Files are cut along z-ranges
+    (``repartitionByRange`` on the z-value — one range shuffle) so each
+    file covers a compact hyper-rectangle and its manifest [min, max]
+    bounds turn range predicates on ANY clustered column into file
+    skips. A ``cluster`` commit is a rewrite: incremental consumers skip
+    it, time travel to the unclustered layout still works, and the
+    cluster columns join the table's stat columns so the new bounds land
+    in the manifest."""
+    from pyspark.sql import functions as F
+
+    parent = current_snapshot_id(table_dir)
+    df = read_table(spark, table_dir)
+    bounds = df.groupBy().agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    ).collect()[0]
+    mins = {c: bounds[f"min_{c}"] for c in cols}
+    maxs = {c: bounds[f"max_{c}"] for c in cols}
+    z = _zvalue(cols, mins, maxs)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_uuid)
+    out.write.mode("error").parquet(data_dir)
+    files = sorted(
+        os.path.join("data", commit_uuid, name)
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet")
+    )
+    parent_cols = load_snapshot(table_dir, parent).get("stat_cols", []) if parent else []
+    stat_cols = list(dict.fromkeys([*parent_cols, *cols]))
+    stats = _collect_file_stats(table_dir, files, stat_cols)
+    snap = {
+        "snapshot_id": (parent or 0) + 1,
+        "parent_id": parent,
+        "operation": "cluster",
+        "files": files,
+        "stat_cols": stat_cols,
+        "stats": stats,
+        "summary": {"total_files": len(files), "cluster_cols": cols},
     }
     return _publish(table_dir, snap, parent)
 

@@ -228,6 +228,58 @@ def test_file_skipping_survives_upsert_and_compact(spark, table):
     assert len(snap["files"]) == 1 and "doc_id" in snap["stats"][snap["files"][0]]
 
 
+def test_additive_schema_evolution(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    evolved = spark.createDataFrame(
+        [(3, "doc-3", "en")], "doc_id long, text string, lang string"
+    )
+    S.commit_append(spark, evolved, table)
+    t = S.read_table(spark, table, merge_schema=True)
+    assert set(t.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in t.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}  # old files: new col null
+
+
+def test_zorder_cluster_skips_files_on_every_clustered_column(spark, table):
+    import pyspark.sql.functions as F
+
+    grid = spark.createDataFrame(
+        [(x, y, x * 32 + y) for x in range(32) for y in range(32)],
+        "x int, y int, payload long",
+    )
+    # 4 unclustered ingest files: each spans the FULL x and y ranges
+    for m in range(4):
+        S.commit_append(
+            spark,
+            grid.filter(F.col("payload") % 4 == m).coalesce(1),
+            table,
+            stat_cols=["x"],
+        )
+    assert len(S.plan_files(table, {"x": (0, 3)})) == 4  # nothing skippable
+
+    sid = S.cluster_by(spark, table, ["x", "y"], target_files=16)
+    snap = S.load_snapshot(table, sid)
+    assert snap["operation"] == "cluster"
+    assert snap["stat_cols"] == ["x", "y"]  # cluster cols joined the stats
+    assert len(snap["files"]) == 16
+
+    # a quarter-domain range on EITHER dimension reads ≤ 1/4 of the files
+    for col in ("x", "y"):
+        kept = S.plan_files(table, {col: (0, 7)})
+        assert len(kept) <= 4, f"{col}: kept {len(kept)}"
+        got = (
+            S.read_table(spark, table, prune={col: (0, 7)})
+            .filter(F.col(col) <= 7)
+            .count()
+        )
+        assert got == 8 * 32  # pruning lost nothing
+    # rows preserved; rewrite invisible to changelog consumers
+    assert S.read_table(spark, table).count() == 1024
+    assert S.incremental_scan(spark, table, since_snapshot_id=4) is None
+    # time travel to the unclustered layout
+    assert S.read_table(spark, table, snapshot_id=4).count() == 1024
+
+
 def test_crash_orphan_commit_is_invisible_then_vacuumed(spark, table):
     S.commit_append(spark, _batch(spark, [1]), table)
     # simulate a writer that crashed after landing data, before publishing
