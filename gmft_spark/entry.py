@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from gmft_spark.operators import (
     analytics,
+    convstats,
     curation,
     dedup,
     relational,
@@ -44,6 +45,7 @@ _ORACLE_MODULES = (
     analytics,
     curation,
     toolcalls,
+    convstats,
 )
 
 

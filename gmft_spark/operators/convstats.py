@@ -1,0 +1,196 @@
+"""Conversation-level transcript analytics.
+
+The graft's payload axis is multi-turn agent transcripts
+(BASELINE.json ``input_hint``); this module covers the two
+conversation-shape questions an LLM-serving/data team asks constantly:
+
+* **context-window accounting** — how many of a conversation's most
+  recent turns fit a fixed token budget (the truncation every chat
+  runtime applies before inference), and how much gets dropped;
+* **reply latency** — the gap between consecutive turns, broken down by
+  (previous role → role) pair (tool-call round-trips vs user think
+  time).
+
+Inputs derive from ``sources/transcripts.transcripts_from_documents``
+(the driver's documents table), so every output has a DuckDB twin over
+the same parquet. Turn timestamps step a constant 16 s by construction;
+the latency query adds a NAMED md5 jitter per turn (kernel/synth.py
+hash convention, SQL twin via scene_sql._hxs) so gaps genuinely vary
+and the oracle re-derives them bit-exactly.
+
+Scale notes (10^12-turn framing): both queries are ONE shuffle keyed on
+conv_id — the same partitioning the extraction pipeline uses, so at
+scale the frames co-partition with everything else conversation-keyed —
+followed by a map-side-combinable rollup (per-conv or per-role-pair).
+Token counts and hash jitter are JVM expressions inside whole-stage
+codegen; nothing collects, nothing goes through Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from gmft_spark.sources.transcripts import transcripts_from_documents
+
+CONTEXT_BUDGET = 250  # whitespace tokens kept from the conversation tail
+
+
+def _n_tokens(col):
+    """Whitespace token count — same rule as textstats.token_counts."""
+    return F.size(F.filter(F.split(col, " "), lambda t: t != ""))
+
+
+def conv_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per conversation: total turns/tokens, and how many of the most
+    RECENT turns fit ``CONTEXT_BUDGET`` tokens — suffix semantics, the
+    keep-the-tail truncation a chat runtime applies. A turn fits when
+    the running token sum from the newest turn back through it stays
+    within budget (whole turns only, newest-first)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = t.select(
+        "conv_id", "turn_idx", _n_tokens(F.col("text")).alias("n_tokens")
+    ).withColumn("cum_from_end", F.sum("n_tokens").over(w))
+    return (
+        toks.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.when(F.col("cum_from_end") <= CONTEXT_BUDGET, 1)).alias(
+                "fit_turns"
+            ),
+        )
+        .withColumn("dropped_turns", F.col("n_turns") - F.col("fit_turns"))
+        .orderBy("conv_id")
+    )
+
+
+def _context_budget_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+               (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(t)
+                WHERE t <> '') AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT conv_id, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_from_end
+        FROM toks
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) FILTER (WHERE cum_from_end <= {CONTEXT_BUDGET})
+                AS BIGINT) AS fit_turns,
+           CAST(count(*) AS BIGINT)
+               - CAST(count(*) FILTER (WHERE cum_from_end <= {CONTEXT_BUDGET})
+                      AS BIGINT) AS dropped_turns
+    FROM cum
+    GROUP BY conv_id
+    ORDER BY conv_id
+"""
+
+
+CONTEXT_BUDGET_SQL = _context_budget_sql()
+
+JITTER_SPAN_US = 8_000_000  # each turn lands 0-8 s late of its slot
+
+
+def conv_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (previous role → role) pair: reply-gap stats in microseconds.
+    Turn timestamps get a named md5 jitter (``lat|conv|turn``) on top of
+    their 16 s slots, then the gap is ``timestamp_diff`` against the
+    conversation's previous turn (events-style TIMESTAMP_NTZ arithmetic —
+    CLAUDE.md rule: never unix_timestamp). avg is an exact-integer sum
+    divided once, so the double is engine-identical."""
+    from gmft_spark.operators.textstats import _h32_col
+
+    t = transcripts_from_documents(spark, sf_dir)
+    key = F.concat(
+        F.lit("lat|"), F.col("conv_id"), F.lit("|"), F.col("turn_idx").cast("string")
+    )
+    jit = (_h32_col(key) % JITTER_SPAN_US).cast("long")
+    tj = t.withColumn("ts_j", F.timestamp_add("MICROSECOND", jit, F.col("ts")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        tj.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_ts", F.lag("ts_j").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "gap_us", F.timestamp_diff("MICROSECOND", F.col("prev_ts"), F.col("ts_j"))
+        )
+    )
+    return (
+        gaps.groupBy("prev_role", "role")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(F.sum("gap_us") / F.count("*"), 4).alias("avg_gap_us"),
+        )
+        .orderBy("prev_role", "role")
+    )
+
+
+def _reply_latency_sql() -> str:
+    from gmft_spark.operators.scene_sql import _hxs
+
+    jit = (
+        _hxs(
+            "md5('lat|conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)"
+            " || '|' || CAST(CAST(floor(doc_id / 16.0) AS INT) AS VARCHAR))"
+        )
+        + f" % {JITTER_SPAN_US}"
+    )
+    return f"""
+    WITH turns AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               TIMESTAMP '2026-01-01 00:00:00'
+                   + to_seconds(doc_id) + to_microseconds({jit}) AS ts_j
+        FROM documents
+    ),
+    gaps AS (
+        SELECT conv_id,
+               lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_role,
+               role,
+               date_diff('microsecond',
+                         lag(ts_j) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                         ts_j) AS gap_us
+        FROM turns
+    )
+    SELECT prev_role, role,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(CAST(sum(gap_us) AS BIGINT) / CAST(count(*) AS BIGINT), 4)
+               AS avg_gap_us
+    FROM gaps
+    WHERE prev_role IS NOT NULL
+    GROUP BY prev_role, role
+    ORDER BY prev_role, role
+"""
+
+
+REPLY_LATENCY_SQL = _reply_latency_sql()
+
+
+QUERIES = {
+    "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
+    "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
+}
