@@ -39,6 +39,14 @@ def main(argv=None) -> int:
     parser.add_argument("--buckets", type=int, default=64)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--snapshot-table", default=None)
+    parser.add_argument(
+        "--snapshot-mode",
+        choices=("append", "upsert"),
+        default="append",
+        help="with --snapshot-table: 'upsert' MERGEs on (conv_id, "
+        "turn_idx) so re-curating the same turns replaces their prior "
+        "rows (idempotent re-runs)",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -97,14 +105,20 @@ def main(argv=None) -> int:
         f"({stats[1]} ok)"
     )
     if args.snapshot_table:
-        from gmft_spark.plans.snapshots import commit_append
+        from gmft_spark.plans.snapshots import commit_append, commit_upsert
 
-        sid = commit_append(
-            spark,
-            curated.withColumn("run_id", F.lit(run_id)),
-            args.snapshot_table,
+        batch = curated.withColumn("run_id", F.lit(run_id))
+        if args.snapshot_mode == "upsert":
+            sid = commit_upsert(
+                spark, batch, args.snapshot_table,
+                key_cols=["conv_id", "turn_idx"],
+            )
+        else:
+            sid = commit_append(spark, batch, args.snapshot_table)
+        print(
+            f"snapshot {sid} committed to {args.snapshot_table} "
+            f"({args.snapshot_mode})"
         )
-        print(f"snapshot {sid} committed to {args.snapshot_table}")
     return 0
 
 

@@ -41,3 +41,19 @@ def test_curation_job_end_to_end(spark, tmp_path, capsys):
         == 0
     )
     assert "nothing to do" in capsys.readouterr().out
+
+
+def test_curation_upsert_mode_is_idempotent(spark, tmp_path):
+    import jobs.run_curation as J
+
+    src = str(tmp_path / "in_u")
+    tbl = str(tmp_path / "tbl_u")
+    synthesize_html_transcripts(spark, n_convs=10, turns_per_conv=4).write.parquet(src)
+    base = ["--input", src, "--buckets", "8", "--min-quality", "0.1",
+            "--snapshot-table", tbl, "--snapshot-mode", "upsert"]
+    assert J.main(base + ["--output", str(tmp_path / "o1"), "--run-id", "c1"]) == 0
+    n1 = S.read_table(spark, tbl).count()
+    assert J.main(base + ["--output", str(tmp_path / "o2"), "--run-id", "c2"]) == 0
+    t = S.read_table(spark, tbl)
+    assert t.count() == n1  # replaced, not duplicated
+    assert t.select("run_id").distinct().collect()[0]["run_id"] == "c2"
