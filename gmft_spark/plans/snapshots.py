@@ -269,6 +269,7 @@ def commit_upsert(
     df: DataFrame,
     table_dir: str,
     key_cols: list[str],
+    summary_extra: dict | None = None,
 ) -> int:
     """MERGE (keyed upsert) with copy-on-write semantics: rows in ``df``
     replace live rows sharing their key; unmatched rows insert. Keys in
@@ -291,7 +292,7 @@ def commit_upsert(
 
     parent = current_snapshot_id(table_dir)
     if parent is None:
-        return commit_append(spark, df, table_dir)
+        return commit_append(spark, df, table_dir, summary_extra=summary_extra)
     prev_files = load_snapshot(table_dir, parent)["files"]
     abs_of = {p: os.path.join(table_dir, p) for p in prev_files}
     cur = spark.read.parquet(*abs_of.values()).withColumn(
@@ -343,6 +344,7 @@ def commit_upsert(
             "files_carried": len(carried),
             "added_files": len(added),
             "total_files": len(carried) + len(added),
+            **(summary_extra or {}),
         },
     }
     return _publish(table_dir, snap, parent)
