@@ -47,9 +47,24 @@ def main(argv=None) -> int:
         "turn_idx) so re-curating the same turns replaces their prior "
         "rows (idempotent re-runs)",
     )
+    parser.add_argument(
+        "--rollup-table",
+        default=None,
+        help="with --snapshot-table (append mode): after the corpus "
+        "commit, incrementally refresh this per-conversation stats "
+        "rollup (plans/rollup.py) from the corpus changelog",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
+    if args.rollup_table and not (
+        args.snapshot_table and args.snapshot_mode == "append"
+    ):
+        parser.error(
+            "--rollup-table needs --snapshot-table with "
+            "--snapshot-mode append (the rollup reads the append "
+            "changelog; overwrite commits carry no delta)"
+        )
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -119,6 +134,20 @@ def main(argv=None) -> int:
             f"snapshot {sid} committed to {args.snapshot_table} "
             f"({args.snapshot_mode})"
         )
+        if args.rollup_table:
+            from gmft_spark.plans.rollup import refresh_rollup
+
+            r = refresh_rollup(
+                spark,
+                args.snapshot_table,
+                args.rollup_table,
+                keys=["conv_id"],
+                sum_cols=["n_tokens", "n_tables"],
+            )
+            print(
+                f"rollup {args.rollup_table} refreshed through source "
+                f"snapshot {r['source_snapshot_id']}"
+            )
     return 0
 
 

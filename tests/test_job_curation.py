@@ -57,3 +57,45 @@ def test_curation_upsert_mode_is_idempotent(spark, tmp_path):
     t = S.read_table(spark, tbl)
     assert t.count() == n1  # replaced, not duplicated
     assert t.select("run_id").distinct().collect()[0]["run_id"] == "c2"
+
+
+def test_curation_job_maintains_a_stats_rollup(spark, tmp_path):
+    """--rollup-table: each run's corpus commit incrementally refreshes a
+    per-conversation stats table that matches a full recompute."""
+    import pytest
+
+    import jobs.run_curation as J
+
+    src = str(tmp_path / "in_r")
+    tbl = str(tmp_path / "tbl_r")
+    roll = str(tmp_path / "roll_r")
+    synthesize_html_transcripts(spark, n_convs=8, turns_per_conv=3).write.parquet(src)
+    base = ["--input", src, "--buckets", "8", "--min-quality", "0.1",
+            "--snapshot-table", tbl, "--rollup-table", roll]
+    assert J.main(base + ["--output", str(tmp_path / "r1"), "--run-id", "r1"]) == 0
+    # second batch of fresh conversations appends and refreshes again
+    synthesize_html_transcripts(spark, n_convs=12, turns_per_conv=3).filter(
+        F.col("conv_id") > "hconv-7"
+    ).write.parquet(src + "_b2")
+    assert J.main(
+        ["--input", src + "_b2", "--buckets", "8", "--min-quality", "0.1",
+         "--snapshot-table", tbl, "--rollup-table", roll,
+         "--output", str(tmp_path / "r2"), "--run-id", "r2"]
+    ) == 0
+    full = {
+        r["conv_id"]: (r["n"], r["t"])
+        for r in S.read_table(spark, tbl)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    got = {
+        r["conv_id"]: (r["n_rows"], r["sum_n_tokens"])
+        for r in S.read_table(spark, roll).collect()
+    }
+    assert got == full and len(got) >= 9
+
+    # rollup without an append-mode snapshot commit is a usage error
+    with pytest.raises(SystemExit):
+        J.main(["--input", src, "--output", str(tmp_path / "bad"),
+                "--rollup-table", roll])
