@@ -350,6 +350,101 @@ def commit_upsert(
     return _publish(table_dir, snap, parent)
 
 
+def commit_delete(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    prune: dict[str, tuple] | None = None,
+    summary_extra: dict | None = None,
+) -> int:
+    """DELETE WHERE ``predicate`` (a Spark SQL boolean expression) with
+    copy-on-write semantics — the row-level delete a retention policy or
+    a GDPR purge issues against the table.
+
+    Two-level candidate discovery, like Iceberg's CoW delete: first the
+    caller-supplied ``prune`` bounds skip files via manifest stats
+    (metadata only, sound — files without stats stay candidates), then
+    one scan over the surviving candidates finds which files actually
+    contain a matching row. Only those files rewrite (their non-matching
+    rows re-emitted); every other live file carries into the new
+    snapshot untouched. The only driver-side collect is the per-file
+    match count — manifest-scale metadata.
+
+    Deletes rows where the predicate is TRUE; rows where it evaluates
+    NULL survive (SQL DELETE semantics). A predicate matching nothing is
+    a no-op: no new snapshot, the current id returns unchanged. The
+    commit's operation is ``delete`` — ``incremental_scan`` skips it
+    (non-append), so changelog consumers never re-see the survivors."""
+    from pyspark.sql import functions as F
+
+    parent = current_snapshot_id(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot to delete from in {table_dir}")
+    prev_files = load_snapshot(table_dir, parent)["files"]
+    abs_of = {p: os.path.join(table_dir, p) for p in prev_files}
+    candidates = plan_files(table_dir, prune, parent) if prune else prev_files
+    pred = F.expr(predicate)
+
+    hits: dict[str, int] = {}
+    if candidates:
+        per_file = (
+            spark.read.parquet(*[abs_of[p] for p in candidates])
+            .filter(pred)
+            .groupBy(F.input_file_name().alias("_file"))
+            .count()
+            .collect()
+        )
+
+        def _uri_to_path(uri: str) -> str:
+            path = uri.split(":", 1)[1] if ":" in uri else uri
+            return "/" + path.lstrip("/")
+
+        by_path = {
+            os.path.normpath(_uri_to_path(r["_file"])): r["count"]
+            for r in per_file
+        }
+        hits = {
+            p: by_path[os.path.normpath(abs_of[p])]
+            for p in candidates
+            if os.path.normpath(abs_of[p]) in by_path
+        }
+    if not hits:
+        return parent  # nothing matched: no-op, no new snapshot
+
+    rewritten = [p for p in prev_files if p in hits]
+    carried = [p for p in prev_files if p not in hits]
+    survivors = spark.read.parquet(*[abs_of[p] for p in rewritten]).filter(
+        ~pred.eqNullSafe(True)
+    )
+    commit_uuid = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_uuid)
+    survivors.write.mode("error").parquet(data_dir)
+    added = sorted(
+        os.path.join("data", commit_uuid, name)
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet")
+    )
+    cols, stats = _inherited_stats(table_dir, parent, carried, added, None)
+    snap = {
+        "snapshot_id": parent + 1,
+        "parent_id": parent,
+        "operation": "delete",
+        "files": carried + added,
+        "stat_cols": cols,
+        "stats": stats,
+        "summary": {
+            "predicate": predicate,
+            "rows_deleted": sum(hits.values()),
+            "files_rewritten": len(rewritten),
+            "files_carried": len(carried),
+            "added_files": len(added),
+            "total_files": len(carried) + len(added),
+            **(summary_extra or {}),
+        },
+    }
+    return _publish(table_dir, snap, parent)
+
+
 def rollback(table_dir: str, to_snapshot_id: int) -> int:
     """Make an old snapshot's state current via a NEW snapshot (history is
     append-only; nothing is rewritten)."""

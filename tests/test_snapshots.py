@@ -290,3 +290,55 @@ def test_crash_orphan_commit_is_invisible_then_vacuumed(spark, table):
     assert stats["deleted_files"] >= 1
     assert not os.path.exists(orphan_dir)
     assert _ids(S.read_table(spark, table)) == [1]
+
+
+def test_delete_rewrites_only_matching_files(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]).coalesce(1), table)
+    S.commit_append(spark, _batch(spark, [3, 4]).coalesce(1), table)
+    sid = S.commit_delete(spark, table, "doc_id = 3")
+    assert sid == 3
+    assert _ids(S.read_table(spark, table)) == [1, 2, 4]
+    snap = S.load_snapshot(table, sid)
+    assert snap["operation"] == "delete"
+    assert snap["summary"]["rows_deleted"] == 1
+    assert snap["summary"]["files_rewritten"] == 1
+    assert snap["summary"]["files_carried"] == 1  # [1,2]'s file untouched
+    # time travel still sees the pre-delete state
+    assert _ids(S.read_table(spark, table, snapshot_id=2)) == [1, 2, 3, 4]
+    # changelog consumers skip the delete commit (non-append)
+    assert S.incremental_scan(spark, table, since_snapshot_id=2) is None
+
+
+def test_delete_with_no_matches_is_a_noop(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    assert S.commit_delete(spark, table, "doc_id > 99") == 1
+    assert S.current_snapshot_id(table) == 1
+    assert _ids(S.read_table(spark, table)) == [1, 2]
+
+
+def test_delete_null_predicate_rows_survive(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, text string"
+    )
+    S.commit_append(spark, df, table)
+    S.commit_delete(spark, table, "text = 'a'")  # NULL = 'a' is NULL, not TRUE
+    assert _ids(S.read_table(spark, table)) == [2, 3]
+
+
+def test_delete_prunes_candidates_by_manifest_stats(spark, table):
+    S.commit_append(
+        spark, _batch(spark, [1, 2]).coalesce(1), table, stat_cols=["doc_id"]
+    )
+    S.commit_append(spark, _batch(spark, [50, 51]).coalesce(1), table)
+    sid = S.commit_delete(
+        spark, table, "doc_id >= 50", prune={"doc_id": (50, None)}
+    )
+    snap = S.load_snapshot(table, sid)
+    # the [1,2] file was never a candidate: carried, not rewritten
+    assert snap["summary"] == {
+        **snap["summary"],
+        "files_rewritten": 1,
+        "files_carried": 1,
+        "rows_deleted": 2,
+    }
+    assert _ids(S.read_table(spark, table)) == [1, 2]
