@@ -53,7 +53,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -577,6 +577,59 @@ def incremental_scan(
         return None
     return spark.read.parquet(
         *[os.path.join(table_dir, p) for p in sorted(set(new))]
+    )
+
+
+def table_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level changelog between two snapshots — Iceberg's
+    create_changelog_view. Unlike ``incremental_scan`` (append commits
+    only), this sees through upserts, deletes, and rollbacks: it returns
+    every row present in ``to`` but not ``from`` tagged ``insert``, and
+    every row present in ``from`` but not ``to`` tagged ``delete``
+    (bag semantics — duplicate rows diff by multiplicity).
+
+    Scale design: files common to both snapshots cancel BEFORE any scan
+    (pure manifest set-diff, driver-side metadata), so a diff across a
+    mostly-unchanged table reads only the files that actually changed —
+    compaction-style rewrites that shuffle rows between files still
+    compare correctly because the surviving identical rows cancel in the
+    exceptAll. The two exceptAll anti-bags shuffle only the differing
+    files' rows."""
+    to_id = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else current_snapshot_id(table_dir)
+    )
+    files_a = set(_resolve_files(table_dir, from_snapshot_id))
+    files_b = set(_resolve_files(table_dir, to_id))
+    if not files_a and not files_b:
+        raise FileNotFoundError(
+            f"both snapshots of {table_dir} are empty — no schema to diff"
+        )
+
+    def _read(paths: set[str], schema_from: set[str]) -> DataFrame:
+        if paths:
+            return spark.read.parquet(
+                *[os.path.join(table_dir, p) for p in sorted(paths)]
+            )
+        ref = sorted(schema_from)[0]
+        return spark.read.parquet(os.path.join(table_dir, ref)).limit(0)
+
+    only_a, only_b = files_a - files_b, files_b - files_a
+    if not only_a and not only_b:
+        empty = _read(set(), files_a or files_b)
+        return empty.withColumn("_change_type", F.lit("insert"))
+    old = _read(only_a, files_b)
+    new = _read(only_b, files_a)
+    return new.exceptAll(old).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
     )
 
 

@@ -342,3 +342,42 @@ def test_delete_prunes_candidates_by_manifest_stats(spark, table):
         "rows_deleted": 2,
     }
     assert _ids(S.read_table(spark, table)) == [1, 2]
+
+
+def _changes(df):
+    return sorted((r["doc_id"], r["_change_type"]) for r in df.collect())
+
+
+def test_table_diff_sees_through_upsert_and_delete(spark, table):
+    S.commit_append(spark, _batch(spark, [1, 2]).coalesce(1), table)
+    S.commit_append(spark, _batch(spark, [3]).coalesce(1), table)
+    S.commit_upsert(
+        spark,
+        spark.createDataFrame([(2, "doc-2-v2"), (4, "doc-4")],
+                              "doc_id long, text string"),
+        table, key_cols=["doc_id"],
+    )
+    S.commit_delete(spark, table, "doc_id = 1")
+    diff = S.table_diff(spark, table, from_snapshot_id=2)
+    # vs snapshot 2 {1,2,3}: 2 rewrote (delete+insert), 4 inserted, 1 deleted
+    assert _changes(diff) == [
+        (1, "delete"), (2, "delete"), (2, "insert"), (4, "insert"),
+    ]
+    # bounded window: the upsert alone
+    assert _changes(S.table_diff(spark, table, 2, 3)) == [
+        (2, "delete"), (2, "insert"), (4, "insert"),
+    ]
+
+
+def test_table_diff_same_snapshot_is_empty(spark, table):
+    S.commit_append(spark, _batch(spark, [1]), table)
+    assert S.table_diff(spark, table, 1, 1).count() == 0
+
+
+def test_table_diff_cancels_compaction_rewrites(spark, table):
+    """A compact rewrites every file, but the rows are identical — the
+    bag difference must be empty even though no file is shared."""
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    S.commit_append(spark, _batch(spark, [3]), table)
+    S.compact(spark, table, target_partitions=1)
+    assert S.table_diff(spark, table, from_snapshot_id=2).count() == 0
