@@ -190,7 +190,113 @@ def _reply_latency_sql() -> str:
 REPLY_LATENCY_SQL = _reply_latency_sql()
 
 
+SFT_BUDGET = 120  # context tokens packed before each assistant turn
+
+
+def sft_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build SFT training pairs from transcripts: one row per ASSISTANT
+    turn, with ``response`` = that turn's text and ``prompt`` = the
+    longest suffix of the conversation's PRIOR turns whose token total
+    fits ``SFT_BUDGET`` (whole turns, newest kept first — the same
+    keep-the-tail truncation as ``conv_context_budget``), rendered as
+    ``role: text`` lines in turn order.
+
+    Fit is decided in closed form, no per-row recursion: with ``pre`` =
+    the conversation's inclusive prefix token sum, prior turn j's suffix
+    cost at assistant turn i is ``pre[i-1] - pre[j] + tok[j]`` — so one
+    conv_id window builds the prefix sums and the context array, and the
+    budget filter/render are in-row higher-order expressions (lambdas
+    single-parameter per the F.transform index gotcha; the outer-column
+    reference is the supported correlation form). ONE conv_id shuffle,
+    everything else whole-stage codegen; at 10^12 turns this
+    co-partitions with the extraction pipeline's conversation keying."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pre = t.withColumn("n_tokens", _n_tokens(F.col("text"))).withColumn(
+        "pre", F.sum("n_tokens").over(w)
+    )
+    ctx = pre.withColumn(
+        "ctx",
+        F.collect_list(F.struct("pre", "n_tokens", "role", "text")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn("pre_prev", F.col("pre") - F.col("n_tokens"))
+    kept = F.filter(
+        F.col("ctx"),
+        lambda e: F.col("pre_prev") - e["pre"] + e["n_tokens"]
+        <= F.lit(SFT_BUDGET),
+    )
+    return (
+        ctx.filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size(kept).alias("n_context_turns"),
+            F.aggregate(
+                kept, F.lit(0), lambda acc, e: acc + e["n_tokens"]
+            ).alias("prompt_tokens"),
+            F.array_join(
+                F.transform(
+                    kept,
+                    lambda e: F.concat(e["role"], F.lit(": "), e["text"]),
+                ),
+                "\n",
+            ).alias("prompt"),
+            F.col("text").alias("response"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def _sft_pair_sql() -> str:
+    # The oracle states the same suffix rule as a correlated join (prior
+    # turns whose closed-form suffix cost fits), which DuckDB evaluates
+    # fine at oracle scale; string_agg ORDER BY j pins the line order.
+    return f"""
+    WITH turns AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               text,
+               (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(t)
+                WHERE t <> '') AS n_tokens
+        FROM documents
+    ),
+    pre AS (
+        SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+               ) AS pre
+        FROM turns
+    ),
+    ctx AS (
+        SELECT a.conv_id, a.turn_idx, a.text AS response,
+               b.turn_idx AS j, b.role AS brole, b.text AS btext,
+               b.n_tokens AS btok
+        FROM pre a LEFT JOIN pre b
+          ON a.conv_id = b.conv_id AND b.turn_idx < a.turn_idx
+         AND (a.pre - a.n_tokens) - b.pre + b.n_tokens <= {SFT_BUDGET}
+        WHERE a.role = 'assistant'
+    )
+    SELECT conv_id, turn_idx,
+           CAST(count(j) AS BIGINT) AS n_context_turns,
+           CAST(coalesce(sum(btok), 0) AS BIGINT) AS prompt_tokens,
+           coalesce(string_agg(brole || ': ' || btext, chr(10) ORDER BY j),
+                    '') AS prompt,
+           response
+    FROM ctx
+    GROUP BY conv_id, turn_idx, response
+    ORDER BY conv_id, turn_idx
+"""
+
+
+SFT_PAIR_SQL = _sft_pair_sql()
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
+    "sft_pair_assembly": (sft_pair_assembly, SFT_PAIR_SQL),
 }

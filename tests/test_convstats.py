@@ -1,0 +1,44 @@
+"""SFT pair assembly semantics on a hand-built conversation: suffix
+budget keeps the newest prior turns that fit, drops older ones whole,
+and a context-less assistant turn gets an empty prompt."""
+
+import pytest
+
+from gmft_spark.operators.convstats import SFT_BUDGET, sft_pair_assembly
+
+
+@pytest.fixture()
+def sf_dir(spark, tmp_path):
+    """One conversation (source='a', doc_id % 16 == 1) with four turns:
+    t0 assistant (100 tok), t1 tool (60), t2 user (50), t3 assistant.
+    At t3 the suffix costs are t2:50, t1:110, t0:210 — so a budget of
+    120 keeps t1+t2 and drops t0."""
+    assert SFT_BUDGET == 120  # the fixture's token counts encode this
+    rows = [
+        (1, "a", " ".join(["w"] * 100)),
+        (17, "a", " ".join(["x"] * 60)),
+        (33, "a", " ".join(["y"] * 50)),
+        (49, "a", " ".join(["z"] * 5)),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_sft_pairs_apply_the_suffix_budget(spark, sf_dir):
+    out = {r["turn_idx"]: r for r in sft_pair_assembly(spark, sf_dir).collect()}
+    assert sorted(out) == [0, 3]  # the two assistant turns
+
+    first = out[0]  # no prior turns: empty prompt
+    assert (first["n_context_turns"], first["prompt_tokens"]) == (0, 0)
+    assert first["prompt"] == ""
+    assert first["response"] == " ".join(["w"] * 100)
+
+    last = out[3]  # t0 (100 tok) doesn't fit; t1+t2 do
+    assert (last["n_context_turns"], last["prompt_tokens"]) == (2, 110)
+    assert last["prompt"] == (
+        "tool: " + " ".join(["x"] * 60) + "\nuser: " + " ".join(["y"] * 50)
+    )
+    assert last["response"] == " ".join(["z"] * 5)
