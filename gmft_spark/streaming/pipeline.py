@@ -68,7 +68,12 @@ def run_available_now(
     q.awaitTermination()
 
 
-def snapshot_batch_committer(table_dir: str):
+def snapshot_batch_committer(
+    table_dir: str,
+    rollup_table: str | None = None,
+    rollup_keys: list[str] | None = None,
+    rollup_sums: list[str] | None = None,
+):
     """Per-micro-batch committer for a ``foreachBatch`` sink into the
     snapshot table, made EXACTLY-ONCE on top of foreachBatch's
     at-least-once contract: each commit stamps the streaming batch id
@@ -76,7 +81,16 @@ def snapshot_batch_committer(table_dir: str):
     table commit but before the checkpoint advanced) finds its id in the
     commit log and returns without writing — the same idempotence recipe
     Iceberg's streaming writer uses (batch id in snapshot summary
-    properties). The scan is over manifest JSON, metadata-scale."""
+    properties). The scan is over manifest JSON, metadata-scale.
+
+    With ``rollup_table``, each batch also brings an aggregate table up
+    to the fact table's head (``plans/rollup.refresh_rollup``) — a
+    materialized view that stays fresh per micro-batch. The refresh runs
+    UNCONDITIONALLY after the commit check, including on replayed
+    batches: it carries its own watermark inside the state commit, so a
+    replay either finds no new delta (no-op) or repairs a crash that
+    landed between the fact append and the rollup refresh. Its cost is
+    delta-sized either way."""
     from gmft_spark.plans import snapshots as S
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,28 +98,48 @@ def snapshot_batch_committer(table_dir: str):
             s["summary"].get("stream_batch_id") == batch_id
             for s in S.snapshots(table_dir)
         )
-        if committed:
-            return
-        S.commit_append(
-            batch_df.sparkSession,
-            batch_df,
-            table_dir,
-            summary_extra={"stream_batch_id": batch_id},
-        )
+        if not committed:
+            S.commit_append(
+                batch_df.sparkSession,
+                batch_df,
+                table_dir,
+                summary_extra={"stream_batch_id": batch_id},
+            )
+        if rollup_table:
+            from gmft_spark.plans.rollup import refresh_rollup
+
+            refresh_rollup(
+                batch_df.sparkSession,
+                table_dir,
+                rollup_table,
+                keys=rollup_keys or [],
+                sum_cols=rollup_sums or [],
+            )
 
     return _commit
 
 
 def run_snapshot_sink(
-    stream_df: DataFrame, table_dir: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    rollup_table: str | None = None,
+    rollup_keys: list[str] | None = None,
+    rollup_sums: list[str] | None = None,
 ) -> None:
     """Drain the stream into a snapshot table (one atomic snapshot per
     micro-batch, exactly-once via the batch-id stamp), availableNow.
     Downstream consumers read the table's changelog with
     ``snapshots.incremental_scan`` — streaming in, incremental batch
-    out, no duplicate rows across failures."""
+    out, no duplicate rows across failures. ``rollup_table`` keeps a
+    grouped aggregate fresh per micro-batch (see
+    ``snapshot_batch_committer``)."""
     q = (
-        stream_df.writeStream.foreachBatch(snapshot_batch_committer(table_dir))
+        stream_df.writeStream.foreachBatch(
+            snapshot_batch_committer(
+                table_dir, rollup_table, rollup_keys, rollup_sums
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

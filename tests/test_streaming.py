@@ -196,3 +196,72 @@ def test_snapshot_sink_second_drain_appends_only_new_files(spark, tmp_path):
     assert t.count() == n1 + second.count()
     keys = [(r["conv_id"], r["turn_idx"]) for r in t.collect()]
     assert len(keys) == len(set(keys))
+
+
+def test_snapshot_sink_keeps_a_rollup_fresh_per_batch(spark, tmp_path):
+    """foreachBatch sink with rollup_table: the aggregate tracks the fact
+    table across drains, replays leave it unchanged, and a crash that
+    landed the fact append but not the refresh is repaired on replay."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.plans import snapshots as S
+    from gmft_spark.plans.rollup import last_refreshed_snapshot
+    from gmft_spark.streaming.pipeline import (
+        run_snapshot_sink,
+        snapshot_batch_committer,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "in6")
+    tbl = str(tmp_path / "tbl6")
+    roll = str(tmp_path / "roll6")
+    ckpt = str(tmp_path / "ckpt6")
+
+    def _recompute():
+        return {
+            r["conv_id"]: (r["n"], r["t"])
+            for r in S.read_table(spark, tbl)
+            .groupBy("conv_id")
+            .agg(F.count("*").alias("n"), F.sum("turn_idx").alias("t"))
+            .collect()
+        }
+
+    def _state():
+        return {
+            r["conv_id"]: (r["n_rows"], r["sum_turn_idx"])
+            for r in S.read_table(spark, roll).collect()
+        }
+
+    synthesize_transcripts(spark, n_convs=4, turns_per_conv=3).write.parquet(src)
+    kw = dict(rollup_table=roll, rollup_keys=["conv_id"], rollup_sums=["turn_idx"])
+    run_snapshot_sink(stream_transcripts(spark, src), tbl, ckpt, **kw)
+    assert _state() == _recompute()
+
+    # second drain over appended input refreshes incrementally
+    synthesize_transcripts(spark, n_convs=6, turns_per_conv=2).filter(
+        F.col("conv_id").isin("conv-4", "conv-5")
+    ).write.mode("append").parquet(src)
+    run_snapshot_sink(stream_transcripts(spark, src), tbl, ckpt, **kw)
+    assert _state() == _recompute() and len(_state()) == 6
+
+    # replayed batch: fact table and rollup both unchanged
+    commit = snapshot_batch_committer(tbl, **kw)
+    replay_id = max(
+        s["summary"].get("stream_batch_id", -1) for s in S.snapshots(tbl)
+    )
+    fact_head, roll_head = S.current_snapshot_id(tbl), S.current_snapshot_id(roll)
+    commit(S.read_table(spark, tbl).limit(3), replay_id)
+    assert S.current_snapshot_id(tbl) == fact_head
+    assert S.current_snapshot_id(roll) == roll_head
+
+    # crash repair: a fact append whose refresh never ran catches up on
+    # the next delivered batch, replayed or not
+    S.commit_append(
+        spark,
+        S.read_table(spark, tbl).limit(2),
+        tbl,
+        summary_extra={"stream_batch_id": replay_id + 1},
+    )
+    commit(S.read_table(spark, tbl).limit(2), replay_id + 1)  # replay: append skipped
+    assert last_refreshed_snapshot(roll) == S.current_snapshot_id(tbl)
+    assert _state() == _recompute()
