@@ -666,6 +666,85 @@ SPLIT_SQL = f"""
 """
 
 
+N_SHARDS = 8
+
+
+def shard_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last mile of a
+    training-data pipeline: every document gets a shard and a position
+    within it, both pure functions of doc_id (named md5 draw
+    ``shard|<doc_id>``), so the training order is stable across runs,
+    engines, and partitionings, and appending documents never moves
+    existing ones between shards. ``cum_tokens`` is the running token
+    total in shard order (the byte-offset analog a sequence-packing
+    loader consumes).
+
+    Shard = floor(hash-fraction × N_SHARDS) via the portable
+    md5-lower-64 recipe (_md5_lower64 == DuckDB md5_number_lower;
+    identical double arithmetic both engines). Within-shard order is the
+    md5 hex string — lexicographic, engine-portable.
+
+    Scale shape: assignment is a narrow map on the scan; the per-shard
+    row_number/running-sum window is the oracle form (N_SHARDS tasks).
+    At 10^12 docs the same order materializes shard-parallel:
+    repartitionByRange on (shard, h) + sortWithinPartitions, with
+    positions as per-partition offsets (one count pass) — the order
+    itself is already defined by the hash, which is the property that
+    matters."""
+    d = _docs(spark, sf_dir)
+    key = F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))
+    frac = _md5_lower64(key) / F.lit(_KMV_SPACE)
+    shard = F.least(
+        F.floor(frac * N_SHARDS).cast("int"), F.lit(N_SHARDS - 1)
+    )
+    ntok = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    base = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.md5(key).alias("h"),
+        ntok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("h")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tokens"),
+    ).orderBy("shard", "pos")
+
+
+SHARD_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               md5('shard|' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST(md5_number_lower('shard|' || CAST(doc_id AS VARCHAR))
+                    AS DOUBLE) / {_KMV_SPACE!r} AS f,
+               (SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(t)
+                WHERE t <> '') AS n_tokens
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, h, n_tokens,
+               least(CAST(floor(f * {N_SHARDS}) AS INT), {N_SHARDS - 1})
+                   AS shard
+        FROM base
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h) AS INT)
+               AS pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM sharded
+    ORDER BY shard, pos
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms — the classic relevance signal for
     corpus exploration and keyword extraction. tf = in-doc frequency,
@@ -1306,6 +1385,7 @@ QUERIES = {
     "sketch_hll_distinct": (sketch_hll_distinct, HLL_SQL),
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "split_train_val_test": (split_train_val_test, SPLIT_SQL),
+    "shard_training_corpus": (shard_training_corpus, SHARD_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "text_bm25_topk": (bm25_topk, BM25_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
