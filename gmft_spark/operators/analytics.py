@@ -1016,8 +1016,147 @@ RFM_SQL = """
 """
 
 
+HIST_BINS = 256
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch — the scale path that
+    replaces ``percentile``'s full sort: one map-side-combinable groupBy
+    folds the corpus into ≤``HIST_BINS`` (bin, count) cells, and the
+    p50/p90/p99 estimates interpolate inside the selected bin. Following
+    the KMV pattern, the EXACT percentile rides in the output, so the
+    sketch's error is itself part of the hash-checked contract.
+
+    Engine-exact by construction: bin edges come from exact min/max
+    (identical doubles), the bin index is one float expression written
+    identically in both engines, the target rank is pure integer
+    arithmetic (``(n*q + 99) div 100`` — never a double→int cast, the
+    round-vs-truncate trap), and the interpolation is a single
+    parenthesization-pinned double expression rounded at 4 dp.
+
+    Scale shape: bounds are a 1-row broadcast; the histogram shuffle
+    carries at most HIST_BINS rows per task (map-side combine); the
+    cumulative window runs over ≤256 rows (single partition by design —
+    that is the sketch's whole point). Sketches from disjoint corpus
+    partitions merge by adding counts, so this is the per-executor →
+    global two-level pattern at 1000 executors."""
+    x = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    bounds = x.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    binc = F.least(
+        F.floor(
+            (F.col("x") - F.col("lo"))
+            * F.lit(float(HIST_BINS))
+            / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    hist = (
+        x.crossJoin(F.broadcast(bounds))
+        .groupBy(binc.alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).withColumn("cum_before", F.col("cum") - F.col("c"))
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    exact = x.agg(
+        *[
+            F.round(F.expr(f"percentile(x, {q / 100.0!r})"), 4).alias(f"e{q}")
+            for q in (50, 90, 99)
+        ]
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(bounds))
+        .join(
+            F.broadcast(qs),
+            (F.col("cum") >= F.expr("(n * q + 99) div 100"))
+            & (F.col("cum_before") < F.expr("(n * q + 99) div 100")),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
+    est = F.col("lo") + (F.col("hi") - F.col("lo")) * (
+        (
+            F.col("bin").cast("double")
+            + (
+                F.expr("(n * q + 99) div 100") - F.col("cum_before")
+            ).cast("double")
+            / F.col("c").cast("double")
+        )
+        / F.lit(float(HIST_BINS))
+    )
+    return sel.select(
+        "q",
+        F.expr("CAST((n * q + 99) div 100 AS BIGINT)").alias("rank"),
+        "bin",
+        F.round(est, 4).alias("est"),
+        F.when(F.col("q") == 50, F.col("e50"))
+        .when(F.col("q") == 90, F.col("e90"))
+        .otherwise(F.col("e99"))
+        .alias("exact_p"),
+    ).orderBy("q")
+
+
+HIST_QUANTILES_SQL = f"""
+    WITH bounds AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+               count(*) AS n
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT least(CAST(floor((l_extendedprice - lo)
+                                * {float(HIST_BINS)!r} / (hi - lo)) AS INT),
+                     {HIST_BINS - 1}) AS bin,
+               count(*) AS c
+        FROM lineitem, bounds
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, c,
+               sum(c) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    exact AS (
+        SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS e50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS e90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS e99
+        FROM lineitem
+    )
+    SELECT q,
+           CAST((n * q + 99) // 100 AS BIGINT) AS rank,
+           bin,
+           round(lo + (hi - lo)
+                 * ((CAST(bin AS DOUBLE)
+                     + CAST((n * q + 99) // 100 - (cum - c) AS DOUBLE)
+                       / CAST(c AS DOUBLE))
+                    / {float(HIST_BINS)!r}), 4) AS est,
+           CASE WHEN q = 50 THEN e50
+                WHEN q = 90 THEN e90
+                ELSE e99 END AS exact_p
+    FROM cum, bounds, qs, exact
+    WHERE cum >= (n * q + 99) // 100
+      AND cum - c < (n * q + 99) // 100
+    ORDER BY q
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
+    "sketch_histogram_quantiles": (
+        sketch_histogram_quantiles,
+        HIST_QUANTILES_SQL,
+    ),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
     "agg_priority_rollup": (priority_rollup, ROLLUP_SQL),
     "agg_hourly_event_rollup": (hourly_event_rollup, HOURLY_SQL),
