@@ -89,6 +89,12 @@ def _bench_conversation_pdfs(spark, sf_dir):
     )
 
 
+def _bench_sft_pairs(spark, sf_dir):
+    from gmft_spark.operators.convstats import sft_pair_assembly
+
+    return sft_pair_assembly(spark, sf_dir)
+
+
 HEADLINE = [
     ("f7_cell_assignment", relational.f7_cell_assignment),
     ("h3_divider_fill", relational.h3_divider_fill),
@@ -115,6 +121,9 @@ HEADLINE = [
     ("dedup_bloom_decontaminate", dedup.bloom_decontaminate),
     ("bpe_train_merges", curation.bpe_train_merges),
     ("sketch_cms_heavy_hitters", textstats.sketch_cms_heavy_hitters),
+    ("sketch_histogram_quantiles", analytics.sketch_histogram_quantiles),
+    ("shard_training_corpus", textstats.shard_training_corpus),
+    ("sft_pair_assembly", _bench_sft_pairs),
     # oracle-checked pipeline paths (mapInPandas over the sf tables)
     ("detect_pipeline", _bench_detect),
     ("tatr_extract_pipeline", _bench_extract),

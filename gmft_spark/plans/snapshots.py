@@ -670,23 +670,45 @@ def compact(
 ZORDER_BITS = 8  # 256 cells per dimension — plenty for file-level locality
 
 
-def _zvalue(cols: list[str], mins: dict, maxs: dict):
-    """Morton/Z-value expression: each column scales linearly into
-    [0, 2^bits) against its broadcast global min/max, then the bits
-    interleave. Pure integer column arithmetic — no UDF, whole-stage
-    codegen keeps it JVM-side."""
-    from pyspark.sql import functions as F
+def _zorder_key(df: DataFrame, c: str):
+    """Numeric ordering key for a clustered column. Numerics cast to
+    double; STRINGS encode their first four bytes big-endian (ascii ×
+    256^k) — order-preserving on the prefix, which is exactly the
+    locality Z-ordering needs (Iceberg's string zorder truncates the
+    same way). Null/short strings pad with 0, sorting first."""
+    from pyspark.sql.types import StringType
 
+    if isinstance(df.schema[c].dataType, StringType):
+        def byte(i: int):
+            return F.coalesce(
+                F.ascii(F.substring(F.col(c), i, 1)).cast("double"),
+                F.lit(0.0),
+            )
+
+        return (
+            byte(1) * 16777216.0
+            + byte(2) * 65536.0
+            + byte(3) * 256.0
+            + byte(4)
+        )
+    return F.col(c).cast("double")
+
+
+def _zvalue(keys: dict, mins: dict, maxs: dict):
+    """Morton/Z-value expression: each column's ordering key scales
+    linearly into [0, 2^bits) against its broadcast global min/max, then
+    the bits interleave. Pure integer column arithmetic — no UDF,
+    whole-stage codegen keeps it JVM-side."""
     top = (1 << ZORDER_BITS) - 1
     z = F.lit(0).cast("long")
-    for i, c in enumerate(cols):
+    for i, c in enumerate(keys):
         span = max(float(maxs[c] - mins[c]), 1e-12)
         scaled = F.floor(
-            (F.col(c).cast("double") - float(mins[c])) / span * top + 0.5
+            (keys[c] - float(mins[c])) / span * top + 0.5
         ).cast("long")
         for b in range(ZORDER_BITS):
             bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1))
-            z = z + F.shiftleft(bit, b * len(cols) + i)
+            z = z + F.shiftleft(bit, b * len(keys) + i)
     return z
 
 
@@ -712,13 +734,14 @@ def cluster_by(
 
     parent = current_snapshot_id(table_dir)
     df = read_table(spark, table_dir)
+    keys = {c: _zorder_key(df, c) for c in cols}
     bounds = df.groupBy().agg(
-        *[F.min(c).alias(f"min_{c}") for c in cols],
-        *[F.max(c).alias(f"max_{c}") for c in cols],
+        *[F.min(keys[c]).alias(f"min_{c}") for c in cols],
+        *[F.max(keys[c]).alias(f"max_{c}") for c in cols],
     ).collect()[0]
     mins = {c: bounds[f"min_{c}"] for c in cols}
     maxs = {c: bounds[f"max_{c}"] for c in cols}
-    z = _zvalue(cols, mins, maxs)
+    z = _zvalue(keys, mins, maxs)
     out = (
         df.withColumn("_z", z)
         .repartitionByRange(target_files, "_z")

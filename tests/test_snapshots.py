@@ -381,3 +381,31 @@ def test_table_diff_cancels_compaction_rewrites(spark, table):
     S.commit_append(spark, _batch(spark, [3]), table)
     S.compact(spark, table, target_partitions=1)
     assert S.table_diff(spark, table, from_snapshot_id=2).count() == 0
+
+
+def test_zorder_clusters_string_columns_by_prefix(spark, table):
+    """Z-ordering on a STRING column uses an order-preserving 4-byte
+    prefix key, so file bounds segregate by prefix and a string-range
+    prune skips files."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 64).select(
+        F.concat(
+            F.element_at(
+                F.array(F.lit("alpha-"), F.lit("mid-"), F.lit("zeta-")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ),
+            F.col("id").cast("string"),
+        ).alias("conv_id"),
+        F.col("id").alias("doc_id"),
+    )
+    S.commit_append(spark, df, table)
+    sid = S.cluster_by(spark, table, ["conv_id", "doc_id"], target_files=4)
+    snap = S.load_snapshot(table, sid)
+    assert snap["operation"] == "cluster"
+    pruned = S.plan_files(table, prune={"conv_id": ("zeta-", None)})
+    assert 0 < len(pruned) < len(snap["files"])
+    got = S.read_table(
+        spark, table, prune={"conv_id": ("zeta-", None)}
+    ).filter(F.col("conv_id") >= "zeta-")
+    assert got.count() == 21  # ids ≡ 2 mod 3 — nothing lost to skipping
