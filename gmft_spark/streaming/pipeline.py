@@ -53,6 +53,38 @@ def stream_turn_metrics(transcripts: DataFrame, watermark: str = "10 minutes") -
     )
 
 
+def stream_session_metrics(
+    transcripts: DataFrame,
+    gap: str = "2 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows per conversation (``F.session_window``):
+    a session extends while consecutive turns arrive within ``gap`` and
+    closes after event time passes gap + watermark — the native engine
+    operator behind the batch sessionize query, here running genuinely
+    incrementally (Spark merges overlapping per-batch windows in the
+    state store; the watermark bounds state size, which is what makes
+    10^12-turn streams feasible). One shuffle keyed on (conv_id,
+    session_window), map-side partial merge first."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

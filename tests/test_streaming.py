@@ -265,3 +265,70 @@ def test_snapshot_sink_keeps_a_rollup_fresh_per_batch(spark, tmp_path):
     commit(S.read_table(spark, tbl).limit(2), replay_id + 1)  # replay: append skipped
     assert last_refreshed_snapshot(roll) == S.current_snapshot_id(tbl)
     assert _state() == _recompute()
+
+
+def test_session_windows_merge_across_micro_batches(spark, tmp_path):
+    """Turns of one session split across two micro-batches merge into a
+    single session row (state-store window merge), a >gap pause opens a
+    new session, and the streamed result equals the same session_window
+    computed in batch mode."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmft_spark.streaming.pipeline import (
+        TRANSCRIPT_SCHEMA,
+        run_available_now,
+        stream_session_metrics,
+    )
+
+    src = str(tmp_path / "in7")
+    out = str(tmp_path / "out7")
+    ckpt = str(tmp_path / "ckpt7")
+    os.makedirs(src)
+
+    def _rows(rows):
+        return spark.createDataFrame(
+            [
+                (c, i, "user", "t", None, f"2026-01-01 00:{mm:02d}:{ss:02d}")
+                for c, i, mm, ss in rows
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts_s string",
+        ).select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        )
+
+    # batch 1: session 1 starts; batch 2: continues it (<2 min gap),
+    # then a >2 min pause opens session 2; a far-future row advances the
+    # watermark so both sessions close and emit in append mode
+    _rows([("conv-1", 0, 0, 0), ("conv-1", 1, 1, 0)]).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    _rows(
+        [("conv-1", 2, 2, 30), ("conv-1", 3, 10, 0), ("flush", 9, 50, 0)]
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    run_available_now(stream_session_metrics(stream), out, ckpt)
+    got = sorted(
+        (r["conv_id"], r["n_turns"], r["first_turn"], r["last_turn"])
+        for r in spark.read.parquet(out).filter("conv_id = 'conv-1'").collect()
+    )
+    # session 1 merged turns 0-2 across the batch boundary
+    assert got == [("conv-1", 1, 3, 3), ("conv-1", 3, 0, 2)]
+
+    # differential: the batch-mode session_window over the same input
+    batch = stream_session_metrics(
+        spark.read.schema(TRANSCRIPT_SCHEMA).parquet(src + "/*")
+    )
+    expect = sorted(
+        (r["conv_id"], r["n_turns"], r["first_turn"], r["last_turn"])
+        for r in batch.filter("conv_id = 'conv-1'").collect()
+    )
+    assert got == expect
