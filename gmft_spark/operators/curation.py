@@ -679,8 +679,56 @@ BPE_TRAIN_SQL = _bpe_train_sql()
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+SAMPLE_K = 20  # documents kept per stratum
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the ``SAMPLE_K`` documents with
+    the smallest hash rank per source — a uniform-without-replacement
+    sample per stratum that is stable across runs, engines, and
+    partitionings (no RNG state; the hash IS the reservoir priority, so
+    this is bottom-k reservoir sampling made reproducible). Appending
+    documents can only displace the current largest ranks — a doc's
+    inclusion never depends on scan order.
+
+    Scale shape: ONE source-keyed shuffle for the top-k window, bounded
+    per task by Spark's WindowGroupLimit pushdown (each map task forwards
+    at most k rows per stratum before the exchange); rank = the md5 hex
+    string, portable to the oracle byte-for-byte."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rank_key = F.md5(
+        F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(rank_key.asc())
+    return (
+        d.select("doc_id", "source", rank_key.alias("rk"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+SAMPLE_SQL = f"""
+    SELECT doc_id, source, sample_rank
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR))
+               ) AS INT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {SAMPLE_K}
+    ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_SQL),
     "dedup_lines_within_doc": (dedup_lines_within_doc, DEDUP_LINES_WITHIN_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
