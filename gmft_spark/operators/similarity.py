@@ -1356,8 +1356,96 @@ ANN_PQ_RERANK_SQL = _pq_sql_ctes() + f""",
 """
 
 
+RP_D_IN = 64  # corpus embedding dimension
+RP_D_OUT = 16  # projected dimension (4× reduction)
+
+
+def _rp_sign(i_col, j_col):
+    """±1 sign for projection cell (i, j) from the parity of the LAST
+    hex digit of md5('rp|i|j') — a pure string test, portable to DuckDB
+    byte-for-byte (the numeric md5-lower-64 helper rides in a double, so
+    its low-bit parity is NOT trustworthy — never use it for % 2)."""
+    h = F.md5(
+        F.concat(
+            F.lit("rp|"),
+            i_col.cast("string"),
+            F.lit("|"),
+            j_col.cast("string"),
+        )
+    )
+    return F.when(
+        F.substring(h, 32, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        F.lit(-1),
+    ).otherwise(F.lit(1)).cast("long")
+
+
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    Rademacher (±1) matrix: proj[j] = Σ_i sign(i,j)·x[i] / √d_out — the
+    cheap pre-step that shrinks ANN/dedup embedding cost 4× while
+    approximately preserving distances. The sign matrix is a pure
+    function of (i, j) (named md5 draw), so projections are reproducible
+    across runs/engines and never materialize model state.
+
+    Engine exactness: inputs go fixed-point (floor(x·1e6 + 0.5), the
+    CLAUDE.md recipe) BEFORE the unordered sum — sign·int products sum
+    exactly in any order — and the OUTPUT stays the integer accumulator
+    (units: 1e-6·√d_out of the real projection; acc/4e6 has 2.5e-7
+    resolution, so rounding it to 6 dp sits exactly on the engines'
+    divergent .5 boundary — measured 18/8000 last-digit flips). Scale
+    shape: the sign matrix (d_in·d_out rows) is a broadcast build from
+    spark.range; the corpus explodes to (vec, i) pairs and folds straight
+    into a map-side-combinable (vec_id, j) aggregation — one shuffle
+    keyed on (vec_id, j), no UDFs."""
+    ef = _emb(spark, sf_dir).select(
+        "vec_id", _fixed_vec(F.col("v")).alias("xf")
+    )
+    signs = spark.range(RP_D_IN * RP_D_OUT).select(
+        (F.col("id") % RP_D_IN + 1).cast("int").alias("i"),  # 1-based dim
+        (F.col("id") / RP_D_IN).cast("int").alias("j"),
+        _rp_sign(F.col("id") % RP_D_IN + 1, (F.col("id") / RP_D_IN).cast("int")).alias("s"),
+    )
+    exploded = ef.select(
+        "vec_id", F.posexplode("xf").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    return (
+        exploded.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).alias("proj_fp"))
+        .orderBy("vec_id", "j")
+    )
+
+
+RP_SQL = f"""
+    WITH signs AS (
+        SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+               CASE WHEN substr(md5('rp|' || CAST(i.range AS VARCHAR)
+                                 || '|' || CAST(j.range AS VARCHAR)), 32, 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                    THEN -1 ELSE 1 END AS s
+        FROM range(1, {RP_D_IN} + 1) i, range(0, {RP_D_OUT}) j
+    ),
+    exploded AS (
+        SELECT vec_id, CAST(i AS INT) AS i,
+               CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   AS x
+        FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        )
+    )
+    SELECT vec_id, j,
+           CAST(sum(s * x) AS BIGINT) AS proj_fp
+    FROM exploded JOIN signs USING (i)
+    GROUP BY vec_id, j
+    ORDER BY vec_id, j
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "embed_random_projection": (embed_random_projection, RP_SQL),
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "ann_kmeans_train": (ann_kmeans_train, KMEANS_SQL),
