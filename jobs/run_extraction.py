@@ -68,9 +68,24 @@ def main(argv=None) -> int:
         "table_id) so reprocessing the same turns REPLACES their prior "
         "rows (copy-on-write; idempotent re-runs)",
     )
+    parser.add_argument(
+        "--rollup-table",
+        default=None,
+        help="with --snapshot-table (append mode): after the results "
+        "commit, incrementally refresh this per-conversation stats "
+        "rollup (plans/rollup.py) from the results changelog",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None, help="override (else spark-submit's)")
     args = parser.parse_args(argv)
+    if args.rollup_table and not (
+        args.snapshot_table and args.snapshot_mode == "append"
+    ):
+        parser.error(
+            "--rollup-table needs --snapshot-table with "
+            "--snapshot-mode append (the rollup reads the append "
+            "changelog; overwrite commits carry no delta)"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -152,6 +167,20 @@ def main(argv=None) -> int:
             f"snapshot {sid} committed to {args.snapshot_table} "
             f"({args.snapshot_mode})"
         )
+        if args.rollup_table:
+            from gmft_spark.plans.rollup import refresh_rollup
+
+            r = refresh_rollup(
+                spark,
+                args.snapshot_table,
+                args.rollup_table,
+                keys=["conv_id"],
+                sum_cols=["n_rows"],
+            )
+            print(
+                f"rollup {args.rollup_table} refreshed through source "
+                f"snapshot {r['source_snapshot_id']}"
+            )
     return 0
 
 

@@ -93,3 +93,37 @@ def test_input_flags_are_exclusive(snap_input):
             ["--input", "/tmp/a", "--input-snapshot-table", snap_input,
              "--output", "/tmp/x"]
         )
+
+
+def test_extraction_job_maintains_a_stats_rollup(spark, tmp_path, snap_input):
+    """--rollup-table: two incremental extraction runs keep the
+    per-conversation table-row stats equal to a full recompute."""
+    tbl = str(tmp_path / "res_tbl")
+    roll = str(tmp_path / "res_roll")
+    base = ["--buckets", "8", "--snapshot-table", tbl, "--rollup-table", roll]
+    assert _run(
+        ["--input-snapshot-table", snap_input, "--since-snapshot", "0",
+         "--output", str(tmp_path / "o1"), "--run-id", "e1", *base]
+    ) == 0
+    assert _run(
+        ["--input-snapshot-table", snap_input, "--since-snapshot", "1",
+         "--output", str(tmp_path / "o2"), "--run-id", "e2", *base]
+    ) == 0
+    full = {
+        r["conv_id"]: (r["n"], r["t"])
+        for r in S.read_table(spark, tbl)
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n"), F.sum("n_rows").alias("t"))
+        .collect()
+    }
+    got = {
+        r["conv_id"]: (r["n_rows"], r["sum_n_rows"])
+        for r in S.read_table(spark, roll).collect()
+    }
+    assert got == full and len(got) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # rollup needs an append snapshot sink
+        _run(["--input-snapshot-table", snap_input,
+              "--output", str(tmp_path / "bad"), "--rollup-table", roll])
