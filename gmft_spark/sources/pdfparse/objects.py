@@ -21,6 +21,13 @@ from typing import Any, Dict, List, Optional, Tuple
 
 _WHITESPACE = b"\x00\t\n\x0c\r "
 _DELIMS = b"()<>[]{}/%"
+# C-speed twins of the Lexer's hot loops (see skip_ws/read_token):
+# whitespace-or-comment runs, and maximal regular-token runs (neither
+# whitespace nor delimiter bytes).
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*")
+_WS_TOKEN_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
 
 
 class Name(str):
@@ -96,31 +103,22 @@ class Lexer:
         self.pos = pos
 
     def skip_ws(self) -> None:
-        data, n = self.data, len(self.data)
-        p = self.pos
-        while p < n:
-            c = data[p]
-            if c in _WHITESPACE:
-                p += 1
-            elif c == 0x25:  # '%' comment
-                while p < n and data[p] not in b"\r\n":
-                    p += 1
-            else:
-                break
-        self.pos = p
+        # regex-driven: the per-byte Python loop was the single hottest
+        # call in the decode profile (235k calls / 150 turns). The
+        # pattern is byte-equivalent to the loop it replaces: runs of
+        # PDF whitespace interleaved with %-comments (a comment ends
+        # BEFORE its CR/LF, which the whitespace branch then consumes).
+        self.pos = _WS_RE.match(self.data, self.pos).end()
 
     def peek_byte(self) -> int:
         return self.data[self.pos] if self.pos < len(self.data) else -1
 
     def read_token(self) -> bytes:
         """Read a regular token (keyword / number)."""
-        self.skip_ws()
-        data, n = self.data, len(self.data)
-        start = p = self.pos
-        while p < n and data[p] not in _WHITESPACE and data[p] not in _DELIMS:
-            p += 1
-        self.pos = p if p > start else start + 1
-        return data[start : self.pos]
+        m = _WS_TOKEN_RE.match(self.data, self.pos)
+        start, end = m.span(1)
+        self.pos = end if end > start else start + 1
+        return self.data[start : self.pos]
 
     def read_name(self) -> Name:
         # caller consumed '/'
