@@ -208,12 +208,33 @@ def _inherited_stats(
     return cols, stats
 
 
+def bucket_of(value, n_buckets: int) -> int:
+    """Driver-side twin of the writer's bucket transform: md5 hex chars
+    17-24 (bytes 8..12, big-endian) mod n — a 32-bit value, so the
+    Spark expression (conv/substring on md5) and this Python form are
+    exact everywhere (never the double-precision md5-lower-64 helper,
+    whose low bits are lossy)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+    return int(h[16:24], 16) % n_buckets
+
+
+def _bucket_expr(col: str, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 17, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
 def commit_append(
     spark: SparkSession,
     df: DataFrame,
     table_dir: str,
     summary_extra: dict | None = None,
     stat_cols: list[str] | None = None,
+    bucket_by: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -230,17 +251,52 @@ def commit_append(
     [min, max] bounds for those columns land in the snapshot (read from
     parquet footers, metadata-only) and ``read_table(..., prune=...)`` /
     ``plan_files`` skip files whose range can't match. Once set, later
-    commits inherit the columns without re-passing them."""
+    commits inherit the columns without re-passing them.
+
+    ``bucket_by=(col, n)`` opts the table into Iceberg's hidden
+    ``bucket(n, col)`` partition transform: each append splits its rows
+    into hash buckets (one file group per bucket), the manifest records
+    each file's bucket, and a point lookup
+    (``read_table(..., point={col: value})`` / ``plan_files``) reads
+    only ~1/n of the files — the north-rule "bucketed on conv_id"
+    layout, at the table layer. The spec is inherited by later commits
+    like ``stat_cols``; rewrite commits (upsert/delete/compact) carry
+    bucket tags for untouched files and leave rewritten files untagged
+    (untagged files are always read — pruning stays sound)."""
     parent = current_snapshot_id(table_dir)
-    prev_files = load_snapshot(table_dir, parent)["files"] if parent else []
+    parent_snap = load_snapshot(table_dir, parent) if parent else {}
+    prev_files = parent_snap.get("files", [])
+    spec = bucket_by or (
+        tuple(parent_snap["partition_spec"])
+        if parent_snap.get("partition_spec")
+        else None
+    )
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_uuid)
-    df.write.mode("error").parquet(data_dir)
-    added = sorted(
-        os.path.join("data", commit_uuid, name)
-        for name in os.listdir(data_dir)
-        if name.endswith(".parquet")
-    )
+    new_buckets: dict[str, int] = {}
+    if spec:
+        bcol, n_b = spec
+        df.withColumn("_bucket", _bucket_expr(bcol, n_b)).write.mode(
+            "error"
+        ).partitionBy("_bucket").parquet(data_dir)
+        added = []
+        for sub in sorted(os.listdir(data_dir)):
+            if not sub.startswith("_bucket="):
+                continue
+            k = int(sub.split("=", 1)[1])
+            for name in sorted(os.listdir(os.path.join(data_dir, sub))):
+                if name.endswith(".parquet"):
+                    rel = os.path.join("data", commit_uuid, sub, name)
+                    added.append(rel)
+                    new_buckets[rel] = k
+        added.sort()
+    else:
+        df.write.mode("error").parquet(data_dir)
+        added = sorted(
+            os.path.join("data", commit_uuid, name)
+            for name in os.listdir(data_dir)
+            if name.endswith(".parquet")
+        )
     added_rows = (
         spark.read.parquet(*[os.path.join(table_dir, p) for p in added]).count()
         if added
@@ -261,7 +317,30 @@ def commit_append(
             **(summary_extra or {}),
         },
     }
+    if spec:
+        snap["partition_spec"] = list(spec)
+        snap["file_buckets"] = {
+            **{
+                p: parent_snap.get("file_buckets", {})[p]
+                for p in prev_files
+                if p in parent_snap.get("file_buckets", {})
+            },
+            **new_buckets,
+        }
     return _publish(table_dir, snap, parent)
+
+
+def _inherited_partitions(parent_snap: dict, carried: list[str]) -> dict:
+    """Partition spec + bucket tags surviving a rewrite commit: carried
+    files keep their tags; rewritten/new files are untagged, and untagged
+    files are always read — pruning stays sound through any rewrite."""
+    if not parent_snap.get("partition_spec"):
+        return {}
+    fb = parent_snap.get("file_buckets", {})
+    return {
+        "partition_spec": parent_snap["partition_spec"],
+        "file_buckets": {p: fb[p] for p in carried if p in fb},
+    }
 
 
 def commit_upsert(
@@ -293,7 +372,8 @@ def commit_upsert(
     parent = current_snapshot_id(table_dir)
     if parent is None:
         return commit_append(spark, df, table_dir, summary_extra=summary_extra)
-    prev_files = load_snapshot(table_dir, parent)["files"]
+    prev_snap = load_snapshot(table_dir, parent)
+    prev_files = prev_snap["files"]
     abs_of = {p: os.path.join(table_dir, p) for p in prev_files}
     cur = spark.read.parquet(*abs_of.values()).withColumn(
         "_file", F.input_file_name()
@@ -347,6 +427,7 @@ def commit_upsert(
             **(summary_extra or {}),
         },
     }
+    snap.update(_inherited_partitions(prev_snap, carried))
     return _publish(table_dir, snap, parent)
 
 
@@ -380,7 +461,8 @@ def commit_delete(
     parent = current_snapshot_id(table_dir)
     if parent is None:
         raise FileNotFoundError(f"no snapshot to delete from in {table_dir}")
-    prev_files = load_snapshot(table_dir, parent)["files"]
+    prev_snap = load_snapshot(table_dir, parent)
+    prev_files = prev_snap["files"]
     abs_of = {p: os.path.join(table_dir, p) for p in prev_files}
     candidates = plan_files(table_dir, prune, parent) if prune else prev_files
     pred = F.expr(predicate)
@@ -442,6 +524,7 @@ def commit_delete(
             **(summary_extra or {}),
         },
     }
+    snap.update(_inherited_partitions(prev_snap, carried))
     return _publish(table_dir, snap, parent)
 
 
@@ -460,6 +543,7 @@ def rollback(table_dir: str, to_snapshot_id: int) -> int:
         "stats": target.get("stats", {}),
         "summary": {"total_files": len(target["files"])},
     }
+    snap.update(_inherited_partitions(target, target["files"]))
     return _publish(table_dir, snap, parent)
 
 
@@ -474,6 +558,7 @@ def plan_files(
     table_dir: str,
     prune: dict[str, tuple] | None = None,
     snapshot_id: int | None = None,
+    point: dict | None = None,
 ) -> list[str]:
     """The file list a scan with predicate ``prune`` must read — manifest
     file-skipping, Iceberg's scan planning. ``prune`` maps column →
@@ -482,16 +567,28 @@ def plan_files(
     EVERY bound. Files without stats for a pruned column are always kept
     (skipping must be sound, never guessy). Pure metadata — no Spark, no
     file opens; at 10^5-10^6 files this is a driver-side pass over a
-    few MB of JSON, the same cost profile as Iceberg manifest pruning."""
+    few MB of JSON, the same cost profile as Iceberg manifest pruning.
+
+    ``point`` maps the table's bucket column → an equality value: when
+    the table carries a ``bucket_by`` partition spec, only files tagged
+    with that value's bucket (plus untagged files — sound) are read,
+    Iceberg's hidden-partitioning point lookup."""
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
     if sid is None:
         return []
     snap = load_snapshot(table_dir, sid)
+    files = list(snap["files"])
+    if point and snap.get("partition_spec"):
+        bcol, n_b = snap["partition_spec"]
+        if bcol in point:
+            target = bucket_of(point[bcol], int(n_b))
+            fb = snap.get("file_buckets", {})
+            files = [p for p in files if fb.get(p, target) == target]
     if not prune:
-        return list(snap["files"])
+        return files
     stats = snap.get("stats", {})
     kept = []
-    for p in snap["files"]:
+    for p in files:
         fstats = stats.get(p, {})
         keep = True
         for col, (lo, hi) in prune.items():
@@ -512,6 +609,7 @@ def read_table(
     snapshot_id: int | None = None,
     prune: dict[str, tuple] | None = None,
     merge_schema: bool = False,
+    point: dict | None = None,
 ) -> DataFrame:
     """Read the table as of HEAD, or any historical snapshot (time
     travel). ``prune`` skips files via manifest stats (``plan_files``);
@@ -526,7 +624,7 @@ def read_table(
     and older files surface the new columns as null, Iceberg's
     add-column semantics. Off by default — merging reads every file's
     footer at planning time; a fixed-schema table shouldn't pay it."""
-    files = plan_files(table_dir, prune, snapshot_id)
+    files = plan_files(table_dir, prune, snapshot_id, point=point)
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not files:
         live = _resolve_files(table_dir, snapshot_id)
@@ -664,6 +762,8 @@ def compact(
         "stats": stats,
         "summary": {"total_files": len(files)},
     }
+    if parent:
+        snap.update(_inherited_partitions(load_snapshot(table_dir, parent), []))
     return _publish(table_dir, snap, parent)
 
 
@@ -768,6 +868,8 @@ def cluster_by(
         "stats": stats,
         "summary": {"total_files": len(files), "cluster_cols": cols},
     }
+    if parent:
+        snap.update(_inherited_partitions(load_snapshot(table_dir, parent), []))
     return _publish(table_dir, snap, parent)
 
 

@@ -409,3 +409,63 @@ def test_zorder_clusters_string_columns_by_prefix(spark, table):
         spark, table, prune={"conv_id": ("zeta-", None)}
     ).filter(F.col("conv_id") >= "zeta-")
     assert got.count() == 21  # ids ≡ 2 mod 3 — nothing lost to skipping
+
+
+def _convs(spark, ids):
+    from pyspark.sql import functions as F
+
+    return spark.range(0, 60).select(
+        F.concat(F.lit("conv-"), (F.col("id") % 6).cast("string")).alias(
+            "conv_id"
+        ),
+        F.col("id").alias("doc_id"),
+    ).filter(F.col("conv_id").isin([f"conv-{i}" for i in ids]))
+
+
+def test_bucket_partitioning_prunes_point_lookups(spark, table):
+    S.commit_append(spark, _convs(spark, range(6)), table,
+                    bucket_by=("conv_id", 4))
+    snap = S.load_snapshot(table, 1)
+    assert snap["partition_spec"] == ["conv_id", 4]
+    assert len(snap["file_buckets"]) == len(snap["files"])
+
+    all_files = S.plan_files(table)
+    hit = S.plan_files(table, point={"conv_id": "conv-3"})
+    assert 0 < len(hit) < len(all_files)
+    got = S.read_table(spark, table, point={"conv_id": "conv-3"}).filter(
+        "conv_id = 'conv-3'"
+    )
+    assert got.count() == 10  # nothing lost to pruning
+
+    # spec is inherited: the next append buckets without re-passing it
+    S.commit_append(spark, _convs(spark, [3]), table)
+    snap2 = S.load_snapshot(table, 2)
+    assert snap2["partition_spec"] == ["conv_id", 4]
+    assert len(snap2["file_buckets"]) == len(snap2["files"])
+    assert S.read_table(spark, table, point={"conv_id": "conv-3"}).filter(
+        "conv_id = 'conv-3'"
+    ).count() == 20
+
+
+def test_bucket_tags_survive_rewrites_soundly(spark, table):
+    S.commit_append(spark, _convs(spark, range(6)), table,
+                    bucket_by=("conv_id", 4))
+    # upsert rewrites conv-0's file(s); rewritten files lose their tag
+    # (always read), carried files keep theirs — lookups stay complete
+    S.commit_upsert(
+        spark,
+        spark.createDataFrame([("conv-0", 999)], "conv_id string, doc_id long"),
+        table,
+        key_cols=["conv_id", "doc_id"],
+    )
+    snap = S.load_snapshot(table, 2)
+    assert snap["partition_spec"] == ["conv_id", 4]
+    assert 0 < len(snap["file_buckets"]) < len(snap["files"])
+    for conv in ("conv-0", "conv-3"):
+        got = S.read_table(spark, table, point={"conv_id": conv}).filter(
+            f"conv_id = '{conv}'"
+        )
+        assert got.count() == (11 if conv == "conv-0" else 10)
+    # the driver-side bucket function matches the writer's expression
+    fb = S.load_snapshot(table, 1)["file_buckets"]
+    assert set(fb.values()) <= set(range(4))
