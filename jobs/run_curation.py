@@ -48,6 +48,15 @@ def main(argv=None) -> int:
         "rows (idempotent re-runs)",
     )
     parser.add_argument(
+        "--snapshot-buckets",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --snapshot-table (append mode): bucket the committed "
+        "files on conv_id (hidden bucket(N) partition transform) so "
+        "point lookups read ~1/N of the table's files",
+    )
+    parser.add_argument(
         "--rollup-table",
         default=None,
         help="with --snapshot-table (append mode): after the corpus "
@@ -57,6 +66,14 @@ def main(argv=None) -> int:
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
+    if args.snapshot_buckets and not (
+        args.snapshot_table and args.snapshot_mode == "append"
+    ):
+        parser.error(
+            "--snapshot-buckets needs --snapshot-table with "
+            "--snapshot-mode append (the bucket transform tags appended "
+            "files)"
+        )
     if args.rollup_table and not (
         args.snapshot_table and args.snapshot_mode == "append"
     ):
@@ -129,7 +146,16 @@ def main(argv=None) -> int:
                 key_cols=["conv_id", "turn_idx"],
             )
         else:
-            sid = commit_append(spark, batch, args.snapshot_table)
+            sid = commit_append(
+                spark,
+                batch,
+                args.snapshot_table,
+                bucket_by=(
+                    ("conv_id", args.snapshot_buckets)
+                    if args.snapshot_buckets
+                    else None
+                ),
+            )
         print(
             f"snapshot {sid} committed to {args.snapshot_table} "
             f"({args.snapshot_mode})"

@@ -99,3 +99,23 @@ def test_curation_job_maintains_a_stats_rollup(spark, tmp_path):
     with pytest.raises(SystemExit):
         J.main(["--input", src, "--output", str(tmp_path / "bad"),
                 "--rollup-table", roll])
+
+
+def test_curation_job_buckets_the_corpus_table(spark, tmp_path):
+    import jobs.run_curation as J
+
+    src = str(tmp_path / "in_b")
+    tbl = str(tmp_path / "tbl_b")
+    synthesize_html_transcripts(spark, n_convs=24, turns_per_conv=3).write.parquet(src)
+    assert J.main(
+        ["--input", src, "--output", str(tmp_path / "ob"), "--buckets", "8",
+         "--min-quality", "0.1", "--snapshot-table", tbl,
+         "--snapshot-buckets", "4", "--run-id", "b1"]
+    ) == 0
+    snap = S.load_snapshot(tbl, 1)
+    assert snap["partition_spec"] == ["conv_id", 4]
+    hit = S.plan_files(tbl, point={"conv_id": "hconv-11"})
+    assert 0 < len(hit) < len(snap["files"])
+    assert S.read_table(spark, tbl, point={"conv_id": "hconv-11"}).filter(
+        "conv_id = 'hconv-11'"
+    ).count() == 3
