@@ -37,6 +37,16 @@ Guarantees (each pinned by tests/test_snapshots.py):
     file skipping bites on every clustered column, Iceberg/Delta ZORDER.
   * **Additive schema evolution** — ``read_table(merge_schema=True)``
     unions file schemas; older files surface later-added columns as null.
+  * **Row-level DELETE** — ``commit_delete`` rewrites only files that
+    contain a matching row (manifest-pruned candidates, SQL NULL
+    semantics, no-op commits nothing) — retention/GDPR purges.
+  * **Changelog view** — ``table_diff`` emits insert/delete rows between
+    ANY two snapshots (sees through upserts/deletes/compactions; files
+    common to both snapshots cancel before any scan).
+  * **Hidden bucket partitioning** — ``commit_append(bucket_by=(col, n))``
+    tags each appended file with its hash bucket; point lookups
+    (``read_table(point=...)``) read ~1/n of the files. The spec is
+    inherited; rewrites untag rewritten files (untagged = always read).
   * **Rollback** — a new snapshot re-pointing at an old file set; history
     is never rewritten.
   * **Expiry** — drop old snapshots and vacuum data files no retained
