@@ -679,6 +679,99 @@ BPE_TRAIN_SQL = _bpe_train_sql()
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_OVERLAP = 16  # tokens shared between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the chunking step feeding a RAG index or a fixed-context trainer
+    (the complement of ``pack_sequences``, which concatenates SHORT
+    docs; this cuts LONG ones). Chunk k starts at token
+    1 + k·(CHUNK_TOKENS - CHUNK_OVERLAP); the last chunk may be short;
+    a doc shorter than one chunk yields exactly one chunk.
+
+    Chunk-count arithmetic is all-integer (ceil via ``(x + s - 1) div
+    s`` — never a double→int cast), so both engines derive identical
+    rows. Empty docs are filtered BEFORE building index sequences
+    (CLAUDE.md: F.sequence(1, 0) yields a DESCENDING sequence, not an
+    empty one). Scale shape: pure in-row array expressions on the scan —
+    zero shuffles beyond the determinism sort; chunk rows fan out inside
+    the row via explode, never through the driver."""
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = d.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    ).filter(F.col("n") >= 1)
+    k_max = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.expr(f"(n - {CHUNK_TOKENS} + {stride} - 1) div {stride}"),
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), k_max - 1),
+            lambda k: F.struct(
+                k.cast("int").alias("chunk_idx"),
+                (k * stride + 1).cast("int").alias("start_tok"),
+            ),
+        )
+    )
+    return (
+        base.select("doc_id", "toks", "n", chunk.alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("c.start_tok") + 1
+            ).alias("n_chunk_toks"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("c.start_tok"), CHUNK_TOKENS),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 1
+    ),
+    chunks AS (
+        -- this DuckDB can't lateral-join generate_series on a column;
+        -- the scalar list form + unnest does the same fan-out in-row
+        SELECT doc_id, toks, n,
+               CAST(unnest(generate_series(0,
+                   greatest(0, (n - {CHUNK_TOKENS}
+                                + {CHUNK_TOKENS - CHUNK_OVERLAP} - 1)
+                               // {CHUNK_TOKENS - CHUNK_OVERLAP})))
+                   AS INT) AS chunk_idx
+        FROM sized
+    ),
+    placed AS (
+        SELECT doc_id, toks, n, chunk_idx,
+               CAST(chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 AS INT)
+                   AS start_tok
+        FROM chunks
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(least({CHUNK_TOKENS}, n - start_tok + 1) AS INT)
+               AS n_chunk_toks,
+           array_to_string(
+               list_slice(toks, start_tok, start_tok + {CHUNK_TOKENS} - 1),
+               ' ') AS chunk_text
+    FROM placed
+    ORDER BY doc_id, chunk_idx
+"""
+
+
 SAMPLE_K = 20  # documents kept per stratum
 
 
@@ -729,6 +822,7 @@ SAMPLE_SQL = f"""
 QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_SQL),
     "dedup_lines_within_doc": (dedup_lines_within_doc, DEDUP_LINES_WITHIN_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
