@@ -337,3 +337,67 @@ def test_toolcall_stats_single_aggregation_no_python(spark):
     assert plan.count("Exchange") <= 2  # groupBy + output sort
     assert "Join" not in plan
     assert "Python" not in plan  # BatchEvalPython / ArrowEvalPython
+
+
+def test_sft_pairs_one_conv_shuffle_no_python(spark):
+    """Prompt assembly must be ONE conv_id window shuffle plus the
+    determinism sort; the budget filter/render stay in-row JVM
+    expressions (no Python evaluator, no join)."""
+    from gmft_spark.operators.convstats import sft_pair_assembly
+
+    plan = _plan(sft_pair_assembly(spark, SF))
+    assert plan.count("Exchange") <= 2
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_shard_corpus_is_hash_map_plus_one_window(spark):
+    from gmft_spark.operators.textstats import shard_training_corpus
+
+    plan = _plan(shard_training_corpus(spark, SF))
+    assert plan.count("Exchange") <= 2  # shard window + determinism sort
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_histogram_quantile_sketch_broadcasts_bounds(spark):
+    """The sketch must never sort the corpus: bounds/exact branches are
+    broadcast 1-row frames, the histogram fold is a partial_count
+    aggregation, and no SortMergeJoin appears."""
+    from gmft_spark.operators.analytics import sketch_histogram_quantiles
+
+    plan = _plan(sketch_histogram_quantiles(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 3
+    assert "partial_count" in plan  # map-side combine into the cells
+
+
+def test_stratified_sample_pushes_group_limit(spark):
+    """Bottom-k per stratum must bound the shuffle: WindowGroupLimit
+    runs BEFORE the exchange (each map task forwards at most k rows per
+    stratum)."""
+    from gmft_spark.operators.curation import sample_stratified
+
+    plan = _plan(sample_stratified(spark, SF))
+    # plans print output-first: the map-side (Partial) WindowGroupLimit
+    # must sit BELOW the shuffle in the string, i.e. run before it
+    assert "WindowGroupLimit" in plan
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange")
+    assert "Join" not in plan
+
+
+def test_chunk_documents_is_a_narrow_map(spark):
+    from gmft_spark.operators.curation import chunk_documents
+
+    plan = _plan(chunk_documents(spark, SF))
+    assert plan.count("Exchange") <= 1  # determinism sort only
+    assert "Join" not in plan and "Window" not in plan and "Python" not in plan
+
+
+def test_random_projection_broadcasts_the_sign_matrix(spark):
+    from gmft_spark.operators.similarity import embed_random_projection
+
+    plan = _plan(embed_random_projection(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine on (vec_id, j)
