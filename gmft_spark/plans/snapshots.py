@@ -897,15 +897,25 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     if os.path.isdir(data_root):
         for commit_uuid in sorted(os.listdir(data_root)):
             cdir = os.path.join(data_root, commit_uuid)
-            for name in sorted(os.listdir(cdir)):
-                rel = os.path.join("data", commit_uuid, name)
-                if name.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(cdir, name))
-                    deleted += 1
-            if not any(n.endswith(".parquet") for n in os.listdir(cdir)):
-                for leftover in os.listdir(cdir):
-                    os.remove(os.path.join(cdir, leftover))
-                os.rmdir(cdir)
+            # walk bottom-up: bucket-partitioned commits nest their
+            # parquet under _bucket=k/ subdirectories
+            for root, dirs, names in os.walk(cdir, topdown=False):
+                for name in sorted(names):
+                    rel = os.path.relpath(os.path.join(root, name), table_dir)
+                    if name.endswith(".parquet") and rel not in live:
+                        os.remove(os.path.join(root, name))
+                        deleted += 1
+                if not any(
+                    n.endswith(".parquet")
+                    for _, _, fs in os.walk(root)
+                    for n in fs
+                ):
+                    for leftover in os.listdir(root):
+                        path = os.path.join(root, leftover)
+                        if os.path.isfile(path):
+                            os.remove(path)
+                    if not os.listdir(root):
+                        os.rmdir(root)
     for s in expired:
         os.remove(_snap_path(table_dir, int(s["snapshot_id"])))
     return {"expired_snapshots": len(expired), "deleted_files": deleted}

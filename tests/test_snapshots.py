@@ -469,3 +469,25 @@ def test_bucket_tags_survive_rewrites_soundly(spark, table):
     # the driver-side bucket function matches the writer's expression
     fb = S.load_snapshot(table, 1)["file_buckets"]
     assert set(fb.values()) <= set(range(4))
+
+
+def test_expire_vacuums_bucketed_commit_dirs(spark, table):
+    """Bucket-partitioned appends nest parquet under _bucket=k/ subdirs;
+    expiry must vacuum those recursively (this exact shape escaped the
+    flat vacuum walk)."""
+    import os
+
+    S.commit_append(spark, _convs(spark, range(6)), table,
+                    bucket_by=("conv_id", 4))
+    S.compact(spark, table, target_partitions=1)
+    r = S.expire_snapshots(table, keep_last=1)
+    assert r["expired_snapshots"] == 1 and r["deleted_files"] > 0
+    assert _ids(S.read_table(spark, table)) == list(range(60))
+    live = set(S.load_snapshot(table, S.current_snapshot_id(table))["files"])
+    on_disk = {
+        os.path.relpath(os.path.join(root, n), table)
+        for root, _, names in os.walk(os.path.join(table, "data"))
+        for n in names
+        if n.endswith(".parquet")
+    }
+    assert on_disk == live  # nothing dangling, nothing missing
