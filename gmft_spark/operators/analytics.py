@@ -159,6 +159,68 @@ SESSIONIZE_SQL = """
 """
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE ``F.session_window`` operator in batch mode, checked
+    against a first-principles gaps-and-islands oracle — the same
+    cross-validation the streaming path leans on (a session merges an
+    event iff its ts falls strictly before the window end, so a gap of
+    EXACTLY 30 min opens a new session: the oracle's rule is ``>=``,
+    not ``>``). Value sums go fixed-point before aggregation (unordered
+    double sums are not order-safe). One (user, session) shuffle with
+    map-side partial merge — the engine plans session windows like any
+    aggregation."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vfp = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(vfp).alias("session_value_fp"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value_fp",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_NATIVE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               -- microsecond granularity: date_diff counts BOUNDARY
+               -- crossings, which at 'second' granularity miscounts
+               -- sub-second gaps; at the data's own resolution it is
+               -- the exact elapsed time
+               CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts)
+                         >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS session_value_fp
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles per group (no approx percentile —
     matches the reference's exact-median discipline, D7)."""
@@ -1168,6 +1230,7 @@ QUERIES = {
     "join_customers_without_orders": (customers_without_orders, NO_ORDERS_SQL),
     "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),
     "window_sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "window_session_native": (session_window_native, SESSION_NATIVE_SQL),
     "join_asof_click_attribution": (asof_join_events, ASOF_SQL),
     "join_range_clicks_before_errors": (
         range_join_clicks_before_errors,
