@@ -247,6 +247,51 @@ QUANTILES_SQL = """
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for each day-offset k the count of cohort members active again k
+    days later — the product-analytics staple. Counts only (no ratio
+    column: int/int division rounded at a fixed precision can land on
+    the engines' .5 boundary; the consumer divides).
+
+    Shape: one (user, day) distinct aggregation (map-side combinable),
+    a per-user min as a window over the SAME user partitioning, then one
+    (cohort_day, k) count-distinct. Day arithmetic is date_diff on
+    date-truncated TIMESTAMP_NTZ — no timezone dependence."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = e.select(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).distinct()
+    first = Window.partitionBy("user_id")
+    with_cohort = days.withColumn("cohort_day", F.min("day").over(first))
+    return (
+        with_cohort.withColumn(
+            "k", F.date_diff(F.col("day"), F.col("cohort_day"))
+        )
+        .groupBy("cohort_day", "k")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "k")
+    )
+
+
+COHORT_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    with_cohort AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS INT) AS k,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM with_cohort
+    GROUP BY cohort_day, k
+    ORDER BY cohort_day, k
+"""
+
+
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time bucketing: per-hour, per-type counts and value sums."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1231,6 +1276,7 @@ QUERIES = {
     "window_top_parts_per_brand": (top_parts_per_brand, TOP_PARTS_SQL),
     "window_sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "window_session_native": (session_window_native, SESSION_NATIVE_SQL),
+    "window_cohort_retention": (cohort_retention, COHORT_SQL),
     "join_asof_click_attribution": (asof_join_events, ASOF_SQL),
     "join_range_clicks_before_errors": (
         range_join_clicks_before_errors,
