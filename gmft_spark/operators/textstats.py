@@ -745,6 +745,78 @@ SHARD_SQL = f"""
 """
 
 
+DRIFT_TOP_K = 20
+
+
+def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: which tokens' frequencies diverge most
+    between two halves of the corpus (even- vs odd-indexed sources) —
+    the distribution-shift check a training pipeline runs before mixing
+    a new crawl in. The divergence score is the EXACT integer cross
+    product ``n_a·total_b − n_b·total_a`` (the sign of the rate
+    difference n_a/total_a − n_b/total_b scaled by total_a·total_b), so
+    the ranking needs no float division and no rounding recipe at all.
+
+    Shape: ONE token shuffle (sides pivot via conditional counts inside
+    the same aggregation — never two groupBys), totals as a broadcast
+    1-row frame, TakeOrdered(k) — no global sort."""
+    d = _docs(spark, sf_dir)
+    side = F.when(
+        (F.substring("source", 4, 2).cast("int") % 2) == 0, "a"
+    ).otherwise("b")
+    toks = d.select(
+        side.alias("side"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("side") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("side") == "b", 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("total_a"), F.sum("n_b").alias("total_b")
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_a") * F.col("total_b") - F.col("n_b") * F.col("total_a")
+        ).alias("score"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("score")).desc(), F.col("tok")
+    ).limit(DRIFT_TOP_K)
+
+
+SOURCE_DRIFT_SQL = f"""
+    WITH toks AS (
+        SELECT CASE WHEN CAST(substr(source, 4, 2) AS INT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS side,
+               t.tok
+        FROM documents,
+             unnest(string_split(text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    counts AS (
+        SELECT tok,
+               CAST(count(*) FILTER (WHERE side = 'a') AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS n_b
+        FROM toks
+        GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS total_a,
+               CAST(sum(n_b) AS BIGINT) AS total_b
+        FROM counts
+    )
+    SELECT tok, n_a, n_b,
+           CAST(n_a * total_b - n_b * total_a AS BIGINT) AS score
+    FROM counts, tot
+    ORDER BY abs(n_a * total_b - n_b * total_a) DESC, tok
+    LIMIT {DRIFT_TOP_K}
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms — the classic relevance signal for
     corpus exploration and keyword extraction. tf = in-doc frequency,
@@ -1386,6 +1458,7 @@ QUERIES = {
     "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, CMS_SQL),
     "split_train_val_test": (split_train_val_test, SPLIT_SQL),
     "shard_training_corpus": (shard_training_corpus, SHARD_SQL),
+    "text_source_drift": (source_drift, SOURCE_DRIFT_SQL),
     "text_tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "text_bm25_topk": (bm25_topk, BM25_SQL),
     "dedup_cross_source_overlap": (cross_source_overlap, CROSS_SOURCE_SQL),
