@@ -105,6 +105,8 @@ def snapshot_batch_committer(
     rollup_table: str | None = None,
     rollup_keys: list[str] | None = None,
     rollup_sums: list[str] | None = None,
+    mode: str = "append",
+    key_cols: list[str] | None = None,
 ):
     """Per-micro-batch committer for a ``foreachBatch`` sink into the
     snapshot table, made EXACTLY-ONCE on top of foreachBatch's
@@ -122,8 +124,23 @@ def snapshot_batch_committer(
     batches: it carries its own watermark inside the state commit, so a
     replay either finds no new delta (no-op) or repairs a crash that
     landed between the fact append and the rollup refresh. Its cost is
-    delta-sized either way."""
+    delta-sized either way.
+
+    ``mode="upsert"`` (with ``key_cols``) makes each micro-batch a MERGE
+    instead of an append — streaming CDC where late batches CORRECT
+    earlier rows rather than duplicating them (Iceberg's streaming
+    upsert). The batch-id stamp gives the same exactly-once replay
+    guard; note upsert commits are invisible to ``incremental_scan``
+    (overwrite semantics), so changelog consumers should use
+    ``table_diff``. Not combinable with ``rollup_table`` for the same
+    reason."""
     from gmft_spark.plans import snapshots as S
+
+    if mode == "upsert" and rollup_table:
+        raise ValueError(
+            "upsert commits carry no append changelog — the rollup "
+            "refresh would never see them; use table_diff downstream"
+        )
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         committed = any(
@@ -131,12 +148,21 @@ def snapshot_batch_committer(
             for s in S.snapshots(table_dir)
         )
         if not committed:
-            S.commit_append(
-                batch_df.sparkSession,
-                batch_df,
-                table_dir,
-                summary_extra={"stream_batch_id": batch_id},
-            )
+            if mode == "upsert":
+                S.commit_upsert(
+                    batch_df.sparkSession,
+                    batch_df,
+                    table_dir,
+                    key_cols=key_cols or [],
+                    summary_extra={"stream_batch_id": batch_id},
+                )
+            else:
+                S.commit_append(
+                    batch_df.sparkSession,
+                    batch_df,
+                    table_dir,
+                    summary_extra={"stream_batch_id": batch_id},
+                )
         if rollup_table:
             from gmft_spark.plans.rollup import refresh_rollup
 

@@ -332,3 +332,92 @@ def test_session_windows_merge_across_micro_batches(spark, tmp_path):
         for r in batch.filter("conv_id = 'conv-1'").collect()
     )
     assert got == expect
+
+
+def test_snapshot_sink_upsert_mode_corrects_rows(spark, tmp_path):
+    """Streaming CDC: micro-batches MERGE on (conv_id, turn_idx) — a
+    later batch carrying corrected rows REPLACES the earlier ones, and a
+    replayed batch id is still skipped."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.plans import snapshots as S
+    from gmft_spark.streaming.pipeline import (
+        TRANSCRIPT_SCHEMA,
+        run_available_now,
+        snapshot_batch_committer,
+        stream_transcripts,
+    )
+    import pytest
+
+    src = str(tmp_path / "in8")
+    tbl = str(tmp_path / "tbl8")
+    ckpt = str(tmp_path / "ckpt8")
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, "
+            "tool string"
+        ).withColumn("ts", F.lit("2026-01-01").cast("timestamp"))
+
+    _batch([("c1", 0, "user", "v1", None),
+            ("c1", 1, "user", "v1", None)]).coalesce(1).write.parquet(src + "/b1")
+    q = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    commit = snapshot_batch_committer(
+        tbl, mode="upsert", key_cols=["conv_id", "turn_idx"]
+    )
+
+    def run():
+        job = (q.writeStream.foreachBatch(commit)
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+        job.awaitTermination()
+
+    run()
+    assert {r["text"] for r in S.read_table(spark, tbl).collect()} == {"v1"}
+
+    # correction batch: same keys, new payloads + one new row
+    _batch([("c1", 0, "user", "v2", None),
+            ("c1", 2, "user", "v2", None)]).coalesce(1).write.parquet(src + "/b2")
+    run()
+    t = {(r["turn_idx"], r["text"]) for r in S.read_table(spark, tbl).collect()}
+    assert t == {(0, "v2"), (1, "v1"), (2, "v2")}  # replaced, not duplicated
+
+    # replayed batch id: no new snapshot
+    head = S.current_snapshot_id(tbl)
+    last_id = max(s["summary"].get("stream_batch_id", -1)
+                  for s in S.snapshots(tbl))
+    commit(S.read_table(spark, tbl).limit(1), last_id)
+    assert S.current_snapshot_id(tbl) == head
+
+    # rollup is incompatible with upsert commits by construction
+    with pytest.raises(ValueError):
+        snapshot_batch_committer(tbl, rollup_table="x", mode="upsert")
+
+
+def test_stream_static_dimension_join_matches_batch(spark, tmp_path):
+    """Stream-static enrichment: a streaming fact joined to a static
+    dimension broadcasts the dim per micro-batch and equals the batch
+    join."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.streaming.pipeline import (
+        run_available_now,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "in9")
+    out = str(tmp_path / "out9")
+    t = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4)
+    t.write.parquet(src)
+    dim = t.groupBy("conv_id").agg(F.count("*").alias("conv_turns"))
+
+    enriched = stream_transcripts(spark, src).join(
+        F.broadcast(dim), "conv_id"
+    ).select("conv_id", "turn_idx", "conv_turns")
+    run_available_now(enriched, out, str(tmp_path / "ck9"))
+    got = spark.read.parquet(out)
+    assert got.count() == t.count()
+    assert got.filter(F.col("conv_turns") != 4).count() == 0
