@@ -124,6 +124,9 @@ HEADLINE = [
     ("sketch_histogram_quantiles", analytics.sketch_histogram_quantiles),
     ("shard_training_corpus", textstats.shard_training_corpus),
     ("sft_pair_assembly", _bench_sft_pairs),
+    ("window_session_native", analytics.session_window_native),
+    ("window_cohort_retention", analytics.cohort_retention),
+    ("text_source_drift", textstats.source_drift),
     # oracle-checked pipeline paths (mapInPandas over the sf tables)
     ("detect_pipeline", _bench_detect),
     ("tatr_extract_pipeline", _bench_extract),
