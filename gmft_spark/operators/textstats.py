@@ -772,8 +772,12 @@ def source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("side") == "a", 1)).alias("n_a"),
         F.count(F.when(F.col("side") == "b", 1)).alias("n_b"),
     )
-    tot = counts.agg(
-        F.sum("n_a").alias("total_a"), F.sum("n_b").alias("total_b")
+    # totals come straight off the token stream (map-side collapse to one
+    # row) — deriving them from `counts` would recompute the whole token
+    # aggregation for the 1-row branch (plan-pinned)
+    tot = toks.agg(
+        F.count(F.when(F.col("side") == "a", 1)).alias("total_a"),
+        F.count(F.when(F.col("side") == "b", 1)).alias("total_b"),
     )
     scored = counts.crossJoin(F.broadcast(tot)).select(
         "tok",

@@ -401,3 +401,32 @@ def test_random_projection_broadcasts_the_sign_matrix(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan  # map-side combine on (vec_id, j)
+
+
+def test_native_session_window_aggregates_mapside(spark):
+    from gmft_spark.operators.analytics import session_window_native
+
+    plan = _plan(session_window_native(spark, SF))
+    assert plan.count("Exchange") <= 2  # (user, window) agg + output sort
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_cohort_retention_reuses_user_partitioning(spark):
+    """The per-user min window must run on the (user, day) distinct
+    frame's own partitioning — no extra exchange between them."""
+    from gmft_spark.operators.analytics import cohort_retention
+
+    plan = _plan(cohort_retention(spark, SF))
+    assert plan.count("Exchange") <= 4
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_source_drift_single_token_pass(spark):
+    """Sides pivot as conditional counts inside ONE token aggregation;
+    totals broadcast; top-k via TakeOrdered, never a global sort."""
+    from gmft_spark.operators.textstats import source_drift
+
+    plan = _plan(source_drift(spark, SF))
+    assert plan.count("HashAggregate") <= 4  # one two-phase agg + totals
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
