@@ -1258,12 +1258,127 @@ HIST_QUANTILES_SQL = f"""
 """
 
 
+def sketch_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP histogram-quantile sketch (p50/p95 per l_returnflag):
+    the grouped form of ``sketch_histogram_quantiles`` — per-group
+    min/max bounds broadcast back, one (group, bin) map-side-combinable
+    fold, a per-group cumulative window over ≤256 rows, in-bin
+    interpolation. Same engine-exactness recipe (integer ranks via div,
+    one parenthesization-pinned double expression, exact percentile
+    riding in the output)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("x")
+    )
+    bounds = li.groupBy("g").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    binc = F.least(
+        F.floor(
+            (F.col("x") - F.col("lo"))
+            * F.lit(float(HIST_BINS))
+            / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+        F.lit(HIST_BINS - 1),
+    )
+    hist = (
+        li.join(F.broadcast(bounds), "g")
+        .groupBy("g", binc.alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("g")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("cum_before", F.col("cum") - F.col("c"))
+    qs = spark.createDataFrame([(50,), (95,)], "q int")
+    exact = li.groupBy("g").agg(
+        F.round(F.expr("percentile(x, 0.5)"), 4).alias("e50"),
+        F.round(F.expr("percentile(x, 0.95)"), 4).alias("e95"),
+    )
+    sel = (
+        cum.join(F.broadcast(bounds), "g")
+        .join(
+            F.broadcast(qs),
+            (F.col("cum") >= F.expr("(n * q + 99) div 100"))
+            & (F.col("cum_before") < F.expr("(n * q + 99) div 100")),
+        )
+        .join(F.broadcast(exact), "g")
+    )
+    est = F.col("lo") + (F.col("hi") - F.col("lo")) * (
+        (
+            F.col("bin").cast("double")
+            + (
+                F.expr("(n * q + 99) div 100") - F.col("cum_before")
+            ).cast("double")
+            / F.col("c").cast("double")
+        )
+        / F.lit(float(HIST_BINS))
+    )
+    return sel.select(
+        F.col("g").alias("l_returnflag"),
+        "q",
+        F.round(est, 4).alias("est"),
+        F.when(F.col("q") == 50, F.col("e50")).otherwise(F.col("e95")).alias(
+            "exact_p"
+        ),
+    ).orderBy("l_returnflag", "q")
+
+
+GROUP_QUANTILES_SQL = f"""
+    WITH bounds AS (
+        SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+               max(l_extendedprice) AS hi, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    hist AS (
+        SELECT g,
+               least(CAST(floor((l_extendedprice - lo)
+                                * {float(HIST_BINS)!r} / (hi - lo)) AS INT),
+                     {HIST_BINS - 1}) AS bin,
+               count(*) AS c
+        FROM lineitem JOIN bounds ON l_returnflag = g
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, bin, c,
+               sum(c) OVER (PARTITION BY g ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    qs AS (SELECT unnest([50, 95]) AS q),
+    exact AS (
+        SELECT l_returnflag AS g,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS e50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS e95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT g AS l_returnflag, q,
+           round(lo + (hi - lo)
+                 * ((CAST(bin AS DOUBLE)
+                     + CAST((n * q + 99) // 100 - (cum - c) AS DOUBLE)
+                       / CAST(c AS DOUBLE))
+                    / {float(HIST_BINS)!r}), 4) AS est,
+           CASE WHEN q = 50 THEN e50 ELSE e95 END AS exact_p
+    FROM cum
+    JOIN bounds USING (g)
+    JOIN exact USING (g)
+    JOIN qs ON cum >= (n * q + 99) // 100
+           AND cum - c < (n * q + 99) // 100
+    ORDER BY l_returnflag, q
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": (pricing_summary, PRICING_SQL),
     "sketch_histogram_quantiles": (
         sketch_histogram_quantiles,
         HIST_QUANTILES_SQL,
     ),
+    "sketch_group_quantiles": (sketch_group_quantiles, GROUP_QUANTILES_SQL),
     "agg_price_quantiles": (price_quantiles, QUANTILES_SQL),
     "agg_priority_rollup": (priority_rollup, ROLLUP_SQL),
     "agg_hourly_event_rollup": (hourly_event_rollup, HOURLY_SQL),
