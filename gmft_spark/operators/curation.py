@@ -772,6 +772,56 @@ CHUNK_SQL = f"""
 """
 
 
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: how much of a document's distinct 3-gram
+    content appears NOWHERE else in the corpus — high-novelty docs carry
+    unique information, low-novelty ones are recombinations/boilerplate
+    (the inverse view of the dedup family's similarity signals). Counts
+    only (n_novel of n_shingles); the consumer divides.
+
+    Shape: ONE shingle-keyed shuffle — document frequency as a window
+    count over the shingle partitioning (distinct (doc, shingle) rows,
+    so the count IS the df; no self-join, no second aggregation of the
+    same frame) — then a doc-keyed rollup. The shingle expansion itself
+    is array expressions on the scan (dedup._shingles)."""
+    from gmft_spark.operators.dedup import _shingles
+    from pyspark.sql import Window
+
+    sh = _shingles(spark, sf_dir)
+    df_w = F.count("*").over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("df", df_w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_novel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _novelty_sql() -> str:
+    from gmft_spark.operators.dedup import SHINGLES_SQL
+
+    return f"""
+    WITH shingles AS ({SHINGLES_SQL}),
+    with_df AS (
+        SELECT doc_id,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingles
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel
+    FROM with_df
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+NOVELTY_SQL = _novelty_sql()
+
+
 SAMPLE_K = 20  # documents kept per stratum
 
 
@@ -823,6 +873,7 @@ QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_SQL),
     "chunk_documents": (chunk_documents, CHUNK_SQL),
+    "text_novelty": (text_novelty, NOVELTY_SQL),
     "dedup_lines_within_doc": (dedup_lines_within_doc, DEDUP_LINES_WITHIN_SQL),
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
