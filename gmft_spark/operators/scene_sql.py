@@ -60,6 +60,18 @@ def _token(v: str, suffix: str) -> str:
     return f"({chars} || {suffix})"
 
 
+def sampled(sql: str, mod: int) -> str:
+    """DuckDB twin of ``transcripts_from_documents(..., sample_mod=mod)``:
+    push the doc_id % mod == 0 keep-filter into the seeds CTE (the only
+    place any scene SQL reads ``documents``). Scene draws are keyed per
+    (conv_id, turn_idx) — i.i.d. across turns — so a subsample is exactly
+    the same pipeline over fewer scenes."""
+    if mod <= 1:
+        return sql
+    assert sql.count("FROM documents") == 1
+    return sql.replace("FROM documents", f"FROM documents WHERE doc_id % {mod} = 0")
+
+
 # one row per transcript turn (sources/transcripts.transcripts_from_documents)
 TURNS_SQL = """
     SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR) AS conv_id,

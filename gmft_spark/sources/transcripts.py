@@ -19,10 +19,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts_from_documents(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """Deterministic transcripts derived from ``{sf_dir}/documents.parquet``:
-    conversations are keyed by document source, turns ordered by doc_id."""
+    conversations are keyed by document source, turns ordered by doc_id.
+
+    ``sample_mod`` keeps every ``sample_mod``-th document (doc_id % mod == 0)
+    — the correctness-gate knob: parity scenes are i.i.d. per turn, so a
+    deterministic subsample binds the same semantics at 1/mod the cost. The
+    DuckDB twin is ``operators.scene_sql.sampled(sql, mod)`` (same
+    predicate, pushed into the seeds CTE); both sides MUST use the same mod."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if sample_mod and sample_mod > 1:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     return docs.select(
         F.concat(F.lit("conv-"), F.col("source"), F.lit("-"), (F.col("doc_id") % 16).cast("string")).alias("conv_id"),
         (F.col("doc_id") / 16).cast("int").alias("turn_idx"),
