@@ -468,8 +468,14 @@ NGRAM_JACCARD_SQL = f"""
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: each token votes ±1 on every bit of its
-    (portable hex) hash; sign of the sum gives the bit. Implemented as
-    explode over a 16-row bit table — pure built-ins, no UDF."""
+    (portable hex) hash; sign of the sum gives the bit.
+
+    One ``groupBy(doc_id)`` with 16 conditional sums — the earlier
+    formulation crossJoined every token row with a 16-row bit table, so
+    16× the token stream flowed through the aggregate hash map; here each
+    token row contributes its 16 votes as map-side partial-aggregated
+    columns, one exchange of ≤1 row per doc (plan pinned in
+    tests/test_physical_plans.py::test_simhash_single_exchange)."""
     d = _docs(spark, sf_dir)
     toks = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
@@ -477,37 +483,26 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # portable hex→int: value of first 4 hex chars of md5(token)
     hexv = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-    toks = toks.withColumn("hv", hexv)
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "bit",
-            F.when(
-                (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2)
-                == 1,
-                1,
-            )
-            .otherwise(-1)
-            .alias("v"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
+    toks = toks.select("doc_id", hexv.alias("hv"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-                .otherwise(0)
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
+    packed = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(0)
+        packed = term if packed is None else packed + term
+    return votes.select(
+        "doc_id", packed.cast("long").alias("simhash")
+    ).orderBy("doc_id")
 
 
-SIMHASH_SQL = """
+SIMHASH_SQL = (
+    """
     WITH toks AS (
         SELECT doc_id, u.tok
         FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(tok)
@@ -530,19 +525,25 @@ SIMHASH_SQL = """
         FROM toks
     ),
     votes AS (
-        SELECT doc_id, b.bit,
-               sum(CASE WHEN CAST(floor(hv / power(2.0, b.bit)) AS BIGINT) % 2 = 1
-                        THEN 1 ELSE -1 END) AS s
-        FROM hv, (SELECT n_nationkey AS bit FROM nation WHERE n_nationkey < 16) b
-        GROUP BY doc_id, b.bit
+        SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    + """
+        FROM hv
+        GROUP BY doc_id
     )
     SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN CAST(power(2.0, bit) AS BIGINT) ELSE 0 END)
-             AS BIGINT) AS simhash
+           CAST("""
+    + " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+    )
+    + """ AS BIGINT) AS simhash
     FROM votes
-    GROUP BY doc_id
     ORDER BY doc_id
 """
+)
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

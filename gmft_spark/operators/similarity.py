@@ -140,31 +140,86 @@ ANN_LSH_SQL = (
 )
 
 
+# Multi-band sign-LSH for the knn join: B independent tables of P planes
+# each (planes are disjoint slices of the deterministic hyperplane
+# family). More planes per table → finer buckets → the within-bucket
+# quadratic term shrinks ~2^(P-8) vs the old single 8-plane table (the
+# round-2 hot-bucket exposure); multiple tables restore recall exactly
+# like MinHash-LSH banding (operators/dedup.py). For true near-dups
+# (cosine ≳ 0.9, plane-agreement ~0.86) the union of 3×10-plane tables
+# has HIGHER recall (~50%) than one 8-plane table (~29%) while each
+# bucket is 4× finer.
+KNN_BANDS = 3
+KNN_PLANES_PER_BAND = 10
+
+
+def _band_bucket(band: int):
+    """Packed sign bits of planes [band·P, band·P + P) — one LSH table."""
+    bucket = F.lit(0).cast("long")
+    for p in range(KNN_PLANES_PER_BAND):
+        j = band * KNN_PLANES_PER_BAND + p
+        dot_j = F.aggregate(
+            F.zip_with(F.col("v"), _plane_weights(j), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return bucket
+
+
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed near-neighbor join: pairs sharing an LSH bucket, scored by
-    cosine, keeping pairs with cosine >= 0.2 — the scale path for
-    embedding-based near-dup detection."""
+    """Bucketed near-neighbor join: pairs sharing any band's LSH bucket,
+    scored by cosine, keeping pairs with cosine >= 0.2 — the scale path
+    for embedding-based near-dup detection. Each band is an equi-join on
+    its bucket id (no pair enumeration outside buckets; plan pinned in
+    tests/test_physical_plans.py::test_knn_join_is_banded_bucket_join);
+    the band union is de-duplicated on the pair key. Residual hot buckets
+    (exact-duplicate vectors collide in every band by construction) are
+    AQE skew-join territory, not a plan problem."""
     e = _emb(spark, sf_dir)
-    eb = e.select("vec_id", "v", _lsh_bucket().alias("bucket"))
-    a, b = eb.alias("a"), eb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
+    per_band = []
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
         * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
     )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    for band in range(KNN_BANDS):
+        eb = e.select("vec_id", "v", _band_bucket(band).alias("bucket"))
+        a, b = eb.alias("a"), eb.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.col("cosine") >= 0.2)
-        .orderBy("vec_a", "vec_b")
+        per_band.append(
+            pairs.select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"),
+            ).filter(F.col("cosine") >= 0.2)
+        )
+    out = per_band[0]
+    for df in per_band[1:]:
+        out = out.unionByName(df)
+    # cosine is a deterministic function of the pair, so distinct over the
+    # full row de-duplicates pairs found by multiple bands
+    return out.distinct().orderBy("vec_a", "vec_b")
+
+
+def _knn_band_sql(band: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_sql(band * KNN_PLANES_PER_BAND + p)} > 0"
+        f" THEN {2**p} ELSE 0 END)"
+        for p in range(KNN_PLANES_PER_BAND)
     )
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM (SELECT vec_id, v, {bits} AS bucket FROM e) a
+        JOIN (SELECT vec_id, v, {bits} AS bucket FROM e) b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
 
 
 EMBEDDING_KNN_SQL = (
@@ -172,21 +227,10 @@ EMBEDDING_KNN_SQL = (
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    b AS (
-        SELECT vec_id, v, """
-    + " + ".join(
-        f"(CASE WHEN {_plane_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
-        for j in range(N_PLANES)
-    )
-    + """ AS bucket
-        FROM e
-    ),
     pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+    + " UNION ".join(_knn_band_sql(band) for band in range(KNN_BANDS))
+    + """
     )
     SELECT vec_a, vec_b, cosine
     FROM pairs WHERE cosine >= 0.2

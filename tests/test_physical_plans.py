@@ -66,6 +66,34 @@ def test_minhash_lsh_shuffle_budget(spark):
     assert _plan(dedup_minhash_lsh(spark, SF)).count("Exchange") <= 3
 
 
+def test_simhash_single_exchange(spark):
+    """Round-3 rewrite pinned: one groupBy(doc_id) with 16 conditional
+    sums — no 16-row bit-table crossJoin multiplying the token stream, so
+    the only exchanges are the doc aggregation and the output sort."""
+    from gmft_spark.operators.dedup import simhash
+
+    plan = _plan(simhash(spark, SF))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_knn_join_is_banded_bucket_join(spark):
+    """Hot-bucket hardening pinned: every candidate pair comes from an
+    equi-join on a band's bucket id (3 independent 10-plane tables) —
+    no pair enumeration outside buckets, no nested-loop/cartesian."""
+    from gmft_spark.operators.similarity import KNN_BANDS, embedding_knn_join
+
+    plan = _plan(embedding_knn_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_equi = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_equi >= KNN_BANDS
+
+
 def test_winnowing_is_scan_side(spark):
     from gmft_spark.operators.dedup import winnowing_fingerprints
 
