@@ -190,7 +190,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_NATIVE_SQL = """
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                -- microsecond granularity: date_diff counts BOUNDARY
                -- crossings, which at 'second' granularity miscounts
                -- sub-second gaps; at the data's own resolution it is
@@ -203,8 +203,11 @@ SESSION_NATIVE_SQL = """
     ),
     sessions AS (
         SELECT user_id, ts, value,
+               -- event_id tiebreak matches the flagged CTE's window: with
+               -- duplicate (user_id, ts) rows spanning a 30-min boundary a
+               -- ts-only ROWS frame assigns sids nondeterministically
                sum(new_s) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS sid
         FROM flagged

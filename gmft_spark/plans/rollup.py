@@ -57,7 +57,26 @@ def refresh_rollup(
     Returns {"refreshed": bool, "source_snapshot_id": int}."""
     last = last_refreshed_snapshot(rollup_table)
     head = S.current_snapshot_id(source_table)
-    delta = S.incremental_scan(spark, source_table, last)
+    if head is None:
+        return {"refreshed": False, "source_snapshot_id": last}
+    # the watermark moves with the delta atomically only if both cover the
+    # SAME snapshot range: scan up to the captured head explicitly, or an
+    # append landing between the two calls would be aggregated now but
+    # re-delivered (and double-counted) by the next refresh
+    retained = {int(s["snapshot_id"]) for s in S.snapshots(source_table)}
+    # the watermark snapshot itself must also survive: the first new
+    # append's delta is its file list minus snapshot ``last``'s
+    lo = last if last > 0 else last + 1
+    missing = [i for i in range(lo, head + 1) if i not in retained]
+    if missing:
+        raise ValueError(
+            f"refresh_rollup: source snapshots {missing} in ({last}, {head}] "
+            f"were expired before the rollup consumed them — the rollup can "
+            f"no longer be maintained incrementally; recompute it from "
+            f"scratch (source expiry must keep snapshots back to every "
+            f"consumer's watermark)"
+        )
+    delta = S.incremental_scan(spark, source_table, last, until_snapshot_id=head)
     if delta is None:
         return {"refreshed": False, "source_snapshot_id": last}
 

@@ -70,6 +70,20 @@ class CommitConflict(RuntimeError):
     """HEAD advanced between building a commit and publishing it."""
 
 
+def _uri_to_path(uri: str) -> str:
+    """``input_file_name()`` returns a URI (``file:/…``) whose path is
+    percent-ENCODED; an os path must be decoded out of it before any
+    comparison — a table path containing a space/%/# otherwise never
+    matches, silently turning a delete into a no-op and an upsert into a
+    duplicate-key append."""
+    from urllib.parse import unquote, urlsplit
+
+    parts = urlsplit(uri)
+    if parts.scheme:
+        return "/" + unquote(parts.path).lstrip("/")
+    return "/" + uri.lstrip("/")
+
+
 def _snap_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_snapshots")
 
@@ -397,10 +411,6 @@ def commit_upsert(
         .collect()
     }
 
-    def _uri_to_path(uri: str) -> str:
-        path = uri.split(":", 1)[1] if ":" in uri else uri
-        return "/" + path.lstrip("/")
-
     hit_paths = {os.path.normpath(_uri_to_path(u)) for u in hit_uris}
     rewritten = [
         p for p in prev_files if os.path.normpath(abs_of[p]) in hit_paths
@@ -409,10 +419,13 @@ def commit_upsert(
 
     out = df
     if rewritten:
-        survivors = spark.read.parquet(
+        # mergeSchema + allowMissingColumns: surviving rows re-emit with
+        # their full (possibly evolved) schema even when the upsert batch
+        # predates/postdates an additive-evolution commit
+        survivors = spark.read.option("mergeSchema", "true").parquet(
             *[abs_of[p] for p in rewritten]
         ).join(F.broadcast(keys), key_cols, "left_anti")
-        out = survivors.unionByName(df)
+        out = survivors.unionByName(df, allowMissingColumns=True)
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_uuid)
     out.write.mode("error").parquet(data_dir)
@@ -487,10 +500,6 @@ def commit_delete(
             .collect()
         )
 
-        def _uri_to_path(uri: str) -> str:
-            path = uri.split(":", 1)[1] if ":" in uri else uri
-            return "/" + path.lstrip("/")
-
         by_path = {
             os.path.normpath(_uri_to_path(r["_file"])): r["count"]
             for r in per_file
@@ -505,9 +514,9 @@ def commit_delete(
 
     rewritten = [p for p in prev_files if p in hits]
     carried = [p for p in prev_files if p not in hits]
-    survivors = spark.read.parquet(*[abs_of[p] for p in rewritten]).filter(
-        ~pred.eqNullSafe(True)
-    )
+    survivors = spark.read.option("mergeSchema", "true").parquet(
+        *[abs_of[p] for p in rewritten]
+    ).filter(~pred.eqNullSafe(True))
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_uuid)
     survivors.write.mode("error").parquet(data_dir)
@@ -721,8 +730,10 @@ def table_diff(
         )
 
     def _read(paths: set[str], schema_from: set[str]) -> DataFrame:
+        # mergeSchema: either side may span an additive schema-evolution
+        # boundary (its own files can disagree with each other)
         if paths:
-            return spark.read.parquet(
+            return spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(table_dir, p) for p in sorted(paths)]
             )
         ref = sorted(schema_from)[0]
@@ -734,6 +745,18 @@ def table_diff(
         return empty.withColumn("_change_type", F.lit("insert"))
     old = _read(only_a, files_b)
     new = _read(only_b, files_a)
+    # align the two sides to the union of their columns with null-fill
+    # (unionByName(allowMissingColumns) semantics) so a diff across an
+    # additive-evolution boundary compares instead of throwing — an old
+    # row re-read through the widened schema carries nulls in the new
+    # columns and still cancels in the exceptAll
+    all_cols = list(dict.fromkeys([*old.columns, *new.columns]))
+    for c in all_cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    old, new = old.select(*all_cols), new.select(*all_cols)
     return new.exceptAll(old).withColumn(
         "_change_type", F.lit("insert")
     ).unionByName(
@@ -753,7 +776,10 @@ def compact(
     ``expire_snapshots``), and incremental consumers skip the rewrite
     (``incremental_scan`` reads only append deltas)."""
     parent = current_snapshot_id(table_dir)
-    df = read_table(spark, table_dir)
+    # merge_schema: a rewrite across an additive-evolution boundary must
+    # carry the union schema — a single-file-schema read silently drops
+    # the evolved columns from every row it rewrites
+    df = read_table(spark, table_dir, merge_schema=True)
     commit_uuid = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_uuid)
     df.coalesce(target_partitions).write.mode("error").parquet(data_dir)
@@ -843,7 +869,8 @@ def cluster_by(
     from pyspark.sql import functions as F
 
     parent = current_snapshot_id(table_dir)
-    df = read_table(spark, table_dir)
+    # merge_schema: same rewrite-across-evolution rule as compact()
+    df = read_table(spark, table_dir, merge_schema=True)
     keys = {c: _zorder_key(df, c) for c in cols}
     bounds = df.groupBy().agg(
         *[F.min(keys[c]).alias(f"min_{c}") for c in cols],

@@ -82,6 +82,35 @@ def test_replayed_refresh_converges(spark, tables):
     assert last_refreshed_snapshot(roll) == 2
 
 
+def test_refresh_fails_loudly_when_watermark_snapshots_expired(spark, tables):
+    """If source expiry dropped append snapshots the rollup never
+    consumed, the refresh must refuse (silently skipping them would let
+    the rollup diverge from the table forever)."""
+    src, roll = tables
+    S.commit_append(spark, _batch(spark, [("web", 1, 10)]), src)
+    refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
+    S.commit_append(spark, _batch(spark, [("web", 2, 20)]), src)
+    S.commit_append(spark, _batch(spark, [("pdf", 3, 7)]), src)
+    S.expire_snapshots(src, keep_last=1)  # drops snapshots 1 and 2
+    with pytest.raises(ValueError, match="expired"):
+        refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
+
+
+def test_refresh_delta_is_bounded_by_captured_head(spark, tables):
+    """The watermark and the delta must cover the SAME snapshot range:
+    scanning 'whatever HEAD is now' while recording the earlier head
+    would double-count an append racing the refresh. Pin the plumbing by
+    checking the recorded watermark equals the head the scan consumed."""
+    src, roll = tables
+    S.commit_append(spark, _batch(spark, [("web", 1, 10)]), src)
+    r = refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
+    assert r["source_snapshot_id"] == S.current_snapshot_id(src) == 1
+    assert last_refreshed_snapshot(roll) == 1
+    S.commit_append(spark, _batch(spark, [("web", 2, 20)]), src)
+    r2 = refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
+    assert r2["source_snapshot_id"] == 2 and _state(spark, roll) == {"web": (2, 30)}
+
+
 def test_untouched_group_files_carry_through_refresh(spark, tables):
     src, roll = tables
     S.commit_append(spark, _batch(spark, [("web", 1, 10), ("pdf", 2, 5)]), src)

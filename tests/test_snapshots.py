@@ -369,6 +369,46 @@ def test_table_diff_sees_through_upsert_and_delete(spark, table):
     ]
 
 
+def test_table_diff_across_schema_evolution_boundary(spark, table):
+    """A diff whose sides straddle an additive-evolution commit must
+    null-fill the missing columns and still cancel unchanged rows, not
+    throw or mis-cancel (the changelog view and schema evolution have to
+    compose)."""
+    S.commit_append(spark, _batch(spark, [1, 2]), table)
+    evolved = spark.createDataFrame(
+        [(3, "doc-3", "en")], "doc_id long, text string, lang string"
+    )
+    S.commit_append(spark, evolved, table)
+    diff = S.table_diff(spark, table, from_snapshot_id=1)
+    rows = [(r["doc_id"], r["lang"], r["_change_type"]) for r in diff.collect()]
+    assert rows == [(3, "en", "insert")]
+    # compaction across the boundary rewrites every file through the
+    # merged schema; old rows (null-filled lang) must still cancel
+    S.compact(spark, table, target_partitions=1)
+    d2 = S.table_diff(spark, table, from_snapshot_id=2)
+    assert d2.count() == 0
+
+
+def test_upsert_and_delete_on_percent_encodable_table_path(spark, tmp_path):
+    """input_file_name() returns percent-ENCODED URIs; a table path with
+    a space/% must still match file identities — otherwise upsert carries
+    the old file AND appends (duplicate keys) and delete silently no-ops."""
+    table = str(tmp_path / "snap tbl %x")
+    S.commit_append(spark, _batch(spark, [1, 2]).coalesce(1), table)
+    S.commit_upsert(
+        spark,
+        spark.createDataFrame([(2, "doc-2-v2")], "doc_id long, text string"),
+        table,
+        key_cols=["doc_id"],
+    )
+    rows = {r["doc_id"]: r["text"] for r in S.read_table(spark, table).collect()}
+    assert rows == {1: "doc-1", 2: "doc-2-v2"}  # no duplicate key 2
+    assert S.load_snapshot(table, 2)["summary"]["files_rewritten"] == 1
+    sid = S.commit_delete(spark, table, "doc_id = 1")
+    assert sid == 3  # matched: a real delete commit, not a silent no-op
+    assert _ids(S.read_table(spark, table)) == [2]
+
+
 def test_table_diff_same_snapshot_is_empty(spark, table):
     S.commit_append(spark, _batch(spark, [1]), table)
     assert S.table_diff(spark, table, 1, 1).count() == 0
