@@ -383,3 +383,84 @@ def rotate90(arr: np.ndarray, k: int = 1) -> np.ndarray:
     """Rotate the raster by k*90° counterclockwise (matches
     ``np.rot90``; the coordinate-space twin is geometry.rotate_words)."""
     return np.rot90(arr, k).copy()
+
+
+# ---------------------------------------------------------------------------
+# Prediction visualization — the debug overlay users reach for when a table
+# extracts wrong (reference gmft/table_visualization.py:1-298 /
+# CroppedTable.visualize). Same label→color mapping as the reference's
+# matplotlib palette, drawn directly into the raster (no plotting dep).
+# ---------------------------------------------------------------------------
+
+# reference table_visualization.colors (matplotlib names → RGB): red for
+# table/detections, blue=column, green=row, yellow=column header,
+# orange=projected row header, violet=spanning cell
+VIS_COLORS = {
+    -1: (255, 0, 0),
+    0: (255, 0, 0),
+    1: (0, 0, 255),
+    2: (0, 128, 0),
+    3: (255, 255, 0),
+    4: (255, 165, 0),
+    5: (238, 130, 238),
+}
+
+
+def to_rgb(arr: np.ndarray) -> np.ndarray:
+    """Grayscale (H, W) → RGB (H, W, 3); RGB input passes through."""
+    if arr.ndim == 3:
+        return arr.copy()
+    return np.repeat(arr[:, :, None], 3, axis=2)
+
+
+def draw_rect(
+    rgb: np.ndarray,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    color: tuple,
+    linewidth: int = 3,
+) -> None:
+    """Rectangle OUTLINE into an RGB raster, in place. The stroke is
+    centered on the box edge (linewidth pixels thick, clamped to the
+    canvas) — the raster twin of matplotlib's Rectangle patch."""
+    h, w = rgb.shape[:2]
+    half = linewidth / 2.0
+    col = np.asarray(color, dtype=np.uint8)
+
+    def band(r0, r1, c0, c1):
+        r0, r1 = max(0, int(np.floor(r0))), min(h, int(np.ceil(r1)))
+        c0, c1 = max(0, int(np.floor(c0))), min(w, int(np.ceil(c1)))
+        if r1 > r0 and c1 > c0:
+            rgb[r0:r1, c0:c1] = col
+
+    band(y0 - half, y0 + half, x0 - half, x1 + half)  # top
+    band(y1 - half, y1 + half, x0 - half, x1 + half)  # bottom
+    band(y0 - half, y1 + half, x0 - half, x0 + half)  # left
+    band(y0 - half, y1 + half, x1 - half, x1 + half)  # right
+
+
+def draw_predictions(
+    arr: np.ndarray,
+    boxes,
+    labels=None,
+    linewidth: int = 3,
+    offset: tuple = (0.0, 0.0),
+    label_filter=None,
+) -> np.ndarray:
+    """Label-colored prediction outlines over a page/tile raster —
+    returns a new RGB array. ``offset`` shifts table-local prediction
+    coords into page space (the reference's ``padding``/``margin``
+    params collapsed into one translation); ``label_filter`` keeps only
+    the listed labels (reference ``filter`` param)."""
+    rgb = to_rgb(arr)
+    ox, oy = offset
+    n = len(boxes)
+    lbls = list(labels) if labels is not None else [0] * n
+    for (x0, y0, x1, y1), lbl in zip(boxes, lbls):
+        if label_filter is not None and lbl not in label_filter:
+            continue
+        color = VIS_COLORS.get(int(lbl), (255, 0, 0))
+        draw_rect(rgb, x0 + ox, y0 + oy, x1 + ox, y1 + oy, color, linewidth)
+    return rgb

@@ -310,3 +310,67 @@ def page_ahash(transcripts: DataFrame) -> DataFrame:
         .mapInPandas(run, schema=AHASH_SCHEMA)
         .orderBy("conv_id", "turn_idx", "block_y", "block_x")
     )
+
+
+VIS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("n_boxes", IntegerType()),
+        StructField("png", BinaryType()),
+    ]
+)
+
+
+def visualize_detections(
+    rendered: DataFrame, detections: DataFrame, linewidth: int = 3
+) -> DataFrame:
+    """Prediction-visualization overlay (reference
+    gmft/table_visualization.py / CroppedTable.visualize): each page's
+    PNG with its detections outlined in the reference's label colors
+    (red=table, blue=column, green=row, yellow=column header,
+    orange=projected row header, violet=spanning cell). Emits one RGB
+    PNG per page — the debug artifact users pull when a table extracts
+    wrong.
+
+    Plan shape: detections aggregate to one boxes-array row per page
+    (map-side combinable), then an equi-join on (conv_id, turn_idx) with
+    the page payloads and a narrow draw+encode map — payload bytes never
+    shuffle more than the one co-partitioned join."""
+    from gmft_spark.kernel.raster import decode_png, draw_predictions, encode_png
+
+    boxes = detections.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct("x0", "y0", "x1", "y1", "label", "det_id")).alias(
+            "boxes"
+        )
+    )
+    joined = rendered.select("conv_id", "turn_idx", "png").join(
+        boxes, ["conv_id", "turn_idx"], "left"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx, png, blist in zip(
+                batch["conv_id"], batch["turn_idx"], batch["png"], batch["boxes"]
+            ):
+                arr = decode_png(bytes(png))
+                items = [] if blist is None else sorted(blist, key=lambda b: b["det_id"])
+                rgb = draw_predictions(
+                    arr,
+                    [(b["x0"], b["y0"], b["x1"], b["y1"]) for b in items],
+                    [b["label"] for b in items],
+                    linewidth=linewidth,
+                )
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "n_boxes": len(items),
+                        "png": encode_png(rgb, compress_level=3),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(run, schema=VIS_SCHEMA)
