@@ -502,6 +502,16 @@ def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "det_id")
 
 
+def _pipeline_img2table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-lattice detection under the gate (operators/img2table.py):
+    ruling lines → intersection join → star connected components → one
+    candidate per closed lattice, value-hashed against the closed-form
+    grid derivation (scene_sql.IMG2TABLE_SQL)."""
+    from gmft_spark.operators.img2table import img2table_detect_pipeline
+
+    return img2table_detect_pipeline(spark, sf_dir, sample_mod=SCENE_MOD)
+
+
 def _pipeline_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _extracted(spark, sf_dir, "spanning").orderBy(
         "conv_id", "turn_idx", "table_id"
@@ -660,6 +670,13 @@ def _oracled_pipelines():
             scene(scene_sql.HISTOGRAM_FLAGS_SQL),
         ),
         "detect_pipeline": (_pipeline_detect, scene(scene_sql.DETECT_SQL)),
+        # line-based (img2table-style) detection: intersection join +
+        # connected components must reconstruct exactly the per-table
+        # lattices whose closed form the oracle derives from the draws
+        "img2table_detect_parity": (
+            _pipeline_img2table,
+            scene(scene_sql.IMG2TABLE_SQL),
+        ),
         "conversation_text_assembly": (
             _pipeline_conversation_text,
             scene(scene_sql.CONV_TEXT_SQL),

@@ -1189,3 +1189,37 @@ STRUCTURE_RASTER_SQL = RASTER_CTES + """,
     GROUP BY conv_id, turn_idx, det_id
     ORDER BY conv_id, turn_idx, det_id, axis, div_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# img2table line-based detection oracle (operators/img2table.py): the line
+# lattice the adapter must reconstruct by intersection + connected
+# components is, by scene construction, exactly one component per table —
+# so the expected candidates are closed-form on the named draws: bbox =
+# table page box, page-space grid shape swaps under rotation, constant 0.9
+# adapter confidence, det_id in reading order (table 1 sits 60pt below
+# table 0, so reading order == t).
+# ---------------------------------------------------------------------------
+
+IMG2TABLE_SQL = f"""
+    WITH seeds AS ({TURNS_SQL}),
+    tbl AS ({_TBL_SQL}),
+    cols AS ({_COLS_SQL}),
+    colx AS ({_COLX_SQL}),
+    tdim AS ({_TDIM_SQL}),
+    tpos AS ({_TPOS_SQL})
+    SELECT conv_id, turn_idx,
+           CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                ORDER BY oy, ox) - 1 AS INT) AS det_id,
+           round(ox, 6) AS x0,
+           round(oy, 6) AS y0,
+           round(ox + CASE WHEN angle = 90 THEN height ELSE width END, 6) AS x1,
+           round(oy + CASE WHEN angle = 90 THEN width ELSE height END, 6) AS y1,
+           CAST(CASE WHEN angle = 90 THEN n_cols ELSE n_rows + 1 END AS INT)
+             AS grid_rows,
+           CAST(CASE WHEN angle = 90 THEN n_rows + 1 ELSE n_cols END AS INT)
+             AS grid_cols,
+           0.9::DOUBLE AS score
+    FROM tpos
+    ORDER BY conv_id, turn_idx, det_id
+"""
