@@ -199,6 +199,57 @@ def run_pdf_decode(cpus: int, n_turns: int) -> float:
         spark.stop()
 
 
+def gate_time() -> None:
+    """Local replica of the driver's correctness gate, timed: run EVERY
+    registered query against its DuckDB oracle at sf0.01 (rows-only for
+    the non-SQL pipelines) and print one JSON line with the total wall
+    time, per-query seconds, and any failures. This is the budget the
+    driver's truncation cap acts on — keep it under ~2 minutes."""
+    import __spark_entry__ as E
+    from tests.oracle_check import compare, duck_connection
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(master=f"local[{cpus}]", app_name="gate-time")
+    try:
+        con = duck_connection(sf_dir)
+        oracles = E.oracle_sql()
+        times: dict[str, float] = {}
+        failures = []
+        t_start = time.time()
+        for name, fn in E.queries().items():
+            t0 = time.time()
+            try:
+                if name in oracles:
+                    ok, msg = compare(fn(spark, sf_dir), con, oracles[name])
+                else:
+                    ok, msg = fn(spark, sf_dir).count() >= 0, "rows-only"
+            except Exception as exc:  # gate parity with the driver: record
+                ok, msg = False, repr(exc)
+            times[name] = round(time.time() - t0, 2)
+            if not ok:
+                failures.append({"name": name, "msg": str(msg)[:200]})
+        total = round(time.time() - t_start, 2)
+    finally:
+        spark.stop()
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "correctness-gate wall time (all queries + oracles)",
+                "value": total,
+                "unit": "sec",
+                "sf_dir": sf_dir,
+                "n_queries": len(times),
+                "n_failures": len(failures),
+                "failures": failures,
+                "slowest": slowest,
+                "queries": times,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -270,4 +321,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--gate-time" in sys.argv:
+        gate_time()
+    else:
+        main()

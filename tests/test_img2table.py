@@ -110,3 +110,64 @@ def test_rotated_grid_swaps_page_space_shape(spark):
                     assert (r["grid_rows"], r["grid_cols"]) == (n_rows, n_cols)
                 checked += 1
     assert checked >= len(rows) * 0.9  # nearly every candidate matched a table
+
+
+def test_formatter_cells_match_ditr_grid_on_unrotated_tables(spark):
+    """On an unrotated table the lattice formatter's page-space grid IS
+    the logical grid: header texts in row 0, every cell's text equal to
+    the scene's own cell tokens (cross-checked via the scene object)."""
+    from gmft_spark.kernel.synth import synth_scene
+    from gmft_spark.operators.img2table import img2table_extract_cells
+
+    t = transcripts_from_documents(spark, SF, sample_mod=25)
+    cells = img2table_extract_cells(t).collect()
+    assert cells
+    # group per (page, det)
+    by_det = {}
+    for r in cells:
+        by_det.setdefault((r["conv_id"], r["turn_idx"], r["det_id"]), []).append(r)
+    checked = 0
+    for (conv_id, turn_idx, det_id), rows in by_det.items():
+        scene = synth_scene(conv_id, turn_idx)
+        # match the detection to a scene table by reading order
+        tables = sorted(scene.tables, key=lambda tb: (tb.bbox[1], tb.bbox[0]))
+        tb = tables[det_id]
+        if tb.angle != 0:
+            continue
+        hdr = {r["col"]: r["text"] for r in rows if r["row"] == 0}
+        n_cols = len(tb.col_edges) + 1
+        assert hdr == {c: f"col{c}" for c in range(n_cols)}
+        checked += 1
+    assert checked > 0
+
+
+def test_formatter_rotated_table_is_page_space_transpose(spark):
+    """A 90°-rotated table's lattice grid is its page-space view: the
+    logical header tokens appear as one COLUMN (the last page column),
+    reversed (page y runs against logical x)."""
+    from gmft_spark.kernel.synth import synth_scene
+    from gmft_spark.operators.img2table import img2table_extract_cells
+
+    t = transcripts_from_documents(spark, SF, sample_mod=2)
+    cells = img2table_extract_cells(t).collect()
+    by_det = {}
+    for r in cells:
+        by_det.setdefault((r["conv_id"], r["turn_idx"], r["det_id"]), []).append(r)
+    checked = 0
+    for (conv_id, turn_idx, det_id), rows in by_det.items():
+        scene = synth_scene(conv_id, turn_idx)
+        tables = sorted(scene.tables, key=lambda tb: (tb.bbox[1], tb.bbox[0]))
+        tb = tables[det_id]
+        if tb.angle != 90:
+            continue
+        n_rows = len(tb.row_edges) + 1  # logical rows = page cols
+        n_cols = len(tb.col_edges) + 1  # logical cols = page rows
+        # header tokens live in page column 0 (logical row 0 maps to the
+        # FIRST page column), reversed: page row i holds col{n_cols-1-i}
+        col0 = {r["row"]: r["text"] for r in rows if r["col"] == 0}
+        assert col0 == {i: f"col{n_cols - 1 - i}" for i in range(n_cols)}
+        assert max(r["col"] for r in rows) == n_rows - 1
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked > 0
