@@ -177,17 +177,26 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-duplicate vectors collide in every band by construction) are
     AQE skew-join territory, not a plan problem."""
     e = _emb(spark, sf_dir)
+    # all band buckets materialize in ONE pass over the vectors (the 30
+    # plane dot-products are the expensive expressions here; without the
+    # checkpoint each band's self-join would re-evaluate them on both
+    # sides — 6× the work). At cluster scale this is the standard
+    # persist-the-index step.
+    eb = e.select(
+        "vec_id",
+        "v",
+        *[_band_bucket(band).alias(f"bucket{band}") for band in range(KNN_BANDS)],
+    ).localCheckpoint(eager=True)
     per_band = []
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
         * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
     )
     for band in range(KNN_BANDS):
-        eb = e.select("vec_id", "v", _band_bucket(band).alias("bucket"))
         a, b = eb.alias("a"), eb.alias("b")
         pairs = a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col(f"a.bucket{band}") == F.col(f"b.bucket{band}"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         per_band.append(
