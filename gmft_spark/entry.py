@@ -70,7 +70,13 @@ _FRAME_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _cached_frame(spark: SparkSession, key: tuple, build) -> DataFrame:
-    full_key = (spark.sparkContext.applicationId, *key)
+    app = spark.sparkContext.applicationId
+    # evict frames of dead applications: their DataFrame handles can never
+    # be reused (executors are gone) and would otherwise accumulate across
+    # build_session/stop cycles in one interpreter
+    for stale in [k for k in _FRAME_CACHE if k[0] != app]:
+        del _FRAME_CACHE[stale]
+    full_key = (app, *key)
     df = _FRAME_CACHE.get(full_key)
     if df is None:
         df = build().persist()

@@ -503,22 +503,24 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
 
 # Gate-side corpus sampling for the BPE pair: the trainer collapses the
 # corpus to (word-type, count) and every round is O(vocab), so the
-# registered queries train/encode over every 4th document — the same
-# algorithm over a smaller type table, with the DuckDB twin sampling
-# identically (the unrolled 8-round SQL pays per word TYPE, and this one
-# pair was ~25s of the gate budget at full corpus).
+# REGISTERED gate queries train/encode over every 4th document (the
+# QUERIES entries below pass doc_mod explicitly, and the DuckDB twin
+# samples identically — the unrolled 8-round SQL pays per word TYPE, and
+# this pair was ~25s of the gate budget at full corpus). The public API
+# default stays doc_mod=1: library callers and bench.py train on the
+# full corpus.
 BPE_GATE_DOC_MOD = 4
 
 
 def _bpe_corpus_tokens(
-    spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD
+    spark: SparkSession, sf_dir: str, doc_mod: int = 1
 ) -> DataFrame:
     from gmft_spark.operators.textstats import _tokens
 
     return _tokens(spark, sf_dir).filter(F.col("doc_id") % doc_mod == 0)
 
 
-def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD):
+def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = 1):
     """Shared trainer loop: returns (final word-type frame with columns
     (tok, seq, cnt), list of 1-row merge frames). Each round counts
     adjacent symbol pairs weighted by word-type frequency, picks the
@@ -579,7 +581,7 @@ def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD):
 
 
 def bpe_train_merges(
-    spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD
+    spark: SparkSession, sf_dir: str, doc_mod: int = 1
 ) -> DataFrame:
     """BPE tokenizer training (Sennrich-style): learn BPE_MERGES merge
     rules over the corpus (see _bpe_run). Output is the merge table:
@@ -592,7 +594,7 @@ def bpe_train_merges(
 
 
 def bpe_encode_corpus(
-    spark: SparkSession, sf_dir: str, doc_mod: int = BPE_GATE_DOC_MOD
+    spark: SparkSession, sf_dir: str, doc_mod: int = 1
 ) -> DataFrame:
     """Apply the learned merge table: per document, word count, character
     count, and the BPE token count after all BPE_MERGES rules — the
@@ -899,6 +901,12 @@ QUERIES = {
     "pack_sequences": (pack_sequences, PACK_SEQUENCES_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
-    "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
-    "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_SQL),
+    "bpe_train_merges": (
+        lambda spark, sf: bpe_train_merges(spark, sf, doc_mod=BPE_GATE_DOC_MOD),
+        BPE_TRAIN_SQL,
+    ),
+    "bpe_encode_corpus": (
+        lambda spark, sf: bpe_encode_corpus(spark, sf, doc_mod=BPE_GATE_DOC_MOD),
+        BPE_ENCODE_SQL,
+    ),
 }

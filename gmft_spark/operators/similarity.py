@@ -70,11 +70,15 @@ ANN_COSINE_SQL = """
 
 def _plane_weights(j: int):
     """64 deterministic integer-valued weights for hyperplane j:
-    ((i*31 + j*17) % 7) - 3."""
-    off = j * 17
+    (((i+1)·(j+1)) mod 37) - 18 — a multiplicative-dilation family over
+    the prime 37, giving a DISTINCT hyperplane for every j < 36. (The
+    round-2 family ((i·31 + j·17) % 7) - 3 collapsed to only 7 distinct
+    planes — 31 ≡ 17 ≡ 3 (mod 7), so plane j equalled plane j+7 — which
+    silently capped every sign-LSH here at 7 effective bits.)"""
+    mul = j + 1
     return F.transform(
         F.sequence(F.lit(0), F.lit(63)),
-        lambda i: ((i * 31 + off) % 7 - 3).cast("double"),
+        lambda i: ((i + 1) * mul % 37 - 18).cast("double"),
     )
 
 
@@ -113,7 +117,7 @@ _PLANE_DOT = " + ".join(
 
 def _plane_sql(j: int) -> str:
     terms = " + ".join(
-        f"v[{i + 1}] * {((i * 31 + j * 17) % 7) - 3}.0" for i in range(64)
+        f"v[{i + 1}] * {((i + 1) * (j + 1)) % 37 - 18}.0" for i in range(64)
     )
     return f"({terms})"
 
@@ -141,14 +145,13 @@ ANN_LSH_SQL = (
 
 
 # Multi-band sign-LSH for the knn join: B independent tables of P planes
-# each (planes are disjoint slices of the deterministic hyperplane
-# family). More planes per table → finer buckets → the within-bucket
-# quadratic term shrinks ~2^(P-8) vs the old single 8-plane table (the
-# round-2 hot-bucket exposure); multiple tables restore recall exactly
-# like MinHash-LSH banding (operators/dedup.py). For true near-dups
-# (cosine ≳ 0.9, plane-agreement ~0.86) the union of 3×10-plane tables
-# has HIGHER recall (~50%) than one 8-plane table (~29%) while each
-# bucket is 4× finer.
+# each (disjoint slices of the deterministic hyperplane family — 30
+# genuinely distinct planes; empirically, only ~0.4% of random vector
+# pairs that share a band-0 bucket also share band-1's). More planes per
+# table → finer buckets → the within-bucket quadratic term shrinks vs
+# the old single table (the round-2 hot-bucket exposure); multiple
+# tables restore recall exactly like MinHash-LSH banding
+# (operators/dedup.py).
 KNN_BANDS = 3
 KNN_PLANES_PER_BAND = 10
 

@@ -63,18 +63,30 @@ def refresh_rollup(
     # SAME snapshot range: scan up to the captured head explicitly, or an
     # append landing between the two calls would be aggregated now but
     # re-delivered (and double-counted) by the next refresh
-    retained = {int(s["snapshot_id"]) for s in S.snapshots(source_table)}
-    # the watermark snapshot itself must also survive: the first new
-    # append's delta is its file list minus snapshot ``last``'s
-    lo = last if last > 0 else last + 1
-    missing = [i for i in range(lo, head + 1) if i not in retained]
+    source_snaps = S.snapshots(source_table)
+    retained = {int(s["snapshot_id"]) for s in source_snaps}
+    # ids in (last, head] must all survive: an EXPIRED snapshot there may
+    # have been an append whose rows incremental_scan would silently skip
+    missing = [i for i in range(last + 1, head + 1) if i not in retained]
+    # and every retained append in range diffs against its parent's file
+    # list, so that parent must also be loadable (the parent of the first
+    # new append can be the already-consumed watermark snapshot itself —
+    # fine for it to be expired ONLY if no append still needs it)
+    missing += [
+        p
+        for s in source_snaps
+        if s["operation"] == "append"
+        and last < int(s["snapshot_id"]) <= head
+        and (p := s["parent_id"]) is not None
+        and p not in retained
+    ]
     if missing:
         raise ValueError(
-            f"refresh_rollup: source snapshots {missing} in ({last}, {head}] "
-            f"were expired before the rollup consumed them — the rollup can "
-            f"no longer be maintained incrementally; recompute it from "
-            f"scratch (source expiry must keep snapshots back to every "
-            f"consumer's watermark)"
+            f"refresh_rollup: source snapshots {sorted(set(missing))} needed "
+            f"for the delta ({last}, {head}] were expired before the rollup "
+            f"consumed it — the rollup can no longer be maintained "
+            f"incrementally; recompute it from scratch (source expiry must "
+            f"keep snapshots back to every consumer's watermark)"
         )
     delta = S.incremental_scan(spark, source_table, last, until_snapshot_id=head)
     if delta is None:

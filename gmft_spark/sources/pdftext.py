@@ -21,7 +21,7 @@ from typing import List, Tuple
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from gmft_spark.sources.spans import spans_to_words, words_from_span_rows
+from gmft_spark.sources.spans import clean_text_col, spans_to_words
 
 # the dictionary_output page schema, restricted to the fields the
 # reference binding consumes (span bbox + text; extra keys like font,
@@ -147,9 +147,7 @@ def words_from_pdftext_payloads(
         "y0",
         "x1",
         "y1",
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), "\n", ""), r"^\s+|\s+$", ""
-        ).alias("text"),
+        clean_text_col(F.col("text")).alias("text"),
     ).withColumn("word_id", F.row_number().over(win) - 1)
 
 

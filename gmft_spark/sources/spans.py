@@ -29,6 +29,16 @@ def _clean(text: str) -> str:
     return (text or "").replace("\n", "").strip()
 
 
+def clean_text_col(col):
+    """Column form of ``_clean`` — THE span-text cleaning contract, shared
+    by every span-shaped source (spans rows, pdftext payloads). Python
+    str.strip() removes ALL whitespace, not just spaces — mirrored with an
+    anchored regex, not F.trim."""
+    return F.regexp_replace(
+        F.regexp_replace(col, "\n", ""), r"^\s+|\s+$", ""
+    )
+
+
 def spans_to_words(dict_page: dict) -> List[Tuple[float, float, float, float, str]]:
     """Flatten one page's ``{"blocks": [{"lines": [{"spans": [...]}]}]}``
     hierarchy into (x0, y0, x1, y1, text) tuples in block→line→span order
@@ -62,9 +72,5 @@ def words_from_span_rows(spans: DataFrame) -> DataFrame:
         "y0",
         "x1",
         "y1",
-        # Python str.strip() removes ALL whitespace, not just spaces —
-        # mirror it with an anchored regex, not F.trim
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), "\n", ""), r"^\s+|\s+$", ""
-        ).alias("text"),
+        clean_text_col(F.col("text")).alias("text"),
     ).withColumn("word_id", F.row_number().over(win) - 1)

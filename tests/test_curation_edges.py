@@ -56,9 +56,9 @@ def test_bpe_exhausted_pairs_is_noop(spark, tmp_path):
         tmp_path,
         [(1, "a b c", "en", "src00", 5), (2, "b c a", "en", "src01", 5)],
     )
-    merges = curation.bpe_train_merges(spark, sf, doc_mod=1).collect()
+    merges = curation.bpe_train_merges(spark, sf).collect()
     assert merges == []  # no learnable pair -> no merge rows, no crash
-    enc = curation.bpe_encode_corpus(spark, sf, doc_mod=1).orderBy("doc_id").collect()
+    enc = curation.bpe_encode_corpus(spark, sf).orderBy("doc_id").collect()
     # the word table must survive the empty rounds: both docs encoded,
     # every 1-char token stays 1 BPE symbol
     assert [r["doc_id"] for r in enc] == [1, 2]

@@ -96,6 +96,23 @@ def test_refresh_fails_loudly_when_watermark_snapshots_expired(spark, tables):
         refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
 
 
+def test_normal_compact_expire_lifecycle_keeps_refreshing(spark, tables):
+    """compact → expire (which drops the already-consumed watermark
+    snapshot) → append → refresh must SUCCEED: nothing incremental was
+    lost, because the only append in range diffs against the retained
+    compact snapshot. The expiry guard must not be stricter than what
+    incremental_scan actually needs."""
+    src, roll = tables
+    S.commit_append(spark, _batch(spark, [("web", 1, 10)]), src)
+    refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
+    S.compact(spark, src, target_partitions=1)  # snap 2
+    S.expire_snapshots(src, keep_last=1)  # drops snap 1 (the watermark)
+    S.commit_append(spark, _batch(spark, [("pdf", 2, 7)]), src)  # snap 3
+    r = refresh_rollup(spark, src, roll, keys=["source"], sum_cols=["n_tokens"])
+    assert r["refreshed"] is True and r["source_snapshot_id"] == 3
+    assert _state(spark, roll) == {"web": (1, 10), "pdf": (1, 7)}
+
+
 def test_refresh_delta_is_bounded_by_captured_head(spark, tables):
     """The watermark and the delta must cover the SAME snapshot range:
     scanning 'whatever HEAD is now' while recording the earlier head
