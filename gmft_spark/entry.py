@@ -768,7 +768,7 @@ _EARLY_MODULE_QUERIES = (
     "dedup_minhash_clusters",
     "dedup_exact",
     "dedup_incremental",
-    "ann_recall_ivfpq",
+    "dedup_semantic",
 )
 
 

@@ -795,12 +795,10 @@ def _kmeans_update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train KMEANS_K IVF centroids with KMEANS_ITERS Lloyd iterations
-    (deterministic init: the first K vectors by vec_id). Output is the
-    final fixed-point centroid matrix exploded to scalar rows
-    (centroid_id, dim, c_fixed) plus each cluster's final member count —
-    every value integral, hash-exact against the unrolled SQL twin."""
+def _kmeans_run(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd loop: returns (final centroid frame (cid, c), final
+    assignment frame (vec_id, cid, q)) — consumed by ann_kmeans_train
+    (the centroid view) and dedup_semantic (the cluster partition)."""
     e = _emb(spark, sf_dir)
     ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
     cents = ef.filter(F.col("vec_id") < KMEANS_K).select(
@@ -810,6 +808,16 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(ef, cents)
         cents = _kmeans_update(assigned, cents).localCheckpoint(eager=True)
+    return cents, assigned
+
+
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train KMEANS_K IVF centroids with KMEANS_ITERS Lloyd iterations
+    (deterministic init: the first K vectors by vec_id). Output is the
+    final fixed-point centroid matrix exploded to scalar rows
+    (centroid_id, dim, c_fixed) plus each cluster's final member count —
+    every value integral, hash-exact against the unrolled SQL twin."""
+    cents, assigned = _kmeans_run(spark, sf_dir)
     counts = assigned.groupBy("cid").agg(F.count("*").alias("n_members"))
     return (
         cents.select("cid", F.posexplode("c").alias("dim", "c_fixed"))
@@ -826,7 +834,10 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes() -> str:
+    """The unrolled Lloyd trainer as a CTE chain ending at c{N} (final
+    centroids) and a{N} (final assignment) — shared by KMEANS_SQL and
+    SEMDEDUP_SQL."""
     parts = [
         f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -873,9 +884,14 @@ def _kmeans_sql() -> str:
           ON c{p}.cid = s{i}.cid AND c{p}.dim = s{i}.dim
     )"""
         )
+    return "".join(parts)
+
+
+def _kmeans_sql() -> str:
     n = KMEANS_ITERS
-    parts.append(
-        f""",
+    return (
+        _kmeans_ctes()
+        + f""",
     cnt AS (
         SELECT cid, CAST(count(*) AS BIGINT) AS n_members
         FROM a{n} GROUP BY cid
@@ -886,10 +902,93 @@ def _kmeans_sql() -> str:
     ORDER BY centroid_id, dim
 """
     )
-    return "".join(parts)
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space with k-means, then look for near-duplicates
+# only WITHIN each cluster — the pruning pass that removed 50% of LAION
+# with no quality loss. The cluster partition turns the global O(n²)
+# cosine problem into per-cluster quadratics bounded by cluster size; at
+# corpus scale K grows with n (K ≈ n / target_cluster_size), assignment
+# stays a broadcast narrow map, and AQE skew-join splitting handles the
+# residual fat cluster. Dedup rule (deterministic, closure-free): a
+# vector is a duplicate iff some LOWER-id vector in its cluster has
+# cosine ≥ the threshold — the kept set is exactly the greedy
+# lowest-id-representative choice SemDeDup makes per cluster.
+SEMDEDUP_COSINE_THRESHOLD = 0.3
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: trained k-means partition
+    (the SAME Lloyd run as ann_kmeans_train — fixed-point, hash-exact),
+    exact within-cluster cosine confirmation, lowest-id representative
+    kept. Output per vector: (vec_id, cluster_id, n_close_lower, is_dup)."""
+    e = _emb(spark, sf_dir)
+    _cents, assigned = _kmeans_run(spark, sf_dir)
+    av = assigned.select("vec_id", "cid").join(e.select("vec_id", "v"), "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    close = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"), F.round(cos, 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_close_lower"))
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").cast("int").alias("cluster_id"))
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("n_close_lower", F.lit(0)).cast("long").alias(
+                "n_close_lower"
+            ),
+            (F.coalesce("n_close_lower", F.lit(0)) > 0).cast("int").alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = (
+    _kmeans_ctes()
+    + f""",
+    av AS (
+        SELECT a.vec_id, a.cid, e.v
+        FROM a{KMEANS_ITERS} a JOIN e ON a.vec_id = e.vec_id
+    ),
+    close AS (
+        SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_close_lower
+        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {SEMDEDUP_COSINE_THRESHOLD}
+        GROUP BY b.vec_id
+    )
+    SELECT av.vec_id, CAST(av.cid AS INT) AS cluster_id,
+           coalesce(close.n_close_lower, 0) AS n_close_lower,
+           (CASE WHEN coalesce(close.n_close_lower, 0) > 0
+                 THEN 1 ELSE 0 END)::INT AS is_dup
+    FROM av LEFT JOIN close ON av.vec_id = close.vec_id
+    ORDER BY av.vec_id
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1505,6 +1604,7 @@ QUERIES = {
     "ann_lsh_buckets": (ann_lsh_buckets, ANN_LSH_SQL),
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "ann_kmeans_train": (ann_kmeans_train, KMEANS_SQL),
+    "dedup_semantic": (dedup_semantic, SEMDEDUP_SQL),
     "ann_pq_encode": (ann_pq_encode, ANN_PQ_ENCODE_SQL),
     "ann_pq_search": (ann_pq_search, ANN_PQ_SEARCH_SQL),
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),
