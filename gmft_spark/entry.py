@@ -491,6 +491,20 @@ def _pipeline_raster_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs under the gate: ahash signatures (same tile
+    sums the ahash parity hashes) → 8-band Hamming join → exact
+    bit_count confirmation, vs scene_sql.VISUAL_DEDUP_SQL."""
+    from gmft_spark.operators.render import (
+        dedup_pages_visual,
+        page_visual_signatures,
+    )
+
+    return dedup_pages_visual(
+        page_visual_signatures(_turns(spark, sf_dir, RASTER_MOD))
+    )
+
+
 def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full value-hash oracle (scene_sql.DETECT_SQL): the SQL twin
     re-derives the word layout from the named md5 draws and replicates the
@@ -737,6 +751,12 @@ def _oracled_pipelines():
             _pipeline_raster_structure,
             raster(scene_sql.STRUCTURE_RASTER_SQL),
         ),
+        # visual near-dup: banded Hamming join over the ahash plane
+        # (exact for hamming < 8 by pigeonhole — 8 one-byte bands)
+        "visual_dedup_parity": (
+            _pipeline_visual_dedup,
+            raster(scene_sql.VISUAL_DEDUP_SQL),
+        ),
         # the HTML template is md5/modulo-of-id, so the oracle re-derives
         # the expected extraction (title, pre-order text, cells, dropped
         # chars) straight from the template structure
@@ -762,13 +782,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # plans changed most recently (rewritten this round) plus the flagship
 # dedup/ANN results — they belong inside the driver-verified window.
 _EARLY_MODULE_QUERIES = (
+    # keep the parity pipelines + relational suite + these inside the
+    # driver's ~50-row verified window: the queries REWRITTEN or ADDED
+    # this round come first (older dedup queries were driver-green in
+    # both prior rounds and moved back out of the window)
     "dedup_simhash",
     "embedding_knn_join",
-    "dedup_minhash_lsh",
-    "dedup_minhash_clusters",
-    "dedup_exact",
-    "dedup_incremental",
     "dedup_semantic",
+    "dedup_minhash_lsh",
 )
 
 

@@ -374,3 +374,114 @@ def visualize_detections(
                 yield pd.DataFrame(rows)
 
     return joined.mapInPandas(run, schema=VIS_SCHEMA)
+
+
+SIG_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("sig_lo", LongType()),
+        StructField("sig_hi", LongType()),
+    ]
+)
+
+
+def page_visual_signatures(transcripts: DataFrame) -> DataFrame:
+    """64-bit perceptual ahash per page packed into two 32-bit halves
+    (bit index = 8·block_y + block_x; indexes 0-31 → sig_lo, 32-63 →
+    sig_hi — two BIGINTs so the top bit never fights a signed long).
+    Narrow map: rasterize + tile sums, no PNG encode."""
+    from gmft_spark.kernel.raster import block_ahash, render_words
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
+                scene = synth_scene(conv_id, int(turn_idx))
+                arr = render_words(
+                    scene.word_boxes, scene.page_width, scene.page_height
+                )
+                _sums, bits = block_ahash(arr)
+                flat = bits.flatten()
+                lo = sum(int(flat[i]) << i for i in range(32))
+                hi = sum(int(flat[i]) << (i - 32) for i in range(32, 64))
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": int(turn_idx),
+                        "sig_lo": lo,
+                        "sig_hi": hi,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return transcripts.select("conv_id", "turn_idx").mapInPandas(
+        run, schema=SIG_SCHEMA
+    )
+
+
+def dedup_pages_visual(
+    signatures: DataFrame, max_hamming: int = 2
+) -> DataFrame:
+    """Visual near-dup pairs by BANDED Hamming join over the ahash plane:
+    the 64-bit signature splits into 8 one-byte bands; pages sharing any
+    band bucket become candidates (one equi-join on (band, value) — the
+    MinHash-LSH shape, no all-pairs), then the exact Hamming distance
+    (bit_count of the xor, JVM-side) confirms. By pigeonhole the banding
+    is EXACT for any max_hamming < 8: d differing bits touch at most d
+    bands, so at least one band matches exactly. Scale: band buckets key
+    the one shuffle; identical-layout bursts (the hot bucket case) are
+    true dup sets and AQE skew-split handles their size."""
+    key = F.struct(F.col("conv_id").alias("c"), F.col("turn_idx").alias("t"))
+    bands = signatures.select(
+        key.alias("k"),
+        "sig_lo",
+        "sig_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("sig_lo" if b < 4 else "sig_hi"),
+                                8 * (b % 4),
+                            ).bitwiseAND(255)
+                        ).alias("val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("k", "sig_lo", "sig_hi", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            (
+                F.bit_count(
+                    F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo"))
+                )
+                + F.bit_count(
+                    F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi"))
+                )
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand.select(
+        F.col("ka.c").alias("conv_a"),
+        F.col("ka.t").alias("turn_a"),
+        F.col("kb.c").alias("conv_b"),
+        F.col("kb.t").alias("turn_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("conv_a", "turn_a", "conv_b", "turn_b")

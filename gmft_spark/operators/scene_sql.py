@@ -1254,3 +1254,74 @@ IMG2TABLE_CELLS_SQL = SCENE_CTES + """,
              CASE WHEN d.angle = 90 THEN w.r ELSE w.c END
     ORDER BY w.conv_id, w.turn_idx, det_id, row, col
 """
+
+
+# ---------------------------------------------------------------------------
+# Visual near-dup oracle (operators/render.dedup_pages_visual): the 64-bit
+# ahash packs into two 32-bit halves from the same clamped word-area tile
+# sums AHASH_SQL derives; candidate pairs come from the 8 one-byte bands
+# (exact for hamming < 8 by pigeonhole) and confirm by bit_count(xor).
+# ---------------------------------------------------------------------------
+
+VISUAL_DEDUP_SQL = SCENE_CTES + """,
+    blocks AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) b(i)
+    ),
+    tileink AS (
+        SELECT w.conv_id, w.turn_idx,
+               CAST(by.i AS INT) AS block_y, CAST(bx.i AS INT) AS block_x,
+               CAST(sum(
+                   greatest(0,
+                       least(CAST(ceil(w.px1) AS BIGINT), 612,
+                             ((bx.i + 1) * 612) // 8)
+                       - greatest(CAST(floor(w.px0) AS BIGINT), 0,
+                                  (bx.i * 612) // 8))
+                 * greatest(0,
+                       least(CAST(ceil(w.py1) AS BIGINT), 792,
+                             ((by.i + 1) * 792) // 8)
+                       - greatest(CAST(floor(w.py0) AS BIGINT), 0,
+                                  (by.i * 792) // 8))
+               ) AS BIGINT) AS ink_px
+        FROM words w, blocks bx, blocks by
+        GROUP BY w.conv_id, w.turn_idx, by.i, bx.i
+    ),
+    tilebits AS (
+        SELECT conv_id, turn_idx,
+               block_y * 8 + block_x AS idx,
+               CASE WHEN ink_px * 64 >
+                         sum(ink_px) OVER (PARTITION BY conv_id, turn_idx)
+                    THEN 1 ELSE 0 END AS bit
+        FROM tileink
+    ),
+    sigs AS (
+        SELECT conv_id, turn_idx,
+               CAST(sum(CASE WHEN idx < 32
+                             THEN bit * (1::BIGINT << idx) ELSE 0 END)
+                    AS BIGINT) AS sig_lo,
+               CAST(sum(CASE WHEN idx >= 32
+                             THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)
+                    AS BIGINT) AS sig_hi
+        FROM tilebits
+        GROUP BY conv_id, turn_idx
+    ),
+    bands AS (
+        SELECT s.conv_id, s.turn_idx, s.sig_lo, s.sig_hi, b.i AS band,
+               CASE WHEN b.i < 4 THEN (s.sig_lo >> (8 * b.i)) & 255
+                    ELSE (s.sig_hi >> (8 * (b.i - 4))) & 255 END AS val
+        FROM sigs s, blocks b
+    ),
+    cand AS (
+        SELECT DISTINCT
+               a.conv_id AS conv_a, a.turn_idx AS turn_a,
+               b.conv_id AS conv_b, b.turn_idx AS turn_b,
+               CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                    + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands b
+          ON a.band = b.band AND a.val = b.val
+         AND (a.conv_id, a.turn_idx) < (b.conv_id, b.turn_idx)
+    )
+    SELECT conv_a, turn_a, conv_b, turn_b, hamming
+    FROM cand WHERE hamming <= 2
+    ORDER BY conv_a, turn_a, conv_b, turn_b
+"""
