@@ -393,14 +393,24 @@ def _pipeline_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx")
 
 
+def _ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached ahash bit plane (one rasterize+tile-sum pass shared by the
+    ahash parity and the visual-dedup parity)."""
+    from gmft_spark.operators.render import page_ahash
+
+    return _cached_frame(
+        spark,
+        (sf_dir, "ahash"),
+        lambda: page_ahash(_turns(spark, sf_dir, RASTER_MOD)),
+    )
+
+
 def _pipeline_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash bit plane of every rendered page (visual
     near-dup signal) — 64 integer tile counts + bits per turn, value-
     hashed against the clamped word-area re-derivation
     (scene_sql.AHASH_SQL)."""
-    from gmft_spark.operators.render import page_ahash
-
-    return page_ahash(_turns(spark, sf_dir, RASTER_MOD))
+    return _ahash(spark, sf_dir)
 
 
 def _pipeline_raster_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,17 +502,18 @@ def _pipeline_raster_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Visual near-dup pairs under the gate: ahash signatures (same tile
-    sums the ahash parity hashes) → 8-band Hamming join → exact
-    bit_count confirmation, vs scene_sql.VISUAL_DEDUP_SQL."""
+    """Visual near-dup pairs under the gate: signatures bit-packed from
+    the CACHED ahash frame (no second rasterization pass — the pack is a
+    JVM groupBy; equality with the direct path pinned by
+    tests/test_visual_dedup.py::test_pack_matches_direct_signatures) →
+    8-band Hamming join → exact bit_count confirmation, vs
+    scene_sql.VISUAL_DEDUP_SQL."""
     from gmft_spark.operators.render import (
         dedup_pages_visual,
-        page_visual_signatures,
+        pack_visual_signatures,
     )
 
-    return dedup_pages_visual(
-        page_visual_signatures(_turns(spark, sf_dir, RASTER_MOD))
-    )
+    return dedup_pages_visual(pack_visual_signatures(_ahash(spark, sf_dir)))
 
 
 def _pipeline_detect(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -421,6 +421,30 @@ def page_visual_signatures(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def pack_visual_signatures(ahash: DataFrame) -> DataFrame:
+    """Bit-pack a page_ahash frame into the (sig_lo, sig_hi) signature
+    schema without touching pixels again: the signature IS the ahash bit
+    plane (bit index 8·block_y + block_x), so a 64-row groupBy of shifted
+    sums reproduces page_visual_signatures exactly (pinned by
+    tests/test_visual_dedup.py::test_pack_matches_direct_signatures).
+    Use this when an ahash frame already exists (the gate's shared
+    kernel pass); use page_visual_signatures to go straight from pages."""
+    idx = F.col("block_y") * 8 + F.col("block_x")
+    # SQL shiftleft: the Python wrapper wants a literal shift, the SQL
+    # function takes a column
+    contrib = F.expr(
+        "shiftleft(cast(bit AS BIGINT), cast((block_y*8 + block_x) % 32 AS INT))"
+    )
+    return (
+        ahash.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sum(F.when(idx < 32, contrib).otherwise(F.lit(0))).alias("sig_lo"),
+            F.sum(F.when(idx >= 32, contrib).otherwise(F.lit(0))).alias("sig_hi"),
+        )
+        .select("conv_id", "turn_idx", "sig_lo", "sig_hi")
+    )
+
+
 def dedup_pages_visual(
     signatures: DataFrame, max_hamming: int = 2
 ) -> DataFrame:
@@ -433,6 +457,13 @@ def dedup_pages_visual(
     bands, so at least one band matches exactly. Scale: band buckets key
     the one shuffle; identical-layout bursts (the hot bucket case) are
     true dup sets and AQE skew-split handles their size."""
+    if max_hamming > 7:
+        raise ValueError(
+            "dedup_pages_visual is exact only for max_hamming < 8 "
+            "(8 one-byte bands; pigeonhole) — a pair differing by one bit "
+            "per band would be silently missed. Widen the banding scheme "
+            f"before requesting max_hamming={max_hamming}."
+        )
     key = F.struct(F.col("conv_id").alias("c"), F.col("turn_idx").alias("t"))
     bands = signatures.select(
         key.alias("k"),

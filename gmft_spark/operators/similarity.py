@@ -795,10 +795,19 @@ def _kmeans_update(assigned: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
+_KMEANS_CACHE: dict = {}
+
+
 def _kmeans_run(spark: SparkSession, sf_dir: str):
     """Shared Lloyd loop: returns (final centroid frame (cid, c), final
     assignment frame (vec_id, cid, q)) — consumed by ann_kmeans_train
-    (the centroid view) and dedup_semantic (the cluster partition)."""
+    (the centroid view) and dedup_semantic (the cluster partition).
+    Memoized per (application, sf_dir) on checkpointed frames so one gate
+    run trains Lloyd once, not once per consuming query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KMEANS_CACHE.get(key)
+    if hit is not None:
+        return hit
     e = _emb(spark, sf_dir)
     ef = e.select("vec_id", _fixed_vec(F.col("v")).alias("q"))
     cents = ef.filter(F.col("vec_id") < KMEANS_K).select(
@@ -808,6 +817,8 @@ def _kmeans_run(spark: SparkSession, sf_dir: str):
     for _ in range(KMEANS_ITERS):
         assigned = _kmeans_assign(ef, cents)
         cents = _kmeans_update(assigned, cents).localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True)
+    _KMEANS_CACHE[key] = (cents, assigned)
     return cents, assigned
 
 
@@ -929,7 +940,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept. Output per vector: (vec_id, cluster_id, n_close_lower, is_dup)."""
     e = _emb(spark, sf_dir)
     _cents, assigned = _kmeans_run(spark, sf_dir)
-    av = assigned.select("vec_id", "cid").join(e.select("vec_id", "v"), "vec_id")
+    # materialized once: av feeds the self-join twice plus the final base
+    av = (
+        assigned.select("vec_id", "cid")
+        .join(e.select("vec_id", "v"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
     a, b = av.alias("a"), av.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         F.sqrt(_dot(F.col("a.v"), F.col("a.v")))

@@ -198,12 +198,30 @@ def test_pii_redact_is_narrow_map(spark):
 def test_kmeans_model_broadcasts_and_update_combines_mapside(spark):
     """Lloyd iteration shape: the centroid model reaches assignment via
     broadcast (never a SortMergeJoin of vectors against centroids), and
-    the (cid, dim) update aggregation has a partial (map-side) phase."""
-    from gmft_spark.operators.similarity import ann_kmeans_train
+    the (cid, dim) update aggregation has a partial (map-side) phase.
+    Asserted on the training primitives directly — ann_kmeans_train's own
+    plan scans the memoized localCheckpoint (one Lloyd run per gate
+    session), so the iteration shape is invisible there by design."""
+    from pyspark.sql import functions as F
 
-    plan = _plan(ann_kmeans_train(spark, SF))
+    from gmft_spark.operators.similarity import (
+        KMEANS_K,
+        _emb,
+        _fixed_vec,
+        _kmeans_assign,
+        _kmeans_update,
+    )
+
+    ef = _emb(spark, SF).select("vec_id", _fixed_vec(F.col("v")).alias("q"))
+    cents = ef.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("c")
+    )
+    assigned = _kmeans_assign(ef, cents)
+    plan = _plan(assigned)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "partial_sum" in plan or "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    upd = _plan(_kmeans_update(assigned, cents))
+    assert "partial_sum" in upd or "partial_count" in upd
 
 
 def test_pq_codebook_and_distance_table_broadcast(spark):

@@ -46,7 +46,8 @@ def test_banded_join_is_exact_vs_brute_force(spark):
 
 def test_banding_exact_up_to_seven_bits(spark):
     """Synthetic signatures: pairs at hamming 7 must be found (>= one
-    clean band), pairs at hamming 8 spread over all bands must not."""
+    clean band); max_hamming >= 8 is a loud error, never silent recall
+    loss (a one-flip-per-band pair would share no band bucket)."""
     rows = []
     # base page: all-zero signature
     rows.append(("p", 0, 0, 0))
@@ -65,12 +66,16 @@ def test_banding_exact_up_to_seven_bits(spark):
     )
     got = {
         (r["turn_a"], r["turn_b"], r["hamming"])
-        for r in dedup_pages_visual(sigs, max_hamming=8).collect()
+        for r in dedup_pages_visual(sigs, max_hamming=7).collect()
     }
     assert (0, 1, 7) in got  # hamming-7 pair found via its clean band
-    assert (0, 2, 8) not in got  # one-flip-per-band pair: banding misses it
-    # (documented contract: banding is exact only for hamming < 8)
     assert (1, 2, 1) in got  # pages 1,2 differ in the single band-7 bit
+    assert (0, 2, 8) not in got  # above threshold
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup_pages_visual(sigs, max_hamming=8)
 
 
 def test_no_pair_enumeration_in_plan(spark):
@@ -103,3 +108,21 @@ def test_signatures_match_ahash_parity_bits(spark):
         lo = sum(tiles[i] << i for i in range(32))
         hi = sum(tiles[i] << (i - 32) for i in range(32, 64))
         assert sig[k] == (lo, hi)
+
+
+def test_pack_matches_direct_signatures(spark):
+    """pack_visual_signatures (JVM bit-pack of an ahash frame — the
+    gate's shared-kernel-pass path) must equal page_visual_signatures
+    (direct rasterization) row for row."""
+    from gmft_spark.operators.render import page_ahash, pack_visual_signatures
+
+    t = transcripts_from_documents(spark, SF, sample_mod=16)
+    direct = {
+        (r["conv_id"], r["turn_idx"]): (r["sig_lo"], r["sig_hi"])
+        for r in page_visual_signatures(t).collect()
+    }
+    packed = {
+        (r["conv_id"], r["turn_idx"]): (r["sig_lo"], r["sig_hi"])
+        for r in pack_visual_signatures(page_ahash(t)).collect()
+    }
+    assert packed == direct
