@@ -804,7 +804,11 @@ def _kmeans_run(spark: SparkSession, sf_dir: str):
     (the centroid view) and dedup_semantic (the cluster partition).
     Memoized per (application, sf_dir) on checkpointed frames so one gate
     run trains Lloyd once, not once per consuming query."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    # frames of dead applications can never be reused (executors gone)
+    for stale in [k for k in _KMEANS_CACHE if k[0] != app]:
+        del _KMEANS_CACHE[stale]
+    key = (app, sf_dir)
     hit = _KMEANS_CACHE.get(key)
     if hit is not None:
         return hit
