@@ -262,6 +262,10 @@ def main() -> None:
     try:
         for name, fn in HEADLINE:
             fn(spark, sf_dir).count()  # warm: JVM/codegen/parquet footer
+        # the timed pass must measure real work: drop session-scoped
+        # result memos (k-means Lloyd run) the warm pass populated,
+        # keeping the JVM/codegen/footer warmth
+        similarity._KMEANS_CACHE.clear()
         for name, fn in HEADLINE:
             t0 = time.time()
             _drain(fn(spark, sf_dir))

@@ -175,7 +175,165 @@ TOOLCALL_TRANSITIONS_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Tool-call LOOP detection: the stuck-agent filter a rollout-curation
+# pipeline applies before training on agent transcripts (an agent
+# re-issuing the same tool over and over is a failure trace, not a
+# demonstration). The operator is generic gaps-and-islands run-length
+# analysis over (conv_id, turn_idx, tool); the synthetic input draws a
+# NAMED per-turn retry bit (md5 last-hex-char rule — CLAUDE.md: small
+# moduli ride hex chars, never the numeric low bits), so the oracle
+# re-derives every run from the draws while Spark detects them from
+# tool equality alone — two independent derivations of the same runs.
+
+LOOP_MIN = 2  # runs of >= this many consecutive same-tool calls flag
+
+# last-hex-char values that make a turn RETRY the current tool
+# (5/16 ≈ 0.31 retry probability; the rest advance to the next tool)
+_RETRY_HEX = ("0", "1", "2", "3", "4")
+
+
+def _loop_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool turns whose tool sequence contains genuine retry runs: a
+    named md5 draw ('loop|' conv '|' turn) decides advance-vs-retry; the
+    tool is TOOL_NAMES[(conv_key + segment) % 4], so consecutive
+    segments always differ and runs == segments exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id")
+    base = docs.filter(k % 3 == 2).select(
+        F.concat(
+            F.lit("conv-"), F.col("source"), F.lit("-"), (k % 16).cast("string")
+        ).alias("conv_id"),
+        (k / 16).cast("int").alias("turn_idx"),
+        (k % 16).alias("ck"),
+    )
+    draw = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("loop|"),
+                F.col("conv_id"),
+                F.lit("|"),
+                F.col("turn_idx").cast("string"),
+            )
+        ),
+        32,
+        1,
+    )
+    adv = F.when(draw.isin(*_RETRY_HEX), F.lit(0)).otherwise(F.lit(1))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = F.sum(adv).over(w)
+    ti = (F.col("ck") + seg) % 4
+    tool = (
+        F.when(ti == 0, TOOL_NAMES[0])
+        .when(ti == 1, TOOL_NAMES[1])
+        .when(ti == 2, TOOL_NAMES[2])
+        .otherwise(TOOL_NAMES[3])
+    )
+    return base.select("conv_id", "turn_idx", tool.alias("tool"))
+
+
+def toolcall_loop_runs(turns: DataFrame) -> DataFrame:
+    """Run-length analysis of the tool sequence per conversation
+    (gaps-and-islands: a run starts where tool != lag(tool)): total tool
+    turns, number of runs, longest run, runs of length >= LOOP_MIN, and
+    the is_looping flag. Works on ANY (conv_id, turn_idx, tool) frame.
+
+    Scale shape: one shuffle keyed on conv_id (the pipeline's standard
+    partitioning — co-partitions with extraction at scale); both the
+    run-id window and the two rollups stay inside that partitioning, and
+    the final per-conv aggregate is map-side combinable."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wrun = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = turns.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.when(
+            F.lag("tool").over(w).isNull()
+            | (F.lag("tool").over(w) != F.col("tool")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    ).withColumn("run_id", F.sum("new_run").over(wrun))
+    runs = marked.groupBy("conv_id", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("conv_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_tool_turns"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.count(F.when(F.col("run_len") >= LOOP_MIN, 1))
+            .cast("long")
+            .alias("n_loops"),
+        )
+        .withColumn(
+            "is_looping",
+            (F.col("longest_run") >= LOOP_MIN).cast("int"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def toolcall_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wiring: loop detection over the retry-draw tool sequence."""
+    return toolcall_loop_runs(_loop_turns(spark, sf_dir))
+
+
+_HEXLIST = ", ".join(f"'{h}'" for h in _RETRY_HEX)
+
+# The oracle NEVER runs gaps-and-islands: it re-derives each turn's
+# segment number straight from the named draws (runs == segments by
+# construction), so a Spark-side run-detection bug cannot hide.
+TOOLCALL_LOOPS_SQL = f"""
+    WITH t AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(doc_id // 16 AS INT) AS turn_idx,
+               doc_id % 16 AS ck
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    segs AS (
+        SELECT conv_id,
+               sum(CASE WHEN substr(md5('loop|' || conv_id || '|'
+                                    || CAST(turn_idx AS VARCHAR)), 32, 1)
+                        IN ({_HEXLIST}) THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg
+        FROM t
+    ),
+    runs AS (
+        SELECT conv_id, seg, count(*) AS run_len
+        FROM segs GROUP BY conv_id, seg
+    )
+    SELECT conv_id,
+           CAST(sum(run_len) AS BIGINT) AS n_tool_turns,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(count(*) FILTER (WHERE run_len >= {LOOP_MIN}) AS BIGINT)
+               AS n_loops,
+           CAST(CASE WHEN max(run_len) >= {LOOP_MIN} THEN 1 ELSE 0 END
+                AS INT) AS is_looping
+    FROM runs
+    GROUP BY conv_id
+    ORDER BY conv_id
+"""
+
+
 QUERIES = {
     "toolcall_stats": (toolcall_stats, TOOLCALL_STATS_SQL),
     "toolcall_transitions": (toolcall_transitions, TOOLCALL_TRANSITIONS_SQL),
+    "toolcall_loops": (toolcall_loops, TOOLCALL_LOOPS_SQL),
 }
