@@ -294,9 +294,141 @@ def _sft_pair_sql() -> str:
 
 SFT_PAIR_SQL = _sft_pair_sql()
 
+NEAR_DUP_THRESHOLD = 0.1  # conversation-pair Jaccard flag line
+
+
+def _shingle3(tk, i):
+    """3-gram join helper binding the array column (F.transform index gotcha)."""
+    return F.concat_ws(
+        " ", F.element_at(tk, i), F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+    )
+
+
+def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-duplicate pairs: Jaccard over distinct word
+    3-shingles of each conversation's FULL transcript (turn texts in stable
+    turn_idx order — the north rule's ordering contract), pairs with
+    J >= ``NEAR_DUP_THRESHOLD``. This is the whole-session dedup an agent
+    data pipeline runs before training: two sessions that replay mostly
+    the same tool results / retrieved text are near-dups even when no
+    single turn is (and vice versa — the doc-level ``dedup.ngram_jaccard``
+    can't see cross-turn overlap).
+
+    Scale design (10^12-turn framing): one conv_id shuffle assembles the
+    per-conversation token array (co-partitioned with every other
+    conversation-keyed stage; shingling + per-conv distinct are in-row
+    array expressions, whole-stage codegen). Pair discovery is an
+    inverted index on the shingle — only conversations that actually
+    SHARE content meet, never a block enumeration (same argument as
+    dedup.ngram_jaccard:388). Hot-shingle df² blowup is the knob to cap
+    at corpus scale (drop shingles with document-frequency above ~1k —
+    they can't certify a 0.1-Jaccard pair anyway); not applied here so
+    the DuckDB twin stays exact. Pathological conversation length is
+    bounded upstream by the corpus's context truncation; the salted
+    two-level assembly (plans/skew.py) is the fallback if it isn't."""
+    t = transcripts_from_documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    conv = (
+        t.select("conv_id", "turn_idx", toks.alias("tk"))
+        .groupBy("conv_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "tk"))),
+                    lambda s: s["tk"],
+                )
+            ).alias("tk")
+        )
+    )
+    # CLAUDE.md sequence gotcha: guard size >= 3 before building indices.
+    sh = conv.filter(F.size("tk") >= 3).select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 2),
+                    lambda i: _shingle3(F.col("tk"), i),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("conv_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.conv_id") < F.col("sb.conv_id")),
+        )
+        .groupBy(
+            F.col("sa.conv_id").alias("conv_a"), F.col("sb.conv_id").alias("conv_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("conv_a") == F.col("za.conv_id"))
+        .join(sizes.alias("zb"), F.col("conv_b") == F.col("zb.conv_id"))
+        .select("conv_a", "conv_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .orderBy("conv_a", "conv_b")
+    )
+
+
+def _near_dup_sql() -> str:
+    # string_agg ORDER BY doc_id == turn order (turn_idx = doc_id/16 and a
+    # conversation's doc_ids share doc_id % 16, so doc_id order IS turn
+    # order); the shingle window is the dedup.SHINGLES_SQL form at
+    # conversation grain. Filter on the ROUNDED value (CLAUDE.md float rule).
+    return f"""
+    WITH conv AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               string_agg(text, ' ' ORDER BY doc_id) AS text
+        FROM documents GROUP BY 1
+    ),
+    sh AS (
+        SELECT DISTINCT conv_id, shingle FROM (
+            SELECT conv_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' '
+                       || lead(tok, 2) OVER w AS shingle,
+                   lead(tok, 2) OVER w AS t2
+            FROM (
+                SELECT conv_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM conv
+            ) WHERE tok <> ''
+            WINDOW w AS (PARTITION BY conv_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+    ),
+    sizes AS (SELECT conv_id, count(*) AS sz FROM sh GROUP BY conv_id),
+    inter AS (
+        SELECT sa.conv_id AS conv_a, sb.conv_id AS conv_b, count(*) AS n_inter
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.conv_id < sb.conv_id
+        GROUP BY 1, 2
+    )
+    SELECT conv_a, conv_b,
+           round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes za ON conv_a = za.conv_id
+    JOIN sizes zb ON conv_b = zb.conv_id
+    WHERE round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6)
+          >= {NEAR_DUP_THRESHOLD}
+    ORDER BY conv_a, conv_b
+"""
+
+
+CONV_NEAR_DUP_SQL = _near_dup_sql()
+
 
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
     "sft_pair_assembly": (sft_pair_assembly, SFT_PAIR_SQL),
+    "conv_near_dup": (conv_near_dup, CONV_NEAR_DUP_SQL),
 }

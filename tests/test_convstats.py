@@ -1,10 +1,16 @@
 """SFT pair assembly semantics on a hand-built conversation: suffix
 budget keeps the newest prior turns that fit, drops older ones whole,
-and a context-less assistant turn gets an empty prompt."""
+and a context-less assistant turn gets an empty prompt. Plus
+conversation near-dup semantics: shingles span turn boundaries, and
+zero-overlap conversations never materialize a pair."""
 
 import pytest
 
-from gmft_spark.operators.convstats import SFT_BUDGET, sft_pair_assembly
+from gmft_spark.operators.convstats import (
+    SFT_BUDGET,
+    conv_near_dup,
+    sft_pair_assembly,
+)
 
 
 @pytest.fixture()
@@ -42,3 +48,40 @@ def test_sft_pairs_apply_the_suffix_budget(spark, sf_dir):
         "tool: " + " ".join(["x"] * 60) + "\nuser: " + " ".join(["y"] * 50)
     )
     assert last["response"] == " ".join(["z"] * 5)
+
+
+@pytest.fixture()
+def neardup_sf_dir(spark, tmp_path):
+    """Four single-source conversations with controlled 3-shingle overlap:
+    A = two turns 'p q r s t' / 'u v w x y' (so its shingle set includes
+    the CROSS-TURN boundary shingles 's t u', 't u v'); B = the same ten
+    tokens in ONE turn (identical shingle set iff boundaries count);
+    D shares A's first five tokens (J = 3/13); C is disjoint."""
+    rows = [
+        (1, "a", "p q r s t"),
+        (17, "a", "u v w x y"),
+        (2, "b", "p q r s t u v w x y"),
+        (3, "c", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (4, "d", "p q r s t d1 d2 d3 d4 d5"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_conv_near_dup_spans_turn_boundaries(spark, neardup_sf_dir):
+    pairs = {
+        (r["conv_a"], r["conv_b"]): r["jaccard"]
+        for r in conv_near_dup(spark, neardup_sf_dir).collect()
+    }
+    # A's two turns concatenate to exactly B's one turn: J = 1.0 is only
+    # reachable if shingles cross the turn boundary.
+    assert pairs[("conv-a-1", "conv-b-2")] == 1.0
+    assert pairs[("conv-a-1", "conv-d-4")] == round(3 / 13, 6)
+    assert pairs[("conv-b-2", "conv-d-4")] == round(3 / 13, 6)
+    # the disjoint conversation shares no shingle — it never even
+    # materializes a candidate pair, let alone a flagged one
+    assert not any("conv-c-3" in p for p in pairs)
+    assert len(pairs) == 3

@@ -476,3 +476,17 @@ def test_source_drift_single_token_pass(spark):
     assert plan.count("HashAggregate") <= 4  # one two-phase agg + totals
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_conv_near_dup_has_no_pair_enumeration(spark):
+    """Conversation near-dup candidate generation must stay an inverted
+    index on the shingle (content join) — never a conversation-metadata
+    self-join enumerating all pairs."""
+    from gmft_spark.operators.convstats import conv_near_dup
+
+    plan = _plan(conv_near_dup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan  # the join key IS the content
+    # conv assembly + shingle self-join sides + inter agg + 2 size joins
+    # + output sort; anything past this is a regression
+    assert plan.count("Exchange") <= 9
