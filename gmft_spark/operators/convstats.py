@@ -425,10 +425,109 @@ def _near_dup_sql() -> str:
 
 CONV_NEAR_DUP_SQL = _near_dup_sql()
 
+# Lint jitter must EXCEED the real within-conversation slot stride so
+# out-of-order timestamps genuinely occur — unlike the latency jitter,
+# which stays under the stride so gaps remain positive. Adjacent turns of
+# one conversation are 80 doc_ids apart in the driver corpus (doc_id % 16
+# keys the conv, sources interleave 5-wide), i.e. an 80 s stride; 120 s of
+# jitter inverts ~5.6% of adjacent pairs (P(X-Y > 80), X,Y ~ U[0,120)).
+LINT_JITTER_SPAN_US = 120_000_000
+
+
+def transcript_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation transcript protocol lint — the validation pass an
+    agent-data pipeline runs on ingest before anything downstream trusts
+    the rows: out-of-order timestamps (count of adjacent turn pairs where
+    the later turn_idx carries the earlier wall clock), tool-role turns
+    missing a tool name, tool names attached to non-tool roles, and the
+    opening role (sessions should open with ``user``). Turn timestamps
+    get a named md5 jitter (``lint|conv|turn``, kernel/synth.py hash
+    convention, SQL twin via scene_sql._hxs) wide enough to cross the
+    80 s slot boundary, so the inversion branch is real on the corpus.
+
+    Scale design: ONE conv_id shuffle — the lag window and the per-conv
+    rollup share the same partitioning, everything else is whole-stage
+    codegen; at 10^12 turns this co-partitions with the extraction
+    pipeline's conversation keying."""
+    from gmft_spark.operators.textstats import _h32_col
+
+    t = transcripts_from_documents(spark, sf_dir)
+    key = F.concat(
+        F.lit("lint|"), F.col("conv_id"), F.lit("|"), F.col("turn_idx").cast("string")
+    )
+    jit = (_h32_col(key) % LINT_JITTER_SPAN_US).cast("long")
+    tj = t.withColumn("ts_j", F.timestamp_add("MICROSECOND", jit, F.col("ts")))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = tj.withColumn("prev_ts", F.lag("ts_j").over(w))
+    return (
+        x.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.count(F.when(F.col("prev_ts") > F.col("ts_j"), 1)).alias(
+                "n_ts_inversions"
+            ),
+            F.count(
+                F.when((F.col("role") == "tool") & F.col("tool").isNull(), 1)
+            ).alias("n_tool_missing_name"),
+            F.count(
+                F.when(F.col("tool").isNotNull() & (F.col("role") != "tool"), 1)
+            ).alias("n_tool_wrong_role"),
+            F.min_by("role", "turn_idx").alias("first_role"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def _lint_sql() -> str:
+    from gmft_spark.operators.scene_sql import _hxs
+
+    jit = (
+        _hxs(
+            "md5('lint|conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)"
+            " || '|' || CAST(CAST(floor(doc_id / 16.0) AS INT) AS VARCHAR))"
+        )
+        + f" % {LINT_JITTER_SPAN_US}"
+    )
+    return f"""
+    WITH turns AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               CASE WHEN doc_id % 5 = 0 THEN 'pdf_reader' END AS tool,
+               TIMESTAMP '2026-01-01 00:00:00'
+                   + to_seconds(doc_id) + to_microseconds({jit}) AS ts_j
+        FROM documents
+    ),
+    x AS (
+        SELECT *, lag(ts_j) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      AS prev_ts
+        FROM turns
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(count(*) FILTER (WHERE prev_ts > ts_j) AS BIGINT)
+               AS n_ts_inversions,
+           CAST(count(*) FILTER (WHERE role = 'tool' AND tool IS NULL)
+                AS BIGINT) AS n_tool_missing_name,
+           CAST(count(*) FILTER (WHERE tool IS NOT NULL AND role <> 'tool')
+                AS BIGINT) AS n_tool_wrong_role,
+           arg_min(role, turn_idx) AS first_role
+    FROM x
+    GROUP BY conv_id
+    ORDER BY conv_id
+"""
+
+
+TRANSCRIPT_LINT_SQL = _lint_sql()
+
 
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
     "sft_pair_assembly": (sft_pair_assembly, SFT_PAIR_SQL),
     "conv_near_dup": (conv_near_dup, CONV_NEAR_DUP_SQL),
+    "transcript_lint": (transcript_lint, TRANSCRIPT_LINT_SQL),
 }

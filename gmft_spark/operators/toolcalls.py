@@ -233,7 +233,11 @@ def _loop_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ti == 2, TOOL_NAMES[2])
         .otherwise(TOOL_NAMES[3])
     )
-    return base.select("conv_id", "turn_idx", tool.alias("tool"))
+    # success bit rides the payload rule (doc_id % 7 != 0, reconstructed
+    # from 16*turn_idx + ck) so the retry-recovery view sees failures on
+    # the SAME sequence whose retry draws create genuine same-tool runs
+    ok = (F.col("turn_idx") * 16 + F.col("ck")) % 7 != 0
+    return base.select("conv_id", "turn_idx", tool.alias("tool"), ok.alias("ok"))
 
 
 def toolcall_loop_runs(turns: DataFrame) -> DataFrame:
@@ -332,8 +336,110 @@ TOOLCALL_LOOPS_SQL = f"""
 """
 
 
+def toolcall_retry_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-recovery analysis: for every FAILED tool call (ok=false),
+    what happens at the conversation's next tool turn — nothing (the
+    failure ended the chain), a switch to another tool, or a retry of the
+    same tool, and did the retry succeed? Per tool: failure count, how
+    many failures had a follow-up turn, same-tool retries, and retries
+    that recovered — the "is the agent's error handling productive" view
+    a rollout-curation pipeline uses to keep recoveries and drop
+    abandoned failure traces.
+
+    Runs over the retry-draw tool sequence (``_loop_turns``): its named
+    draws make same-tool follow-ups genuinely occur (~31% of adjacent
+    pairs), where the JSON-payload rotation never repeats across a
+    conversation's 48-doc_id tool stride — every counter below is live
+    on the gate corpus (branch-census rule).
+
+    Scale shape: one conv_id shuffle shared by the segment and lead
+    windows (the pipeline's standard partitioning), then a
+    map-side-combinable groupBy on the 4-value tool key."""
+    t = _loop_turns(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = t.select(
+        "tool",
+        "ok",
+        F.lead("tool").over(w).alias("next_tool"),
+        F.lead("ok").over(w).alias("next_ok"),
+    )
+    retry = F.col("next_tool") == F.col("tool")
+    return (
+        seq.filter(~F.col("ok"))
+        .groupBy("tool")
+        .agg(
+            F.count("*").cast("long").alias("n_failures"),
+            F.count(F.col("next_tool")).cast("long").alias("n_followed_up"),
+            F.count(F.when(retry, 1)).cast("long").alias("n_retries"),
+            F.count(F.when(retry & F.col("next_ok"), 1))
+            .cast("long")
+            .alias("n_recovered"),
+        )
+        .withColumn(
+            "recovery_rate",
+            F.round(
+                F.col("n_recovered").cast("double")
+                / F.col("n_failures").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("tool")
+    )
+
+
+TOOLCALL_RETRY_SQL = f"""
+    WITH t AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(doc_id // 16 AS INT) AS turn_idx,
+               doc_id % 16 AS ck,
+               (doc_id % 7) <> 0 AS ok
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    segs AS (
+        SELECT conv_id, turn_idx, ck, ok,
+               sum(CASE WHEN substr(md5('loop|' || conv_id || '|'
+                                    || CAST(turn_idx AS VARCHAR)), 32, 1)
+                        IN ({_HEXLIST}) THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg
+        FROM t
+    ),
+    named AS (
+        SELECT conv_id, turn_idx, ok,
+               ['search', 'browser', 'python', 'pdf_reader']
+                   [CAST((ck + seg) % 4 AS INT) + 1] AS tool
+        FROM segs
+    ),
+    seq AS (
+        SELECT tool, ok,
+               lead(tool) OVER w AS next_tool,
+               lead(ok) OVER w AS next_ok
+        FROM named
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT tool,
+           CAST(count(*) AS BIGINT) AS n_failures,
+           CAST(count(next_tool) AS BIGINT) AS n_followed_up,
+           CAST(count(*) FILTER (WHERE next_tool = tool) AS BIGINT)
+               AS n_retries,
+           CAST(count(*) FILTER (WHERE next_tool = tool AND next_ok)
+                AS BIGINT) AS n_recovered,
+           round(CAST(count(*) FILTER (WHERE next_tool = tool AND next_ok)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS recovery_rate
+    FROM seq
+    WHERE NOT ok
+    GROUP BY tool
+    ORDER BY tool
+"""
+
+
 QUERIES = {
     "toolcall_stats": (toolcall_stats, TOOLCALL_STATS_SQL),
     "toolcall_transitions": (toolcall_transitions, TOOLCALL_TRANSITIONS_SQL),
     "toolcall_loops": (toolcall_loops, TOOLCALL_LOOPS_SQL),
+    "toolcall_retry_recovery": (toolcall_retry_recovery, TOOLCALL_RETRY_SQL),
 }

@@ -85,3 +85,68 @@ def test_conv_near_dup_spans_turn_boundaries(spark, neardup_sf_dir):
     # materializes a candidate pair, let alone a flagged one
     assert not any("conv-c-3" in p for p in pairs)
     assert len(pairs) == 3
+
+
+@pytest.fixture()
+def lint_sf_dir(spark, tmp_path):
+    """One conversation with every lint violation class: the corpus stride
+    (80 doc_ids = 80 s) is under LINT_JITTER_SPAN_US only on the real
+    corpus — here doc_ids are ADJACENT (16 apart, 16 s stride), so every
+    adjacent pair is a jitter coin-flip; the role/tool violations are
+    structural (doc_id % 3 vs % 5 misalign by construction)."""
+    # conv-a-1 (docs 1,17,33,49,65): roles asst/tool/user/asst/tool; only
+    # doc 17's tool turn lacks a name (17%5!=0; 65%5==0 is the clean one).
+    # conv-a-3 (doc 35): a single NAMED tool turn that OPENS the conv.
+    # conv-a-8 (doc 40): assistant role (40%3=1) carrying a tool name.
+    rows = [
+        (1, "a", "t"),
+        (17, "a", "t"),
+        (33, "a", "t"),
+        (49, "a", "t"),
+        (65, "a", "t"),
+        (35, "a", "t"),
+        (40, "a", "t"),  # conv-a-8: %3=1 assistant, %5=0 → named tool
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_transcript_lint_flags_protocol_violations(spark, lint_sf_dir):
+    from gmft_spark.operators.convstats import transcript_lint
+
+    out = {r["conv_id"]: r for r in transcript_lint(spark, lint_sf_dir).collect()}
+    a1 = out["conv-a-1"]
+    assert a1["n_turns"] == 5
+    # doc 17 is the only role='tool' turn with tool IS NULL (65 is named)
+    assert a1["n_tool_missing_name"] == 1
+    assert a1["n_tool_wrong_role"] == 0
+    assert a1["first_role"] == "assistant"  # doc_id 1 % 3 == 1
+    # conv-a-3 (doc 35): single tool turn, named (35 % 5 == 0), opens 'tool'
+    a3 = out["conv-a-3"]
+    assert (a3["n_tool_missing_name"], a3["first_role"]) == (0, "tool")
+    # conv-a-8 (doc 40): assistant role carrying a tool name
+    assert out["conv-a-8"]["n_tool_wrong_role"] == 1
+
+
+def test_transcript_lint_inversion_branch_is_live(spark):
+    """On the driver corpus the 120 s jitter must actually produce
+    timestamp inversions across the 80 s slot stride (the named-draw
+    branch census rule: every lint counter ≥ 1 on the gate input)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gmft_spark.operators.convstats import transcript_lint
+
+    sf = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver corpus not present")
+    tot = transcript_lint(spark, sf).agg(
+        F.sum("n_ts_inversions").alias("inv"),
+        F.sum("n_tool_missing_name").alias("miss"),
+        F.sum("n_tool_wrong_role").alias("wrong"),
+    ).collect()[0]
+    assert tot["inv"] > 0 and tot["miss"] > 0 and tot["wrong"] > 0

@@ -490,3 +490,14 @@ def test_conv_near_dup_has_no_pair_enumeration(spark):
     # conv assembly + shingle self-join sides + inter agg + 2 size joins
     # + output sort; anything past this is a regression
     assert plan.count("Exchange") <= 9
+
+
+def test_transcript_lint_single_data_shuffle(spark):
+    """The lint's lag window and per-conv rollup must share ONE conv_id
+    hash exchange (the rollup reuses the window's partitioning); the only
+    other exchange is the presentation-order range sort."""
+    from gmft_spark.operators.convstats import transcript_lint
+
+    plan = _plan(transcript_lint(spark, SF))
+    assert plan.count("hashpartitioning(conv_id") == 1
+    assert plan.count("Exchange") == 2  # + the final orderBy range sort

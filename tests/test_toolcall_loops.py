@@ -93,3 +93,45 @@ def test_plan_one_conv_shuffle_no_python(spark):
     assert "Python" not in plan  # all-JVM: draws, windows, rollups
     # shuffles: conv_id window partitioning + final orderBy only
     assert plan.count("Exchange") <= 3
+
+
+def test_retry_recovery_counts_failure_followups(spark):
+    """Failure→next-turn outcomes on the retry-draw sequence: counters
+    reconcile against a pandas replay of the same frame, and the retry /
+    recovery branches are live on the gate corpus."""
+    from gmft_spark.operators.toolcalls import toolcall_retry_recovery
+
+    seq = (
+        _loop_turns(spark, SF)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .groupby("conv_id", sort=False)
+    )
+    expect = {}
+    for _conv, g in seq:
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.ok:
+                continue
+            e = expect.setdefault(r.tool, [0, 0, 0, 0])
+            e[0] += 1
+            if i + 1 < len(rows):
+                e[1] += 1
+                nxt = rows[i + 1]
+                if nxt.tool == r.tool:
+                    e[2] += 1
+                    if nxt.ok:
+                        e[3] += 1
+    got = {
+        r["tool"]: [
+            r["n_failures"],
+            r["n_followed_up"],
+            r["n_retries"],
+            r["n_recovered"],
+        ]
+        for r in toolcall_retry_recovery(spark, SF).collect()
+    }
+    assert got == expect
+    # branch census: failures, follow-ups, retries, recoveries all occur
+    totals = [sum(v[i] for v in got.values()) for i in range(4)]
+    assert all(t > 0 for t in totals), totals
