@@ -524,10 +524,120 @@ def _lint_sql() -> str:
 TRANSCRIPT_LINT_SQL = _lint_sql()
 
 
+EMBED_DIM = 64  # driver embeddings table component count
+
+
+def conv_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level semantic profile: the mean-pooled embedding of a
+    conversation's documents (the vector SemDeDup / topic clustering /
+    mixing operate on at conversation grain) plus the dominant document
+    label — emitted cross-engine-exactly as the POOL'S fixed-point integer
+    accumulators, md5-fingerprinted (CLAUDE.md float recipe: floor(x*1e6
+    +0.5) per component BEFORE any unordered sum; the mean's true
+    resolution is int/(1e6·n), so the integer sums themselves travel, not
+    a rounded division).
+
+    Scale design: embeddings join documents 1:1 on vec_id = doc_id — at
+    corpus scale both sides bucket on doc_id so the join is exchange-free;
+    pooling is ONE groupBy(conv_id) with EMBED_DIM per-component sum
+    columns (map-side combinable, zero row blowup — the simhash lesson,
+    operators/dedup.py), never a posexplode; the label vote reuses the
+    same conv partitioning."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("conv-"), F.col("source"), F.lit("-"),
+            (F.col("doc_id") % 16).cast("string"),
+        ).alias("conv_id"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long"),
+        ).alias("fp"),
+    )
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    pool = j.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        *[
+            F.sum(F.element_at("fp", i + 1)).cast("long").alias(f"c{i}")
+            for i in range(EMBED_DIM)
+        ],
+    )
+    fingerprint = F.md5(
+        F.concat_ws(",", *[F.col(f"c{i}").cast("string") for i in range(EMBED_DIM)])
+    )
+    votes = (
+        j.groupBy("conv_id", "label")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("conv_id")
+        .agg(
+            # scalar vote key (DuckDB 1.0 arg_max rejects struct keys):
+            # higher count wins, smaller label breaks ties; labels are
+            # small ints so the 1e6 stride never collides
+            F.max_by("label", F.col("cnt") * 1_000_000 - F.col("label"))
+            .cast("int")
+            .alias("majority_label")
+        )
+    )
+    return (
+        pool.join(votes, "conv_id")
+        .select("conv_id", "n_vecs", "majority_label", fingerprint.alias("pool_md5"))
+        .orderBy("conv_id")
+    )
+
+
+def _embedding_profile_sql() -> str:
+    comps = ", ".join(
+        f"CAST(sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1e6 + 0.5)"
+        f" AS BIGINT)) AS BIGINT) AS c{i}"
+        for i in range(EMBED_DIM)
+    )
+    # variadic concat_ws, not a || chain — 64 nested binary concats blow
+    # DuckDB's 128-frame binder recursion limit
+    cat = "concat_ws(',', " + ", ".join(
+        f"CAST(c{i} AS VARCHAR)" for i in range(EMBED_DIM)
+    ) + ")"
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id
+        FROM documents
+    ),
+    j AS (
+        SELECT d.conv_id, e.label, e.embedding
+        FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    pool AS (
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_vecs, {comps}
+        FROM j GROUP BY conv_id
+    ),
+    votes AS (
+        SELECT conv_id,
+               CAST(arg_max(label, cnt * 1000000 - label) AS INT)
+                   AS majority_label
+        FROM (
+            SELECT conv_id, label, count(*) AS cnt
+            FROM j GROUP BY conv_id, label
+        ) GROUP BY conv_id
+    )
+    SELECT pool.conv_id, n_vecs, majority_label, md5({cat}) AS pool_md5
+    FROM pool JOIN votes ON pool.conv_id = votes.conv_id
+    ORDER BY pool.conv_id
+"""
+
+
+CONV_EMBEDDING_PROFILE_SQL = _embedding_profile_sql()
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
     "sft_pair_assembly": (sft_pair_assembly, SFT_PAIR_SQL),
     "conv_near_dup": (conv_near_dup, CONV_NEAR_DUP_SQL),
     "transcript_lint": (transcript_lint, TRANSCRIPT_LINT_SQL),
+    "conv_embedding_profile": (conv_embedding_profile, CONV_EMBEDDING_PROFILE_SQL),
 }

@@ -150,3 +150,50 @@ def test_transcript_lint_inversion_branch_is_live(spark):
         F.sum("n_tool_wrong_role").alias("wrong"),
     ).collect()[0]
     assert tot["inv"] > 0 and tot["miss"] > 0 and tot["wrong"] > 0
+
+
+@pytest.fixture()
+def profile_sf_dir(spark, tmp_path):
+    """Two conversations over a hand-built full-width embedding table:
+    conv-a-1 has labels {0,0,1}, conv-a-2 has a 1-vs-1 label TIE {2,1}
+    (the smaller label must win the vote)."""
+    from gmft_spark.operators.convstats import EMBED_DIM
+
+    docs = [(1, "a"), (17, "a"), (33, "a"), (2, "a"), (18, "a")]
+    spark.createDataFrame(docs, "doc_id long, source string").coalesce(
+        1
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    # component j of vec i = i + j/8 (exactly representable in float32)
+    emb = [
+        (i, [float(i + j / 8.0) for j in range(EMBED_DIM)], lab)
+        for i, lab in [(1, 0), (17, 0), (33, 1), (2, 2), (18, 1)]
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_conv_embedding_profile_pools_and_votes(spark, profile_sf_dir):
+    import hashlib
+
+    from gmft_spark.operators.convstats import (
+        EMBED_DIM,
+        conv_embedding_profile,
+    )
+
+    out = {
+        r["conv_id"]: r
+        for r in conv_embedding_profile(spark, profile_sf_dir).collect()
+    }
+    a1, a2 = out["conv-a-1"], out["conv-a-2"]
+    assert (a1["n_vecs"], a1["majority_label"]) == (3, 0)
+    # label tie 1-vs-1 between labels 2 and 1: the smaller label wins
+    assert (a2["n_vecs"], a2["majority_label"]) == (2, 1)
+    # fingerprint = md5 of the comma-joined fixed-point component sums
+    sums = [
+        sum(int((i + j / 8.0) * 1e6 + 0.5) for i in (1, 17, 33))
+        for j in range(EMBED_DIM)
+    ]
+    want = hashlib.md5(",".join(str(s) for s in sums).encode()).hexdigest()
+    assert a1["pool_md5"] == want

@@ -501,3 +501,15 @@ def test_transcript_lint_single_data_shuffle(spark):
     plan = _plan(transcript_lint(spark, SF))
     assert plan.count("hashpartitioning(conv_id") == 1
     assert plan.count("Exchange") == 2  # + the final orderBy range sort
+
+
+def test_conv_embedding_profile_no_row_blowup(spark):
+    """Pooling must be 64 conditional sum columns inside ONE conv_id
+    aggregation (the simhash lesson) — no posexplode of the embedding
+    array, no Cartesian anywhere."""
+    from gmft_spark.operators.convstats import conv_embedding_profile
+
+    plan = _plan(conv_embedding_profile(spark, SF))
+    assert "Generate" not in plan  # no explode of the 64 components
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
