@@ -892,6 +892,120 @@ SAMPLE_SQL = f"""
 """
 
 
+# Curation-funnel stage thresholds, chosen from the gate corpus's signal
+# distributions so every stage's keep AND drop branches are live at
+# sf0.01 (branch-census rule): n_tokens p5=16/p25=32, lang 'und' on ~9%,
+# quality median 0.43, dup_token_frac median 0.54 / top_bigram p90 0.07.
+# (rare_token_ratio and exact-dup stages would be DEAD here — the corpus
+# has zero rare tokens and zero duplicate texts — so they're excluded.)
+FUNNEL_MIN_TOKENS = 24
+FUNNEL_LANG = "en"
+FUNNEL_MIN_QUALITY = 0.35
+FUNNEL_MAX_DUP_FRAC = 0.65
+FUNNEL_MAX_BIGRAM_FRAC = 0.1
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision report: per source, how many documents
+    survive each filter stage CUMULATIVELY — length floor, language,
+    composite quality, repetition (Gopher rules) — plus the final keep
+    rate. This is the per-stage attrition table every training-data
+    pipeline publishes next to its corpus ("why was this dropped"), and
+    the first thing reviewed when a source's keep rate moves.
+
+    Composes the per-document signal operators (textstats.lang_id,
+    quality_score, repetition_stats) by doc_id LEFT joins off the full
+    documents base (token-derived frames omit zero-token docs; a null
+    signal fails its stage identically in both engines since NULL
+    comparisons never satisfy a filter). Scale: the constituent signal
+    plans are unchanged; the funnel adds doc_id-keyed joins (co-keyed,
+    bucket-co-locatable) and one tiny groupBy(source) rollup."""
+    from gmft_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    qual = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    rep = repetition_stats(spark, sf_dir).select(
+        "doc_id", "dup_token_frac", "top_bigram_frac"
+    )
+    sig = (
+        docs.join(qual, "doc_id", "left")
+        .join(lang_id(spark, sf_dir), "doc_id", "left")
+        .join(rep, "doc_id", "left")
+    )
+    s1 = F.col("n_tokens") >= FUNNEL_MIN_TOKENS
+    s2 = s1 & (F.col("lang_guess") == FUNNEL_LANG)
+    s3 = s2 & (F.col("quality") >= FUNNEL_MIN_QUALITY)
+    s4 = (
+        s3
+        & (F.col("dup_token_frac") <= FUNNEL_MAX_DUP_FRAC)
+        & (F.col("top_bigram_frac") <= FUNNEL_MAX_BIGRAM_FRAC)
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(s1, 1)).cast("long").alias("n_pass_length"),
+            F.count(F.when(s2, 1)).cast("long").alias("n_pass_lang"),
+            F.count(F.when(s3, 1)).cast("long").alias("n_pass_quality"),
+            F.count(F.when(s4, 1)).cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def _funnel_sql() -> str:
+    from gmft_spark.operators.textstats import (
+        LANG_ID_SQL,
+        QUALITY_SQL,
+        REPETITION_SQL,
+    )
+
+    s1 = f"n_tokens >= {FUNNEL_MIN_TOKENS}"
+    s2 = f"{s1} AND lang_guess = '{FUNNEL_LANG}'"
+    s3 = f"{s2} AND quality >= {FUNNEL_MIN_QUALITY}"
+    s4 = (
+        f"{s3} AND dup_token_frac <= {FUNNEL_MAX_DUP_FRAC}"
+        f" AND top_bigram_frac <= {FUNNEL_MAX_BIGRAM_FRAC}"
+    )
+    return f"""
+    WITH lang AS ({LANG_ID_SQL}),
+    qual AS ({QUALITY_SQL}),
+    rep AS ({REPETITION_SQL}),
+    sig AS (
+        SELECT d.source, q.n_tokens, l.lang_guess, q.quality,
+               r.dup_token_frac, r.top_bigram_frac
+        FROM documents d
+        LEFT JOIN qual q ON d.doc_id = q.doc_id
+        LEFT JOIN lang l ON d.doc_id = l.doc_id
+        LEFT JOIN rep r ON d.doc_id = r.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE {s1}) AS BIGINT) AS n_pass_length,
+           CAST(count(*) FILTER (WHERE {s2}) AS BIGINT) AS n_pass_lang,
+           CAST(count(*) FILTER (WHERE {s3}) AS BIGINT) AS n_pass_quality,
+           CAST(count(*) FILTER (WHERE {s4}) AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (WHERE {s4}) AS DOUBLE)
+                 / count(*), 6) AS keep_rate
+    FROM sig
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+CURATION_FUNNEL_SQL = _funnel_sql()
+
+
 QUERIES = {
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_SQL),
@@ -909,4 +1023,5 @@ QUERIES = {
         lambda spark, sf: bpe_encode_corpus(spark, sf, doc_mod=BPE_GATE_DOC_MOD),
         BPE_ENCODE_SQL,
     ),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
 }

@@ -85,6 +85,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count, mean token length, stopword ratio, length band."""
     d = _docs(spark, sf_dir)
     n_toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    # zero-token documents: the oracle's token-derived CTE omits them
+    # (inner join), and ANSI mode would otherwise DIVIDE_BY_ZERO the whole
+    # job on one empty text — filter them out before any ratio
+    d = d.filter(n_toks >= 1)
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     n_stop = F.size(
         F.filter(
