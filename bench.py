@@ -95,6 +95,24 @@ def _bench_sft_pairs(spark, sf_dir):
     return sft_pair_assembly(spark, sf_dir)
 
 
+def _bench_conv_near_dup(spark, sf_dir):
+    from gmft_spark.operators.convstats import conv_near_dup
+
+    return conv_near_dup(spark, sf_dir)
+
+
+def _bench_transcript_lint(spark, sf_dir):
+    from gmft_spark.operators.convstats import transcript_lint
+
+    return transcript_lint(spark, sf_dir)
+
+
+def _bench_conv_embedding_profile(spark, sf_dir):
+    from gmft_spark.operators.convstats import conv_embedding_profile
+
+    return conv_embedding_profile(spark, sf_dir)
+
+
 HEADLINE = [
     ("f7_cell_assignment", relational.f7_cell_assignment),
     ("h3_divider_fill", relational.h3_divider_fill),
@@ -124,6 +142,10 @@ HEADLINE = [
     ("sketch_histogram_quantiles", analytics.sketch_histogram_quantiles),
     ("shard_training_corpus", textstats.shard_training_corpus),
     ("sft_pair_assembly", _bench_sft_pairs),
+    ("conv_near_dup", _bench_conv_near_dup),
+    ("transcript_lint", _bench_transcript_lint),
+    ("curation_funnel", curation.curation_funnel),
+    ("conv_embedding_profile", _bench_conv_embedding_profile),
     ("window_session_native", analytics.session_window_native),
     ("window_cohort_retention", analytics.cohort_retention),
     ("text_source_drift", textstats.source_drift),

@@ -107,3 +107,47 @@ class TestTabulateNumberRule:
     def test_plain_numbers_still_numeric(self):
         assert _is_float("3.14") and _is_float("-2") and _is_float("1e5")
         assert not _is_float("abc")
+
+
+class TestEmptyCorpus:
+    """Every gate query must survive a 0-row corpus (full schemas, no
+    rows): at 10^12-turn scale a partition/source can legitimately come
+    up empty, and ANSI mode turns an unguarded ratio into a job-killing
+    DIVIDE_BY_ZERO (quality_score had exactly this bug). A full sweep of
+    all 133 registered queries passed on 2026-08-18; this pins the
+    queries with division / collect-scalar / iterative shapes — the
+    classes that can break — as a fast tripwire."""
+
+    REPRESENTATIVES = [
+        "text_quality_score",  # per-doc ratios (the fixed bug class)
+        "text_quality_filter_adaptive",  # percentile threshold over empty
+        "ann_kmeans_train",  # iterative Lloyd over zero points
+        "dedup_minhash_clusters",  # connected components, zero edges
+        "mix_sources_weighted",  # per-source weights, zero sources
+        "text_source_drift",  # ratio-of-totals drift
+        "sketch_hll_distinct",  # register fold over nothing
+        "curation_funnel",  # composed signals, all frames empty
+        "conv_near_dup",  # shingle inverted index, no pairs
+        "toolcall_retry_recovery",  # lead window over empty sequence
+    ]
+
+    @pytest.fixture(scope="class")
+    def empty_sf(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("empty_sf"))
+        src = "/root/testdata/sf0.001"
+        tables = [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+        for t in tables:
+            spark.read.parquet(f"{src}/{t}.parquet").limit(0).coalesce(
+                1
+            ).write.parquet(f"{d}/{t}.parquet")
+        return d
+
+    def test_division_and_iteration_shapes_survive_empty(self, spark, empty_sf):
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        for name in self.REPRESENTATIVES:
+            assert qs[name](spark, empty_sf).count() == 0, name
