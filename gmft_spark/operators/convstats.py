@@ -539,10 +539,13 @@ def conv_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: embeddings join documents 1:1 on vec_id = doc_id — at
     corpus scale both sides bucket on doc_id so the join is exchange-free;
-    pooling is ONE groupBy(conv_id) with EMBED_DIM per-component sum
-    columns (map-side combinable, zero row blowup — the simhash lesson,
-    operators/dedup.py), never a posexplode; the label vote reuses the
-    same conv partitioning."""
+    pooling is EMBED_DIM per-component sum columns (map-side combinable,
+    zero row blowup — the simhash lesson, operators/dedup.py), never a
+    posexplode. Pool and label vote come out of ONE pass as two STACKED
+    aggregations — per-(conv,label) partials then a per-conv rollup of
+    partial sums + arg-max label — so the joined frame is scanned once
+    and there is no pool↔votes self-join (a naive two-agg-plus-join form
+    scans the join twice)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.concat(
@@ -559,34 +562,29 @@ def conv_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     )
     j = docs.join(emb, docs["doc_id"] == emb["vec_id"])
-    pool = j.groupBy("conv_id").agg(
-        F.count("*").cast("long").alias("n_vecs"),
+    partial = j.groupBy("conv_id", "label").agg(
+        F.count("*").alias("cnt"),
         *[
-            F.sum(F.element_at("fp", i + 1)).cast("long").alias(f"c{i}")
+            F.sum(F.element_at("fp", i + 1)).alias(f"c{i}")
             for i in range(EMBED_DIM)
         ],
+    )
+    pooled = partial.groupBy("conv_id").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        # scalar vote key (DuckDB 1.0 arg_max rejects struct keys):
+        # higher count wins, smaller label breaks ties; labels are
+        # small ints so the 1e6 stride never collides
+        F.max_by("label", F.col("cnt") * 1_000_000 - F.col("label"))
+        .cast("int")
+        .alias("majority_label"),
+        *[F.sum(f"c{i}").cast("long").alias(f"c{i}") for i in range(EMBED_DIM)],
     )
     fingerprint = F.md5(
         F.concat_ws(",", *[F.col(f"c{i}").cast("string") for i in range(EMBED_DIM)])
     )
-    votes = (
-        j.groupBy("conv_id", "label")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("conv_id")
-        .agg(
-            # scalar vote key (DuckDB 1.0 arg_max rejects struct keys):
-            # higher count wins, smaller label breaks ties; labels are
-            # small ints so the 1e6 stride never collides
-            F.max_by("label", F.col("cnt") * 1_000_000 - F.col("label"))
-            .cast("int")
-            .alias("majority_label")
-        )
-    )
-    return (
-        pool.join(votes, "conv_id")
-        .select("conv_id", "n_vecs", "majority_label", fingerprint.alias("pool_md5"))
-        .orderBy("conv_id")
-    )
+    return pooled.select(
+        "conv_id", "n_vecs", "majority_label", fingerprint.alias("pool_md5")
+    ).orderBy("conv_id")
 
 
 def _embedding_profile_sql() -> str:

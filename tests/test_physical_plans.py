@@ -513,3 +513,6 @@ def test_conv_embedding_profile_no_row_blowup(spark):
     assert "Generate" not in plan  # no explode of the 64 components
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+    # pool + label vote come from STACKED aggregations over one pass:
+    # the only join is docs↔embeddings — no pool↔votes self-join
+    assert plan.count("Join") == 1
