@@ -327,7 +327,13 @@ def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded upstream by the corpus's context truncation; the salted
     two-level assembly (plans/skew.py) is the fallback if it isn't."""
     t = transcripts_from_documents(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # NULL-text turns must contribute ZERO tokens, not poison the whole
+    # conversation: split(NULL) is NULL and F.flatten of any NULL element
+    # returns NULL (size -1), silently dropping the conv from the shingle
+    # index. The DuckDB twin's string_agg skips NULLs — coalesce matches it.
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
     conv = (
         t.select("conv_id", "turn_idx", toks.alias("tk"))
         .groupBy("conv_id")

@@ -213,47 +213,6 @@ def recognize_tile_structure(tiles: DataFrame) -> DataFrame:
     )
 
 
-STATS_SCHEMA = StructType(
-    [f for f in RENDER_SCHEMA.fields if f.name != "png"]
-)
-
-
-def render_stats(transcripts: DataFrame) -> DataFrame:
-    """Driver form of the render pipeline: the SQL-derivable accounting
-    columns (the PNG bytes themselves are pytest-covered — zlib output
-    has no SQL twin), in stable order. Computed WITHOUT the PNG encode:
-    column pruning cannot remove work done inside a UDF, so a select()
-    over render_pages would still pay zlib per page for bytes it drops —
-    this runner rasterizes and counts only."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows = []
-            for conv_id, turn_idx in zip(batch["conv_id"], batch["turn_idx"]):
-                scene = synth_scene(conv_id, int(turn_idx))
-                arr = render_words(
-                    scene.word_boxes, scene.page_width, scene.page_height
-                )
-                rows.append(
-                    {
-                        "conv_id": conv_id,
-                        "turn_idx": int(turn_idx),
-                        "width": arr.shape[1],
-                        "height": arr.shape[0],
-                        "n_words": len(scene.word_boxes),
-                        "n_ink_px": ink_pixels(arr),
-                    }
-                )
-            if rows:
-                yield pd.DataFrame(rows)
-
-    return (
-        transcripts.select("conv_id", "turn_idx")
-        .mapInPandas(run, schema=STATS_SCHEMA)
-        .orderBy("conv_id", "turn_idx")
-    )
-
-
 AHASH_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

@@ -427,7 +427,10 @@ PAGE_RENDER_SQL = SCENE_CTES + """,
 # word boxes never overlap at pixel resolution (render-ink tripwire).
 # ---------------------------------------------------------------------------
 
-AHASH_SQL = SCENE_CTES + """,
+# Shared by AHASH_SQL and VISUAL_DEDUP_SQL: the 8×8 clamped word-area tile
+# sums are ONE rule — edit here and both parity oracles move together
+# (same pattern as _kmeans_ctes for KMEANS_SQL/SEMDEDUP_SQL).
+_AHASH_CTES = """,
     blocks AS (
         SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) b(i)
     ),
@@ -449,6 +452,9 @@ AHASH_SQL = SCENE_CTES + """,
         FROM words w, blocks bx, blocks by
         GROUP BY w.conv_id, w.turn_idx, by.i, bx.i
     )
+"""
+
+AHASH_SQL = SCENE_CTES + _AHASH_CTES + """
     SELECT conv_id, turn_idx, block_y, block_x, ink_px,
            CAST(CASE WHEN ink_px * 64 >
                           sum(ink_px) OVER (PARTITION BY conv_id, turn_idx)
@@ -1263,28 +1269,7 @@ IMG2TABLE_CELLS_SQL = SCENE_CTES + """,
 # (exact for hamming < 8 by pigeonhole) and confirm by bit_count(xor).
 # ---------------------------------------------------------------------------
 
-VISUAL_DEDUP_SQL = SCENE_CTES + """,
-    blocks AS (
-        SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) b(i)
-    ),
-    tileink AS (
-        SELECT w.conv_id, w.turn_idx,
-               CAST(by.i AS INT) AS block_y, CAST(bx.i AS INT) AS block_x,
-               CAST(sum(
-                   greatest(0,
-                       least(CAST(ceil(w.px1) AS BIGINT), 612,
-                             ((bx.i + 1) * 612) // 8)
-                       - greatest(CAST(floor(w.px0) AS BIGINT), 0,
-                                  (bx.i * 612) // 8))
-                 * greatest(0,
-                       least(CAST(ceil(w.py1) AS BIGINT), 792,
-                             ((by.i + 1) * 792) // 8)
-                       - greatest(CAST(floor(w.py0) AS BIGINT), 0,
-                                  (by.i * 792) // 8))
-               ) AS BIGINT) AS ink_px
-        FROM words w, blocks bx, blocks by
-        GROUP BY w.conv_id, w.turn_idx, by.i, bx.i
-    ),
+VISUAL_DEDUP_SQL = SCENE_CTES + _AHASH_CTES + """,
     tilebits AS (
         SELECT conv_id, turn_idx,
                block_y * 8 + block_x AS idx,

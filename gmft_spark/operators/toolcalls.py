@@ -296,20 +296,23 @@ def toolcall_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEXLIST = ", ".join(f"'{h}'" for h in _RETRY_HEX)
 
-# The oracle NEVER runs gaps-and-islands: it re-derives each turn's
-# segment number straight from the named draws (runs == segments by
-# construction), so a Spark-side run-detection bug cannot hide.
-TOOLCALL_LOOPS_SQL = f"""
+# Shared by TOOLCALL_LOOPS_SQL and TOOLCALL_RETRY_SQL: the doc_id%3=2
+# tool-turn predicate and the named retry-draw segment arithmetic are ONE
+# rule — both oracles must re-derive the same synthetic sequence that
+# _loop_turns generates, so the CTE prefix lives in one place (same
+# pattern as curation._bpe_sql_ctes and scene_sql._AHASH_CTES).
+_SEG_CTES = f"""
     WITH t AS (
         SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
                    AS conv_id,
                CAST(doc_id // 16 AS INT) AS turn_idx,
-               doc_id % 16 AS ck
+               doc_id % 16 AS ck,
+               (doc_id % 7) <> 0 AS ok
         FROM documents
         WHERE doc_id % 3 = 2
     ),
     segs AS (
-        SELECT conv_id,
+        SELECT conv_id, turn_idx, ck, ok,
                sum(CASE WHEN substr(md5('loop|' || conv_id || '|'
                                     || CAST(turn_idx AS VARCHAR)), 32, 1)
                         IN ({_HEXLIST}) THEN 0 ELSE 1 END)
@@ -317,7 +320,13 @@ TOOLCALL_LOOPS_SQL = f"""
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS seg
         FROM t
-    ),
+    )
+"""
+
+# The oracle NEVER runs gaps-and-islands: it re-derives each turn's
+# segment number straight from the named draws (runs == segments by
+# construction), so a Spark-side run-detection bug cannot hide.
+TOOLCALL_LOOPS_SQL = _SEG_CTES + f""",
     runs AS (
         SELECT conv_id, seg, count(*) AS run_len
         FROM segs GROUP BY conv_id, seg
@@ -387,26 +396,7 @@ def toolcall_retry_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOOLCALL_RETRY_SQL = f"""
-    WITH t AS (
-        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
-                   AS conv_id,
-               CAST(doc_id // 16 AS INT) AS turn_idx,
-               doc_id % 16 AS ck,
-               (doc_id % 7) <> 0 AS ok
-        FROM documents
-        WHERE doc_id % 3 = 2
-    ),
-    segs AS (
-        SELECT conv_id, turn_idx, ck, ok,
-               sum(CASE WHEN substr(md5('loop|' || conv_id || '|'
-                                    || CAST(turn_idx AS VARCHAR)), 32, 1)
-                        IN ({_HEXLIST}) THEN 0 ELSE 1 END)
-                   OVER (PARTITION BY conv_id ORDER BY turn_idx
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS seg
-        FROM t
-    ),
+TOOLCALL_RETRY_SQL = _SEG_CTES + """,
     named AS (
         SELECT conv_id, turn_idx, ok,
                ['search', 'browser', 'python', 'pdf_reader']

@@ -87,6 +87,29 @@ def test_conv_near_dup_spans_turn_boundaries(spark, neardup_sf_dir):
     assert len(pairs) == 3
 
 
+def test_conv_near_dup_survives_null_text_turns(spark, tmp_path):
+    """A NULL-text turn must contribute zero tokens, not poison the whole
+    conversation: split(NULL)=NULL element makes F.flatten return NULL
+    (size -1), which silently dropped conv-a from the shingle index while
+    the DuckDB oracle's string_agg skipped the NULL and kept the pair."""
+    rows = [
+        (1, "a", "p q r s t"),
+        (17, "a", None),
+        (2, "b", "p q r s t u v w x y"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    pairs = {
+        (r["conv_a"], r["conv_b"]): r["jaccard"]
+        for r in conv_near_dup(spark, d).collect()
+    }
+    # conv-a keeps its 5-token turn: 3 shingles, all shared with conv-b's
+    # 8 → J = 3/8. Before the coalesce fix this returned NO rows.
+    assert pairs == {("conv-a-1", "conv-b-2"): round(3 / 8, 6)}
+
+
 @pytest.fixture()
 def lint_sf_dir(spark, tmp_path):
     """One conversation with every lint violation class: the corpus stride
