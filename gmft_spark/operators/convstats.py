@@ -637,6 +637,143 @@ def _embedding_profile_sql() -> str:
 CONV_EMBEDDING_PROFILE_SQL = _embedding_profile_sql()
 
 
+def _shingles3(name: str):
+    """Distinct 3-shingle array of a token-array column, empty when the
+    array is too short (the F.sequence descending-on-negative gotcha)."""
+    c = F.col(name)
+    return F.when(
+        F.size(c) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - 2),
+                lambda i: _shingle3(c, i),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def turn_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groundedness of each assistant turn in its tool evidence: the share
+    of the turn's distinct word 3-shingles that already appear in the
+    LATEST prior tool turn of the same conversation — the
+    hallucination-vs-citation signal a rollout-curation pipeline filters
+    on (an assistant answer whose content n-grams never occur in the tool
+    output it follows is unsupported by its own evidence). Assistant
+    turns with no prior tool turn, or with fewer than 3 tokens (no
+    shingles), are excluded rather than emitted as NULL.
+
+    Scale design (10^12-turn framing): ONE conv_id shuffle for the
+    last-tool-text window (the pipeline's standard partitioning — at
+    scale this co-partitions with every other conversation-keyed stage);
+    shingling and the intersection are in-row array expressions on the
+    windowed rows, so unlike the oracle's explode-and-join the Spark plan
+    never materializes a shingle table. Long tool outputs bound the row
+    width, not a join fan-out."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # NULL-text tool turns contribute nothing (when() yields NULL and
+    # ignorenulls skips to an earlier tool turn) — same as the oracle's
+    # CASE ... END under IGNORE NULLS.
+    src = F.last(
+        F.when(F.col("role") == "tool", F.col("text")), ignorenulls=True
+    ).over(w)
+    toks = lambda c: F.filter(  # noqa: E731 — local expression builder
+        F.split(F.coalesce(c, F.lit("")), " "), lambda x: x != ""
+    )
+    a = (
+        t.withColumn("src", src)
+        .filter((F.col("role") == "assistant") & F.col("src").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            toks(F.col("text")).alias("atk"),
+            toks(F.col("src")).alias("stk"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            _shingles3("atk").alias("ash"),
+            _shingles3("stk").alias("ssh"),
+        )
+        .filter(F.size("ash") >= 1)
+    )
+    grounded = F.size(F.array_intersect("ash", "ssh")).cast("long")
+    total = F.size("ash").cast("long")
+    return a.select(
+        "conv_id",
+        "turn_idx",
+        total.alias("n_shingles"),
+        grounded.alias("n_grounded"),
+        F.round(grounded / total, 6).alias("grounding"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+def _grounding_shingle_cte(alias: str, src_table: str) -> str:
+    """Exploded distinct 3-shingles per (conv_id, turn_idx) — the oracle
+    re-derives the in-row shingle arrays as a relational table (same
+    idiom as CONV_NEAR_DUP_SQL: filter empty tokens BEFORE windowing so
+    shingles span consecutive non-empty tokens)."""
+    return f"""{alias} AS (
+        SELECT DISTINCT conv_id, turn_idx, shingle FROM (
+            SELECT conv_id, turn_idx,
+                   tok || ' ' || lead(tok, 1) OVER w || ' '
+                       || lead(tok, 2) OVER w AS shingle,
+                   lead(tok, 2) OVER w AS t2
+            FROM (
+                SELECT conv_id, turn_idx,
+                       unnest(string_split({src_table}.txt, ' ')) AS tok,
+                       generate_subscripts(string_split({src_table}.txt, ' '), 1)
+                           AS pos
+                FROM {src_table}
+            ) WHERE tok <> ''
+            WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+    )"""
+
+
+TURN_GROUNDING_SQL = f"""
+    WITH t AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(doc_id // 16 AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               text
+        FROM documents
+    ),
+    g AS (
+        SELECT conv_id, turn_idx, role, text,
+               last_value(CASE WHEN role = 'tool' THEN text END IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS src
+        FROM t
+    ),
+    ga AS (
+        SELECT conv_id, turn_idx, text AS txt, src
+        FROM g WHERE role = 'assistant' AND src IS NOT NULL
+    ),
+    gs AS (SELECT conv_id, turn_idx, src AS txt FROM ga),
+    {_grounding_shingle_cte('ash', 'ga')},
+    {_grounding_shingle_cte('ssh', 'gs')}
+    SELECT a.conv_id, a.turn_idx,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(s.shingle) AS BIGINT) AS n_grounded,
+           round(CAST(count(s.shingle) AS DOUBLE) / count(*), 6) AS grounding
+    FROM ash a
+    LEFT JOIN ssh s
+      ON a.conv_id = s.conv_id AND a.turn_idx = s.turn_idx
+     AND a.shingle = s.shingle
+    GROUP BY a.conv_id, a.turn_idx
+    ORDER BY a.conv_id, a.turn_idx
+"""
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
@@ -644,4 +781,5 @@ QUERIES = {
     "conv_near_dup": (conv_near_dup, CONV_NEAR_DUP_SQL),
     "transcript_lint": (transcript_lint, TRANSCRIPT_LINT_SQL),
     "conv_embedding_profile": (conv_embedding_profile, CONV_EMBEDDING_PROFILE_SQL),
+    "turn_grounding": (turn_grounding, TURN_GROUNDING_SQL),
 }

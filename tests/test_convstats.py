@@ -110,6 +110,45 @@ def test_conv_near_dup_survives_null_text_turns(spark, tmp_path):
     assert pairs == {("conv-a-1", "conv-b-2"): round(3 / 8, 6)}
 
 
+def test_turn_grounding_measures_tool_overlap(spark, tmp_path):
+    """Grounding = share of the assistant turn's distinct 3-shingles
+    present in the LATEST prior tool turn. Corpus layout (conv-a-2, role
+    = doc_id % 3, turn = doc_id // 16): doc 2 tool 'p q r s t u', doc 18
+    user, doc 34 assistant 'p q r s x y' (shingles pqr/qrs/rsx/sxy — 2 of
+    4 grounded), doc 50 tool with NULL text (skipped by ignorenulls),
+    doc 66 user, doc 82 assistant 'a b c d' (0 of 2 grounded, still
+    against doc 2's text), doc 98 user, doc 114 assistant 'x y' (<3
+    tokens: excluded)."""
+    from gmft_spark.operators.convstats import turn_grounding
+
+    rows = [
+        (2, "a", "p q r s t u"),
+        (18, "a", "u1"),
+        (34, "a", "p q r s x y"),
+        (50, "a", None),
+        (66, "a", "u2"),
+        (82, "a", "a b c d"),
+        (98, "a", "u3"),
+        (114, "a", "x y"),
+        # conv-a-1: assistant with NO prior tool turn — excluded entirely
+        (1, "a", "m n o p q"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["n_shingles"], r["n_grounded"], r["grounding"]
+        )
+        for r in turn_grounding(spark, d).collect()
+    }
+    assert out == {
+        ("conv-a-2", 2): (4, 2, 0.5),
+        ("conv-a-2", 5): (2, 0, 0.0),
+    }
+
+
 @pytest.fixture()
 def lint_sf_dir(spark, tmp_path):
     """One conversation with every lint violation class: the corpus stride

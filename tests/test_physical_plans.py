@@ -516,3 +516,17 @@ def test_conv_embedding_profile_no_row_blowup(spark):
     # pool + label vote come from STACKED aggregations over one pass:
     # the only join is docs↔embeddings — no pool↔votes self-join
     assert plan.count("Join") == 1
+
+
+def test_turn_grounding_single_shuffle_no_join(spark):
+    """Grounding stays in-row: ONE conv_id hash exchange for the
+    last-tool-text window, shingle sets and their intersection as array
+    expressions — no shingle explode, no join (the oracle's
+    explode-and-join shape must never leak into the Spark plan)."""
+    from gmft_spark.operators.convstats import turn_grounding
+
+    plan = _plan(turn_grounding(spark, SF))
+    assert plan.count("hashpartitioning(conv_id") == 1
+    assert plan.count("Exchange") == 2  # + the final orderBy range sort
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no shingle explode
