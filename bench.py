@@ -113,6 +113,12 @@ def _bench_conv_embedding_profile(spark, sf_dir):
     return conv_embedding_profile(spark, sf_dir)
 
 
+def _bench_turn_grounding(spark, sf_dir):
+    from gmft_spark.operators.convstats import turn_grounding
+
+    return turn_grounding(spark, sf_dir)
+
+
 HEADLINE = [
     ("f7_cell_assignment", relational.f7_cell_assignment),
     ("h3_divider_fill", relational.h3_divider_fill),
@@ -146,6 +152,7 @@ HEADLINE = [
     ("transcript_lint", _bench_transcript_lint),
     ("curation_funnel", curation.curation_funnel),
     ("conv_embedding_profile", _bench_conv_embedding_profile),
+    ("turn_grounding", _bench_turn_grounding),
     ("window_session_native", analytics.session_window_native),
     ("window_cohort_retention", analytics.cohort_retention),
     ("text_source_drift", textstats.source_drift),

@@ -774,6 +774,142 @@ TURN_GROUNDING_SQL = f"""
 """
 
 
+def conv_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split at CONVERSATION grain: the split
+    is a pure function of conv_id (md5 lower-64 hash fraction, 80/10/10),
+    so every turn of a conversation lands in the same split — the
+    doc-grain split (textstats.split_train_val_test) would scatter one
+    session's turns across train and test, leaking multi-turn context
+    into evaluation. Emits one row per conversation with its turn count;
+    the per-turn assignment is a narrow co-keyed join away (or just the
+    same hash expression inlined on the turns frame — no join needed).
+
+    Deterministic and append-stable: adding conversations never reassigns
+    existing ones (no sampling state, no seed plumbing). One conv_id
+    groupBy — the pipeline's standard partitioning."""
+    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
+
+    t = transcripts_from_documents(spark, sf_dir)
+    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
+    split = (
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+    )
+    return (
+        t.groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_turns"))
+        .select("conv_id", "n_turns", split.alias("split"))
+        .orderBy("conv_id")
+    )
+
+
+def _conv_split_sql() -> str:
+    from gmft_spark.operators.textstats import _KMV_SPACE
+
+    return f"""
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CASE WHEN f < 0.8::DOUBLE THEN 'train'
+                WHEN f < 0.9::DOUBLE THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(md5_number_lower('conv-' || source || '-'
+                        || CAST(doc_id % 16 AS VARCHAR)) AS DOUBLE)
+                   / {_KMV_SPACE!r} AS f
+        FROM documents
+    )
+    GROUP BY conv_id, f
+    ORDER BY conv_id
+"""
+
+
+CONV_SPLIT_SQL = _conv_split_sql()
+
+
+def assistant_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-generation detector: for each assistant turn after the
+    first, the 3-shingle Jaccard against the conversation's PREVIOUS
+    assistant turn — an agent stuck re-emitting near-identical responses
+    scores high run after run (the text-side twin of
+    toolcalls.toolcall_loops, which only sees tool names). Emitted as a
+    continuous per-turn score (a curation pipeline thresholds it); turns
+    where either side has no shingles are excluded, like turn_grounding.
+
+    Scale: ONE conv_id shuffle shared by the assistant-lag window;
+    shingles and the intersection are in-row array expressions (no
+    shingle table, no join — same plan shape as turn_grounding)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
+    a = (
+        t.filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", toks.alias("atk"))
+        .withColumn("ptk", F.lag("atk").over(w))
+        .filter(F.col("ptk").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            _shingles3("atk").alias("ash"),
+            _shingles3("ptk").alias("psh"),
+        )
+        .filter((F.size("ash") >= 1) & (F.size("psh") >= 1))
+    )
+    inter = F.size(F.array_intersect("ash", "psh")).cast("long")
+    union = (F.size("ash") + F.size("psh")).cast("long") - inter
+    return a.select(
+        "conv_id",
+        "turn_idx",
+        inter.alias("n_shared"),
+        F.round(inter / union, 6).alias("jaccard_prev"),
+    ).orderBy("conv_id", "turn_idx")
+
+
+SELF_REPETITION_SQL = f"""
+    WITH t AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(doc_id // 16 AS INT) AS turn_idx,
+               text
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    g AS (
+        SELECT conv_id, turn_idx, text AS txt,
+               lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev
+        FROM t
+    ),
+    ga AS (SELECT conv_id, turn_idx, txt FROM g WHERE prev IS NOT NULL),
+    gp AS (SELECT conv_id, turn_idx, prev AS txt FROM g
+           WHERE prev IS NOT NULL),
+    {_grounding_shingle_cte('ash', 'ga')},
+    {_grounding_shingle_cte('psh', 'gp')},
+    sz AS (
+        SELECT conv_id, turn_idx, count(*) AS na FROM ash GROUP BY 1, 2
+    ),
+    pz AS (
+        SELECT conv_id, turn_idx, count(*) AS np FROM psh GROUP BY 1, 2
+    ),
+    ov AS (
+        SELECT a.conv_id, a.turn_idx, count(p.shingle) AS n_shared
+        FROM ash a
+        LEFT JOIN psh p
+          ON a.conv_id = p.conv_id AND a.turn_idx = p.turn_idx
+         AND a.shingle = p.shingle
+        GROUP BY a.conv_id, a.turn_idx
+    )
+    SELECT o.conv_id, o.turn_idx,
+           CAST(o.n_shared AS BIGINT) AS n_shared,
+           round(CAST(o.n_shared AS DOUBLE) / (sz.na + pz.np - o.n_shared), 6)
+               AS jaccard_prev
+    FROM ov o
+    JOIN sz ON o.conv_id = sz.conv_id AND o.turn_idx = sz.turn_idx
+    JOIN pz ON o.conv_id = pz.conv_id AND o.turn_idx = pz.turn_idx
+    ORDER BY o.conv_id, o.turn_idx
+"""
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
@@ -782,4 +918,9 @@ QUERIES = {
     "transcript_lint": (transcript_lint, TRANSCRIPT_LINT_SQL),
     "conv_embedding_profile": (conv_embedding_profile, CONV_EMBEDDING_PROFILE_SQL),
     "turn_grounding": (turn_grounding, TURN_GROUNDING_SQL),
+    "conv_split_assignment": (conv_split_assignment, CONV_SPLIT_SQL),
+    "assistant_self_repetition": (
+        assistant_self_repetition,
+        SELF_REPETITION_SQL,
+    ),
 }

@@ -149,6 +149,66 @@ def test_turn_grounding_measures_tool_overlap(spark, tmp_path):
     }
 
 
+def test_assistant_self_repetition_flags_verbatim_loops(spark, tmp_path):
+    """conv-a-1 assistant turns (doc_id % 3 == 1, stride 48 inside the
+    conversation): docs 1, 49, 97, 145. Doc 49 repeats doc 1 verbatim
+    (J = 1.0), doc 97 shares a 4-token run with doc 49 ('q r s t' → 2 of
+    its 3 shingles; union 3+3-2), doc 145 is disjoint (J = 0)."""
+    from gmft_spark.operators.convstats import assistant_self_repetition
+
+    rows = [
+        (1, "a", "p q r s t"),
+        (49, "a", "p q r s t"),
+        (97, "a", "q r s t z"),
+        (145, "a", "m n o"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["turn_idx"]: (r["n_shared"], r["jaccard_prev"])
+        for r in assistant_self_repetition(spark, d).collect()
+    }
+    assert out == {
+        3: (3, 1.0),            # doc 49 vs doc 1: verbatim repeat
+        6: (2, 0.5),            # doc 97 vs 49: qrs,rst shared; union 4
+        9: (0, 0.0),            # doc 145 vs 97: disjoint
+    }
+
+
+def test_conv_split_is_leakage_safe_and_append_stable(spark):
+    """Every turn of a conversation carries its conversation's split (the
+    hash keys on conv_id alone), and adding conversations never moves
+    existing ones. Runs on the real sf0.001 corpus so all three splits
+    are populated."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.convstats import conv_split_assignment
+    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
+    from gmft_spark.sources.transcripts import transcripts_from_documents
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = conv_split_assignment(spark, sf_dir).collect()
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    # per-turn inlined hash agrees with the per-conv assignment for every
+    # turn — the leakage-safety property
+    t = transcripts_from_documents(spark, sf_dir)
+    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
+    per_turn = t.select(
+        "conv_id",
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).distinct()
+    assert per_turn.count() == len(out)  # one split per conversation
+    byconv = {r["conv_id"]: r["split"] for r in out}
+    assert all(byconv[r["conv_id"]] == r["split"] for r in per_turn.collect())
+    # turn counts sum to the corpus size (no conversation dropped)
+    assert sum(r["n_turns"] for r in out) == t.count()
+
+
 @pytest.fixture()
 def lint_sf_dir(spark, tmp_path):
     """One conversation with every lint violation class: the corpus stride

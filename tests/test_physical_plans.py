@@ -530,3 +530,25 @@ def test_turn_grounding_single_shuffle_no_join(spark):
     assert plan.count("Exchange") == 2  # + the final orderBy range sort
     assert "Join" not in plan
     assert "Generate" not in plan  # no shingle explode
+
+
+def test_self_repetition_single_shuffle_no_join(spark):
+    """Same in-row contract as turn_grounding: the assistant-lag window's
+    conv_id exchange is the only data shuffle; no shingle explode/join."""
+    from gmft_spark.operators.convstats import assistant_self_repetition
+
+    plan = _plan(assistant_self_repetition(spark, SF))
+    assert plan.count("hashpartitioning(conv_id") == 1
+    assert plan.count("Exchange") == 2  # + the final orderBy range sort
+    assert "Join" not in plan and "Generate" not in plan
+
+
+def test_conv_split_is_one_mapside_aggregation(spark):
+    """The conversation-grain split is a single conv_id groupBy with
+    map-side partial aggregation — no join against a split table."""
+    from gmft_spark.operators.convstats import conv_split_assignment
+
+    plan = _plan(conv_split_assignment(spark, SF))
+    assert plan.count("hashpartitioning(conv_id") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "Join" not in plan
