@@ -910,6 +910,78 @@ SELF_REPETITION_SQL = f"""
 """
 
 
+def conv_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask span layout for SFT training: each turn's [start, end)
+    character offsets inside the conversation rendered in the repo's
+    standard form (``role: text`` lines joined by ``\\n``, NULL-text
+    turns skipped — the string_agg convention every other rendering here
+    follows), with ``loss_mask`` 1 on assistant turns and 0 on context.
+    A trainer tokenizes the rendered transcript ONCE and applies the
+    mask over these spans instead of re-rendering per example — the
+    offsets are the contract (tests reconstruct every substring).
+
+    Scale: one conv_id shuffle for the prefix-sum window; everything
+    else is narrow length arithmetic in whole-stage codegen."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg_len = (F.length("role") + F.lit(2) + F.length("text")).cast("long")
+    start = F.coalesce(
+        F.sum(F.col("seg_len") + 1).over(w), F.lit(0)
+    ).cast("long")
+    return (
+        t.filter(F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", "role", seg_len.alias("seg_len"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            start.alias("start_char"),
+            (start + F.col("seg_len")).alias("end_char"),
+            F.when(F.col("role") == "assistant", 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("loss_mask"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+RENDER_SPANS_SQL = """
+    WITH t AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(doc_id // 16 AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               text
+        FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+        SELECT conv_id, turn_idx, role,
+               CAST(length(role) + 2 + length(text) AS BIGINT) AS seg_len
+        FROM t
+    )
+    SELECT conv_id, turn_idx, role,
+           CAST(coalesce(sum(seg_len + 1) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_char,
+           CAST(coalesce(sum(seg_len + 1) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + seg_len AS BIGINT) AS end_char,
+           CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INT)
+               AS loss_mask
+    FROM s
+    ORDER BY conv_id, turn_idx
+"""
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
@@ -923,4 +995,5 @@ QUERIES = {
         assistant_self_repetition,
         SELF_REPETITION_SQL,
     ),
+    "conv_render_spans": (conv_render_spans, RENDER_SPANS_SQL),
 }

@@ -177,6 +177,39 @@ def test_assistant_self_repetition_flags_verbatim_loops(spark, tmp_path):
     }
 
 
+def test_conv_render_spans_reconstruct_the_transcript(spark, tmp_path):
+    """The offsets are the contract: slicing the conversation rendered as
+    'role: text' lines joined by newline at [start_char, end_char) must
+    reproduce each turn's own segment exactly, with loss_mask 1 on
+    exactly the assistant turns. NULL-text turns vanish from both the
+    rendering and the span table (the string_agg convention)."""
+    from gmft_spark.operators.convstats import conv_render_spans
+
+    rows = [
+        (1, "a", "hello there"),   # conv-a-1 assistant
+        (17, "a", None),           # tool with NULL text: skipped
+        (33, "a", "ok"),           # user
+        (49, "a", "resp two"),     # assistant
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    spans = conv_render_spans(spark, d).collect()
+    rendered = "assistant: hello there\nuser: ok\nassistant: resp two"
+    segs = {
+        r["turn_idx"]: (
+            rendered[r["start_char"]:r["end_char"]], r["loss_mask"]
+        )
+        for r in spans
+    }
+    assert segs == {
+        0: ("assistant: hello there", 1),
+        2: ("user: ok", 0),
+        3: ("assistant: resp two", 1),
+    }
+
+
 def test_conv_split_is_leakage_safe_and_append_stable(spark):
     """Every turn of a conversation carries its conversation's split (the
     hash keys on conv_id alone), and adding conversations never moves

@@ -552,3 +552,14 @@ def test_conv_split_is_one_mapside_aggregation(spark):
     assert plan.count("hashpartitioning(conv_id") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
     assert "Join" not in plan
+
+
+def test_render_spans_prefix_sum_single_shuffle(spark):
+    """Span layout is one conv_id window prefix-sum over narrow length
+    arithmetic — no join, no Python."""
+    from gmft_spark.operators.convstats import conv_render_spans
+
+    plan = _plan(conv_render_spans(spark, SF))
+    assert plan.count("hashpartitioning(conv_id") == 1
+    assert plan.count("Exchange") == 2  # + the final orderBy range sort
+    assert "Join" not in plan and "InPandas" not in plan
