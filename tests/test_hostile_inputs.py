@@ -129,6 +129,10 @@ class TestEmptyCorpus:
         "curation_funnel",  # composed signals, all frames empty
         "conv_near_dup",  # shingle inverted index, no pairs
         "toolcall_retry_recovery",  # lead window over empty sequence
+        "turn_grounding",  # ignorenulls window + in-row ratio
+        "assistant_self_repetition",  # lag window + Jaccard ratio
+        "conv_split_assignment",  # hash-fraction split over nothing
+        "conv_render_spans",  # prefix-sum offsets over nothing
     ]
 
     @pytest.fixture(scope="class")
