@@ -292,9 +292,10 @@ def main() -> None:
         for name, fn in HEADLINE:
             fn(spark, sf_dir).count()  # warm: JVM/codegen/parquet footer
         # the timed pass must measure real work: drop session-scoped
-        # result memos (k-means Lloyd run) the warm pass populated,
-        # keeping the JVM/codegen/footer warmth
+        # result memos (k-means Lloyd run, BPE trainer) the warm pass
+        # populated, keeping the JVM/codegen/footer warmth
         similarity._KMEANS_CACHE.clear()
+        curation._BPE_CACHE.clear()
         for name, fn in HEADLINE:
             t0 = time.time()
             _drain(fn(spark, sf_dir))

@@ -520,12 +520,19 @@ def _bpe_corpus_tokens(
     return _tokens(spark, sf_dir).filter(F.col("doc_id") % doc_mod == 0)
 
 
+_BPE_CACHE: dict = {}
+
+
 def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = 1):
     """Shared trainer loop: returns (final word-type frame with columns
     (tok, seq, cnt), list of 1-row merge frames). Each round counts
     adjacent symbol pairs weighted by word-type frequency, picks the
     max-count pair (ties → lexicographic (a, b) ascending), and applies
     it greedily left-to-right, non-overlapping, to every word.
+
+    Memoized per (application, sf_dir, doc_mod) on checkpointed frames —
+    the k-means memo pattern — so one gate run trains the tokenizer once
+    for the train/encode/fertility query family, not once per query.
 
     Scale notes: the corpus collapses ONCE to (word-type, count) — the
     classic BPE-trainer reduction; every round after that is O(vocab),
@@ -534,6 +541,15 @@ def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = 1):
     a narrow literal-replace map. The per-round word-type frame is
     localCheckpointed (CLAUDE.md iterative plan-growth rule)."""
     from gmft_spark.operators.textstats import _tokens
+
+    app = spark.sparkContext.applicationId
+    # frames of dead applications can never be reused (executors gone)
+    for stale in [k for k in _BPE_CACHE if k[0] != app]:
+        del _BPE_CACHE[stale]
+    key = (app, sf_dir, doc_mod)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     words = (
         _bpe_corpus_tokens(spark, sf_dir, doc_mod)
@@ -577,6 +593,7 @@ def _bpe_run(spark: SparkSession, sf_dir: str, doc_mod: int = 1):
             ).alias("seq"),
             "cnt",
         ).localCheckpoint(eager=True)
+    _BPE_CACHE[key] = (words, merges)
     return words, merges
 
 
@@ -624,6 +641,50 @@ def bpe_encode_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_fertility_by_source(
+    spark: SparkSession, sf_dir: str, doc_mod: int = 1
+) -> DataFrame:
+    """Tokenizer fertility per corpus source: BPE tokens per word and
+    chars per BPE token under the trained merge table — the standard
+    "how well does the tokenizer fit each domain" diagnostic (a source
+    whose fertility stays near its symbol count is out-of-distribution
+    for the tokenizer and inflates its training cost per byte).
+
+    Scale shape: the token stream carries ``source`` from the scan (no
+    join against documents), segmentations broadcast (hot words are the
+    skew case and a broadcast join is immune), then ONE groupBy on the
+    low-cardinality source key — map-side combinable."""
+    words, _ = _bpe_run(spark, sf_dir, doc_mod)
+    n_syms = F.size(
+        F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|")
+    )
+    seg = words.select("tok", n_syms.cast("long").alias("n_syms"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % doc_mod == 0
+    )
+    dtoks = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter((F.col("tok") != "") & ~F.col("tok").contains("|"))
+    )
+    agg = dtoks.join(F.broadcast(seg), "tok").groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("tok")).alias("n_chars"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    ).orderBy("source")
 
 
 def _bpe_sql_ctes() -> str:
@@ -698,8 +759,35 @@ def _bpe_encode_sql() -> str:
     )
 
 
+def _bpe_fertility_sql() -> str:
+    return (
+        _bpe_sql_ctes()
+        + f""",
+    src AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % {BPE_GATE_DOC_MOD} = 0
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(s.tok)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(trim(w.seq, '|'), '||'))) AS BIGINT)
+             AS n_bpe_tokens,
+           round(CAST(sum(len(string_split(trim(w.seq, '|'), '||')))
+                      AS DOUBLE) / count(*), 6) AS fertility,
+           round(CAST(sum(length(s.tok)) AS DOUBLE)
+                 / sum(len(string_split(trim(w.seq, '|'), '||'))), 6)
+             AS chars_per_token
+    FROM src s JOIN w{BPE_MERGES} w ON s.tok = w.tok
+    WHERE s.tok <> '' AND NOT contains(s.tok, '|')
+    GROUP BY s.source
+    ORDER BY s.source
+"""
+    )
+
+
 BPE_TRAIN_SQL = _bpe_train_sql()
 BPE_ENCODE_SQL = _bpe_encode_sql()
+BPE_FERTILITY_SQL = _bpe_fertility_sql()
 
 
 CHUNK_TOKENS = 64  # tokens per chunk
@@ -1022,6 +1110,12 @@ QUERIES = {
     "bpe_encode_corpus": (
         lambda spark, sf: bpe_encode_corpus(spark, sf, doc_mod=BPE_GATE_DOC_MOD),
         BPE_ENCODE_SQL,
+    ),
+    "bpe_fertility_by_source": (
+        lambda spark, sf: bpe_fertility_by_source(
+            spark, sf, doc_mod=BPE_GATE_DOC_MOD
+        ),
+        BPE_FERTILITY_SQL,
     ),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
 }

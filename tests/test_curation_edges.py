@@ -65,6 +65,53 @@ def test_bpe_exhausted_pairs_is_noop(spark, tmp_path):
     assert all(r["n_bpe_tokens"] == r["n_words"] == 3 for r in enc)
 
 
+def test_bpe_run_is_memoized_per_app_and_corpus(spark, tmp_path):
+    """One gate run must train the tokenizer once for the whole BPE query
+    family: repeated _bpe_run calls with the same (app, sf_dir, doc_mod)
+    return the SAME checkpointed frames; a different doc_mod retrains."""
+    sf = _write_docs(
+        spark, tmp_path, [(1, "ab ab ba", "en", "src00", 8)]
+    )
+    w1, m1 = curation._bpe_run(spark, sf, doc_mod=1)
+    w2, m2 = curation._bpe_run(spark, sf, doc_mod=1)
+    assert w1 is w2 and m1 is m2
+    w3, _ = curation._bpe_run(spark, sf, doc_mod=2)
+    assert w3 is not w1
+
+
+def test_bpe_fertility_aggregates_the_encode_stats(spark, tmp_path):
+    """Fertility per source must equal the per-doc encode stats rolled up
+    by source (same trained table, same token stream)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "aa aa bb", "en", "srcA", 8),
+            (2, "aa bb bb cc", "en", "srcA", 11),
+            (3, "zz zz zz", "en", "srcB", 8),
+        ],
+    )
+    fert = {
+        r["source"]: r
+        for r in curation.bpe_fertility_by_source(spark, sf).collect()
+    }
+    enc = curation.bpe_encode_corpus(spark, sf).collect()
+    docsrc = {1: "srcA", 2: "srcA", 3: "srcB"}
+    agg = {}
+    for r in enc:
+        a = agg.setdefault(docsrc[r["doc_id"]], [0, 0, 0])
+        a[0] += r["n_words"]
+        a[1] += r["n_chars"]
+        a[2] += r["n_bpe_tokens"]
+    for src, (nw, nc, nb) in agg.items():
+        f = fert[src]
+        assert (f["n_words"], f["n_chars"], f["n_bpe_tokens"]) == (nw, nc, nb)
+        assert f["fertility"] == round(nb / nw, 6)
+        assert f["chars_per_token"] == round(nc / nb, 6)
+    # the 2-char words compress: srcA fertility strictly under symbol rate
+    assert fert["srcA"]["fertility"] < 2.0
+
+
 def test_curation_funnel_stages_are_monotone_and_live(spark):
     """On the gate corpus every funnel stage must both keep and drop
     documents (branch-census rule), and the cumulative counts must be
