@@ -304,6 +304,47 @@ def _shingle3(tk, i):
     )
 
 
+def _conv_shingle_frame(t: DataFrame) -> DataFrame:
+    """(conv_id, shingle) — DISTINCT word 3-shingles over each
+    conversation's full transcript, turn texts concatenated in stable
+    turn_idx order (the north rule's ordering contract). Shared by
+    ``conv_near_dup`` and ``split_decontamination``; SQL twin is
+    ``_CONV_SHINGLE_CTES``.
+
+    NULL-text turns must contribute ZERO tokens, not poison the whole
+    conversation: split(NULL) is NULL and F.flatten of any NULL element
+    returns NULL (size -1), silently dropping the conv from the shingle
+    index. The DuckDB twin's string_agg skips NULLs — coalesce matches it.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
+    conv = (
+        t.select("conv_id", "turn_idx", toks.alias("tk"))
+        .groupBy("conv_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "tk"))),
+                    lambda s: s["tk"],
+                )
+            ).alias("tk")
+        )
+    )
+    # CLAUDE.md sequence gotcha: guard size >= 3 before building indices.
+    return conv.filter(F.size("tk") >= 3).select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 2),
+                    lambda i: _shingle3(F.col("tk"), i),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
 def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-duplicate pairs: Jaccard over distinct word
     3-shingles of each conversation's FULL transcript (turn texts in stable
@@ -326,38 +367,7 @@ def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin stays exact. Pathological conversation length is
     bounded upstream by the corpus's context truncation; the salted
     two-level assembly (plans/skew.py) is the fallback if it isn't."""
-    t = transcripts_from_documents(spark, sf_dir)
-    # NULL-text turns must contribute ZERO tokens, not poison the whole
-    # conversation: split(NULL) is NULL and F.flatten of any NULL element
-    # returns NULL (size -1), silently dropping the conv from the shingle
-    # index. The DuckDB twin's string_agg skips NULLs — coalesce matches it.
-    toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
-    )
-    conv = (
-        t.select("conv_id", "turn_idx", toks.alias("tk"))
-        .groupBy("conv_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "tk"))),
-                    lambda s: s["tk"],
-                )
-            ).alias("tk")
-        )
-    )
-    # CLAUDE.md sequence gotcha: guard size >= 3 before building indices.
-    sh = conv.filter(F.size("tk") >= 3).select(
-        "conv_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 2),
-                    lambda i: _shingle3(F.col("tk"), i),
-                )
-            )
-        ).alias("shingle"),
-    )
+    sh = _conv_shingle_frame(transcripts_from_documents(spark, sf_dir))
     sizes = sh.groupBy("conv_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("sa")
@@ -383,12 +393,11 @@ def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_sql() -> str:
-    # string_agg ORDER BY doc_id == turn order (turn_idx = doc_id/16 and a
-    # conversation's doc_ids share doc_id % 16, so doc_id order IS turn
-    # order); the shingle window is the dedup.SHINGLES_SQL form at
-    # conversation grain. Filter on the ROUNDED value (CLAUDE.md float rule).
-    return f"""
+# string_agg ORDER BY doc_id == turn order (turn_idx = doc_id/16 and a
+# conversation's doc_ids share doc_id % 16, so doc_id order IS turn
+# order); the shingle window is the dedup.SHINGLES_SQL form at
+# conversation grain. Twin of _conv_shingle_frame.
+_CONV_SHINGLE_CTES = """
     WITH conv AS (
         SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
                    AS conv_id,
@@ -409,7 +418,12 @@ def _near_dup_sql() -> str:
             ) WHERE tok <> ''
             WINDOW w AS (PARTITION BY conv_id ORDER BY pos)
         ) WHERE t2 IS NOT NULL
-    ),
+    )"""
+
+
+def _near_dup_sql() -> str:
+    # Filter on the ROUNDED value (CLAUDE.md float rule).
+    return f"""{_CONV_SHINGLE_CTES},
     sizes AS (SELECT conv_id, count(*) AS sz FROM sh GROUP BY conv_id),
     inter AS (
         SELECT sa.conv_id AS conv_a, sb.conv_id AS conv_b, count(*) AS n_inter
@@ -826,6 +840,94 @@ def _conv_split_sql() -> str:
 CONV_SPLIT_SQL = _conv_split_sql()
 
 
+def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit for the conversation-grain split: for
+    every val/test conversation, how many of its distinct word 3-shingles
+    also occur in ANY train-split conversation. High contamination means
+    the eval example's content is memorizable from training data — the
+    audit every benchmark/heldout pipeline runs after splitting (and the
+    decontamination filter is ``contamination <= threshold`` over this
+    frame). The split rule is the same append-stable md5 fraction as
+    ``conv_split_assignment``, inlined on the shingle frame (no join).
+
+    Scale design (10^12-turn framing): shingle assembly is the shared
+    one-conv_id-shuffle pass (``_conv_shingle_frame``); the train shingle
+    set is ONE shingle-keyed distinct (map-side combinable), and the
+    audit is a hash join eval-shingles ⋈ train-shingle-set on the shingle
+    key — an inverted-index membership probe, never a conversation-pair
+    enumeration. At corpus scale the train set is the big side but stays
+    a standard partitioned join; a Bloom side-channel (dedup.bloom_
+    decontaminate) is the lossy shortcut when an exact count isn't
+    needed."""
+    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
+
+    sh = _conv_shingle_frame(transcripts_from_documents(spark, sf_dir))
+    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
+    split = (
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
+    )
+    sh = sh.withColumn("split", split)
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.filter(F.col("split") != "train")
+        .join(train_sh, "shingle", "left")
+        .groupBy("conv_id", "split")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "conv_id",
+            "split",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def _split_decontamination_sql() -> str:
+    from gmft_spark.operators.textstats import _KMV_SPACE
+
+    return f"""{_CONV_SHINGLE_CTES},
+    lab AS (
+        SELECT conv_id, shingle,
+               CASE WHEN f < 0.8::DOUBLE THEN 'train'
+                    WHEN f < 0.9::DOUBLE THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT conv_id, shingle,
+                   CAST(md5_number_lower(conv_id) AS DOUBLE)
+                       / {_KMV_SPACE!r} AS f
+            FROM sh
+        )
+    ),
+    train_sh AS (
+        SELECT DISTINCT shingle FROM lab WHERE split = 'train'
+    )
+    SELECT e.conv_id, e.split,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(t.shingle) AS BIGINT) AS n_contaminated,
+           round(CAST(count(t.shingle) AS DOUBLE) / count(*), 6)
+               AS contamination
+    FROM lab e LEFT JOIN train_sh t ON e.shingle = t.shingle
+    WHERE e.split <> 'train'
+    GROUP BY e.conv_id, e.split
+    ORDER BY e.conv_id
+"""
+
+
+SPLIT_DECONTAMINATION_SQL = _split_decontamination_sql()
+
+
 def assistant_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-generation detector: for each assistant turn after the
     first, the 3-shingle Jaccard against the conversation's PREVIOUS
@@ -991,6 +1093,10 @@ QUERIES = {
     "conv_embedding_profile": (conv_embedding_profile, CONV_EMBEDDING_PROFILE_SQL),
     "turn_grounding": (turn_grounding, TURN_GROUNDING_SQL),
     "conv_split_assignment": (conv_split_assignment, CONV_SPLIT_SQL),
+    "split_decontamination": (
+        split_decontamination,
+        SPLIT_DECONTAMINATION_SQL,
+    ),
     "assistant_self_repetition": (
         assistant_self_repetition,
         SELF_REPETITION_SQL,

@@ -242,6 +242,50 @@ def test_conv_split_is_leakage_safe_and_append_stable(spark):
     assert sum(r["n_turns"] for r in out) == t.count()
 
 
+def test_split_decontamination_counts_train_shingle_hits(spark, tmp_path):
+    """Eval-conv contamination = share of its distinct 3-shingles present
+    in ANY train conversation. Sources chosen by the same md5 fraction the
+    operator inlines (verified in-test, not assumed): s0 → train,
+    s13 → val, s38 → test, s54 → val. s13 copies the train text verbatim
+    (contamination 1.0), s38 shares 2 of its 3 shingles, s54 is disjoint
+    (0.0); the train conversation itself must not be emitted."""
+    import hashlib
+
+    from gmft_spark.operators.convstats import split_decontamination
+
+    def frac(s):
+        return (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+            / 2**64
+        )
+
+    assert frac("conv-s0-1") < 0.8
+    assert 0.8 <= frac("conv-s13-1") < 0.9
+    assert frac("conv-s38-1") >= 0.9
+    assert 0.8 <= frac("conv-s54-1") < 0.9
+    rows = [
+        (1, "s0", "p q r s t"),
+        (17, "s13", "p q r s t"),
+        (33, "s38", "p q r s z"),
+        (49, "s54", "d1 d2 d3 d4 d5"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r["conv_id"]: r for r in split_decontamination(spark, d).collect()}
+    assert set(out) == {"conv-s13-1", "conv-s38-1", "conv-s54-1"}
+    e = out["conv-s13-1"]
+    assert (e["split"], e["n_shingles"], e["n_contaminated"]) == ("val", 3, 3)
+    assert e["contamination"] == 1.0
+    e = out["conv-s38-1"]
+    assert (e["split"], e["n_shingles"], e["n_contaminated"]) == ("test", 3, 2)
+    assert e["contamination"] == round(2 / 3, 6)
+    e = out["conv-s54-1"]
+    assert (e["split"], e["n_shingles"], e["n_contaminated"]) == ("val", 3, 0)
+    assert e["contamination"] == 0.0
+
+
 @pytest.fixture()
 def lint_sf_dir(spark, tmp_path):
     """One conversation with every lint violation class: the corpus stride
