@@ -1084,6 +1084,120 @@ RENDER_SPANS_SQL = """
 """
 
 
+REP_MAX_JACCARD = 0.01  # self-repetition ceiling (rounded-6dp scale)
+
+
+def conversation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversation-grain curation decision report — which sessions
+    make it into SFT training and why the rest were dropped, per source,
+    with CUMULATIVE stage attrition (the conversation twin of
+    ``curation.curation_funnel``):
+
+    1. ``n_pass_lint`` — protocol-clean transcripts (zero timestamp
+       inversions under ``transcript_lint``'s jitter);
+    2. ``n_pass_dedup`` — not the lexicographically-later side of any
+       ``conv_near_dup`` pair (keep-first canonicalization; conservative
+       under chains, like every pair-rule dedup);
+    3. ``n_pass_repetition`` — max ``assistant_self_repetition`` score
+       under ``REP_MAX_JACCARD`` (conversations with <2 assistant turns
+       have no score and pass — absence of evidence);
+    4. ``n_kept`` — lands in the train split (``conv_split_assignment``
+       hash rule inlined).
+
+    All four stage predicates keep AND drop conversations at sf0.01
+    (80 → 56 → 49 → 48 → 32 — branch-census rule).
+
+    Scale design: every constituent signal is itself one conv_id-keyed
+    pass (their plans are unchanged); the funnel adds conv_id-keyed LEFT
+    joins — co-partitioned with the pipeline's standard conversation
+    keying — and one tiny groupBy(source) rollup. The near-dup frame is
+    the only super-linear input and is already inverted-index-bounded."""
+    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
+
+    lint = transcript_lint(spark, sf_dir).select("conv_id", "n_ts_inversions")
+    dup = (
+        conv_near_dup(spark, sf_dir)
+        .select(F.col("conv_b").alias("conv_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    rep = (
+        assistant_self_repetition(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.max("jaccard_prev").alias("max_rep"))
+    )
+    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
+    sig = (
+        lint.join(dup, "conv_id", "left")
+        .join(rep, "conv_id", "left")
+        .withColumn("is_train", frac < 0.8)
+        .withColumn("source", F.element_at(F.split("conv_id", "-"), 2))
+    )
+    s1 = F.col("n_ts_inversions") == 0
+    s2 = s1 & F.col("is_dup").isNull()
+    s3 = s2 & (F.coalesce(F.col("max_rep"), F.lit(0.0)) < REP_MAX_JACCARD)
+    s4 = s3 & F.col("is_train")
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.count(F.when(s1, 1)).cast("long").alias("n_pass_lint"),
+            F.count(F.when(s2, 1)).cast("long").alias("n_pass_dedup"),
+            F.count(F.when(s3, 1)).cast("long").alias("n_pass_repetition"),
+            F.count(F.when(s4, 1)).cast("long").alias("n_kept"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_kept").cast("double") / F.col("n_convs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def _conversation_funnel_sql() -> str:
+    from gmft_spark.operators.textstats import _KMV_SPACE
+
+    s1 = "n_ts_inversions = 0"
+    s2 = f"{s1} AND is_dup IS NULL"
+    s3 = f"{s2} AND coalesce(max_rep, 0.0) < {REP_MAX_JACCARD}"
+    s4 = f"{s3} AND is_train"
+    return f"""
+    WITH lint AS ({TRANSCRIPT_LINT_SQL}),
+    dup AS (
+        SELECT DISTINCT conv_b AS conv_id, 1 AS is_dup
+        FROM ({CONV_NEAR_DUP_SQL})
+    ),
+    rep AS (
+        SELECT conv_id, max(jaccard_prev) AS max_rep
+        FROM ({SELF_REPETITION_SQL}) GROUP BY conv_id
+    ),
+    sig AS (
+        SELECT string_split(l.conv_id, '-')[2] AS source,
+               l.n_ts_inversions, d.is_dup, r.max_rep,
+               CAST(md5_number_lower(l.conv_id) AS DOUBLE)
+                   / {_KMV_SPACE!r} < 0.8::DOUBLE AS is_train
+        FROM lint l
+        LEFT JOIN dup d ON l.conv_id = d.conv_id
+        LEFT JOIN rep r ON l.conv_id = r.conv_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(count(*) FILTER (WHERE {s1}) AS BIGINT) AS n_pass_lint,
+           CAST(count(*) FILTER (WHERE {s2}) AS BIGINT) AS n_pass_dedup,
+           CAST(count(*) FILTER (WHERE {s3}) AS BIGINT)
+               AS n_pass_repetition,
+           CAST(count(*) FILTER (WHERE {s4}) AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (WHERE {s4}) AS DOUBLE)
+                 / count(*), 6) AS keep_rate
+    FROM sig
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+CONVERSATION_FUNNEL_SQL = _conversation_funnel_sql()
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
@@ -1102,4 +1216,5 @@ QUERIES = {
         SELF_REPETITION_SQL,
     ),
     "conv_render_spans": (conv_render_spans, RENDER_SPANS_SQL),
+    "conversation_funnel": (conversation_funnel, CONVERSATION_FUNNEL_SQL),
 }

@@ -286,6 +286,70 @@ def test_split_decontamination_counts_train_shingle_hits(spark, tmp_path):
     assert e["contamination"] == 0.0
 
 
+def test_conversation_funnel_recomposes_its_signals(spark):
+    """Funnel totals must equal a brute-force recomposition from the four
+    constituent operators (lint, near-dup conv_b set, max self-repetition,
+    split hash), and every cumulative stage must strictly drop on the real
+    sf0.001 corpus (branch-census rule)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.convstats import (
+        REP_MAX_JACCARD,
+        assistant_self_repetition,
+        conv_near_dup,
+        conversation_funnel,
+        transcript_lint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tot = conversation_funnel(spark, sf).agg(
+        *[
+            F.sum(c).alias(c)
+            for c in [
+                "n_convs",
+                "n_pass_lint",
+                "n_pass_dedup",
+                "n_pass_repetition",
+                "n_kept",
+            ]
+        ]
+    ).collect()[0]
+    seq = [
+        tot["n_convs"],
+        tot["n_pass_lint"],
+        tot["n_pass_dedup"],
+        tot["n_pass_repetition"],
+        tot["n_kept"],
+    ]
+    assert all(a > b for a, b in zip(seq, seq[1:])), seq
+    assert seq[-1] > 0
+
+    lint = {
+        r["conv_id"]: r["n_ts_inversions"]
+        for r in transcript_lint(spark, sf).collect()
+    }
+    dup_b = {r["conv_b"] for r in conv_near_dup(spark, sf).collect()}
+    max_rep = {}
+    for r in assistant_self_repetition(spark, sf).collect():
+        k = r["conv_id"]
+        max_rep[k] = max(max_rep.get(k, 0.0), r["jaccard_prev"])
+
+    def is_train(cid):
+        f = (
+            int.from_bytes(hashlib.md5(cid.encode()).digest()[8:16], "little")
+            / 2**64
+        )
+        return f < 0.8
+
+    s1 = {c for c, inv in lint.items() if inv == 0}
+    s2 = {c for c in s1 if c not in dup_b}
+    s3 = {c for c in s2 if max_rep.get(c, 0.0) < REP_MAX_JACCARD}
+    s4 = {c for c in s3 if is_train(c)}
+    assert seq == [len(lint), len(s1), len(s2), len(s3), len(s4)]
+
+
 @pytest.fixture()
 def lint_sf_dir(spark, tmp_path):
     """One conversation with every lint violation class: the corpus stride
