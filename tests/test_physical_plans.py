@@ -563,3 +563,29 @@ def test_render_spans_prefix_sum_single_shuffle(spark):
     assert plan.count("hashpartitioning(conv_id") == 1
     assert plan.count("Exchange") == 2  # + the final orderBy range sort
     assert "Join" not in plan and "InPandas" not in plan
+
+
+def test_split_decontamination_is_membership_probe(spark):
+    """The cross-split audit must probe a train shingle SET on the shingle
+    key (inverted-index membership), never enumerate conversation pairs:
+    shared shingle assembly + train-distinct + probe join + rollup + the
+    presentation sort bound the exchange budget."""
+    from gmft_spark.operators.convstats import split_decontamination
+
+    plan = _plan(split_decontamination(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan  # the join key IS the content
+    assert plan.count("Exchange") <= 5
+
+
+def test_conversation_funnel_composes_conv_keyed_joins(spark):
+    """The funnel only ADDS conv_id-keyed LEFT joins and one source
+    rollup on top of its constituent signal plans — no pair enumeration,
+    no new join strategy; the exchange budget is the constituents' sum
+    plus the compose joins."""
+    from gmft_spark.operators.convstats import conversation_funnel
+
+    plan = _plan(conversation_funnel(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "conv_id" in plan
+    assert plan.count("Exchange") <= 13
