@@ -601,6 +601,26 @@ def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_html_content(t).orderBy("conv_id", "turn_idx")
 
 
+def _pipeline_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanned-table DOM extraction: one row per expanded grid slot."""
+    from gmft_spark.operators.html_content import (
+        extract_html_content,
+        synthesize_spanned_html_transcripts,
+    )
+
+    t = synthesize_spanned_html_transcripts(spark, n_convs=20, turns_per_conv=5)
+    out = extract_html_content(t)
+    c = out.select("conv_id", "turn_idx", F.explode("cells").alias("c"))
+    return c.select(
+        "conv_id",
+        "turn_idx",
+        F.col("c.table").alias("tbl"),
+        F.col("c.row").alias("r_idx"),
+        F.col("c.col").alias("c_idx"),
+        F.col("c.text").alias("cell_text"),
+    ).orderBy("conv_id", "turn_idx", "r_idx", "c_idx")
+
+
 def _pipeline_pdf_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real byte-stream path: per-turn PDF payloads decoded with the
     from-scratch parser inside mapInPandas (north-rule payload shape)."""
@@ -663,6 +683,7 @@ def _oracled_pipelines():
     from gmft_spark.operators.html_content import (
         CURATION_ORACLE_SQL,
         HTML_ORACLE_SQL,
+        HTML_SPANNED_CELLS_SQL,
     )
     from gmft_spark.operators.multimodal import MEDIA_FEATURES_ORACLE_SQL
 
@@ -774,6 +795,12 @@ def _oracled_pipelines():
         "html_main_content_pipeline": (
             _driver_form(_pipeline_html),
             HTML_ORACLE_SQL,
+        ),
+        # colspan/rowspan occupancy expansion (kernel/html.table_to_grid):
+        # the oracle enumerates the expected EXPANDED slots per turn
+        "html_spanned_cells_pipeline": (
+            _pipeline_html_spans,
+            HTML_SPANNED_CELLS_SQL,
         ),
         "training_data_curation": (_pipeline_curation, CURATION_ORACLE_SQL),
         "media_feature_pipeline": (

@@ -169,17 +169,50 @@ class HtmlContent:
     n_dropped_chars: int  # boilerplate characters removed
 
 
+_MAX_SPAN = 1000  # defensive clamp against colspan="999999" markup bombs
+
+
+def _span(cell: _Node, attr: str) -> int:
+    """colspan/rowspan attribute as a sane int: default 1, non-numeric or
+    non-positive → 1 (the rowspan=0 "rest of section" form is treated as
+    1 — deterministic and safe on malformed markup), clamped."""
+    try:
+        v = int(str(cell.attrs.get(attr, "1")).strip())
+    except ValueError:
+        return 1
+    return max(1, min(v, _MAX_SPAN))
+
+
 def table_to_grid(table_node: _Node) -> List[List[Optional[str]]]:
-    """``<table>`` → list of rows of normalized cell strings (th and td)."""
-    grid = []
-    for tr in _find(table_node, "tr"):
-        row = []
+    """``<table>`` → list of rows of normalized cell strings (th and td),
+    with colspan/rowspan expanded by the standard occupancy algorithm:
+    each cell claims the first free slot left-to-right in its row and
+    fills its span rectangle with its own text — the DOM twin of the PDF
+    pipeline's semantic spanning fill (kernel/table.py F11), so a
+    spanning header lands in every column it covers. Span-free tables
+    produce exactly the pre-span grids (row per ``<tr>`` with cells,
+    ``None`` for empty cells)."""
+    trs = list(_find(table_node, "tr"))
+    occ: dict = {}  # (tr_idx, col) -> cell text (may be None)
+    has_cells = set()
+    for r, tr in enumerate(trs):
+        c = 0
         for cell in tr.children:
-            if cell.tag in ("td", "th"):
-                t = _subtree_text(cell)
-                row.append(t if t else None)
-        if row:
-            grid.append(row)
+            if cell.tag not in ("td", "th"):
+                continue
+            has_cells.add(r)
+            while (r, c) in occ:
+                c += 1
+            t = _subtree_text(cell) or None
+            for dr in range(_span(cell, "rowspan")):
+                for dc in range(_span(cell, "colspan")):
+                    occ.setdefault((r + dr, c + dc), t)
+            c += _span(cell, "colspan")
+    grid = []
+    for r in range(len(trs)):
+        width = max((c for (rr, c) in occ if rr == r), default=-1) + 1
+        if r in has_cells or width > 0:
+            grid.append([occ.get((r, c)) for c in range(width)])
     return grid
 
 

@@ -188,6 +188,86 @@ CURATION_ORACLE_SQL = _HTML_EXPECT_CTE + """,
 """
 
 
+# oracle for the spanned-table pipeline: the expected EXPANDED grid is a
+# pure function of id (header 'metrics {id}' covers both columns via
+# colspan=2; 'grp {va}' covers rows 1-2 via rowspan=2), so the oracle
+# enumerates the six slots per turn directly
+HTML_SPANNED_CELLS_SQL = """
+    WITH ids AS (
+        SELECT g.id,
+               'hconv-' || CAST(g.id % 20 AS VARCHAR) AS conv_id,
+               CAST(g.id // 20 AS INT) AS turn_idx,
+               CAST(g.id % 97 AS VARCHAR) AS va,
+               CAST(g.id % 53 AS VARCHAR) AS vb
+        FROM range(0, 100) AS g(id)
+    ),
+    slots(r_idx, c_idx, kind) AS (
+        VALUES (0, 0, 'h'), (0, 1, 'h'), (1, 0, 'g'),
+               (1, 1, 'a'), (2, 0, 'g'), (2, 1, 'b')
+    )
+    SELECT conv_id, turn_idx, 0 AS tbl,
+           CAST(r_idx AS INT) AS r_idx, CAST(c_idx AS INT) AS c_idx,
+           CASE kind WHEN 'h' THEN 'metrics ' || CAST(id AS VARCHAR)
+                     WHEN 'g' THEN 'grp ' || va
+                     WHEN 'a' THEN va
+                     ELSE vb END AS cell_text
+    FROM ids CROSS JOIN slots
+    ORDER BY conv_id, turn_idx, r_idx, c_idx
+"""
+
+
+def synthesize_spanned_html_transcripts(
+    spark: SparkSession, n_convs: int = 20, turns_per_conv: int = 5
+) -> DataFrame:
+    """Like ``synthesize_html_transcripts`` but the article's table
+    exercises colspan/rowspan: a 2-wide spanning header and a 2-tall
+    group cell — the occupancy-expansion path of
+    ``kernel.html.table_to_grid``."""
+    total = n_convs * turns_per_conv
+    base = spark.range(0, total)
+    conv = F.concat(F.lit("hconv-"), (F.col("id") % n_convs).cast("string"))
+    turn = (F.col("id") / n_convs).cast("int")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Doc "
+        ),
+        F.col("id").cast("string"),
+        F.lit(
+            "</title></head><body>"
+            '<nav class="menu"><a href="/">Home</a></nav>'
+            "<div><article><h1>Report "
+        ),
+        F.col("id").cast("string"),
+        F.lit(
+            "</h1><p>Main prose body with enough words to dominate the "
+            "density score over the navigation boilerplate.</p>"
+            '<table><tr><th colspan="2">metrics '
+        ),
+        F.col("id").cast("string"),
+        F.lit('</th></tr><tr><td rowspan="2">grp '),
+        (F.col("id") % 97).cast("string"),
+        F.lit("</td><td>"),
+        (F.col("id") % 97).cast("string"),
+        F.lit("</td></tr><tr><td>"),
+        (F.col("id") % 53).cast("string"),
+        F.lit(
+            "</td></tr></table></article></div>"
+            '<footer class="footer">© SiteName</footer></body></html>'
+        ),
+    )
+    return base.select(
+        conv.alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.lit("user").alias("role"),
+        html.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("ts"),
+    )
+
+
 def synthesize_html_transcripts(
     spark: SparkSession, n_convs: int = 20, turns_per_conv: int = 5
 ) -> DataFrame:

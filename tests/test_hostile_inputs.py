@@ -114,7 +114,7 @@ class TestEmptyCorpus:
     rows): at 10^12-turn scale a partition/source can legitimately come
     up empty, and ANSI mode turns an unguarded ratio into a job-killing
     DIVIDE_BY_ZERO (quality_score had exactly this bug). A full sweep of
-    all 133 registered queries passed on 2026-08-18; this pins the
+    all 141 registered queries passed on 2026-08-18; this pins the
     queries with division / collect-scalar / iterative shapes — the
     classes that can break — as a fast tripwire."""
 
@@ -133,6 +133,9 @@ class TestEmptyCorpus:
         "assistant_self_repetition",  # lag window + Jaccard ratio
         "conv_split_assignment",  # hash-fraction split over nothing
         "conv_render_spans",  # prefix-sum offsets over nothing
+        "split_decontamination",  # membership-probe ratio, empty train set
+        "conversation_funnel",  # composed conv signals, all frames empty
+        "bpe_fertility_by_source",  # ratios over an empty trained vocab
     ]
 
     @pytest.fixture(scope="class")

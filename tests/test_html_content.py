@@ -47,6 +47,40 @@ class TestKernel:
         assert len(c.tables) == 1
         assert c.tables[0] == [["k", "v"], ["a", "1"], ["b", None]]
 
+    def test_spanned_table_expands_occupancy(self):
+        """colspan/rowspan expand by the standard occupancy algorithm with
+        the spanning cell's text filled into every covered slot (the DOM
+        twin of the PDF semantic spanning fill)."""
+        c = extract_main_content(
+            "<html><body><article><p>prose prose prose</p><table>"
+            '<tr><th colspan="2">hdr</th></tr>'
+            '<tr><td rowspan="2">grp</td><td>a</td></tr>'
+            "<tr><td>b</td></tr>"
+            "</table></article></body></html>"
+        )
+        assert c.tables[0] == [
+            ["hdr", "hdr"],
+            ["grp", "a"],
+            ["grp", "b"],
+        ]
+
+    def test_span_collisions_and_garbage_attrs(self):
+        """A rowspan landing on a slot a later cell would claim pushes that
+        cell right; non-numeric/zero spans fall back to 1; a rowspan past
+        the last ``<tr>`` is clipped at the table end (spec behavior —
+        browsers clip rowspans at the row group)."""
+        c = extract_main_content(
+            "<html><body><article><p>prose prose prose</p><table>"
+            '<tr><td rowspan="3">x</td><td colspan="abc">y</td>'
+            '<td colspan="0">z</td></tr>'
+            "<tr><td>u</td><td>v</td></tr>"
+            "</table></article></body></html>"
+        )
+        assert c.tables[0] == [
+            ["x", "y", "z"],
+            ["x", "u", "v"],
+        ]
+
     def test_malformed_html_does_not_raise(self):
         c = extract_main_content("<div><p>unclosed <b>tags <table><tr><td>x")
         assert "unclosed" in c.main_text or c.main_text == "unclosed tags"
