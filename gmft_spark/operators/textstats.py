@@ -340,6 +340,165 @@ LANG_ACCURACY_SQL = f"""
 """
 
 
+def nb_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier TRAINED distributively
+    on the corpus's own labels and applied back to every document — the
+    trained-classifier curation filter (the fastText-style lang-id /
+    quality-classifier pattern) at sandbox fidelity; on this corpus the
+    text carries little label signal, so predictions sit near the prior —
+    the resubstitution diagnostic reports that honestly (like
+    ``lang_id_accuracy`` does for the stopword heuristic).
+
+    EXACT cross-engine (bigram-NLL recipe): every ln is fixed-pointed
+    (floor(x·1e6 + 0.5)) per distinct count the moment it's computed;
+    everything downstream — per-document score sums, the per-token
+    denominator scaled by the document's token count, the prior, the
+    argmax with its lexicographic tie-break — is pure integer arithmetic,
+    so the driver hash is bit-stable. Add-1 smoothing makes a zero count
+    contribute ln(1) = 0, so the model table only carries OBSERVED
+    (lang, tok) pairs and the unseen-pair default folds into the
+    per-language offset.
+
+    Scale shape: two map-side-combinable count aggregations build the
+    model; scoring joins token instances to the model on the token key
+    (inverted-index shape — broadcastable when the vocabulary is small);
+    the candidate matrix is documents × |langs| via a broadcast of the
+    tiny per-language offset frame (bounded small-dimension blowup, the
+    conv_embedding_profile label-vote pattern); the argmax is one
+    doc_id-partitioned window."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    dt = _tokens(spark, sf_dir)  # (doc_id, lang, tok) — label rides the scan
+    toks = dt.select("doc_id", "tok")
+    c_lt = dt.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    vocab = toks.agg(F.count_distinct("tok").alias("v"))
+    ndocs = d.agg(F.count("*").alias("n"))
+    w = c_lt.select(
+        F.col("lang").alias("cand_lang"),
+        "tok",
+        F.floor(F.log(F.col("c") + 1) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("w_fp"),
+    )
+    off = (
+        c_lt.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .join(d.groupBy("lang").agg(F.count("*").alias("nd")), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            F.floor(
+                F.log(F.col("tot") + F.col("v")) * 1000000.0 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("denom_fp"),
+            F.floor(
+                (F.log("nd") - F.log("n")) * 1000000.0 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_fp"),
+        )
+    )
+    sparse = (
+        toks.join(w, "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("w_fp").alias("s_fp"))
+    )
+    nt = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    base = (
+        d.join(nt, "doc_id", "left")
+        .withColumn("nt", F.coalesce(F.col("nt"), F.lit(0)))
+        .crossJoin(F.broadcast(off))
+        .join(sparse, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cand_lang",
+            (
+                F.coalesce(F.col("s_fp"), F.lit(0))
+                - F.col("nt") * F.col("denom_fp")
+                + F.col("prior_fp")
+            ).alias("score_fp"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("cand_lang")
+    )
+    return (
+        base.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand_lang").alias("pred_lang"),
+            "score_fp",
+            F.when(F.col("lang") == F.col("cand_lang"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NB_LANG_SQL = """
+    WITH d AS (SELECT doc_id, lang FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    dt AS (SELECT t.doc_id, t.tok, d.lang FROM t JOIN d USING (doc_id)),
+    c_lt AS (SELECT lang, tok, count(*) AS c FROM dt GROUP BY lang, tok),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM t),
+    ndocs AS (SELECT count(*) AS n FROM d),
+    w AS (
+        SELECT lang AS cand_lang, tok,
+               CAST(floor(ln(c + 1) * 1000000.0 + 0.5) AS BIGINT) AS w_fp
+        FROM c_lt
+    ),
+    off AS (
+        SELECT c.lang AS cand_lang,
+               CAST(floor(ln(c.tot + vocab.v) * 1000000.0 + 0.5) AS BIGINT)
+                   AS denom_fp,
+               CAST(floor((ln(nd.nd) - ln(ndocs.n)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS prior_fp
+        FROM (SELECT lang, sum(c) AS tot FROM c_lt GROUP BY lang) c
+        JOIN (SELECT lang, count(*) AS nd FROM d GROUP BY lang) nd
+          ON c.lang = nd.lang, vocab, ndocs
+    ),
+    sparse AS (
+        SELECT t.doc_id, w.cand_lang, sum(w.w_fp) AS s_fp
+        FROM t JOIN w ON t.tok = w.tok
+        GROUP BY t.doc_id, w.cand_lang
+    ),
+    nt AS (SELECT doc_id, count(*) AS nt FROM t GROUP BY doc_id),
+    scored AS (
+        SELECT d.doc_id, d.lang, o.cand_lang,
+               coalesce(s.s_fp, 0)
+                   - coalesce(nt.nt, 0) * o.denom_fp + o.prior_fp
+                   AS score_fp,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY coalesce(s.s_fp, 0)
+                            - coalesce(nt.nt, 0) * o.denom_fp + o.prior_fp
+                            DESC, o.cand_lang ASC
+               ) AS rk
+        FROM d
+        CROSS JOIN off o
+        LEFT JOIN nt ON d.doc_id = nt.doc_id
+        LEFT JOIN sparse s
+          ON d.doc_id = s.doc_id AND o.cand_lang = s.cand_lang
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang,
+           CAST(score_fp AS BIGINT) AS score_fp,
+           CAST(CASE WHEN lang = cand_lang THEN 1 ELSE 0 END AS INT)
+               AS correct
+    FROM scored WHERE rk = 1
+    ORDER BY doc_id
+"""
+
+
 def _mk_bigram(tk, i):
     """Helper binding the array column (CLAUDE.md lambda-index gotcha)."""
     return F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1))
@@ -1453,6 +1612,7 @@ BM25_SQL = _bm25_sql()
 QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
+    "text_nb_lang_classifier": (nb_lang_classify, NB_LANG_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_quality_filter_adaptive": (quality_filter_adaptive, QUALITY_FILTER_SQL),
     "text_bigram_nll": (bigram_nll, BIGRAM_NLL_SQL),
