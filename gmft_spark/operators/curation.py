@@ -794,6 +794,175 @@ CHUNK_TOKENS = 64  # tokens per chunk
 CHUNK_OVERLAP = 16  # tokens shared between consecutive chunks
 
 
+DSIR_TARGET_LANG = "en"  # target distribution: the labeled-en slice
+DSIR_BUCKETS = 64  # hashed feature space
+DSIR_KEEP_FRAC = 0.2
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    score every document by the log-ratio of a TARGET hashed-n-gram
+    distribution (here the labeled-``en`` slice) to the RAW corpus
+    distribution, and mark the top ``DSIR_KEEP_FRAC`` for selection.
+    Features are unigrams hashed to ``DSIR_BUCKETS`` buckets via the last
+    two md5 hex chars (small-int exact in both engines — the lower-64
+    DOUBLE modulo trap in CLAUDE.md doesn't apply), add-1 smoothed.
+
+    Exactness: each bucket's ln ratio is fixed-pointed once
+    (floor(x·1e6 + 0.5), bigram-NLL recipe); per-document totals are
+    integer sums, and the per-token average is emitted as
+    floor(total·1000/n) — identical double ops then floor in both
+    engines — so the selection rank is pure integer comparison.
+
+    Scale shape: ONE token-instance pass joined (broadcast) against the
+    64-row ratio table, then a map-side-combinable doc rollup. The
+    global top-k rank is the sandbox presentation; at corpus scale the
+    selection threshold comes from an approximate quantile broadcast
+    instead of a global sort."""
+    from pyspark.sql import Window
+
+    from gmft_spark.operators.textstats import _tokens
+
+    t = _tokens(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 31, 2), 16, 10).cast("int")
+        % DSIR_BUCKETS
+    )
+    tb = t.select("doc_id", "lang", bucket.alias("b"))
+    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        tb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot_r = tb.agg(F.count("*").alias("tr"))
+    tot_t = tb.filter(F.col("lang") == DSIR_TARGET_LANG).agg(
+        F.count("*").alias("tt")
+    )
+    ratio = (
+        raw.join(tgt, "b", "left")
+        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            (
+                F.floor(
+                    (
+                        F.log(F.col("ct") + 1)
+                        - F.log(F.col("tt") + DSIR_BUCKETS)
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                - F.floor(
+                    (
+                        F.log(F.col("cr") + 1)
+                        - F.log(F.col("tr") + DSIR_BUCKETS)
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("lr_fp"),
+        )
+    )
+    per_doc = (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_fp").alias("logratio_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logratio_fp",
+            F.floor(F.col("logratio_fp") * 1000.0 / F.col("n_tokens"))
+            .cast("long")
+            .alias("avg_mlr"),
+        )
+    )
+    n = per_doc.agg(F.count("*").alias("n_docs"))
+    win = Window.orderBy(F.desc("avg_mlr"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(win))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logratio_fp",
+            "avg_mlr",
+            F.when(
+                F.col("rk")
+                <= F.ceil(F.lit(DSIR_KEEP_FRAC) * F.col("n_docs")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql() -> str:
+    hx = (
+        "((strpos('0123456789abcdef', substr(md5(tok), 31, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(tok), 32, 1)) - 1))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, tok FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    tb AS (SELECT doc_id, lang, {hx} % {DSIR_BUCKETS} AS b FROM t),
+    raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM tb
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    tot_r AS (SELECT count(*) AS tr FROM tb),
+    tot_t AS (SELECT count(*) AS tt FROM tb
+              WHERE lang = '{DSIR_TARGET_LANG}'),
+    ratio AS (
+        SELECT raw.b,
+               CAST(floor((ln(coalesce(tgt.ct, 0) + 1)
+                           - ln(tot_t.tt + {DSIR_BUCKETS}))
+                          * 1000000.0 + 0.5)
+                    - floor((ln(raw.cr + 1)
+                             - ln(tot_r.tr + {DSIR_BUCKETS}))
+                            * 1000000.0 + 0.5) AS BIGINT) AS lr_fp
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot_r, tot_t
+    ),
+    per_doc AS (
+        SELECT tb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(r.lr_fp) AS BIGINT) AS logratio_fp,
+               CAST(floor(sum(r.lr_fp) * 1000.0 / count(*)) AS BIGINT)
+                   AS avg_mlr
+        FROM tb JOIN ratio r ON tb.b = r.b
+        GROUP BY tb.doc_id
+    ),
+    n AS (SELECT count(*) AS n_docs FROM per_doc),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY avg_mlr DESC, doc_id ASC)
+                      AS rk
+        FROM per_doc
+    )
+    SELECT doc_id, n_tokens, logratio_fp, avg_mlr,
+           CAST(CASE WHEN rk <= ceil({DSIR_KEEP_FRAC} * n.n_docs)
+                THEN 1 ELSE 0 END AS INT) AS selected
+    FROM ranked, n
+    ORDER BY doc_id
+"""
+
+
+DSIR_SQL = _dsir_sql()
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split each document into fixed-size token windows with overlap —
     the chunking step feeding a RAG index or a fixed-context trainer
@@ -1118,4 +1287,5 @@ QUERIES = {
         BPE_FERTILITY_SQL,
     ),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
+    "dsir_importance": (dsir_importance, DSIR_SQL),
 }
