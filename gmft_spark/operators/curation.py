@@ -830,21 +830,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         % DSIR_BUCKETS
     )
     tb = t.select("doc_id", "lang", bucket.alias("b"))
-    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt = (
-        tb.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # ONE stacked pass builds both distributions (raw count + target count
+    # per bucket); totals fold from the 64-row frame, never re-scan tokens
+    bstats = tb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
     )
-    tot_r = tb.agg(F.count("*").alias("tr"))
-    tot_t = tb.filter(F.col("lang") == DSIR_TARGET_LANG).agg(
-        F.count("*").alias("tt")
+    tots = bstats.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     ratio = (
-        raw.join(tgt, "b", "left")
-        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
+        bstats.crossJoin(F.broadcast(tots))
         .select(
             "b",
             (
@@ -921,21 +917,21 @@ def _dsir_sql() -> str:
         ) WHERE tok <> ''
     ),
     tb AS (SELECT doc_id, lang, {hx} % {DSIR_BUCKETS} AS b FROM t),
-    raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
-    tgt AS (SELECT b, count(*) AS ct FROM tb
-            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
-    tot_r AS (SELECT count(*) AS tr FROM tb),
-    tot_t AS (SELECT count(*) AS tt FROM tb
-              WHERE lang = '{DSIR_TARGET_LANG}'),
+    bstats AS (
+        SELECT b, count(*) AS cr,
+               count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct
+        FROM tb GROUP BY b
+    ),
+    tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bstats),
     ratio AS (
-        SELECT raw.b,
-               CAST(floor((ln(coalesce(tgt.ct, 0) + 1)
-                           - ln(tot_t.tt + {DSIR_BUCKETS}))
+        SELECT bstats.b,
+               CAST(floor((ln(bstats.ct + 1)
+                           - ln(tots.tt + {DSIR_BUCKETS}))
                           * 1000000.0 + 0.5)
-                    - floor((ln(raw.cr + 1)
-                             - ln(tot_r.tr + {DSIR_BUCKETS}))
+                    - floor((ln(bstats.cr + 1)
+                             - ln(tots.tr + {DSIR_BUCKETS}))
                             * 1000000.0 + 0.5) AS BIGINT) AS lr_fp
-        FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot_r, tot_t
+        FROM bstats, tots
     ),
     per_doc AS (
         SELECT tb.doc_id,

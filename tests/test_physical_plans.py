@@ -589,3 +589,28 @@ def test_conversation_funnel_composes_conv_keyed_joins(spark):
     assert "CartesianProduct" not in plan
     assert "conv_id" in plan
     assert plan.count("Exchange") <= 13
+
+
+def test_nb_classifier_model_joins_stay_keyed(spark):
+    """NB scoring must join token instances to the model on the TOKEN key
+    and build the candidate matrix from a broadcast of the tiny offsets
+    frame — no pair enumeration, partial aggregation on every count."""
+    from gmft_spark.operators.textstats import nb_lang_classify
+
+    plan = _plan(nb_lang_classify(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange") <= 18
+
+
+def test_dsir_single_token_pass_builds_the_model(spark):
+    """DSIR's distributions come from ONE stacked token aggregation (raw
+    + target counts in the same groupBy), the ratio table broadcasts to
+    the scoring join, and the doc rollup combines map-side."""
+    from gmft_spark.operators.curation import dsir_importance
+
+    plan = _plan(dsir_importance(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # 64-row ratio broadcast
+    assert "partial_count" in plan
+    assert plan.count("Exchange") <= 14
