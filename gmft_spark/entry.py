@@ -822,8 +822,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _EARLY_MODULE_QUERIES = (
     # keep the parity pipelines + relational suite + these inside the
     # driver's ~50-row verified window: the queries REWRITTEN or ADDED
-    # this round come first (older dedup queries were driver-green in
-    # both prior rounds and moved back out of the window)
+    # most recently come first (older queries that were driver-green in
+    # prior rounds move back out of the window)
+    "text_nb_lang_classifier",
+    "dsir_importance",
+    "conversation_funnel",
+    "split_decontamination",
+    "bpe_fertility_by_source",
     "dedup_simhash",
     "embedding_knn_join",
     "dedup_semantic",
@@ -848,8 +853,11 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     for mod in _ORACLE_MODULES:
         for name, (fn, sql) in mod.QUERIES.items():
             module_items[name] = (fn, sql)
-    ordered_names = [n for n in relational.QUERIES if n in module_items]
-    ordered_names += [n for n in _EARLY_MODULE_QUERIES if n in module_items]
+    # newest queries before the relational suite: the suite has been
+    # driver-green since round 1, so its tail entries are the safest to
+    # fall past a strict 50-row driver cap
+    ordered_names = [n for n in _EARLY_MODULE_QUERIES if n in module_items]
+    ordered_names += [n for n in relational.QUERIES if n not in set(ordered_names)]
     seen = set(ordered_names)
     ordered_names += [n for n in module_items if n not in seen]
     for name in ordered_names:
