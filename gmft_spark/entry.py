@@ -825,6 +825,7 @@ _EARLY_MODULE_QUERIES = (
     # most recently come first (older queries that were driver-green in
     # prior rounds move back out of the window)
     "text_nb_lang_classifier",
+    "text_char_entropy",
     "dsir_importance",
     "conversation_funnel",
     "split_decontamination",

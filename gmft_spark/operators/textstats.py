@@ -499,6 +499,72 @@ NB_LANG_SQL = """
 """
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the
+    compression-ratio-family quality signal (RefinedWeb/Gopher style):
+    near-zero entropy flags run-on repetition ('aaaa…'), unusually high
+    entropy flags binary/base64 junk; curation thresholds both tails.
+    H = ln(n) − Σ c·ln(c)/n over character counts c.
+
+    Exactness: each ln(c) is fixed-pointed per distinct count
+    (bigram-NLL recipe) so Σ c·fp(ln c) is an exact integer under
+    unordered partial aggregation; the final H combines that integer
+    with ln(n) in one identical double expression per engine before the
+    6dp round. Documents with no characters (NULL/empty text) have no
+    rows and are excluded.
+
+    Scale shape: one (doc_id, char) count aggregation over the character
+    stream, then a map-side-combinable doc rollup — both partial-agg
+    friendly; alphabet size bounds the first aggregate's width."""
+    d = _docs(spark, sf_dir)
+    ch = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log("c") * 1000000.0 + F.lit(0.5)).cast("long")
+        ).alias("s_fp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars_counted"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log("n") - F.col("s_fp") / (1000000.0 * F.col("n")), 6
+        ).alias("entropy"),
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = """
+    WITH ch AS (
+        SELECT doc_id, u.ch AS ch
+        FROM documents, LATERAL unnest(string_split(text, '')) AS u(ch)
+        WHERE u.ch <> ''
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               sum(c) AS n,
+               count(*) AS n_distinct_chars,
+               sum(c * CAST(floor(ln(c) * 1000000.0 + 0.5) AS BIGINT))
+                   AS s_fp
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_counted,
+           CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+           round(ln(n) - s_fp / (1000000.0 * n), 6) AS entropy
+    FROM per_doc
+    ORDER BY doc_id
+"""
+
+
 def _mk_bigram(tk, i):
     """Helper binding the array column (CLAUDE.md lambda-index gotcha)."""
     return F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1))
@@ -1613,6 +1679,7 @@ QUERIES = {
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_lang_id_accuracy": (lang_id_accuracy, LANG_ACCURACY_SQL),
     "text_nb_lang_classifier": (nb_lang_classify, NB_LANG_SQL),
+    "text_char_entropy": (char_entropy, CHAR_ENTROPY_SQL),
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_quality_filter_adaptive": (quality_filter_adaptive, QUALITY_FILTER_SQL),
     "text_bigram_nll": (bigram_nll, BIGRAM_NLL_SQL),
