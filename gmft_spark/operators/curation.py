@@ -799,7 +799,9 @@ DSIR_BUCKETS = 64  # hashed feature space
 DSIR_KEEP_FRAC = 0.2
 
 
-def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance(
+    spark: SparkSession, sf_dir: str, selection: str = "rank"
+) -> DataFrame:
     """DSIR-style importance weighting for data selection (Xie et al.
     2023, "Data Selection for Language Models via Importance Resampling"):
     score every document by the log-ratio of a TARGET hashed-n-gram
@@ -816,10 +818,14 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — so the selection rank is pure integer comparison.
 
     Scale shape: ONE token-instance pass joined (broadcast) against the
-    64-row ratio table, then a map-side-combinable doc rollup. The
-    global top-k rank is the sandbox presentation; at corpus scale the
-    selection threshold comes from an approximate quantile broadcast
-    instead of a global sort."""
+    64-row ratio table, then a map-side-combinable doc rollup.
+    ``selection='rank'`` (the gate default) marks exactly
+    ceil(keep_frac·n) documents via a global rank — exact, hash-stable,
+    but a single-partition sort. ``selection='threshold'`` is the
+    100 TB path: an approx-quantile threshold broadcast back over the
+    scores (no single-partition exchange, plan-pinned in
+    tests/test_physical_plans.py) at the cost of an approximate keep
+    count."""
     from pyspark.sql import Window
 
     from gmft_spark.operators.textstats import _tokens
@@ -881,6 +887,26 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_mlr"),
         )
     )
+    if selection == "threshold":
+        thr = per_doc.agg(
+            F.percentile_approx(
+                "avg_mlr", 1.0 - DSIR_KEEP_FRAC, 100000
+            ).alias("thr")
+        )
+        return (
+            per_doc.crossJoin(F.broadcast(thr))
+            .select(
+                "doc_id",
+                "n_tokens",
+                "logratio_fp",
+                "avg_mlr",
+                F.when(F.col("avg_mlr") >= F.col("thr"), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("selected"),
+            )
+            .orderBy("doc_id")
+        )
     n = per_doc.agg(F.count("*").alias("n_docs"))
     win = Window.orderBy(F.desc("avg_mlr"), F.asc("doc_id"))
     return (

@@ -158,3 +158,53 @@ class TestEmptyCorpus:
         qs = e.queries()
         for name in self.REPRESENTATIVES:
             assert qs[name](spark, empty_sf).count() == 0, name
+
+
+class TestNullTextOracleParity:
+    """NULL and empty text documents must produce IDENTICAL output in
+    both engines for the signal queries that tokenize/shingle text —
+    split(NULL) vs string_agg-NULL-skip asymmetries are this repo's most
+    recurrent cross-engine bug class (conv_near_dup shipped one)."""
+
+    QUERIES = [
+        "text_nb_lang_classifier",
+        "text_char_entropy",
+        "dsir_importance",
+        "bpe_fertility_by_source",
+        "split_decontamination",
+        "conversation_funnel",
+    ]
+
+    def test_null_and_empty_text_agree_cross_engine(self, spark, tmp_path):
+        import duckdb
+
+        import __spark_entry__ as e
+        from tests.oracle_check import TABLES, compare
+
+        d = str(tmp_path)
+        src = "/root/testdata/sf0.001"
+        for t in TABLES:
+            if t == "documents":
+                continue
+            spark.read.parquet(f"{src}/{t}.parquet").limit(0).coalesce(
+                1
+            ).write.parquet(f"{d}/{t}.parquet")
+        rows = [
+            (1, "x x y", "en", "s0", 5),
+            (2, None, "de", "s0", 0),
+            (3, "y z", "en", "s1", 3),
+            (4, "", "fr", "s1", 0),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        con = duckdb.connect()
+        for t in TABLES:
+            # spark writes parquet directories; duckdb needs the glob
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet/*.parquet'"
+            )
+        qs, osql = e.queries(), e.oracle_sql()
+        for name in self.QUERIES:
+            ok, msg = compare(qs[name](spark, d), con, osql[name])
+            assert ok, f"{name}: {msg}"

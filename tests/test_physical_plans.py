@@ -614,3 +614,16 @@ def test_dsir_single_token_pass_builds_the_model(spark):
     assert plan.count("BroadcastHashJoin") >= 1  # 64-row ratio broadcast
     assert "partial_count" in plan
     assert plan.count("Exchange") <= 14
+
+
+def test_dsir_threshold_mode_has_no_global_sort_window(spark):
+    """The 100 TB selection path: an approx-quantile threshold broadcast
+    back over the scores — no single-partition rank window in the plan
+    (the exact-rank gate mode necessarily has one)."""
+    from gmft_spark.operators.curation import dsir_importance
+
+    rank_plan = _plan(dsir_importance(spark, SF, selection="rank"))
+    thr_plan = _plan(dsir_importance(spark, SF, selection="threshold"))
+    assert "Window" in rank_plan  # the exact mode pays the global rank
+    assert "Window" not in thr_plan
+    assert "percentile_approx" in thr_plan
