@@ -107,6 +107,18 @@ def _bench_transcript_lint(spark, sf_dir):
     return transcript_lint(spark, sf_dir)
 
 
+def _bench_split_decontamination(spark, sf_dir):
+    from gmft_spark.operators.convstats import split_decontamination
+
+    return split_decontamination(spark, sf_dir)
+
+
+def _bench_conversation_funnel(spark, sf_dir):
+    from gmft_spark.operators.convstats import conversation_funnel
+
+    return conversation_funnel(spark, sf_dir)
+
+
 def _bench_conv_embedding_profile(spark, sf_dir):
     from gmft_spark.operators.convstats import conv_embedding_profile
 
@@ -153,6 +165,12 @@ HEADLINE = [
     ("curation_funnel", curation.curation_funnel),
     ("conv_embedding_profile", _bench_conv_embedding_profile),
     ("turn_grounding", _bench_turn_grounding),
+    ("text_nb_lang_classifier", textstats.nb_lang_classify),
+    ("text_char_entropy", textstats.char_entropy),
+    ("dsir_importance", curation.dsir_importance),
+    ("split_decontamination", _bench_split_decontamination),
+    ("conversation_funnel", _bench_conversation_funnel),
+    ("bpe_fertility_by_source", curation.bpe_fertility_by_source),
     ("window_session_native", analytics.session_window_native),
     ("window_cohort_retention", analytics.cohort_retention),
     ("text_source_drift", textstats.source_drift),

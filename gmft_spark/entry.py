@@ -827,6 +827,7 @@ _EARLY_MODULE_QUERIES = (
     "text_nb_lang_classifier",
     "text_char_entropy",
     "dsir_importance",
+    "cluster_balanced_sample",
     "conversation_funnel",
     "split_decontamination",
     "bpe_fertility_by_source",

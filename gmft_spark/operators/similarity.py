@@ -13,7 +13,7 @@ global sort of n rows × 1 score — no shuffle of the vectors themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 # Sign-LSH hyperplanes. 8 planes → 256 buckets, sized for the test SFs;
 # at corpus scale the plane count is the knob that keeps the per-bucket
@@ -1011,6 +1011,70 @@ SEMDEDUP_SQL = (
 )
 
 
+CLUSTER_SAMPLE_K = 60  # straddles the sf0.01 cluster sizes (55–68)
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subsample over the trained k-means partition
+    (the D4-style step after SemDeDup): keep at most ``CLUSTER_SAMPLE_K``
+    members PER CLUSTER so no dense region dominates the curated corpus,
+    ranked by a deterministic md5 draw (append-order independent —
+    re-shuffling the input never changes who is kept). Reuses the SAME
+    memoized Lloyd run as ann_kmeans_train / dedup_semantic.
+
+    Cross-engine exactness: the rank orders on the RAW HEX SUBSTRING of
+    the md5 (string comparison == numeric order of the big-endian hex) —
+    never on the lower-64 value as a double, whose 2^64→double collapse
+    could tie two distinct hashes in one engine only (CLAUDE.md trap).
+
+    Scale shape: one cid-keyed window for the per-cluster rank; cluster
+    sizes are bounded by corpus/K on a healthy clustering — a degenerate
+    giant cluster is the skew case, where the rank-free variant
+    (keep-fraction threshold on the same hash string) drops in without
+    changing the draw."""
+    _cents, assigned = _kmeans_run(spark, sf_dir)
+    draw = F.substring(
+        F.md5(F.concat(F.lit("cbs|"), F.col("vec_id").cast("string"))), 17, 16
+    )
+    w = Window.partitionBy("cid").orderBy(F.asc("draw"), F.asc("vec_id"))
+    return (
+        assigned.select(
+            "vec_id", F.col("cid").cast("int").alias("cluster_id"),
+            draw.alias("draw"),
+        )
+        .withColumn("cid", F.col("cluster_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("rk") <= CLUSTER_SAMPLE_K).cast("int").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+CLUSTER_SAMPLE_SQL = (
+    _kmeans_ctes()
+    + f""",
+    ranked AS (
+        SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY substr(md5('cbs|' || CAST(vec_id AS VARCHAR)),
+                                   17, 16) ASC, vec_id ASC
+               ) AS rk
+        FROM a{KMEANS_ITERS}
+    )
+    SELECT vec_id, cluster_id, CAST(rk AS BIGINT) AS rk,
+           CAST(CASE WHEN rk <= {CLUSTER_SAMPLE_K} THEN 1 ELSE 0 END AS INT)
+               AS kept
+    FROM ranked
+    ORDER BY vec_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory half of a billion-scale IVF-PQ
 # index: each 64-dim vector compresses to PQ_M one-byte codes (one
@@ -1625,6 +1689,7 @@ QUERIES = {
     "ann_ivf_assign": (ann_ivf_assign, ANN_IVF_SQL),
     "ann_kmeans_train": (ann_kmeans_train, KMEANS_SQL),
     "dedup_semantic": (dedup_semantic, SEMDEDUP_SQL),
+    "cluster_balanced_sample": (cluster_balanced_sample, CLUSTER_SAMPLE_SQL),
     "ann_pq_encode": (ann_pq_encode, ANN_PQ_ENCODE_SQL),
     "ann_pq_search": (ann_pq_search, ANN_PQ_SEARCH_SQL),
     "ann_pq_rerank": (ann_pq_rerank, ANN_PQ_RERANK_SQL),

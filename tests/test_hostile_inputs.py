@@ -114,7 +114,7 @@ class TestEmptyCorpus:
     rows): at 10^12-turn scale a partition/source can legitimately come
     up empty, and ANSI mode turns an unguarded ratio into a job-killing
     DIVIDE_BY_ZERO (quality_score had exactly this bug). A full sweep of
-    all 144 registered queries passed on 2026-08-18 (newest re-swept 08-19); this pins the
+    all 145 registered queries passed on 2026-08-18 (newest re-swept 08-19); this pins the
     queries with division / collect-scalar / iterative shapes — the
     classes that can break — as a fast tripwire."""
 

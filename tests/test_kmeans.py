@@ -93,3 +93,30 @@ def test_iterations_reduce_inertia(spark):
         for r in ann_kmeans_train(spark, SF_DIR).collect()
     }
     assert trained != init
+
+
+def test_cluster_balanced_sample_keeps_min_k_per_cluster(spark):
+    """Per cluster: rk is a 1..size permutation, kept == min(K, size),
+    and the draw is a pure function of vec_id (two invocations agree)."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.similarity import (
+        CLUSTER_SAMPLE_K,
+        cluster_balanced_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = cluster_balanced_sample(spark, sf)
+    stats = out.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        F.sum("kept").alias("k"),
+        F.min("rk").alias("lo"),
+        F.max("rk").alias("hi"),
+        F.count_distinct("rk").alias("d"),
+    )
+    for r in stats.collect():
+        assert (r["lo"], r["hi"], r["d"]) == (1, r["n"], r["n"])
+        assert r["k"] == min(CLUSTER_SAMPLE_K, r["n"])
+    rows = {r["vec_id"]: r["rk"] for r in out.collect()}
+    again = {r["vec_id"]: r["rk"] for r in cluster_balanced_sample(spark, sf).collect()}
+    assert rows == again
