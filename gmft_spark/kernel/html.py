@@ -169,7 +169,12 @@ class HtmlContent:
     n_dropped_chars: int  # boilerplate characters removed
 
 
-_MAX_SPAN = 1000  # defensive clamp against colspan="999999" markup bombs
+_MAX_SPAN = 1000  # per-axis clamp on colspan/rowspan attributes
+# total occupancy budget per table: spans stop expanding (degrade to 1×1,
+# never raise) once a table has claimed this many slots — otherwise 20
+# cells of rowspan=1000 colspan=1000 (<1 KB of markup) claim 20M slots
+# and stall the executor inside the mapInPandas HTML path
+_MAX_OCC = 200_000
 
 
 def _span(cell: _Node, attr: str) -> int:
@@ -191,9 +196,12 @@ def table_to_grid(table_node: _Node) -> List[List[Optional[str]]]:
     pipeline's semantic spanning fill (kernel/table.py F11), so a
     spanning header lands in every column it covers. Span-free tables
     produce exactly the pre-span grids (row per ``<tr>`` with cells,
-    ``None`` for empty cells)."""
+    ``None`` for empty cells). Rowspans are clipped at the last ``<tr>``
+    (spec behavior), and a table's total claimed slots are bounded by
+    ``_MAX_OCC`` (hostile-markup budget; spans degrade to 1×1 past it)."""
     trs = list(_find(table_node, "tr"))
     occ: dict = {}  # (tr_idx, col) -> cell text (may be None)
+    widths: dict = {}  # tr_idx -> max occupied col + 1 (incremental)
     has_cells = set()
     for r, tr in enumerate(trs):
         c = 0
@@ -204,13 +212,20 @@ def table_to_grid(table_node: _Node) -> List[List[Optional[str]]]:
             while (r, c) in occ:
                 c += 1
             t = _subtree_text(cell) or None
-            for dr in range(_span(cell, "rowspan")):
-                for dc in range(_span(cell, "colspan")):
-                    occ.setdefault((r + dr, c + dc), t)
-            c += _span(cell, "colspan")
+            cs = _span(cell, "colspan")
+            rs = min(_span(cell, "rowspan"), len(trs) - r)  # spec clip
+            if len(occ) + cs * rs > _MAX_OCC:
+                cs = rs = 1
+            for dr in range(rs):
+                rr = r + dr
+                for dc in range(cs):
+                    occ.setdefault((rr, c + dc), t)
+                if c + cs > widths.get(rr, 0):
+                    widths[rr] = c + cs
+            c += cs
     grid = []
     for r in range(len(trs)):
-        width = max((c for (rr, c) in occ if rr == r), default=-1) + 1
+        width = widths.get(r, 0)
         if r in has_cells or width > 0:
             grid.append([occ.get((r, c)) for c in range(width)])
     return grid

@@ -788,6 +788,48 @@ TURN_GROUNDING_SQL = f"""
 """
 
 
+# conversation-grain split rule — ONE definition shared by
+# conv_split_assignment, split_decontamination and conversation_funnel
+# (Spark + SQL pairs); changing a fraction or the hash key here changes
+# every consumer in lockstep, in both engines.
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.9
+
+
+def _split_frac_col():
+    """md5 lower-64 fraction of conv_id (append-stable split hash)."""
+    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
+
+    return _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
+
+
+def _split_col():
+    """'train' | 'val' | 'test' as a function of conv_id."""
+    f = _split_frac_col()
+    return (
+        F.when(f < SPLIT_TRAIN_FRAC, "train")
+        .when(f < SPLIT_VAL_FRAC, "val")
+        .otherwise("test")
+    )
+
+
+def _split_frac_sql(conv_id_expr: str) -> str:
+    from gmft_spark.operators.textstats import _KMV_SPACE
+
+    return (
+        f"CAST(md5_number_lower({conv_id_expr}) AS DOUBLE)"
+        f" / {_KMV_SPACE!r}"
+    )
+
+
+def _split_case_sql(frac_expr: str) -> str:
+    return (
+        f"CASE WHEN {frac_expr} < {SPLIT_TRAIN_FRAC}::DOUBLE THEN 'train'"
+        f" WHEN {frac_expr} < {SPLIT_VAL_FRAC}::DOUBLE THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
 def conv_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split at CONVERSATION grain: the split
     is a pure function of conv_id (md5 lower-64 hash fraction, 80/10/10),
@@ -801,35 +843,23 @@ def conv_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic and append-stable: adding conversations never reassigns
     existing ones (no sampling state, no seed plumbing). One conv_id
     groupBy — the pipeline's standard partitioning."""
-    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
-
     t = transcripts_from_documents(spark, sf_dir)
-    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
-    split = (
-        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
-    )
     return (
         t.groupBy("conv_id")
         .agg(F.count("*").cast("long").alias("n_turns"))
-        .select("conv_id", "n_turns", split.alias("split"))
+        .select("conv_id", "n_turns", _split_col().alias("split"))
         .orderBy("conv_id")
     )
 
 
 def _conv_split_sql() -> str:
-    from gmft_spark.operators.textstats import _KMV_SPACE
-
     return f"""
     SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-           CASE WHEN f < 0.8::DOUBLE THEN 'train'
-                WHEN f < 0.9::DOUBLE THEN 'val'
-                ELSE 'test' END AS split
+           {_split_case_sql("f")} AS split
     FROM (
         SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
                    AS conv_id,
-               CAST(md5_number_lower('conv-' || source || '-'
-                        || CAST(doc_id % 16 AS VARCHAR)) AS DOUBLE)
-                   / {_KMV_SPACE!r} AS f
+               {_split_frac_sql("'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)")} AS f
         FROM documents
     )
     GROUP BY conv_id, f
@@ -859,14 +889,8 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     a standard partitioned join; a Bloom side-channel (dedup.bloom_
     decontaminate) is the lossy shortcut when an exact count isn't
     needed."""
-    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
-
     sh = _conv_shingle_frame(transcripts_from_documents(spark, sf_dir))
-    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
-    split = (
-        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test")
-    )
-    sh = sh.withColumn("split", split)
+    sh = sh.withColumn("split", _split_col())
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select("shingle")
@@ -895,18 +919,12 @@ def split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_decontamination_sql() -> str:
-    from gmft_spark.operators.textstats import _KMV_SPACE
-
     return f"""{_CONV_SHINGLE_CTES},
     lab AS (
-        SELECT conv_id, shingle,
-               CASE WHEN f < 0.8::DOUBLE THEN 'train'
-                    WHEN f < 0.9::DOUBLE THEN 'val'
-                    ELSE 'test' END AS split
+        SELECT conv_id, shingle, {_split_case_sql("f")} AS split
         FROM (
             SELECT conv_id, shingle,
-                   CAST(md5_number_lower(conv_id) AS DOUBLE)
-                       / {_KMV_SPACE!r} AS f
+                   {_split_frac_sql("conv_id")} AS f
             FROM sh
         )
     ),
@@ -1112,8 +1130,6 @@ def conversation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — co-partitioned with the pipeline's standard conversation
     keying — and one tiny groupBy(source) rollup. The near-dup frame is
     the only super-linear input and is already inverted-index-bounded."""
-    from gmft_spark.operators.textstats import _KMV_SPACE, _md5_lower64
-
     lint = transcript_lint(spark, sf_dir).select("conv_id", "n_ts_inversions")
     dup = (
         conv_near_dup(spark, sf_dir)
@@ -1126,11 +1142,10 @@ def conversation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("conv_id")
         .agg(F.max("jaccard_prev").alias("max_rep"))
     )
-    frac = _md5_lower64(F.col("conv_id")) / F.lit(_KMV_SPACE)
     sig = (
         lint.join(dup, "conv_id", "left")
         .join(rep, "conv_id", "left")
-        .withColumn("is_train", frac < 0.8)
+        .withColumn("is_train", _split_col() == "train")
         .withColumn("source", F.element_at(F.split("conv_id", "-"), 2))
     )
     s1 = F.col("n_ts_inversions") == 0
@@ -1155,11 +1170,11 @@ def conversation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _conversation_funnel_sql() -> str:
-    from gmft_spark.operators.textstats import _KMV_SPACE
-
     s1 = "n_ts_inversions = 0"
     s2 = f"{s1} AND is_dup IS NULL"
-    s3 = f"{s2} AND coalesce(max_rep, 0.0) < {REP_MAX_JACCARD}"
+    # ::DOUBLE: CLAUDE.md rule — bare fractional literals are DECIMAL in
+    # DuckDB (exact math) and silently diverge if ever used in arithmetic
+    s3 = f"{s2} AND coalesce(max_rep, 0.0) < {REP_MAX_JACCARD}::DOUBLE"
     s4 = f"{s3} AND is_train"
     return f"""
     WITH lint AS ({TRANSCRIPT_LINT_SQL}),
@@ -1174,8 +1189,8 @@ def _conversation_funnel_sql() -> str:
     sig AS (
         SELECT string_split(l.conv_id, '-')[2] AS source,
                l.n_ts_inversions, d.is_dup, r.max_rep,
-               CAST(md5_number_lower(l.conv_id) AS DOUBLE)
-                   / {_KMV_SPACE!r} < 0.8::DOUBLE AS is_train
+               {_split_case_sql(_split_frac_sql("l.conv_id"))} = 'train'
+                   AS is_train
         FROM lint l
         LEFT JOIN dup d ON l.conv_id = d.conv_id
         LEFT JOIN rep r ON l.conv_id = r.conv_id

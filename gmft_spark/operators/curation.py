@@ -975,7 +975,7 @@ def _dsir_sql() -> str:
         FROM per_doc
     )
     SELECT doc_id, n_tokens, logratio_fp, avg_mlr,
-           CAST(CASE WHEN rk <= ceil({DSIR_KEEP_FRAC} * n.n_docs)
+           CAST(CASE WHEN rk <= ceil({DSIR_KEEP_FRAC}::DOUBLE * n.n_docs)
                 THEN 1 ELSE 0 END AS INT) AS selected
     FROM ranked, n
     ORDER BY doc_id

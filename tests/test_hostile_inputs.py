@@ -208,3 +208,28 @@ class TestNullTextOracleParity:
         for name in self.QUERIES:
             ok, msg = compare(qs[name](spark, d), con, osql[name])
             assert ok, f"{name}: {msg}"
+
+
+class TestHtmlSpanBomb:
+    def test_span_product_bomb_bounded(self):
+        """<1 KB of markup whose per-axis spans pass the clamp must not
+        claim span-product slots: 50 cells of rowspan=1000 colspan=1000
+        took 23 s before the _MAX_OCC budget; it must stay sub-second
+        and emit a bounded grid."""
+        import time
+
+        from gmft_spark.kernel.html import extract_main_content
+
+        html = (
+            "<html><body><article><p>p p p</p><table><tr>"
+            + '<td rowspan="1000" colspan="1000">x</td>' * 50
+            + "</tr>"
+            + "<tr><td>y</td></tr>" * 999
+            + "</table></article></body></html>"
+        )
+        t0 = time.monotonic()
+        c = extract_main_content(html)
+        assert time.monotonic() - t0 < 10.0
+        grid = c.tables[0]
+        assert len(grid) == 1000
+        assert max(len(r) for r in grid) == 50
