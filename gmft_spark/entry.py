@@ -820,10 +820,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # plans changed most recently (rewritten this round) plus the flagship
 # dedup/ANN results — they belong inside the driver-verified window.
 _EARLY_MODULE_QUERIES = (
-    # keep the parity pipelines + relational suite + these inside the
-    # driver's ~50-row verified window: the queries REWRITTEN or ADDED
-    # most recently come first (older queries that were driver-green in
-    # prior rounds move back out of the window)
+    # EVERY query added or rewritten this round lives in this tuple (the
+    # driver's verified window truncates in registration order; queries
+    # that were driver-green in prior rounds move back out). Verdict-
+    # mandated plan rewrites first, then the round's conversation/toolcall
+    # flagships, then the remaining round additions.
+    "dedup_simhash",
+    "embedding_knn_join",
+    "dedup_minhash_lsh",
+    "conv_near_dup",
+    "transcript_lint",
+    "turn_grounding",
+    "conv_split_assignment",
+    "assistant_self_repetition",
+    "conv_render_spans",
+    "conv_embedding_profile",
+    "toolcall_loops",
+    "toolcall_retry_recovery",
+    "curation_funnel",
     "text_nb_lang_classifier",
     "text_char_entropy",
     "dsir_importance",
@@ -831,10 +845,7 @@ _EARLY_MODULE_QUERIES = (
     "conversation_funnel",
     "split_decontamination",
     "bpe_fertility_by_source",
-    "dedup_simhash",
-    "embedding_knn_join",
     "dedup_semantic",
-    "dedup_minhash_lsh",
 )
 
 

@@ -181,6 +181,31 @@ class _HFTableTransformer:
         return out
 
 
+def _detector_model(cfg: TATRInferenceConfig) -> "_HFTableTransformer":
+    """Worker-side loader: device is resolved HERE (per executor), so a
+    CPU-only driver submitting to GPU executors still lands the model on
+    each executor's GPU."""
+    return _HFTableTransformer.get(
+        cfg.detector_path,
+        cfg.image_processor_path,
+        cfg.revision,
+        resolve_device(cfg.torch_device),
+    )
+
+
+def _structure_model(cfg: TATRInferenceConfig) -> "_HFTableTransformer":
+    """Worker-side loader for structure recognition. The image processor
+    comes from ``image_processor_path`` (the DETECTION checkpoint), not
+    the structure checkpoint — reference gmft/formatters/tatr.py:252 with
+    impl/tatr/config.py:54."""
+    return _HFTableTransformer.get(
+        cfg.structure_path,
+        cfg.image_processor_path,
+        cfg.revision,
+        resolve_device(cfg.torch_device),
+    )
+
+
 def detect_tables_tatr(
     rendered: DataFrame, config: TATRInferenceConfig | None = None
 ) -> DataFrame:
@@ -191,14 +216,11 @@ def detect_tables_tatr(
     torch is absent — never ships a doomed job to the executors."""
     _require_torch()
     cfg = config or TATRInferenceConfig()
-    device = resolve_device(cfg.torch_device)
 
     from gmft_spark.kernel.raster import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _HFTableTransformer.get(
-            cfg.detector_path, cfg.image_processor_path, cfg.revision, device
-        )
+        model = _detector_model(cfg)
         for batch in batches:
             rows = []
             metas, images = [], []
@@ -268,14 +290,11 @@ def recognize_structure_tatr(
     formatter default."""
     _require_torch()
     cfg = config or TATRInferenceConfig()
-    device = resolve_device(cfg.torch_device)
 
     from gmft_spark.kernel.raster import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _HFTableTransformer.get(
-            cfg.structure_path, cfg.structure_path, cfg.revision, device
-        )
+        model = _structure_model(cfg)
         for batch in batches:
             rows = []
             metas, images = [], []

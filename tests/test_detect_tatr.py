@@ -51,6 +51,33 @@ def test_entrypoints_fail_at_plan_time_with_actionable_message(spark):
         DT.recognize_structure_tatr(rendered)
 
 
+def test_model_loaders_resolve_paths_and_device_worker_side(monkeypatch):
+    """Both fixes in one pin: (a) the structure recognizer's image
+    processor loads from image_processor_path (the detection checkpoint,
+    reference formatters/tatr.py:252), never the structure checkpoint;
+    (b) device resolution happens inside the worker-side loader, so
+    'auto' is re-resolved per executor rather than frozen at plan time
+    on the driver."""
+    calls = []
+    monkeypatch.setattr(
+        DT._HFTableTransformer,
+        "get",
+        classmethod(lambda cls, *a: calls.append(a) or "model"),
+    )
+    cfg = DT.TATRInferenceConfig(torch_device="auto")
+    assert DT._detector_model(cfg) == "model"
+    assert DT._structure_model(cfg) == "model"
+    (det_path, det_proc, det_rev, det_dev), (st_path, st_proc, st_rev, st_dev) = calls
+    assert det_path == cfg.detector_path
+    assert st_path == cfg.structure_path
+    # processor path: detection checkpoint on BOTH paths
+    assert det_proc == st_proc == cfg.image_processor_path
+    assert det_rev == st_rev == cfg.revision
+    # 'auto' resolved by the loader itself (cpu here: sandbox has no cuda)
+    if not DT.torch_available():
+        assert det_dev == st_dev == "cpu"
+
+
 def test_structure_labels_match_reference_vocabulary():
     assert DT.STRUCTURE_LABELS[0] == "table"
     assert "table spanning cell" in DT.STRUCTURE_LABELS

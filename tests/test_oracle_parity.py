@@ -72,3 +72,26 @@ def test_pipeline_query_driver_canon(spark, name):
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
+
+
+def test_registration_order_contract():
+    """The driver's correctness gate truncates in registration order
+    (round 2 recorded only the first 50 of 123), so ordering is
+    load-bearing: parity pipelines head the list, the early-module tuple
+    (every query added/rewritten in the current round) registers before
+    the long-driver-green relational suite, and every early name must
+    resolve to a real query (typo tripwire — a misspelled name would
+    silently fall to the back)."""
+    from gmft_spark import entry
+    from gmft_spark.operators import relational
+
+    names = list(E.queries())
+    assert len(names) == len(set(names))
+    assert names[0] == "tatr_extract_csv_parity"
+    missing = [n for n in entry._EARLY_MODULE_QUERIES if n not in names]
+    assert not missing, f"_EARLY_MODULE_QUERIES names unresolved: {missing}"
+    first_rel = min(names.index(n) for n in relational.QUERIES)
+    last_early = max(names.index(n) for n in entry._EARLY_MODULE_QUERIES)
+    assert last_early < first_rel, "early block must precede relational suite"
+    # every oracle key is a registered query
+    assert set(E.oracle_sql()) <= set(names)
