@@ -1213,6 +1213,118 @@ def _conversation_funnel_sql() -> str:
 CONVERSATION_FUNNEL_SQL = _conversation_funnel_sql()
 
 
+def sft_fold_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-result folding for SFT assembly: every ``role='tool'`` turn is
+    merged into the nearest PRECEDING non-tool turn of its conversation
+    (appended as a ``[tool] ``-prefixed line), tool rows disappear, and the
+    surviving turns are re-indexed densely — the standard transform that
+    turns a raw agent transcript into the user/assistant alternation most
+    SFT formats expect (tool output is evidence inside the assistant turn,
+    not a speaker). A conversation that OPENS with tool turns has no
+    preceding anchor; those rows survive as their own turns (role 'tool')
+    rather than being dropped — lossless by construction.
+
+    Cross-engine exactness: the anchor is ``max(non-tool turn_idx) <=
+    current`` over a running window (turn_idx strictly increases, so max ==
+    most recent); folded text is an array_sort-by-turn_idx join (DuckDB:
+    ``string_agg(... ORDER BY turn_idx)``) — both total orders, no float.
+
+    Scale shape: ONE conv_id shuffle shared by the running-max window, the
+    (conv_id, anchor) fold, and the re-index window (all three key on
+    conv_id, so AQE plans them in a single exchange's scope); at 10^12
+    turns this co-partitions with the extraction pipeline's conversation
+    keying and salting story (plans/lineage.py)."""
+    t = transcripts_from_documents(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchored = t.withColumn(
+        "anchor",
+        F.coalesce(
+            F.max(
+                F.when(F.col("role") != "tool", F.col("turn_idx"))
+            ).over(run),
+            F.col("turn_idx"),
+        ),
+    )
+    piece = F.when(
+        F.col("role") == "tool", F.concat(F.lit("[tool] "), F.col("text"))
+    ).otherwise(F.col("text"))
+    g = (
+        anchored.groupBy("conv_id", "anchor")
+        .agg(
+            F.max(
+                F.when(F.col("turn_idx") == F.col("anchor"), F.col("role"))
+            ).alias("role"),
+            F.sum(
+                (
+                    (F.col("role") == "tool")
+                    & (F.col("turn_idx") != F.col("anchor"))
+                ).cast("long")
+            ).alias("n_folds"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), piece.alias("t")))
+            ).alias("pieces"),
+        )
+        .select(
+            "conv_id",
+            "anchor",
+            "role",
+            "n_folds",
+            F.array_join(
+                F.transform("pieces", lambda p: p["t"]), "\n"
+            ).alias("text"),
+        )
+    )
+    wi = Window.partitionBy("conv_id").orderBy("anchor")
+    return (
+        g.withColumn(
+            "turn_idx", (F.row_number().over(wi) - 1).cast("int")
+        )
+        .select("conv_id", "turn_idx", "role", "n_folds", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+SFT_FOLD_SQL = """
+    WITH turns AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               text
+        FROM documents
+    ),
+    anch AS (
+        SELECT *,
+               coalesce(
+                   max(CASE WHEN role <> 'tool' THEN turn_idx END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING),
+                   turn_idx) AS anchor
+        FROM turns
+    ),
+    g AS (
+        SELECT conv_id, anchor,
+               max(CASE WHEN turn_idx = anchor THEN role END) AS role,
+               CAST(sum(CASE WHEN role = 'tool' AND turn_idx <> anchor
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_folds,
+               string_agg(CASE WHEN role = 'tool' THEN '[tool] ' || text
+                               ELSE text END,
+                          chr(10) ORDER BY turn_idx) AS text
+        FROM anch
+        GROUP BY conv_id, anchor
+    )
+    SELECT conv_id,
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY anchor) - 1
+                AS INT) AS turn_idx,
+           role, n_folds, text
+    FROM g
+    ORDER BY conv_id, turn_idx
+"""
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
@@ -1232,4 +1344,5 @@ QUERIES = {
     ),
     "conv_render_spans": (conv_render_spans, RENDER_SPANS_SQL),
     "conversation_funnel": (conversation_funnel, CONVERSATION_FUNNEL_SQL),
+    "sft_fold_tool_turns": (sft_fold_tool_turns, SFT_FOLD_SQL),
 }

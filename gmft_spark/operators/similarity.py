@@ -251,6 +251,110 @@ EMBEDDING_KNN_SQL = (
 )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the banded LSH index: for
+    every anchor vector, the most-similar vector with a DIFFERENT label
+    among its LSH-band candidates — the standard mining step for training
+    embedding models (a negative that is easy to confuse with the anchor
+    carries far more gradient signal than a random one). Same
+    multi-band index as ``embedding_knn_join`` (no pair enumeration
+    outside buckets), but the join keeps both directions (each anchor
+    needs its own best negative) and filters to cross-label pairs.
+
+    Argmax is a rank-1 window keyed on the anchor, ordered by the ROUNDED
+    cosine (both engines compare the identical 6-dp values) with the
+    negative's vec_id as total-order tiebreak. Anchors whose buckets hold
+    no cross-label candidate produce no row — mine-harder-or-fall-back is
+    the caller's policy, not silent filler.
+
+    Scale shape: the band joins are equi-joins on bucket ids (the plan
+    shape pinned for the knn join holds here); the rank window shuffles on
+    the anchor id — uniform by construction — and the cross-label filter
+    prunes inside the join, before the window."""
+    e = _emb(spark, sf_dir)
+    eb = e.select(
+        "vec_id",
+        "v",
+        "label",
+        *[_band_bucket(band).alias(f"bucket{band}") for band in range(KNN_BANDS)],
+    ).localCheckpoint(eager=True)
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    per_band = []
+    for band in range(KNN_BANDS):
+        a, b = eb.alias("a"), eb.alias("b")
+        pairs = a.join(
+            b,
+            (F.col(f"a.bucket{band}") == F.col(f"b.bucket{band}"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        per_band.append(
+            pairs.select(
+                F.col("a.vec_id").alias("vec_id"),
+                F.col("a.label").alias("label"),
+                F.col("b.vec_id").alias("neg_id"),
+                F.col("b.label").alias("neg_label"),
+                F.round(cos, 6).alias("cosine"),
+            )
+        )
+    cand = per_band[0]
+    for df in per_band[1:]:
+        cand = cand.unionByName(df)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        cand.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "neg_id", "neg_label", "cosine")
+        .orderBy("vec_id")
+    )
+
+
+def _hardneg_band_sql(band: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_plane_sql(band * KNN_PLANES_PER_BAND + p)} > 0"
+        f" THEN {2**p} ELSE 0 END)"
+        for p in range(KNN_PLANES_PER_BAND)
+    )
+    return f"""
+        SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM (SELECT vec_id, v, label, {bits} AS bucket FROM e) a
+        JOIN (SELECT vec_id, v, label, {bits} AS bucket FROM e) b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         AND a.label <> b.label
+    """
+
+
+HARD_NEGATIVE_SQL = (
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    cand AS (
+"""
+    + " UNION ".join(_hardneg_band_sql(band) for band in range(KNN_BANDS))
+    + """
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neg_id ASC) AS rn
+        FROM cand
+    )
+    SELECT vec_id, label, neg_id, neg_label, cosine
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+"""
+)
+
+
 N_CENTROIDS = 8  # IVF coarse centroids = the first 8 vectors by vec_id
 
 
@@ -1075,6 +1179,76 @@ CLUSTER_SAMPLE_SQL = (
 )
 
 
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report over the trained k-means partition: per
+    cluster, the member count, the majority label and its count, and the
+    purity (majority fraction) — the quick eval that tells you whether
+    SemDeDup-style semantic pruning (``dedup_semantic``) is cutting within
+    coherent regions or shredding across topics. Reuses the SAME memoized
+    Lloyd run as ann_kmeans_train / dedup_semantic / cluster_balanced_sample
+    (one train per gate run).
+
+    Majority pick is a rank-1 window ordered by (count DESC, label ASC) —
+    exact integers, total order. Purity is the one double: the same
+    ``top_n / n_vecs`` division of exact integers in both engines.
+
+    Scale shape: one (cid, label) partial-agg count (map-side combined),
+    then windows/joins over K·|labels| rows — model-sized, not
+    corpus-sized; at 10^9 vectors the only corpus-wide pass is the count
+    aggregation itself."""
+    _cents, assigned = _kmeans_run(spark, sf_dir)
+    lab = _emb(spark, sf_dir).select("vec_id", "label")
+    per = (
+        assigned.join(lab, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.groupBy("cid").agg(F.sum("n").alias("n_vecs"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    top = per.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.join(tot, "cid")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("label").cast("int").alias("top_label"),
+            F.col("n").cast("long").alias("top_n"),
+            F.round(F.col("n").cast("double") / F.col("n_vecs"), 6).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+CLUSTER_PURITY_SQL = (
+    _kmeans_ctes()
+    + f""",
+    per AS (
+        SELECT a.cid, e.label, count(*) AS n
+        FROM a{KMEANS_ITERS} a JOIN embeddings e ON a.vec_id = e.vec_id
+        GROUP BY a.cid, e.label
+    ),
+    tot AS (SELECT cid, sum(n) AS n_vecs FROM per GROUP BY cid),
+    top AS (
+        SELECT cid, label, n,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM per
+    )
+    SELECT CAST(t.cid AS INT) AS cluster_id,
+           CAST(tot.n_vecs AS BIGINT) AS n_vecs,
+           CAST(t.label AS INT) AS top_label,
+           CAST(t.n AS BIGINT) AS top_n,
+           round(CAST(t.n AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE), 6)
+               AS purity
+    FROM top t JOIN tot ON t.cid = tot.cid
+    WHERE t.rn = 1
+    ORDER BY cluster_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory half of a billion-scale IVF-PQ
 # index: each 64-dim vector compresses to PQ_M one-byte codes (one
@@ -1702,4 +1876,6 @@ QUERIES = {
     ),
     "embedding_knn_join": (embedding_knn_join, EMBEDDING_KNN_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, DEDUP_COSINE_SQL),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
+    "embedding_cluster_purity": (embedding_cluster_purity, CLUSTER_PURITY_SQL),
 }

@@ -1210,6 +1210,23 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort-merge when both sides are corpus-sized; the model broadcasts
     when the vocabulary is small); the per-doc reduction is a partial-agg
     integer sum. Docs with < 2 tokens have no bigrams and are excluded."""
+    return (
+        _bigram_scores(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                -F.col("s").cast("double") / (1000000.0 * F.col("n_bigrams")), 6
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, s) with s = exact integer sum of fixed-point
+    bigram log-probabilities — the shared core of ``bigram_nll`` and
+    ``ccnet_perplexity_buckets`` (SQL twin: the ``scored`` CTE)."""
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     dt = d.select("doc_id", toks.alias("toks"))
@@ -1249,19 +1266,16 @@ def bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bg.join(model, ["a", "b"])
         .groupBy("doc_id")
-        .agg(F.sum("lnp_fixed").alias("s"), F.count("*").alias("n_bigrams"))
-        .select(
-            "doc_id",
-            "n_bigrams",
-            F.round(
-                -F.col("s").cast("double") / (1000000.0 * F.col("n_bigrams")), 6
-            ).alias("nll"),
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lnp_fixed").cast("long").alias("s"),
         )
-        .orderBy("doc_id")
     )
 
 
-BIGRAM_NLL_SQL = """
+# shared by BIGRAM_NLL_SQL and CCNET_BUCKETS_SQL: the add-1 bigram model
+# and the per-document exact-integer score (s = sum of fixed-point ln p).
+_BIGRAM_CTES = """
     WITH dt AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1285,15 +1299,93 @@ BIGRAM_NLL_SQL = """
                CAST(floor((ln(counts.c + 1) - ln(ctx.cx + vocab.v))
                           * 1000000.0 + 0.5) AS BIGINT) AS lnp_fixed
         FROM counts JOIN ctx ON counts.a = ctx.a, vocab
-    )
-    SELECT bg.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(-CAST(sum(m.lnp_fixed) AS DOUBLE)
-                 / (1000000.0 * count(*)), 6) AS nll
-    FROM bg JOIN model m ON bg.a = m.a AND bg.b = m.b
-    GROUP BY bg.doc_id
-    ORDER BY bg.doc_id
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(m.lnp_fixed) AS BIGINT) AS s
+        FROM bg JOIN model m ON bg.a = m.a AND bg.b = m.b
+        GROUP BY bg.doc_id
+    )"""
+
+
+BIGRAM_NLL_SQL = (
+    _BIGRAM_CTES
+    + """
+    SELECT doc_id, n_bigrams,
+           round(-CAST(s AS DOUBLE) / (1000000.0 * n_bigrams), 6) AS nll
+    FROM scored
+    ORDER BY doc_id
 """
+)
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): within each source, rank documents by LM
+    perplexity (here the corpus-trained bigram NLL — same exact-integer
+    score as ``bigram_nll``) and split into terciles — ``head`` (most
+    fluent third, kept unconditionally in CCNet), ``middle``, ``tail``
+    (usually dropped). Per-source (not global) terciles are the point:
+    they keep the quality gate from silently deleting whole domains whose
+    baseline perplexity runs high.
+
+    Cross-engine exactness: the rank orders on the UNROUNDED double
+    ``-s / (1e6 · n)`` — both engines divide the same exact integers with
+    the same IEEE expression, so the doubles are bit-equal (the
+    scene_sql.py rule) — with doc_id as the total-order tiebreak; NTILE
+    then assigns identically (both engines give earlier buckets the
+    ceil-sized groups).
+
+    Scale shape: everything up to ``scored`` is bigram_nll's plan (two
+    map-side-combined count aggregations + one key join); the bucketing
+    adds one source-keyed window — sources are the natural partition of a
+    curation corpus, so the window shuffle is bounded and skew-safe (a
+    giant source still sorts only its own rows, and CCNet's own chunking
+    answer — shard the source, bucket per shard — drops in without
+    changing the rank rule)."""
+    scores = _bigram_scores(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    nll = -F.col("s").cast("double") / (1000000.0 * F.col("n_bigrams"))
+    w = Window.partitionBy("source").orderBy(
+        nll.asc(), F.col("doc_id").asc()
+    )
+    bucket = F.ntile(3).over(w)
+    return (
+        scores.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            F.round(nll, 6).alias("nll"),
+            bucket.cast("int").alias("bucket"),
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+            ).alias("bucket_label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CCNET_BUCKETS_SQL = (
+    _BIGRAM_CTES
+    + """
+    SELECT s.doc_id, d.source, s.n_bigrams,
+           round(-CAST(s.s AS DOUBLE) / (1000000.0 * s.n_bigrams), 6) AS nll,
+           CAST(ntile(3) OVER (
+               PARTITION BY d.source
+               ORDER BY -CAST(s.s AS DOUBLE) / (1000000.0 * s.n_bigrams) ASC,
+                        s.doc_id ASC) AS INT) AS bucket,
+           CASE ntile(3) OVER (
+               PARTITION BY d.source
+               ORDER BY -CAST(s.s AS DOUBLE) / (1000000.0 * s.n_bigrams) ASC,
+                        s.doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket_label
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.doc_id
+"""
+)
 
 
 def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1683,6 +1775,7 @@ QUERIES = {
     "text_quality_score": (quality_score, QUALITY_SQL),
     "text_quality_filter_adaptive": (quality_filter_adaptive, QUALITY_FILTER_SQL),
     "text_bigram_nll": (bigram_nll, BIGRAM_NLL_SQL),
+    "ccnet_perplexity_buckets": (ccnet_perplexity_buckets, CCNET_BUCKETS_SQL),
     "text_collocations_pmi": (collocations_pmi, COLLOCATIONS_SQL),
     "text_token_counts": (token_counts, TOKEN_COUNTS_SQL),
     "text_normalize": (normalize_text, NORMALIZE_SQL),
