@@ -101,6 +101,18 @@ def _bench_conv_near_dup(spark, sf_dir):
     return conv_near_dup(spark, sf_dir)
 
 
+def _bench_sft_fold(spark, sf_dir):
+    from gmft_spark.operators.convstats import sft_fold_tool_turns
+
+    return sft_fold_tool_turns(spark, sf_dir)
+
+
+def _bench_dpo_pairs(spark, sf_dir):
+    from gmft_spark.operators.convstats import dpo_pairs_from_retries
+
+    return dpo_pairs_from_retries(spark, sf_dir)
+
+
 def _bench_transcript_lint(spark, sf_dir):
     from gmft_spark.operators.convstats import transcript_lint
 
@@ -171,6 +183,11 @@ HEADLINE = [
     ("split_decontamination", _bench_split_decontamination),
     ("conversation_funnel", _bench_conversation_funnel),
     ("bpe_fertility_by_source", curation.bpe_fertility_by_source),
+    ("sft_fold_tool_turns", _bench_sft_fold),
+    ("dpo_pairs_from_retries", _bench_dpo_pairs),
+    ("ccnet_perplexity_buckets", textstats.ccnet_perplexity_buckets),
+    ("hard_negative_mining", similarity.hard_negative_mining),
+    ("embedding_cluster_purity", similarity.embedding_cluster_purity),
     ("window_session_native", analytics.session_window_native),
     ("window_cohort_retention", analytics.cohort_retention),
     ("text_source_drift", textstats.source_drift),

@@ -826,6 +826,7 @@ _EARLY_MODULE_QUERIES = (
     # additions first, then the verdict-mandated plan rewrites, then the
     # round's conversation/toolcall flagships, then the rest.
     "sft_fold_tool_turns",
+    "dpo_pairs_from_retries",
     "ccnet_perplexity_buckets",
     "hard_negative_mining",
     "embedding_cluster_purity",

@@ -1325,6 +1325,134 @@ SFT_FOLD_SQL = """
 """
 
 
+def dpo_pairs_from_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining from failure→recovery episodes: when a tool
+    call FAILS (the ``ok:false`` payload flag, toolcalls._tool_turns'
+    rule) and a later tool call in the same conversation SUCCEEDS, the
+    assistant turn that issued the failing call is a natural ``rejected``
+    and the assistant turn that issued the recovering call a natural
+    ``chosen`` — with the latest user turn before the failure as the
+    shared ``prompt``. This is the cheap, label-free way agent-transcript
+    corpora yield DPO/RLHF pairs: the environment already graded the two
+    actions. Anchors are found BY ROLE (latest prior assistant / user
+    turn), never by position — real transcripts don't rotate roles
+    reliably, and even this corpus's conversations stride the document
+    table so the positionally-previous turn of a tool turn is a user
+    turn. Pairs need a real rejected side (a failing tool turn with no
+    prior assistant turn is dropped); ``prompt`` is NULL when no user
+    turn precedes the failure — nullable, not fabricated.
+
+    Scale shape: one conv_id window pass builds the role-anchored texts
+    and the next-success index in the same exchange scope; the single
+    join that fetches the recovering call's assistant text keys on
+    (conv_id, idx) — co-partitioned with the pipeline's conversation
+    keying."""
+    t = transcripts_from_documents(spark, sf_dir)
+    res = F.element_at(F.split("conv_id", "-"), 3).cast("int")
+    doc = F.col("turn_idx").cast("long") * 16 + res
+    turns = t.select(
+        "conv_id", "turn_idx", "role", "text", ((doc % 7) != 0).alias("ok")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    seq = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ok",
+        F.last(
+            F.when(F.col("role") == "assistant", F.col("text")),
+            ignorenulls=True,
+        )
+        .over(wp)
+        .alias("last_assistant"),
+        F.last(
+            F.when(F.col("role") == "user", F.col("text")), ignorenulls=True
+        )
+        .over(wp)
+        .alias("last_user"),
+        F.min(
+            F.when(
+                (F.col("role") == "tool") & F.col("ok"), F.col("turn_idx")
+            )
+        )
+        .over(wf)
+        .alias("rec"),
+    )
+    pairs = seq.filter(
+        (F.col("role") == "tool")
+        & ~F.col("ok")
+        & F.col("rec").isNotNull()
+        & F.col("last_assistant").isNotNull()
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("failed_turn_idx"),
+        F.col("rec"),
+        F.col("last_user").alias("prompt"),
+        F.col("last_assistant").alias("rejected"),
+    )
+    chosen = seq.select(
+        "conv_id",
+        F.col("turn_idx").alias("rec"),
+        F.col("last_assistant").alias("chosen"),
+    )
+    return (
+        pairs.join(chosen, ["conv_id", "rec"])
+        .select(
+            "conv_id",
+            "failed_turn_idx",
+            F.col("rec").alias("recovered_turn_idx"),
+            "prompt",
+            "rejected",
+            "chosen",
+        )
+        .orderBy("conv_id", "failed_turn_idx")
+    )
+
+
+DPO_PAIRS_SQL = """
+    WITH turns AS (
+        SELECT 'conv-' || source || '-' || CAST(doc_id % 16 AS VARCHAR)
+                   AS conv_id,
+               CAST(floor(doc_id / 16.0) AS INT) AS turn_idx,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               text,
+               (doc_id % 7) <> 0 AS ok
+        FROM documents
+    ),
+    seq AS (
+        SELECT conv_id, turn_idx, role, ok,
+               last_value(CASE WHEN role = 'assistant' THEN text END
+                          IGNORE NULLS) OVER wp AS last_assistant,
+               last_value(CASE WHEN role = 'user' THEN text END
+                          IGNORE NULLS) OVER wp AS last_user,
+               min(CASE WHEN role = 'tool' AND ok THEN turn_idx END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS rec
+        FROM turns
+        WINDOW wp AS (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    pairs AS (
+        SELECT conv_id, turn_idx AS failed_turn_idx, rec,
+               last_user AS prompt, last_assistant AS rejected
+        FROM seq
+        WHERE role = 'tool' AND NOT ok AND rec IS NOT NULL
+          AND last_assistant IS NOT NULL
+    )
+    SELECT p.conv_id, p.failed_turn_idx,
+           p.rec AS recovered_turn_idx,
+           p.prompt, p.rejected, s.last_assistant AS chosen
+    FROM pairs p
+    JOIN seq s ON p.conv_id = s.conv_id AND p.rec = s.turn_idx
+    ORDER BY p.conv_id, p.failed_turn_idx
+"""
+
+
 QUERIES = {
     "conv_context_budget": (conv_context_budget, CONTEXT_BUDGET_SQL),
     "conv_reply_latency": (conv_reply_latency, REPLY_LATENCY_SQL),
@@ -1345,4 +1473,5 @@ QUERIES = {
     "conv_render_spans": (conv_render_spans, RENDER_SPANS_SQL),
     "conversation_funnel": (conversation_funnel, CONVERSATION_FUNNEL_SQL),
     "sft_fold_tool_turns": (sft_fold_tool_turns, SFT_FOLD_SQL),
+    "dpo_pairs_from_retries": (dpo_pairs_from_retries, DPO_PAIRS_SQL),
 }

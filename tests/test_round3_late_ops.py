@@ -76,6 +76,52 @@ def test_fold_keeps_orphan_leading_tool_turns(spark, tmp_path):
     assert sum(r["n_folds"] for r in out) + len(out) == 4
 
 
+def test_dpo_pairs_anchor_by_role_not_position(spark, tmp_path):
+    """Hand-built conversation (source 'a', doc_id % 16 == 1): assistant
+    A1 (doc 49), FAILING tool (161: %3=2 tool, %7=0), assistant A2 (193),
+    SUCCEEDING tool (209: %7=6). The pair must take rejected from the
+    assistant BEFORE the failure and chosen from the assistant before the
+    recovery — and with no user turn anywhere, prompt is NULL, never a
+    positional neighbor."""
+    from gmft_spark.operators.convstats import dpo_pairs_from_retries
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(49, "a", "A1"), (161, "a", "TF"), (193, "a", "A2"), (209, "a", "TS")],
+    )
+    out = dpo_pairs_from_retries(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["conv_id"] == "conv-a-1"
+    assert (r["failed_turn_idx"], r["recovered_turn_idx"]) == (10, 13)
+    assert r["prompt"] is None
+    assert (r["rejected"], r["chosen"]) == ("A1", "A2")
+
+
+def test_dpo_pairs_drop_unrecovered_and_unattributable_failures(spark, tmp_path):
+    """A failure with no later successful tool call yields no pair; a
+    failure with no prior assistant turn yields no pair (nothing to
+    reject)."""
+    from gmft_spark.operators.convstats import dpo_pairs_from_retries
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            # conv-b-14: failing tool OPENS the conversation (doc 14),
+            # later success (doc 62: %3=2, %7=6) but no assistant before
+            # the failure -> unattributable
+            (14, "b", "TF"),
+            (62, "b", "TS"),
+            # conv-c-1: assistant then failing tool, NO later success
+            (49, "c", "A1"),
+            (161, "c", "TF"),
+        ],
+    )
+    assert dpo_pairs_from_retries(spark, d).count() == 0
+
+
 def test_ccnet_buckets_are_per_source_terciles(spark):
     rows = ccnet_perplexity_buckets(spark, SF).collect()
     by_source = {}
