@@ -469,14 +469,30 @@ def transcript_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup share the same partitioning, everything else is whole-stage
     codegen; at 10^12 turns this co-partitions with the extraction
     pipeline's conversation keying."""
+    return lint_frame(transcripts_from_documents(spark, sf_dir), jitter=True)
+
+
+def lint_frame(t: DataFrame, jitter: bool = False) -> DataFrame:
+    """Frame-level core of ``transcript_lint``. ``jitter=True`` is the
+    GATE corpus knob (its synthetic timestamps are monotone by
+    construction, so a named md5 jitter makes the inversion branch
+    real); a job over real transcripts lints the actual wall clocks —
+    jitter=False."""
     from gmft_spark.operators.textstats import _h32_col
 
-    t = transcripts_from_documents(spark, sf_dir)
-    key = F.concat(
-        F.lit("lint|"), F.col("conv_id"), F.lit("|"), F.col("turn_idx").cast("string")
-    )
-    jit = (_h32_col(key) % LINT_JITTER_SPAN_US).cast("long")
-    tj = t.withColumn("ts_j", F.timestamp_add("MICROSECOND", jit, F.col("ts")))
+    if jitter:
+        key = F.concat(
+            F.lit("lint|"),
+            F.col("conv_id"),
+            F.lit("|"),
+            F.col("turn_idx").cast("string"),
+        )
+        jit = (_h32_col(key) % LINT_JITTER_SPAN_US).cast("long")
+        tj = t.withColumn(
+            "ts_j", F.timestamp_add("MICROSECOND", jit, F.col("ts"))
+        )
+    else:
+        tj = t.withColumn("ts_j", F.col("ts"))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     x = tj.withColumn("prev_ts", F.lag("ts_j").over(w))
     return (
@@ -1042,7 +1058,12 @@ def conv_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one conv_id shuffle for the prefix-sum window; everything
     else is narrow length arithmetic in whole-stage codegen."""
-    t = transcripts_from_documents(spark, sf_dir)
+    return render_spans_frame(transcripts_from_documents(spark, sf_dir))
+
+
+def render_spans_frame(t: DataFrame) -> DataFrame:
+    """Frame-level core of ``conv_render_spans`` — the job surface
+    (jobs/run_sft_export.py) feeds arbitrary transcript frames here."""
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -1067,6 +1088,32 @@ def conv_render_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loss_mask"),
         )
         .orderBy("conv_id", "turn_idx")
+    )
+
+
+def render_conversations_frame(t: DataFrame) -> DataFrame:
+    """One row per conversation with the FULL rendered transcript in the
+    same convention the span offsets index (``role: text`` lines joined
+    by ``\\n``, NULL-text turns skipped) — the companion output a trainer
+    tokenizes once while applying ``render_spans_frame``'s mask spans."""
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    return (
+        t.filter(F.col("text").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("turn_idx"), line.alias("l"))
+                        )
+                    ),
+                    lambda p: p["l"],
+                ),
+                "\n",
+            ).alias("rendered"),
+        )
     )
 
 
@@ -1234,7 +1281,12 @@ def sft_fold_tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv_id, so AQE plans them in a single exchange's scope); at 10^12
     turns this co-partitions with the extraction pipeline's conversation
     keying and salting story (plans/lineage.py)."""
-    t = transcripts_from_documents(spark, sf_dir)
+    return fold_tool_turns_frame(transcripts_from_documents(spark, sf_dir))
+
+
+def fold_tool_turns_frame(t: DataFrame) -> DataFrame:
+    """Frame-level core of ``sft_fold_tool_turns`` — needs (conv_id,
+    turn_idx, role, text); the job surface feeds arbitrary frames."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     anchored = t.withColumn(

@@ -1,0 +1,123 @@
+"""SFT export job entrypoint: end-to-end run over synthesized transcripts,
+span/render consistency, lint gating, split partitioning, bucket resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from gmft_spark.sources.transcripts import synthesize_transcripts
+
+
+def _write_input(spark, path, n_convs=12, turns=6):
+    synthesize_transcripts(spark, n_convs=n_convs, turns_per_conv=turns).write.parquet(
+        path
+    )
+
+
+def test_sft_export_end_to_end(spark, tmp_path, capsys):
+    import jobs.run_sft_export as J
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    _write_input(spark, src)
+    assert (
+        J.main(
+            ["--input", src, "--output", out, "--buckets", "8",
+             "--run-id", "t1"]
+        )
+        == 0
+    )
+    spans = spark.read.parquet(os.path.join(out, "turns", "results"))
+    convs = spark.read.parquet(os.path.join(out, "conversations"))
+    assert spans.count() > 0 and convs.count() > 0
+
+    # the offsets index the rendered string: reconstruct two turns
+    r = {row["conv_id"]: row["rendered"] for row in convs.collect()}
+    for row in spans.orderBy("conv_id", "turn_idx").limit(5).collect():
+        seg = r[row["conv_id"]][row["start_char"] : row["end_char"]]
+        assert seg.startswith(row["role"] + ": ")
+        assert row["loss_mask"] == (1 if row["role"] == "assistant" else 0)
+
+    # split is conversation-grain: each conv_id maps to exactly one split
+    multi = (
+        spans.groupBy("conv_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert multi.count() == 0
+    assert set(convs.select("split").distinct().toPandas()["split"]) <= {
+        "train",
+        "val",
+        "test",
+    }
+
+    # resume: all buckets complete -> clean no-op
+    assert (
+        J.main(["--input", src, "--output", out, "--buckets", "8", "--resume"])
+        == 0
+    )
+    assert "nothing to do" in capsys.readouterr().out
+
+
+def test_sft_export_lint_gate_drops_dirty_conversations(spark, tmp_path):
+    import jobs.run_sft_export as J
+
+    src = str(tmp_path / "in_l")
+    t = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4)
+    # poison one conversation with an out-of-order wall clock
+    dirty = F.when(
+        (F.col("conv_id") == "conv-0") & (F.col("turn_idx") == 2),
+        F.lit("2020-01-01 00:00:00").cast("timestamp"),
+    ).otherwise(F.col("ts"))
+    t.withColumn("ts", dirty).write.parquet(src)
+
+    out1 = str(tmp_path / "gated")
+    assert J.main(["--input", src, "--output", out1, "--buckets", "4"]) == 0
+    gated = spark.read.parquet(os.path.join(out1, "turns", "results"))
+    assert gated.filter(F.col("conv_id") == "conv-0").count() == 0
+    assert gated.select("conv_id").distinct().count() == 5
+
+    out2 = str(tmp_path / "kept")
+    assert (
+        J.main(
+            ["--input", src, "--output", out2, "--buckets", "4",
+             "--keep-dirty"]
+        )
+        == 0
+    )
+    kept = spark.read.parquet(os.path.join(out2, "turns", "results"))
+    assert kept.filter(F.col("conv_id") == "conv-0").count() > 0
+
+
+def test_sft_export_folds_tool_turns_unless_disabled(spark, tmp_path):
+    import jobs.run_sft_export as J
+
+    src = str(tmp_path / "in_f")
+    t = synthesize_transcripts(spark, n_convs=4, turns_per_conv=6)
+    # synthesize_transcripts emits only user/assistant; retag one turn per
+    # conversation as a named tool turn so folding has work to do
+    t = t.withColumn(
+        "role",
+        F.when(F.col("turn_idx") == 3, "tool").otherwise(F.col("role")),
+    ).withColumn(
+        "tool", F.when(F.col("turn_idx") == 3, "search").otherwise(F.col("tool"))
+    )
+    t.write.parquet(src)
+
+    out_fold = str(tmp_path / "folded")
+    assert J.main(["--input", src, "--output", out_fold, "--buckets", "4"]) == 0
+    folded = spark.read.parquet(os.path.join(out_fold, "turns", "results"))
+    assert folded.filter(F.col("role") == "tool").count() == 0
+    convs = spark.read.parquet(os.path.join(out_fold, "conversations"))
+    assert all("[tool] " in r["rendered"] for r in convs.collect())
+
+    out_raw = str(tmp_path / "raw")
+    assert (
+        J.main(
+            ["--input", src, "--output", out_raw, "--buckets", "4",
+             "--no-fold"]
+        )
+        == 0
+    )
+    raw = spark.read.parquet(os.path.join(out_raw, "turns", "results"))
+    assert raw.filter(F.col("role") == "tool").count() > 0
