@@ -825,6 +825,7 @@ _EARLY_MODULE_QUERIES = (
     # that were driver-green in prior rounds move back out). Newest
     # additions first, then the verdict-mandated plan rewrites, then the
     # round's conversation/toolcall flagships, then the rest.
+    "curriculum_order",
     "sft_fold_tool_turns",
     "dpo_pairs_from_retries",
     "ccnet_perplexity_buckets",
@@ -865,8 +866,8 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
     their rows, and each is already pinned byte-exact by golden fixtures in
     tests/, so a top-50 slot buys them the least), then the
     long-driver-green relational suite, and finally the remaining operator
-    modules. 28 parity + 25 early = 53 oracled entries lead; under a
-    strict 50-row driver cap only the early tuple's last three fall
+    modules. 28 parity + 27 early = 55 oracled entries lead; under a
+    strict 50-row driver cap only the early tuple's last five fall
     outside the verified window (tests/test_oracle_parity.py still runs
     all of them every pytest)."""
     entries: list[tuple[str, Callable, str | None]] = []

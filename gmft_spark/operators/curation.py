@@ -1285,7 +1285,129 @@ def _funnel_sql() -> str:
 CURATION_FUNNEL_SQL = _funnel_sql()
 
 
+CURRICULUM_HI_FP = 500000  # quality_fp >= HI -> phase 0 (cleanest first)
+CURRICULUM_LO_FP = 360000  # quality_fp >= LO -> phase 1; tail trains last
+CURRICULUM_SHARDS = 4
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-phased curriculum ordering — the training-order policy of
+    curriculum learning (Bengio et al., ICML 2009): cleanest documents
+    train first. Each document gets a phase from FIXED thresholds on the
+    shared fixed-point quality score (textstats.quality_fp_col — no
+    global quantile pass, so the assignment is a pure function of the
+    row and appending documents never re-phases existing ones), a shard
+    from the portable md5-lower-64 fraction, and a position from the md5
+    hex draw ``curr|<doc_id>`` — a deterministic within-phase shuffle
+    (hex string order is engine-portable; hash draws are unique per
+    doc_id, so the order is total).
+
+    Scale shape: scoring is a narrow map on the scan; the only shuffle
+    is the (phase, shard) row_number window — N_PHASES×N_SHARDS
+    parallel tasks here, and at 10^12 docs the same order materializes
+    via repartitionByRange on (phase, shard, h) + sortWithinPartitions
+    with per-partition offsets, exactly as shard_training_corpus
+    documents (the order itself is hash-defined either way)."""
+    from gmft_spark.operators.textstats import (
+        _KMV_SPACE,
+        _md5_lower64,
+        STOPWORDS,
+        quality_fp_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # zero-token docs: same exclusion rule as textstats.quality_score
+    # (the oracle's token CTE inner-joins them away)
+    d = d.filter(F.size(toks) >= 1)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t.isin(*all_stop))
+    )
+    feats = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("ns"),
+        F.col("n_chars").alias("nc"),
+    )
+    qfp = quality_fp_col()
+    phase = (
+        F.when(qfp >= CURRICULUM_HI_FP, 0)
+        .when(qfp >= CURRICULUM_LO_FP, 1)
+        .otherwise(2)
+    )
+    key = F.concat(F.lit("curr|"), F.col("doc_id").cast("string"))
+    frac = _md5_lower64(key) / F.lit(_KMV_SPACE)
+    shard = F.least(
+        F.floor(frac * CURRICULUM_SHARDS).cast("int"),
+        F.lit(CURRICULUM_SHARDS - 1),
+    )
+    base = feats.select(
+        "doc_id",
+        phase.alias("phase"),
+        shard.alias("shard"),
+        F.md5(key).alias("h"),
+        (qfp / 1000000.0).alias("quality"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("h")
+    return base.select(
+        "doc_id",
+        "phase",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "quality",
+    ).orderBy("phase", "shard", "pos")
+
+
+def _curriculum_sql() -> str:
+    from gmft_spark.operators.textstats import (
+        _ALL_STOP_SQL,
+        _KMV_SPACE,
+        QUALITY_FP_SQL,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN tok IN ({_ALL_STOP_SQL}) THEN 1 ELSE 0 END) AS ns
+        FROM toks WHERE tok <> ''
+        GROUP BY doc_id
+    ),
+    feats AS (
+        SELECT d.doc_id, a.n_tokens, a.ns, d.n_chars AS nc,
+               md5('curr|' || CAST(d.doc_id AS VARCHAR)) AS h,
+               CAST(md5_number_lower('curr|' || CAST(d.doc_id AS VARCHAR))
+                    AS DOUBLE) / {_KMV_SPACE!r} AS f
+        FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, h,
+               CASE WHEN {QUALITY_FP_SQL} >= {CURRICULUM_HI_FP} THEN 0
+                    WHEN {QUALITY_FP_SQL} >= {CURRICULUM_LO_FP} THEN 1
+                    ELSE 2 END AS phase,
+               least(CAST(floor(f * {CURRICULUM_SHARDS}) AS INT),
+                     {CURRICULUM_SHARDS - 1}) AS shard,
+               {QUALITY_FP_SQL} / 1000000.0 AS quality
+        FROM feats
+    )
+    SELECT doc_id, phase, shard,
+           CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY h)
+                AS INT) AS pos,
+           quality
+    FROM scored
+    ORDER BY phase, shard, pos
+"""
+
+
+CURRICULUM_SQL = _curriculum_sql()
+
+
 QUERIES = {
+    "curriculum_order": (curriculum_order, CURRICULUM_SQL),
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_SQL),
     "chunk_documents": (chunk_documents, CHUNK_SQL),

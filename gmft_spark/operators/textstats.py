@@ -103,29 +103,42 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_chars") / n_toks, 6).alias("mean_tok_len"),
         F.round(n_stop / n_toks, 6).alias("stop_ratio"),
     )
-    # composite score in FIXED-POINT (×1e6) integer arithmetic: summing
-    # three rounded doubles flipped the 6th decimal on ~0.04% of docs at
-    # sf0.1 (last-ulp divergence between engines); each term is now an
-    # exact integer, so the sum is exact everywhere
-    t1 = F.least(F.col("n_tokens") * 5000, F.lit(500000)).cast("long")
-    t2 = F.floor(
-        F.col("ns") * 300000.0 / F.col("n_tokens") + F.lit(0.5)
-    ).cast("long")
-    t3 = F.least(
-        F.floor(F.col("nc") * 25000.0 / F.col("n_tokens") + F.lit(0.5)),
-        F.lit(200000),
-    ).cast("long")
     return feats.select(
         "doc_id",
         "n_tokens",
         "mean_tok_len",
         "stop_ratio",
-        ((t1 + t2 + t3) / 1000000.0).alias("quality"),
+        (quality_fp_col() / 1000000.0).alias("quality"),
     ).orderBy("doc_id")
+
+
+def quality_fp_col(n_tokens="n_tokens", ns="ns", nc="nc"):
+    """Composite quality score in FIXED-POINT (×1e6) integer arithmetic
+    over (token count, stopword count, char count) columns: summing
+    three rounded doubles flipped the 6th decimal on ~0.04% of docs at
+    sf0.1 (last-ulp divergence between engines); each term is an exact
+    integer, so the sum is exact everywhere. SQL twin: QUALITY_FP_SQL.
+    Shared by quality_score and curation.curriculum_order — one rule,
+    two consumers (the drifted-copy hazard from CLAUDE.md)."""
+    n_tokens, ns, nc = F.col(n_tokens), F.col(ns), F.col(nc)
+    t1 = F.least(n_tokens * 5000, F.lit(500000)).cast("long")
+    t2 = F.floor(ns * 300000.0 / n_tokens + F.lit(0.5)).cast("long")
+    t3 = F.least(
+        F.floor(nc * 25000.0 / n_tokens + F.lit(0.5)), F.lit(200000)
+    ).cast("long")
+    return t1 + t2 + t3
 
 
 _ALL_STOP_SQL = ", ".join(
     f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+)
+
+# DuckDB twin of quality_fp_col over CTE columns (n_tokens, ns, nc)
+QUALITY_FP_SQL = (
+    "(CAST(least(n_tokens * 5000, 500000) AS BIGINT)"
+    " + CAST(floor(ns * 300000.0 / n_tokens + 0.5) AS BIGINT)"
+    " + CAST(least(floor(nc * 25000.0 / n_tokens + 0.5), 200000)"
+    " AS BIGINT))"
 )
 
 QUALITY_SQL = f"""
@@ -150,10 +163,7 @@ QUALITY_SQL = f"""
     )
     -- fixed-point composite (exact integer terms; see the python twin)
     SELECT doc_id, n_tokens, mean_tok_len, stop_ratio,
-           (CAST(least(n_tokens * 5000, 500000) AS BIGINT)
-            + CAST(floor(ns * 300000.0 / n_tokens + 0.5) AS BIGINT)
-            + CAST(least(floor(nc * 25000.0 / n_tokens + 0.5), 200000)
-                   AS BIGINT)) / 1000000.0 AS quality
+           {QUALITY_FP_SQL} / 1000000.0 AS quality
     FROM feats
     ORDER BY doc_id
 """

@@ -162,3 +162,41 @@ def test_curation_funnel_null_signals_fail_stages(spark, tmp_path):
     assert r["n_docs"] == 2
     assert r["n_pass_length"] == 1
     assert r["n_pass_lang"] == 1
+
+
+def test_curriculum_order_is_phased_sharded_and_deterministic(spark, tmp_path):
+    """Phases follow the fixed quality thresholds, positions are
+    contiguous 1..n per (phase, shard), the order is a pure function of
+    doc_id (stable across partitionings), and zero-token docs drop."""
+    rows = [
+        # high quality: 120 tokens, half stopwords -> t1=500000 +
+        # t2=150000 alone clears the phase-0 threshold
+        (i, ("the fox " * 60).strip(), "en", "w", 479)
+        for i in range(8)
+    ] + [
+        # low quality: one long opaque token -> phase 2
+        (100 + i, "x" * 40, "en", "w", 40)
+        for i in range(4)
+    ] + [(999, "   ", "en", "w", 3)]  # zero tokens: excluded
+    sf = _write_docs(spark, tmp_path, rows)
+    out = curation.curriculum_order(spark, sf).collect()
+    assert all(r["doc_id"] != 999 for r in out)
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], []).append(r)
+    assert set(by_phase) <= {0, 1, 2}
+    assert all(r["quality"] >= curation.CURRICULUM_HI_FP / 1e6 for r in by_phase.get(0, []))
+    assert all(r["quality"] < curation.CURRICULUM_LO_FP / 1e6 for r in by_phase.get(2, []))
+    assert {r["doc_id"] for r in by_phase.get(0, [])} == set(range(8))
+    assert {r["doc_id"] for r in by_phase.get(2, [])} == {100, 101, 102, 103}
+    for (p, s) in {(r["phase"], r["shard"]) for r in out}:
+        pos = sorted(r["pos"] for r in out if (r["phase"], r["shard"]) == (p, s))
+        assert pos == list(range(1, len(pos) + 1))
+    # determinism across partitionings: same rows from a repartitioned scan
+    again = (
+        curation.curriculum_order(spark, sf)
+        .repartition(7)
+        .orderBy("phase", "shard", "pos")
+        .collect()
+    )
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
