@@ -136,6 +136,7 @@ class TestEmptyCorpus:
         "split_decontamination",  # membership-probe ratio, empty train set
         "conversation_funnel",  # composed conv signals, all frames empty
         "bpe_fertility_by_source",  # ratios over an empty trained vocab
+        "curriculum_order",  # phased row_number windows over nothing
     ]
 
     @pytest.fixture(scope="class")
@@ -173,6 +174,7 @@ class TestNullTextOracleParity:
         "bpe_fertility_by_source",
         "split_decontamination",
         "conversation_funnel",
+        "curriculum_order",
     ]
 
     def test_null_and_empty_text_agree_cross_engine(self, spark, tmp_path):
