@@ -19,13 +19,17 @@ Cluster deployment mirrors jobs/run_extraction.py:
         --input  s3://.../transcripts/  (conv_id, turn_idx, role, text, tool, ts) \\
         --output s3://.../sft/ --buckets 4096 [--no-fold] [--resume]
 
-Outputs under --output:
-    turns/results/bucket=N/    per-turn span rows (conv_id, turn_idx,
-                               role, start_char, end_char, loss_mask,
-                               split) — resume grain, lineage-tracked
-    turns/_lineage/            per-bucket lineage (resume checkpoint)
-    conversations/split=S/     one row per conversation: rendered text +
-                               n_turns (what the tokenizer reads)
+Outputs under --output (BOTH lineage-tracked, resuming independently —
+a crash between the two writes is recoverable with --resume, and each
+path reprocesses only its own incomplete buckets):
+    turns/results/bucket=N/            per-turn span rows (conv_id,
+                                       turn_idx, role, start_char,
+                                       end_char, loss_mask, split)
+    turns/_lineage/                    per-bucket lineage (resume)
+    conversations/results/bucket=N/    one row per conversation:
+                                       rendered text + n_turns + split
+                                       (what the tokenizer reads)
+    conversations/_lineage/            per-bucket lineage (resume)
 """
 
 from __future__ import annotations
@@ -106,13 +110,10 @@ def main(argv=None) -> int:
             transcripts = read_table(spark, args.input_snapshot_table)
 
     turns_out = os.path.join(args.output, "turns")
-    if args.resume:
-        transcripts = resume_filter(
-            spark, transcripts, turns_out, args.buckets
-        )
+    conv_out = os.path.join(args.output, "conversations")
     n_input = transcripts.count()
     if n_input == 0:
-        print("nothing to do: all buckets completed")
+        print("nothing to do: empty input")
         return 0
 
     run_id = args.run_id or f"sft-{int(time.time())}"
@@ -121,7 +122,9 @@ def main(argv=None) -> int:
     # jitter). The gate drops STRUCTURAL corruption — wall-clock
     # inversions and tool names on non-tool roles; a tool turn missing
     # its name still renders fine, so that stays a reported count, not a
-    # disqualifier.
+    # disqualifier. Lint runs on the FULL input even under --resume: the
+    # two outputs resume independently below, so their incomplete-bucket
+    # sets differ, and lint is one cheap conv_id window either way.
     n_dirty = 0
     if not args.keep_dirty:
         lint = lint_frame(transcripts, jitter=False)
@@ -150,30 +153,57 @@ def main(argv=None) -> int:
     )
     folded = folded.withColumn("split", _split_col())
 
-    # 4. loss-mask spans (per-turn resume grain, lineage-tracked)
-    spans = render_spans_frame(folded).join(
-        folded.select("conv_id", "turn_idx", "split"),
-        ["conv_id", "turn_idx"],
-    ).withColumn("status", F.lit("ok"))
-    lineage = write_results_with_lineage(
-        spark, spans, turns_out, n_buckets=args.buckets, run_id=run_id
+    # 4. loss-mask spans (bucket resume grain, lineage-tracked). The
+    # resume filter drops only WHOLE conversations, so the per-conv
+    # offset windows below never see a partial conversation.
+    spans_src = (
+        resume_filter(spark, folded, turns_out, args.buckets)
+        if args.resume
+        else folded
     )
-    stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
+    n_span_rows = n_span_ok = 0
+    wrote_spans = not spans_src.isEmpty()
+    if wrote_spans:
+        spans = render_spans_frame(spans_src).join(
+            folded.select("conv_id", "turn_idx", "split"),
+            ["conv_id", "turn_idx"],
+        ).withColumn("status", F.lit("ok"))
+        lineage = write_results_with_lineage(
+            spark, spans, turns_out, n_buckets=args.buckets, run_id=run_id
+        )
+        stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
+        n_span_rows, n_span_ok = stats[0], stats[1]
 
-    # 5. rendered conversations, partitioned by split for the trainer
+    # 5. rendered conversations — a SECOND lineage-tracked output with
+    # its own resume state, so a crash between the span write and this
+    # one is recoverable: --resume reprocesses exactly the conversation
+    # buckets that never landed here, even when every span bucket is done.
     rendered = render_conversations_frame(folded).withColumn(
         "split", _split_col()
+    ).withColumn("status", F.lit("ok"))
+    conv_src = (
+        resume_filter(spark, rendered, conv_out, args.buckets)
+        if args.resume
+        else rendered
     )
-    rendered.write.mode("append").partitionBy("split").parquet(
-        os.path.join(args.output, "conversations")
-    )
-    per_split = {
-        r["split"]: r["n"]
-        for r in rendered.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
+    per_split = {}
+    if not conv_src.isEmpty():
+        write_results_with_lineage(
+            spark, conv_src, conv_out, n_buckets=args.buckets, run_id=run_id
+        )
+        per_split = {
+            r["split"]: r["n"]
+            for r in conv_src.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    elif not wrote_spans:
+        print("nothing to do: all buckets completed")
+        return 0
+
     print(
         f"run {run_id}: {n_input} turns in, {n_dirty} conversations "
-        f"dropped by lint, {stats[0]} span rows out ({stats[1]} ok), "
+        f"dropped by lint, {n_span_rows} span rows out ({n_span_ok} ok), "
         f"conversations per split: "
         + ", ".join(f"{k}={per_split[k]}" for k in sorted(per_split))
     )

@@ -28,7 +28,7 @@ def test_sft_export_end_to_end(spark, tmp_path, capsys):
         == 0
     )
     spans = spark.read.parquet(os.path.join(out, "turns", "results"))
-    convs = spark.read.parquet(os.path.join(out, "conversations"))
+    convs = spark.read.parquet(os.path.join(out, "conversations", "results"))
     assert spans.count() > 0 and convs.count() > 0
 
     # the offsets index the rendered string: reconstruct two turns
@@ -108,7 +108,9 @@ def test_sft_export_folds_tool_turns_unless_disabled(spark, tmp_path):
     assert J.main(["--input", src, "--output", out_fold, "--buckets", "4"]) == 0
     folded = spark.read.parquet(os.path.join(out_fold, "turns", "results"))
     assert folded.filter(F.col("role") == "tool").count() == 0
-    convs = spark.read.parquet(os.path.join(out_fold, "conversations"))
+    convs = spark.read.parquet(
+        os.path.join(out_fold, "conversations", "results")
+    )
     assert all("[tool] " in r["rendered"] for r in convs.collect())
 
     out_raw = str(tmp_path / "raw")
@@ -121,3 +123,58 @@ def test_sft_export_folds_tool_turns_unless_disabled(spark, tmp_path):
     )
     raw = spark.read.parquet(os.path.join(out_raw, "turns", "results"))
     assert raw.filter(F.col("role") == "tool").count() > 0
+
+
+def test_sft_export_resumes_conversations_after_crash_between_writes(
+    spark, tmp_path, capsys
+):
+    """The two outputs resume independently: if a run dies after the span
+    write but before the conversations write (simulated by deleting the
+    conversations output), --resume rebuilds exactly the conversations,
+    appending no duplicate span rows."""
+    import shutil
+
+    import jobs.run_sft_export as J
+
+    src = str(tmp_path / "in_c")
+    out = str(tmp_path / "out_c")
+    _write_input(spark, src)
+    assert J.main(["--input", src, "--output", out, "--buckets", "8"]) == 0
+    spans_before = spark.read.parquet(
+        os.path.join(out, "turns", "results")
+    ).count()
+    convs_expected = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                os.path.join(out, "conversations", "results")
+            ).drop("bucket").collect(),
+        )
+    )
+    shutil.rmtree(os.path.join(out, "conversations"))
+
+    assert (
+        J.main(["--input", src, "--output", out, "--buckets", "8", "--resume"])
+        == 0
+    )
+    assert "nothing to do" not in capsys.readouterr().out
+    assert (
+        spark.read.parquet(os.path.join(out, "turns", "results")).count()
+        == spans_before
+    )
+    convs_after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                os.path.join(out, "conversations", "results")
+            ).drop("bucket").collect(),
+        )
+    )
+    assert convs_after == convs_expected
+
+    # and now everything is complete: a further resume is a no-op
+    assert (
+        J.main(["--input", src, "--output", out, "--buckets", "8", "--resume"])
+        == 0
+    )
+    assert "nothing to do: all buckets completed" in capsys.readouterr().out
