@@ -1405,6 +1405,16 @@ def dpo_pairs_from_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns = t.select(
         "conv_id", "turn_idx", "role", "text", ((doc % 7) != 0).alias("ok")
     )
+    return dpo_pairs_frame(turns)
+
+
+def dpo_pairs_frame(turns: DataFrame) -> DataFrame:
+    """Frame-level core of ``dpo_pairs_from_retries``: needs (conv_id,
+    turn_idx, role, text, ok) where ``ok`` grades TOOL turns (NULL ok =
+    ungradeable — such a turn is neither a failure nor a recovery; ok on
+    non-tool rows is ignored). The gate corpus derives ok from its
+    synthetic payload rule; jobs/run_dpo_export.py parses it out of real
+    JSON tool payloads."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     wf = w.rowsBetween(1, Window.unboundedFollowing)
