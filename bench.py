@@ -171,6 +171,7 @@ HEADLINE = [
     ("sketch_cms_heavy_hitters", textstats.sketch_cms_heavy_hitters),
     ("sketch_histogram_quantiles", analytics.sketch_histogram_quantiles),
     ("shard_training_corpus", textstats.shard_training_corpus),
+    ("curriculum_order", curation.curriculum_order),
     ("sft_pair_assembly", _bench_sft_pairs),
     ("conv_near_dup", _bench_conv_near_dup),
     ("transcript_lint", _bench_transcript_lint),
