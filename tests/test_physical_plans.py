@@ -627,3 +627,19 @@ def test_dsir_threshold_mode_has_no_global_sort_window(spark):
     assert "Window" in rank_plan  # the exact mode pays the global rank
     assert "Window" not in thr_plan
     assert "percentile_approx" in thr_plan
+
+
+def test_curriculum_order_single_data_exchange_pruned_scan(spark):
+    """Curriculum ordering: scoring is a narrow map on a 3-column scan;
+    the ONLY data shuffle is the (phase, shard) row_number window (plus
+    the presentation range sort). No single-partition window, no join."""
+    from gmft_spark.operators.curation import curriculum_order
+
+    plan = _plan(curriculum_order(spark, SF))
+    assert plan.count("Exchange") == 2  # window hash + presentation range
+    assert "hashpartitioning(phase" in plan
+    assert "windowspecdefinition()" not in plan  # no global window
+    assert "Join" not in plan
+    read = [l for l in plan.split("\n") if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read and "n_chars" in read
+    assert "lang" not in read and "source" not in read
