@@ -56,6 +56,20 @@ def main(argv=None) -> int:
         action="store_true",
         help="mine conversations that fail the protocol lint too",
     )
+    parser.add_argument(
+        "--snapshot-table",
+        default=None,
+        help="also commit the mined pairs to a snapshot table "
+        "(plans/snapshots.py)",
+    )
+    parser.add_argument(
+        "--snapshot-mode",
+        choices=("append", "upsert"),
+        default="append",
+        help="with --snapshot-table: 'append' adds this run's pairs as "
+        "new rows; 'upsert' MERGEs on (conv_id, failed_turn_idx) so "
+        "re-exports stay idempotent at the table layer",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -157,6 +171,23 @@ def main(argv=None) -> int:
         f"run {run_id}: {n_input} turns in, {n_dirty} conversations "
         f"dropped by lint, {n_pairs} preference pairs out"
     )
+    if args.snapshot_table:
+        from gmft_spark.plans.snapshots import commit_append, commit_upsert
+
+        batch = pairs.drop("status").withColumn("run_id", F.lit(run_id))
+        if args.snapshot_mode == "upsert":
+            sid = commit_upsert(
+                spark,
+                batch,
+                args.snapshot_table,
+                key_cols=["conv_id", "failed_turn_idx"],
+            )
+        else:
+            sid = commit_append(spark, batch, args.snapshot_table)
+        print(
+            f"snapshot {sid} committed to {args.snapshot_table} "
+            f"({args.snapshot_mode})"
+        )
     return 0
 
 

@@ -65,6 +65,21 @@ def main(argv=None) -> int:
         "(default: timestamp inversions / tool-name violations drop the "
         "whole conversation)",
     )
+    parser.add_argument(
+        "--snapshot-table",
+        default=None,
+        help="also commit the rendered conversations to a snapshot table "
+        "(plans/snapshots.py) so table maintenance / time travel / "
+        "incremental consumers apply to the export",
+    )
+    parser.add_argument(
+        "--snapshot-mode",
+        choices=("append", "upsert"),
+        default="append",
+        help="with --snapshot-table: 'append' adds this run's "
+        "conversations as new rows; 'upsert' MERGEs on conv_id so "
+        "re-exports stay idempotent at the table layer",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -197,6 +212,22 @@ def main(argv=None) -> int:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        if args.snapshot_table:
+            from gmft_spark.plans.snapshots import commit_append, commit_upsert
+
+            batch = conv_src.select(
+                "conv_id", "split", "n_turns", "rendered"
+            ).withColumn("run_id", F.lit(run_id))
+            if args.snapshot_mode == "upsert":
+                sid = commit_upsert(
+                    spark, batch, args.snapshot_table, key_cols=["conv_id"]
+                )
+            else:
+                sid = commit_append(spark, batch, args.snapshot_table)
+            print(
+                f"snapshot {sid} committed to {args.snapshot_table} "
+                f"({args.snapshot_mode})"
+            )
     elif not wrote_spans:
         print("nothing to do: all buckets completed")
         return 0

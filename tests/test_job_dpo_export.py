@@ -120,3 +120,25 @@ def test_dpo_export_lint_gate_drops_dirty_conversations(spark, tmp_path):
     kept = spark.read.parquet(os.path.join(out2, "pairs", "results"))
     assert kept.filter(F.col("conv_id") == "conv-0").count() == 1
     assert kept.count() == 6
+
+
+def test_dpo_export_snapshot_upsert_is_idempotent(spark, tmp_path):
+    from gmft_spark.plans import snapshots as S
+
+    import jobs.run_dpo_export as J
+
+    src = str(tmp_path / "in_s")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    tbl = str(tmp_path / "tbl")
+    _graded_input(spark, src)
+    base = ["--input", src, "--buckets", "4",
+            "--snapshot-table", tbl, "--snapshot-mode", "upsert"]
+    assert J.main(base + ["--output", out1, "--run-id", "p1"]) == 0
+    t1 = S.read_table(spark, tbl)
+    assert t1.count() == 6 and "status" not in t1.columns
+    assert J.main(base + ["--output", out2, "--run-id", "p2"]) == 0
+    t2 = S.read_table(spark, tbl)
+    assert t2.count() == 6
+    assert set(r["run_id"] for r in t2.select("run_id").distinct().collect()) == {
+        "p2"
+    }

@@ -178,3 +178,29 @@ def test_sft_export_resumes_conversations_after_crash_between_writes(
         == 0
     )
     assert "nothing to do: all buckets completed" in capsys.readouterr().out
+
+
+def test_sft_export_snapshot_upsert_is_idempotent(spark, tmp_path):
+    """--snapshot-table commits the rendered conversations; upsert mode
+    MERGEs on conv_id so re-exporting the same input never duplicates
+    rows at the table layer (even though the parquet sink appends)."""
+    from gmft_spark.plans import snapshots as S
+
+    import jobs.run_sft_export as J
+
+    src = str(tmp_path / "in_s")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    tbl = str(tmp_path / "tbl")
+    _write_input(spark, src)
+    base = ["--input", src, "--buckets", "4",
+            "--snapshot-table", tbl, "--snapshot-mode", "upsert"]
+    assert J.main(base + ["--output", out1, "--run-id", "s1"]) == 0
+    n1 = S.read_table(spark, tbl).count()
+    assert n1 > 0
+    assert J.main(base + ["--output", out2, "--run-id", "s2"]) == 0
+    t = S.read_table(spark, tbl)
+    assert t.count() == n1  # MERGE, not duplicate
+    assert set(r["run_id"] for r in t.select("run_id").distinct().collect()) == {
+        "s2"
+    }
+    assert t.select("conv_id").distinct().count() == n1
