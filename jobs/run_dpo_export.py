@@ -130,11 +130,14 @@ def main(argv=None) -> int:
     n_dirty = 0
     if not args.keep_dirty:
         lint = lint_frame(transcripts, jitter=False)
-        clean = lint.filter(
-            (F.col("n_ts_inversions") == 0)
-            & (F.col("n_tool_wrong_role") == 0)
-        ).select("conv_id")
-        n_dirty = lint.count() - clean.count()
+        dirty_cond = (F.col("n_ts_inversions") > 0) | (
+            F.col("n_tool_wrong_role") > 0
+        )
+        # ONE pass for the count (see jobs/run_sft_export.py)
+        n_dirty = lint.agg(
+            F.count(F.when(dirty_cond, 1)).alias("n")
+        ).collect()[0]["n"]
+        clean = lint.filter(~dirty_cond).select("conv_id")
         transcripts = transcripts.join(clean, "conv_id", "left_semi")
 
     # 2. grade tool turns from their JSON payload: ok parses strictly

@@ -143,11 +143,15 @@ def main(argv=None) -> int:
     n_dirty = 0
     if not args.keep_dirty:
         lint = lint_frame(transcripts, jitter=False)
-        clean = lint.filter(
-            (F.col("n_ts_inversions") == 0)
-            & (F.col("n_tool_wrong_role") == 0)
-        ).select("conv_id")
-        n_dirty = lint.count() - clean.count()
+        dirty_cond = (F.col("n_ts_inversions") > 0) | (
+            F.col("n_tool_wrong_role") > 0
+        )
+        # ONE pass for the count (counting lint and clean separately
+        # re-runs the full per-turn window aggregation twice)
+        n_dirty = lint.agg(
+            F.count(F.when(dirty_cond, 1)).alias("n")
+        ).collect()[0]["n"]
+        clean = lint.filter(~dirty_cond).select("conv_id")
         # conv_id-keyed left-semi: co-partitioned with everything below
         transcripts = transcripts.join(clean, "conv_id", "left_semi")
         if n_dirty and transcripts.isEmpty():
@@ -166,7 +170,10 @@ def main(argv=None) -> int:
             transcripts.select("conv_id", "turn_idx", "role", "text")
         )
     )
-    folded = folded.withColumn("split", _split_col())
+    # TWO sinks (span rows + rendered conversations) read this frame;
+    # persisting it keeps the lint window + semi-join + fold from
+    # recomputing per sink (spills to disk past executor memory)
+    folded = folded.withColumn("split", _split_col()).persist()
 
     # 4. loss-mask spans (bucket resume grain, lineage-tracked). The
     # resume filter drops only WHOLE conversations, so the per-conv
