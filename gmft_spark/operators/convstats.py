@@ -1095,7 +1095,15 @@ def render_conversations_frame(t: DataFrame) -> DataFrame:
     """One row per conversation with the FULL rendered transcript in the
     same convention the span offsets index (``role: text`` lines joined
     by ``\\n``, NULL-text turns skipped) — the companion output a trainer
-    tokenizes once while applying ``render_spans_frame``'s mask spans."""
+    tokenizes once while applying ``render_spans_frame``'s mask spans.
+
+    Scale note: the grain is inherently one-row-per-conversation (the
+    trainer consumes whole transcripts), so a pathological multi-million
+    -turn conversation materializes as one giant string in one task —
+    that is a property of the OUTPUT, not the plan. Cap such
+    conversations upstream (curation.chunk_documents / the SFT pair
+    assembly's token budget) before rendering; the per-turn span output
+    needs no such cap."""
     line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
     return (
         t.filter(F.col("text").isNotNull())
