@@ -76,20 +76,28 @@ def test_entry_smoke(spark):
 
 def test_registration_order_contract():
     """The driver's correctness gate truncates in registration order
-    (round 2 recorded only the first 50 of 123), so ordering is
-    load-bearing: parity pipelines head the list, the early-module tuple
-    (every query added/rewritten in the current round) registers before
-    the long-driver-green relational suite, and every early name must
-    resolve to a real query (typo tripwire — a misspelled name would
-    silently fall to the back)."""
+    (it records only the first 50 registered queries), so ordering is
+    load-bearing: _ROUND4_WINDOW (the 41 queries never driver-recorded in
+    rounds 1–3, plus round-4 additions) heads the list and must fit the
+    50-slot window; every window name must resolve to a real, oracled
+    query (typo tripwire — a misspelled name would silently fall to the
+    back)."""
     from gmft_spark import entry
     from gmft_spark.operators import relational
 
     names = list(E.queries())
     assert len(names) == len(set(names))
-    assert names[0] == "tatr_extract_csv_parity"
-    missing = [n for n in entry._EARLY_MODULE_QUERIES if n not in names]
-    assert not missing, f"_EARLY_MODULE_QUERIES names unresolved: {missing}"
+    window = list(entry._ROUND4_WINDOW)
+    assert len(window) == len(set(window))
+    assert len(window) <= 50, "window overflows the driver's 50-slot cap"
+    missing = [n for n in window if n not in names]
+    assert not missing, f"_ROUND4_WINDOW names unresolved: {missing}"
+    assert names[: len(window)] == window, "window must register first"
+    oracled = set(E.oracle_sql())
+    unoracled = [n for n in window if n not in oracled]
+    assert not unoracled, f"window queries without oracles: {unoracled}"
+    missing_early = [n for n in entry._EARLY_MODULE_QUERIES if n not in names]
+    assert not missing_early, f"early names unresolved: {missing_early}"
     first_rel = min(names.index(n) for n in relational.QUERIES)
     last_early = max(names.index(n) for n in entry._EARLY_MODULE_QUERIES)
     assert last_early < first_rel, "early block must precede relational suite"
