@@ -56,14 +56,37 @@ def test_lineitem_filter_prunes_columns(spark):
 
 
 def test_minhash_lsh_shuffle_budget(spark):
-    """The round-2 rewrite pinned: signatures are shuffle-free array
-    expressions; candidate pairs need only the (band,bucket) groupBy, the
-    pair distinct and the output sort — 3 exchanges, not the 15 the
-    union-branch + self-join formulation cost."""
+    """Signatures stay shuffle-free array expressions (round-2 rewrite);
+    candidate pairs cost the band-index self-join (both sides of one
+    checkpointed index), the pair distinct and the output sort."""
     from gmft_spark.operators.dedup import dedup_minhash_lsh, minhash_signatures
 
     assert _plan(minhash_signatures(spark, SF)).count("Exchange") <= 1
-    assert _plan(dedup_minhash_lsh(spark, SF)).count("Exchange") <= 3
+    assert _plan(dedup_minhash_lsh(spark, SF)).count("Exchange") <= 4
+
+
+def test_lsh_candidates_are_aqe_splittable_equi_join(spark):
+    """Round-4 rewrite pinned (VERDICT r3 item #2): candidate pairs come
+    from a (band, bucket) self EQUI-JOIN over the materialized band index
+    — a mega-bucket (e.g. a band of identical empty-document signatures)
+    is a skewed JOIN KEY that AQE skew-join splits across tasks, not a
+    single collect_list row expanded O(|bucket|²) inside one task. The
+    collect_list shape is banned from the plan outright."""
+    from gmft_spark.operators.dedup import _lsh_candidate_pairs
+
+    plan = _plan(_lsh_candidate_pairs(spark, SF))
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_equi = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_equi == 1
+    # the join keys are the band index's (band, bucket) — visible as the
+    # equi-join condition, with doc_a < doc_b as the residual filter
+    assert "band" in plan and "bucket" in plan
 
 
 def test_simhash_single_exchange(spark):
