@@ -207,20 +207,33 @@ def _structure_model(cfg: TATRInferenceConfig) -> "_HFTableTransformer":
 
 
 def detect_tables_tatr(
-    rendered: DataFrame, config: TATRInferenceConfig | None = None
+    rendered: DataFrame,
+    config: TATRInferenceConfig | None = None,
+    model_fn=None,
 ) -> DataFrame:
     """Real-TATR drop-in for ``detect.detect_tables_in_rasters``: same
     input (conv_id, turn_idx, png), same ``DETECT_SCHEMA`` output. Label
     semantics follow the reference detector: label 1 marks a table
     rotated 90° (detectors/tatr.py:92-99). Raises at PLAN time when
-    torch is absent — never ships a doomed job to the executors."""
-    _require_torch()
+    torch is absent — never ships a doomed job to the executors.
+
+    ``model_fn(cfg) -> model`` swaps the HF loader for an alternate
+    inference runtime (ONNX/quantized) or a stub replaying recorded
+    predictions — the returned object needs only
+    ``infer(images, threshold)``. With an injected model the torch gate
+    is skipped (the model defines its own runtime); the postprocess
+    assembly below runs unchanged, which is how the reference's recorded
+    predictions (data/test/references/tatr_tables.json) exercise this
+    path torch-free in tests/test_detect_tatr.py."""
+    if model_fn is None:
+        _require_torch()
     cfg = config or TATRInferenceConfig()
+    loader = model_fn or _detector_model
 
     from gmft_spark.kernel.raster import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _detector_model(cfg)
+        model = loader(cfg)
         for batch in batches:
             rows = []
             metas, images = [], []
@@ -280,21 +293,26 @@ STRUCTURE_TATR_SCHEMA = (
 
 
 def recognize_structure_tatr(
-    tiles: DataFrame, config: TATRInferenceConfig | None = None
+    tiles: DataFrame,
+    config: TATRInferenceConfig | None = None,
+    model_fn=None,
 ) -> DataFrame:
     """Real-TATR structure recognition over cropped table tiles
     (``render.crop_table_images`` output): one labeled box per prediction
     — the "functional predictions" (rows/columns/headers/spanning cells)
     that kernel/table.py's formatter consumes. Same lazy-singleton /
     Arrow-batch seam as the detector; threshold 0.3 per the reference
-    formatter default."""
-    _require_torch()
+    formatter default. ``model_fn`` is the same alternate-runtime /
+    recorded-predictions seam as ``detect_tables_tatr``'s."""
+    if model_fn is None:
+        _require_torch()
     cfg = config or TATRInferenceConfig()
+    loader = model_fn or _structure_model
 
     from gmft_spark.kernel.raster import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _structure_model(cfg)
+        model = loader(cfg)
         for batch in batches:
             rows = []
             metas, images = [], []

@@ -85,6 +85,146 @@ def test_structure_labels_match_reference_vocabulary():
     assert "table column header" in DT.STRUCTURE_LABELS
 
 
+_REF_TABLES = "/root/reference/data/test/references/tatr_tables.json"
+_PNG_BASE = 4  # stub lookup key: image width = _PNG_BASE + item index
+
+
+def _recorded_tables():
+    import json
+
+    with open(_REF_TABLES) as f:
+        return json.load(f)
+
+
+def _index_png(i: int) -> bytes:
+    """A real (repo-codec) PNG whose WIDTH encodes the item index — the
+    only channel a model stub can read back, since ``infer`` receives
+    decoded images and nothing else."""
+    import numpy as np
+
+    from gmft_spark.kernel.raster import encode_png
+
+    return encode_png(np.full((1, _PNG_BASE + i), 255, dtype=np.uint8))
+
+
+def test_structure_postprocess_replays_reference_recorded_predictions(spark):
+    """VERDICT r3 item #3: the postprocess half of the real-TATR seam
+    (decode → batch chunking → infer → label mapping → row assembly) runs
+    torch-free against the reference's own 40 recorded prediction sets
+    (data/test/references/tatr_tables.json, the structure model's
+    fctn_results): a stub model replays each table's recorded
+    scores/labels/boxes, and the assembled rows must equal the goldens
+    exactly — every pred in order, labels mapped through the reference's
+    id2label vocabulary, float-exact boxes and scores."""
+    recorded = _recorded_tables()
+    keys = sorted(recorded)
+    tiles = spark.createDataFrame(
+        [(k, i, 0, _index_png(i)) for i, k in enumerate(keys)],
+        "conv_id string, turn_idx int, det_id int, png binary",
+    ).repartition(3)
+    dets_by_idx = {
+        i: [
+            (tuple(b), float(s), int(l))
+            for b, s, l in zip(
+                recorded[k]["fctn_results"]["boxes"],
+                recorded[k]["fctn_results"]["scores"],
+                recorded[k]["fctn_results"]["labels"],
+            )
+        ]
+        for i, k in enumerate(keys)
+    }
+
+    def stub_fn(cfg):
+        expected_threshold = cfg.structure_threshold
+
+        class Stub:
+            def infer(self, images, threshold):
+                assert threshold == expected_threshold == 0.3
+                assert len(images) <= cfg.batch_size  # chunking honored
+                return [dets_by_idx[im.shape[1] - _PNG_BASE] for im in images]
+
+        return Stub()
+
+    out = DT.recognize_structure_tatr(
+        tiles, config=DT.TATRInferenceConfig(batch_size=3), model_fn=stub_fn
+    ).toPandas()
+    assert len(out) == sum(len(v) for v in dets_by_idx.values())
+    for i, k in enumerate(keys):
+        got = out[out["conv_id"] == k].sort_values("pred_id")
+        want = dets_by_idx[i]
+        assert list(got["pred_id"]) == list(range(len(want)))
+        assert list(got["label"]) == [
+            DT.STRUCTURE_LABELS[l] for (_b, _s, l) in want
+        ]
+        assert list(got["score"]) == [s for (_b, s, _l) in want]
+        assert [tuple(b) for b in got[["x0", "y0", "x1", "y1"]].values] == [
+            b for (b, _s, _l) in want
+        ]
+
+
+def test_detect_postprocess_replays_recorded_pages_and_contains_errors(spark):
+    """Detection-side assembly against the same goldens, grouped to page
+    grain (each recorded table's top-level bbox/confidence/label is one
+    detection on its page), plus the corrupt-payload path: an undecodable
+    PNG yields exactly one contained error row (det_id -1, label -1) and
+    never poisons its batch."""
+    recorded = _recorded_tables()
+    pages: dict[tuple, list] = {}
+    for k in sorted(recorded):
+        r = recorded[k]
+        pages.setdefault((r["filename"], r["page_no"]), []).append(
+            (tuple(r["bbox"]), float(r["confidence_score"]), int(r["label"]))
+        )
+    page_keys = sorted(pages)
+    rows = [
+        (f"{fn}#p{pno}", i, _index_png(i))
+        for i, (fn, pno) in enumerate(page_keys)
+    ]
+    rows.append(("corrupt", len(page_keys), b"\x89PNG not really"))
+    rendered = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, png binary"
+    ).repartition(2)
+    dets_by_idx = {i: pages[pk] for i, pk in enumerate(page_keys)}
+
+    def stub_fn(cfg):
+        class Stub:
+            def infer(self, images, threshold):
+                assert threshold == cfg.detector_threshold == 0.9
+                return [dets_by_idx[im.shape[1] - _PNG_BASE] for im in images]
+
+        return Stub()
+
+    out = DT.detect_tables_tatr(rendered, model_fn=stub_fn).toPandas()
+    err = out[out["conv_id"] == "corrupt"]
+    assert len(err) == 1
+    assert err.iloc[0]["det_id"] == -1 and err.iloc[0]["label"] == -1
+    good = out[out["conv_id"] != "corrupt"]
+    assert len(good) == sum(len(v) for v in dets_by_idx.values())
+    for i, pk in enumerate(page_keys):
+        fn, pno = pk
+        got = good[good["conv_id"] == f"{fn}#p{pno}"].sort_values("det_id")
+        want = dets_by_idx[i]
+        assert list(got["det_id"]) == list(range(len(want)))
+        assert list(got["score"]) == [s for (_b, s, _l) in want]
+        assert list(got["label"]) == [l for (_b, _s, l) in want]
+        assert [tuple(b) for b in got[["x0", "y0", "x1", "y1"]].values] == [
+            b for (b, _s, _l) in want
+        ]
+
+
+def test_injected_model_skips_torch_gate_only_when_present(spark):
+    """model_fn=None keeps the plan-time torch gate (no silent fallthrough
+    to a missing runtime)."""
+    if DT.torch_available():  # pragma: no cover - sandbox has no torch
+        pytest.skip("torch present: gate is live upstream")
+    df = spark.createDataFrame(
+        [("c", 0, 0, _index_png(0))],
+        "conv_id string, turn_idx int, det_id int, png binary",
+    )
+    with pytest.raises(RuntimeError, match="torch"):
+        DT.recognize_structure_tatr(df)
+
+
 @pytest.mark.skipif(not DT.torch_available(), reason="needs torch")
 def test_real_tatr_detects_on_rendered_page(spark):  # pragma: no cover
     from gmft_spark.operators.render import render_pages
