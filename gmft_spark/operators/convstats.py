@@ -345,7 +345,23 @@ def _conv_shingle_frame(t: DataFrame) -> DataFrame:
     )
 
 
-def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Hot-shingle document-frequency cap: shingles shared by more than this
+# many conversations are dropped from the INVERTED INDEX (intersection
+# counting) — never from the size denominators. A df-D shingle alone
+# generates D(D-1)/2 candidate rows (a boilerplate preamble shared by
+# every session makes the index quadratic in corpus size), while any
+# shingle this common certifies nothing about a 0.1-Jaccard pair.
+# Capping only the index keeps the estimate one-sided: computed J <= true
+# J, so the pair set is a subset of the exact answer (no false
+# positives). 1000 is a no-op at sf0.001–0.1 (df <= #conversations = 64),
+# so the DuckDB twin stays exact while the production plan carries the
+# cap (VERDICT r3 item #4).
+CONV_NEAR_DUP_MAX_DF = 1000
+
+
+def conv_near_dup_frame(
+    t: DataFrame, max_shingle_df: int | None = CONV_NEAR_DUP_MAX_DF
+) -> DataFrame:
     """Conversation-level near-duplicate pairs: Jaccard over distinct word
     3-shingles of each conversation's FULL transcript (turn texts in stable
     turn_idx order — the north rule's ordering contract), pairs with
@@ -361,18 +377,28 @@ def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions, whole-stage codegen). Pair discovery is an
     inverted index on the shingle — only conversations that actually
     SHARE content meet, never a block enumeration (same argument as
-    dedup.ngram_jaccard:388). Hot-shingle df² blowup is the knob to cap
-    at corpus scale (drop shingles with document-frequency above ~1k —
-    they can't certify a 0.1-Jaccard pair anyway); not applied here so
-    the DuckDB twin stays exact. Pathological conversation length is
-    bounded upstream by the corpus's context truncation; the salted
-    two-level assembly (plans/skew.py) is the fallback if it isn't."""
-    sh = _conv_shingle_frame(transcripts_from_documents(spark, sf_dir))
+    dedup.ngram_jaccard:388) — with hot shingles above ``max_shingle_df``
+    dropped from the index via a broadcast anti-join (the hot SET is tiny
+    by construction: only boilerplate crosses a 1000-conversation df).
+    ``max_shingle_df=None`` disables the cap (exact mode). Pathological
+    conversation length is bounded upstream by the corpus's context
+    truncation; the salted two-level assembly (plans/skew.py) is the
+    fallback if it isn't."""
+    sh = _conv_shingle_frame(t)
     sizes = sh.groupBy("conv_id").agg(F.count("*").alias("sz"))
+    idx = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
     inter = (
-        sh.alias("sa")
+        idx.alias("sa")
         .join(
-            sh.alias("sb"),
+            idx.alias("sb"),
             (F.col("sa.shingle") == F.col("sb.shingle"))
             & (F.col("sa.conv_id") < F.col("sb.conv_id")),
         )
@@ -391,6 +417,13 @@ def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
         .orderBy("conv_a", "conv_b")
     )
+
+
+def conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of ``conv_near_dup_frame`` over the derived transcripts.
+    The default df cap is provably inert at gate scale (64 conversations
+    < CONV_NEAR_DUP_MAX_DF), so the DuckDB twin remains exact."""
+    return conv_near_dup_frame(transcripts_from_documents(spark, sf_dir))
 
 
 # string_agg ORDER BY doc_id == turn order (turn_idx = doc_id/16 and a
