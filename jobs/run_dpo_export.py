@@ -168,11 +168,15 @@ def main(argv=None) -> int:
     lineage = write_results_with_lineage(
         spark, pairs, pairs_out, n_buckets=args.buckets, run_id=run_id
     )
+    # lineage re-aggregates the whole results dir — under --resume this
+    # count includes pairs landed by earlier runs (cumulative, and
+    # labeled so)
     stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
     n_pairs = stats[0] or 0
     print(
         f"run {run_id}: {n_input} turns in, {n_dirty} conversations "
-        f"dropped by lint, {n_pairs} preference pairs out"
+        f"dropped by lint, {n_pairs} preference pairs in output "
+        "(cumulative across resumed runs)"
     )
     if args.snapshot_table:
         from gmft_spark.plans.snapshots import commit_append, commit_upsert

@@ -112,15 +112,28 @@ def main(argv=None) -> int:
         from gmft_spark.plans.snapshots import incremental_scan, read_table
 
         if args.since_snapshot is not None:
-            transcripts = incremental_scan(
+            delta = incremental_scan(
                 spark, args.input_snapshot_table, args.since_snapshot
             )
-            if transcripts is None:
+            if delta is None:
                 print(
                     "nothing to do: no new input since snapshot "
                     f"{args.since_snapshot}"
                 )
                 return 0
+            # whole-conversation re-export: the delta is appended TURNS,
+            # but this job's outputs are conversation-grain renders — a
+            # conversation that gained turns since the snapshot must
+            # re-render in FULL, or the delta fragment would export as a
+            # truncated transcript with offsets restarting at 0 (and
+            # under --snapshot-mode upsert silently REPLACE the complete
+            # rendered row for that conv_id). conv_id-keyed left-semi
+            # against the tiny distinct-delta set; only touched
+            # conversations re-export.
+            touched = delta.select("conv_id").distinct()
+            transcripts = read_table(
+                spark, args.input_snapshot_table
+            ).join(touched, "conv_id", "left_semi")
         else:
             transcripts = read_table(spark, args.input_snapshot_table)
 
@@ -183,16 +196,27 @@ def main(argv=None) -> int:
         if args.resume
         else folded
     )
+    # split is a pure function of conv_id — added directly, never joined
+    # back to folded. Guard on the SPANS frame, not its source:
+    # render_spans_frame drops NULL-text rows (and folding drops tool
+    # rows), so a non-empty source can still yield zero span rows — the
+    # lineage writer must not see an all-filtered batch (an empty
+    # partitioned write crashes its own re-read, the hazard the DPO job's
+    # zero-pair guard documents).
+    spans = (
+        render_spans_frame(spans_src)
+        .withColumn("split", _split_col())
+        .withColumn("status", F.lit("ok"))
+    )
     n_span_rows = n_span_ok = 0
-    wrote_spans = not spans_src.isEmpty()
+    wrote_spans = not spans.isEmpty()
     if wrote_spans:
-        spans = render_spans_frame(spans_src).join(
-            folded.select("conv_id", "turn_idx", "split"),
-            ["conv_id", "turn_idx"],
-        ).withColumn("status", F.lit("ok"))
         lineage = write_results_with_lineage(
             spark, spans, turns_out, n_buckets=args.buckets, run_id=run_id
         )
+        # lineage re-aggregates the whole results dir, so under --resume
+        # these counts include rows landed by earlier runs — printed as
+        # cumulative below, not as this batch's output
         stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
         n_span_rows, n_span_ok = stats[0], stats[1]
 
@@ -241,7 +265,8 @@ def main(argv=None) -> int:
 
     print(
         f"run {run_id}: {n_input} turns in, {n_dirty} conversations "
-        f"dropped by lint, {n_span_rows} span rows out ({n_span_ok} ok), "
+        f"dropped by lint, {n_span_rows} span rows in output "
+        f"({n_span_ok} ok; cumulative across resumed runs), "
         f"conversations per split: "
         + ", ".join(f"{k}={per_split[k]}" for k in sorted(per_split))
     )

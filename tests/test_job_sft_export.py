@@ -204,3 +204,87 @@ def test_sft_export_snapshot_upsert_is_idempotent(spark, tmp_path):
         "s2"
     }
     assert t.select("conv_id").distinct().count() == n1
+
+
+def test_since_snapshot_reexports_whole_touched_conversations(spark, tmp_path):
+    """A conversation that GAINS turns after the first export must
+    re-render in full from a --since-snapshot incremental run — never as
+    the delta fragment (which would export a truncated transcript with
+    offsets restarting at 0 and, under upsert, silently replace the
+    complete rendered row). Untouched conversations don't re-export."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.plans import snapshots as S
+
+    import jobs.run_sft_export as J
+
+    t = synthesize_transcripts(spark, n_convs=6, turns_per_conv=6)
+    in_tbl = str(tmp_path / "in_tbl")
+    # snapshot 1: every conversation's first 4 turns
+    S.commit_append(spark, t.filter(F.col("turn_idx") < 4), in_tbl)
+    out_tbl = str(tmp_path / "out_tbl")
+    base = ["--input-snapshot-table", in_tbl, "--buckets", "4",
+            "--snapshot-table", out_tbl, "--snapshot-mode", "upsert"]
+    assert J.main(base + ["--output", str(tmp_path / "o1"),
+                          "--run-id", "full"]) == 0
+    first = {
+        r["conv_id"]: (r["n_turns"], r["run_id"])
+        for r in S.read_table(spark, out_tbl).collect()
+    }
+    grown = sorted(first)[0]
+    # snapshot 2: ONE conversation gains its remaining 2 turns
+    S.commit_append(
+        spark,
+        t.filter((F.col("conv_id") == grown) & (F.col("turn_idx") >= 4)),
+        in_tbl,
+    )
+    assert J.main(base + ["--output", str(tmp_path / "o2"),
+                          "--since-snapshot", "1", "--run-id", "inc"]) == 0
+    after = {
+        r["conv_id"]: (r["n_turns"], r["run_id"])
+        for r in S.read_table(spark, out_tbl).collect()
+    }
+    # folding can merge tool turns, so compare against the FULL-input
+    # render, not a raw turn count: the grown conversation's row must
+    # equal a from-scratch export of all 6 turns
+    assert after[grown][1] == "inc"
+    assert after[grown][0] > first[grown][0]
+    for cid in first:
+        if cid != grown:
+            assert after[cid] == first[cid]  # untouched: not re-exported
+    # cross-check the rendered text equals a clean full export
+    full_tbl = str(tmp_path / "full_tbl")
+    S.commit_append(spark, t.filter(F.col("conv_id") == grown), full_tbl)
+    ref_out = str(tmp_path / "ref_tbl")
+    assert J.main(["--input-snapshot-table", full_tbl, "--buckets", "4",
+                   "--snapshot-table", ref_out, "--output",
+                   str(tmp_path / "o3"), "--run-id", "ref"]) == 0
+    want = S.read_table(spark, ref_out).filter(
+        F.col("conv_id") == grown
+    ).collect()[0]["rendered"]
+    got = S.read_table(spark, out_tbl).filter(
+        F.col("conv_id") == grown
+    ).collect()[0]["rendered"]
+    assert got == want
+
+
+def test_all_filtered_span_batch_never_reaches_the_lineage_writer(
+    spark, tmp_path, capsys
+):
+    """render_spans_frame drops NULL-text rows: an input whose every turn
+    is NULL text yields ZERO span rows even though the source frame is
+    non-empty (folding would coalesce NULL to '', so --no-fold keeps the
+    NULLs) — the job must skip the turns/ lineage write (an empty
+    partitioned write crashes its own re-read) and still exit 0."""
+    from pyspark.sql import functions as F
+
+    import jobs.run_sft_export as J
+
+    src = str(tmp_path / "in_null")
+    synthesize_transcripts(spark, n_convs=3, turns_per_conv=3).withColumn(
+        "text", F.lit(None).cast("string")
+    ).write.parquet(src)
+    out = str(tmp_path / "out_null")
+    assert J.main(["--input", src, "--output", out, "--buckets", "4",
+                   "--no-fold", "--run-id", "nulls"]) == 0
+    assert not os.path.exists(os.path.join(out, "turns", "results"))
