@@ -26,6 +26,7 @@ their partition.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import Sequence
@@ -280,6 +281,61 @@ def render_words(
         if c1 > c0 and r1 > r0:
             arr[r0:r1, c0:c1] = ink
     return arr
+
+
+def fill_contours_mask(h: int, w: int, contours) -> np.ndarray:
+    """Nonzero-winding scanline fill of closed polygon contours (pixel
+    coordinates, y down) into an (h, w) bool mask — the PDF/PostScript/
+    TrueType fill rule. Contours close implicitly (last point connects to
+    the first). A pixel is inked when the winding number at its CENTER
+    (x+0.5, y+0.5) is nonzero; edges are vectorized per scanline."""
+    mask = np.zeros((max(h, 0), max(w, 0)), dtype=bool)
+    if h <= 0 or w <= 0:
+        return mask
+    ex0, ey0, ex1, ey1 = [], [], [], []
+    for c in contours:
+        n = len(c)
+        if n < 3:
+            continue
+        for i in range(n):
+            x0, y0 = c[i]
+            x1, y1 = c[(i + 1) % n]
+            if y0 != y1:
+                ex0.append(x0)
+                ey0.append(y0)
+                ex1.append(x1)
+                ey1.append(y1)
+    if not ex0:
+        return mask
+    x0 = np.asarray(ex0)
+    y0 = np.asarray(ey0)
+    x1 = np.asarray(ex1)
+    y1 = np.asarray(ey1)
+    wind = np.where(y1 > y0, 1, -1)
+    ylo = np.minimum(y0, y1)
+    yhi = np.maximum(y0, y1)
+    slope = (x1 - x0) / (y1 - y0)
+    y_first = max(0, int(math.floor(np.min(ylo) - 0.5)))
+    y_last = min(h - 1, int(math.ceil(np.max(yhi))))
+    for py in range(y_first, y_last + 1):
+        sy = py + 0.5
+        hit = (ylo <= sy) & (sy < yhi)
+        if not hit.any():
+            continue
+        xs = x0[hit] + (sy - y0[hit]) * slope[hit]
+        ws = wind[hit]
+        order = np.argsort(xs, kind="stable")
+        xs = xs[order]
+        acc = np.cumsum(ws[order])
+        inside = acc != 0  # span [xs[i], xs[i+1]) is inside after edge i
+        for i in np.nonzero(inside)[0]:
+            if i + 1 >= len(xs):
+                break
+            a = int(math.ceil(xs[i] - 0.5))
+            b = int(math.ceil(xs[i + 1] - 0.5))
+            if b > a:
+                mask[py, max(a, 0) : min(b, w)] = True
+    return mask
 
 
 def ink_pixels(arr: np.ndarray, threshold: int = 128) -> int:

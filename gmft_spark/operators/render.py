@@ -86,6 +86,98 @@ def render_pages(transcripts: DataFrame, scale: float = 1.0) -> DataFrame:
     )
 
 
+GLYPH_RENDER_SCHEMA = StructType(
+    [
+        StructField("doc_name", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("n_ink_px", LongType()),
+        StructField("png", BinaryType()),
+    ]
+)
+
+
+def rasterize_pdf_pages(
+    binary_docs: DataFrame, scale: float = 1.0
+) -> DataFrame:
+    """REAL-document rasterization with glyph-outline ink
+    (sources/pdfparse/glyphrender.py): (doc_name, payload) PDF bytes →
+    one PNG per page, every glyph filled from its actual CFF/Type1/
+    TrueType outline — the text-fidelity input for the image-side
+    detectors (detect_tables_in_rasters / img2table), vs the word-box
+    occupancy `render_pages` uses for synthetic scenes.
+
+    Narrow Arrow map, no shuffle; per-page grain parallelizes documents
+    AND pages (a page renders independently of its siblings). Corrupt
+    payloads contribute one error row (page_no -1) and never poison the
+    batch."""
+    from gmft_spark.sources.pdfparse import ParsedPDF
+    from gmft_spark.sources.pdfparse.glyphrender import render_page_glyphs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for name, payload in zip(batch["doc_name"], batch["payload"]):
+                try:
+                    doc = ParsedPDF(bytes(payload))
+                    pages = range(len(doc))
+                    if not pages:
+                        # a pageless parse is a failed document, not an
+                        # empty output (the parser tolerates garbage
+                        # headers; zero rows would silently vanish)
+                        raise ValueError("no pages")
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_name": name,
+                            "page_no": -1,
+                            "width": 0,
+                            "height": 0,
+                            "n_chars": 0,
+                            "n_ink_px": 0,
+                            "png": b"",
+                        }
+                    )
+                    continue
+                for p in pages:
+                    try:
+                        chars = doc.page_chars(p)
+                        n_chars = len(chars)
+                        arr = render_page_glyphs(doc, p, scale=scale, chars=chars)
+                    except Exception:
+                        rows.append(
+                            {
+                                "doc_name": name,
+                                "page_no": p,
+                                "width": 0,
+                                "height": 0,
+                                "n_chars": 0,
+                                "n_ink_px": 0,
+                                "png": b"",
+                            }
+                        )
+                        continue
+                    rows.append(
+                        {
+                            "doc_name": name,
+                            "page_no": p,
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "n_chars": n_chars,
+                            "n_ink_px": ink_pixels(arr),
+                            "png": encode_png(arr, compress_level=3),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return binary_docs.select("doc_name", "payload").mapInPandas(
+        run, schema=GLYPH_RENDER_SCHEMA
+    )
+
+
 CROP_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

@@ -163,6 +163,57 @@ class _GlyphRun:
         self.add(self.x, self.y)
 
 
+_CURVE_STEPS = 8  # cubic flattening: fixed, deterministic segment count
+
+
+class _PathRun(_GlyphRun):
+    """A _GlyphRun that ALSO records the outline as flattened contours
+    (lists of (x, y) points). The executor calls the same
+    moveto/lineto/curveto hooks, so pen position, width and bbox
+    arithmetic stay bit-identical to the bbox-only run — this subclass
+    only appends points."""
+
+    __slots__ = ("contours",)
+
+    def __init__(self):
+        super().__init__()
+        self.contours: List[List[Tuple[float, float]]] = []
+
+    def moveto(self, dx: float, dy: float) -> None:
+        super().moveto(dx, dy)
+        self.contours.append([(self.x, self.y)])
+
+    def lineto(self, dx: float, dy: float) -> None:
+        super().lineto(dx, dy)
+        if not self.contours:
+            self.contours.append([])
+        self.contours[-1].append((self.x, self.y))
+
+    def curveto(self, d: Tuple[float, ...]) -> None:
+        x0, y0 = self.x, self.y
+        x1 = x0 + d[0]
+        y1 = y0 + d[1]
+        x2 = x1 + d[2]
+        y2 = y1 + d[3]
+        x3 = x2 + d[4]
+        y3 = y2 + d[5]
+        super().curveto(d)  # identical pen/bbox updates
+        if not self.contours:
+            self.contours.append([(x0, y0)])
+        pts = self.contours[-1]
+        for k in range(1, _CURVE_STEPS + 1):
+            t = k / _CURVE_STEPS
+            u = 1.0 - t
+            pts.append(
+                (
+                    u * u * u * x0 + 3 * u * u * t * x1
+                    + 3 * u * t * t * x2 + t * t * t * x3,
+                    u * u * u * y0 + 3 * u * u * t * y1
+                    + 3 * u * t * t * y2 + t * t * t * y3,
+                )
+            )
+
+
 class CFFFont:
     def __init__(self, data: bytes):
         self.data = data
@@ -305,11 +356,11 @@ class CFFFont:
             return self._fd_privates[self._fd_select[gid]]
         return self._default_private
 
-    def _interp(self, gid: int) -> Optional[_GlyphRun]:
+    def _interp(self, gid: int, run_cls=_GlyphRun) -> Optional[_GlyphRun]:
         if not (0 <= gid < self.num_glyphs):
             return None
         dwx, nwx, lsubrs = self._private_for_gid(gid)
-        run = _GlyphRun()
+        run = run_cls()
         run.width = None
         try:
             self._exec(self.charstrings[gid], run, lsubrs, 0)
@@ -521,7 +572,10 @@ class CFFFont:
         return False
 
     def _seac(self, run: _GlyphRun, adx, ady, bchar: int, achar: int) -> None:
-        """Accent composition: union of base and accent glyph boxes."""
+        """Accent composition: union of base and accent glyph boxes (path
+        runs additionally splice in the components' translated
+        contours)."""
+        is_path = isinstance(run, _PathRun)
         for char, dx, dy in ((bchar, 0.0, 0.0), (achar, adx, ady)):
             name = STANDARD_ENCODING.get(char)
             if not name:
@@ -529,10 +583,15 @@ class CFFFont:
             gid = self.name_to_gid(name)
             if gid is None:
                 continue
-            sub = self._interp(gid)
+            sub = self._interp(gid, _PathRun if is_path else _GlyphRun)
             if sub is not None and sub.any:
                 run.add(sub.xmin + dx, sub.ymin + dy)
                 run.add(sub.xmax + dx, sub.ymax + dy)
+                if is_path:
+                    run.contours.extend(
+                        [(x + dx, y + dy) for x, y in c]
+                        for c in sub.contours
+                    )
 
     # -- public API -------------------------------------------------------
 
@@ -546,6 +605,20 @@ class CFFFont:
             box = (run.xmin, run.ymin, run.xmax, run.ymax)
         self._bbox_cache[gid] = box
         return box
+
+    def glyph_path(
+        self, gid: int
+    ) -> Optional[List[List[Tuple[float, float]]]]:
+        """Flattened outline contours in charstring units: [] for an
+        executed-but-blank glyph (a space — no ink, no fallback), None
+        for absent/failed gids. Closing edges are implicit (contour end
+        connects to its start, PostScript fill semantics). Not cached:
+        callers (glyphrender) cache rendered bitmaps per (font, code,
+        size), a strictly smaller object."""
+        run = self._interp(gid, _PathRun)
+        if run is None:
+            return None
+        return [c for c in run.contours if len(c) >= 3]
 
     def advance(self, gid: int) -> float:
         if gid in self._width_cache:

@@ -87,6 +87,11 @@ class Char:
     # (GetCharWidth × fs / 1000), which diverges from the real pen under
     # letterspacing / TJ column layouts
     fadv: Tuple[float, float] = (0.0, 0.0)
+    # full text-rendering matrix (glyph em-1000 space → device space) and
+    # the Tr render mode — consumed only by glyph-outline rasterization
+    # (glyphrender.py); None/0 for callers that never rasterize
+    trm: Optional[Matrix] = None
+    render: int = 0
 
 
 class _GState:
@@ -442,6 +447,7 @@ class ContentInterpreter:
                 Char(
                     uni, dev_box, ox, oy, adv, fs_dev, is_space, code, font,
                     self._obj_counter, direction, (txf * a, txf * b),
+                    trm, gs.render,
                 )
             )
             e += tx * a

@@ -152,6 +152,25 @@ class PDFFont:
     def glyph_box(self, code: int) -> Optional[BBox]:  # em-1000
         raise NotImplementedError
 
+    def glyph_contours(self, code: int):
+        """Flattened glyph outline in UNQUANTIZED em-1000 units (the
+        rasterizer works in floats; pdfium's integer quantization /
+        CID top-hack are metric emulation, not ink). Returns [] for an
+        executed-but-blank glyph (space: no ink, no fallback) and None
+        when the font carries no usable program (caller falls back to
+        filling the glyph box). Cached per (font, code)."""
+        cache = getattr(self, "_gpath_cache", None)
+        if cache is None:
+            cache = self._gpath_cache = {}
+        if code in cache:
+            return cache[code]
+        out = self._glyph_contours_uncached(code)
+        cache[code] = out
+        return out
+
+    def _glyph_contours_uncached(self, code: int):
+        return None
+
     def is_word_space(self, code: int) -> bool:
         """Single-byte code 32 (receives /Tw word spacing per spec)."""
         return (not self.two_byte) and code == 32
@@ -388,6 +407,21 @@ class SimpleFont(PDFFont):
             return None
         return (0.0, fb[1], w, fb[3])
 
+    def _glyph_contours_uncached(self, code: int):
+        path = None
+        if self.kind == "t1" and self.prog is not None:
+            name = self._t1_name(code)
+            if name is not None:
+                path = self.prog.glyph_path_by_name(name)
+        elif self.prog is not None:
+            gid = self._gid(code)
+            if gid is not None:
+                path = self.prog.glyph_path(gid)
+        if path is None:
+            return None
+        s = self._scale
+        return [[(x * s, y * s) for x, y in c] for c in path]
+
 
 class Type0Font(PDFFont):
     two_byte = True
@@ -491,6 +525,18 @@ class Type0Font(PDFFont):
         box = self.fallback_box
         cache[code] = box
         return box
+
+    def _glyph_contours_uncached(self, code: int):
+        if self.prog is None:
+            return None
+        gid = self._gid(code)
+        if gid is None:
+            return None
+        path = self.prog.glyph_path(gid)
+        if path is None:
+            return None
+        s = self._scale
+        return [[(x * s, y * s) for x, y in c] for c in path]
 
 
 def load_font(pdf: PDFFile, d: dict) -> PDFFont:

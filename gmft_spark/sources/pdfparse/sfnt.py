@@ -16,6 +16,61 @@ import struct
 from typing import Dict, Optional, Tuple
 
 
+_QUAD_STEPS = 6  # quadratic flattening: fixed, deterministic
+
+
+def _flatten_quad_contour(pts):
+    """TrueType contour (x, y, on_curve) → flattened polygon. Implied
+    on-curve midpoints are inserted between consecutive off-curve points;
+    each quadratic (on, off, on) is sampled at _QUAD_STEPS."""
+    if not pts:
+        return []
+    # rotate so the contour starts on-curve (synthesize midpoint if none)
+    if not any(on for _x, _y, on in pts):
+        mid = (
+            (pts[0][0] + pts[-1][0]) / 2.0,
+            (pts[0][1] + pts[-1][1]) / 2.0,
+            True,
+        )
+        pts = [mid] + pts
+    else:
+        k = next(i for i, (_x, _y, on) in enumerate(pts) if on)
+        pts = pts[k:] + pts[:k]
+    # insert implied on-curve midpoints
+    expanded = []
+    n = len(pts)
+    for i in range(n):
+        x, y, on = pts[i]
+        expanded.append((x, y, on))
+        nx, ny, non = pts[(i + 1) % n]
+        if not on and not non:
+            expanded.append(((x + nx) / 2.0, (y + ny) / 2.0, True))
+    poly = [(expanded[0][0], expanded[0][1])]
+    i = 0
+    m = len(expanded)
+    while i < m:
+        x0, y0, _ = expanded[i]
+        nxt = expanded[(i + 1) % m]
+        if nxt[2]:  # straight segment
+            if i + 1 < m:
+                poly.append((nxt[0], nxt[1]))
+            i += 1
+        else:  # quadratic: on, off, on
+            cx, cy, _ = nxt
+            ex, ey, _ = expanded[(i + 2) % m]
+            for k in range(1, _QUAD_STEPS + 1):
+                t = k / _QUAD_STEPS
+                u = 1.0 - t
+                poly.append(
+                    (
+                        u * u * x0 + 2 * u * t * cx + t * t * ex,
+                        u * u * y0 + 2 * u * t * cy + t * t * ey,
+                    )
+                )
+            i += 2
+    return poly
+
+
 class TrueTypeFont:
     def __init__(self, data: bytes):
         self.data = data
@@ -193,6 +248,140 @@ class TrueTypeFont:
         if gid < len(self._advances):
             return float(self._advances[gid])
         return float(self._advances[-1])
+
+    def _glyf_bytes(self, gid: int) -> Optional[bytes]:
+        if self._loca is None or not (0 <= gid < len(self._loca) - 1):
+            return None
+        start, end = self._loca[gid], self._loca[gid + 1]
+        if end <= start:
+            return None
+        glyf = self.tables.get("glyf")
+        if glyf is None:
+            return None
+        goff = glyf[0] + start
+        return self.data[goff : glyf[0] + min(end, glyf[1])]
+
+    def glyph_path(
+        self, gid: int, _depth: int = 0
+    ) -> Optional[list]:
+        """Flattened outline contours (lists of (x, y) points, font
+        units) — simple glyphs' quadratic splines are sampled at fixed
+        steps; composite glyphs recurse with their 2×2 transform +
+        offset. [] for a legitimately empty glyph (zero-length glyf
+        record: a space — no ink, no fallback); None for invalid gids or
+        unparseable outlines."""
+        if _depth > 4:
+            return None
+        if self._loca is None or not (0 <= gid < len(self._loca) - 1):
+            return None
+        if "glyf" not in self.tables:
+            return None
+        g = self._glyf_bytes(gid)
+        if g is None:
+            return []  # zero-length glyf record: blank by declaration
+        if len(g) < 10:
+            return None
+        (nc,) = struct.unpack_from(">h", g, 0)
+        if nc < 0:
+            return self._composite_path(g, _depth)
+        try:
+            return self._simple_path(g, nc)
+        except (struct.error, IndexError):
+            return None
+
+    def _simple_path(self, g: bytes, nc: int) -> Optional[list]:
+        ends = struct.unpack_from(f">{nc}H", g, 10)
+        n_pts = (ends[-1] + 1) if nc else 0
+        if n_pts == 0 or n_pts > 10000:
+            return None
+        (ilen,) = struct.unpack_from(">H", g, 10 + 2 * nc)
+        p = 12 + 2 * nc + ilen
+        # flags (with repeat compression)
+        flags = []
+        while len(flags) < n_pts:
+            f = g[p]
+            p += 1
+            flags.append(f)
+            if f & 8:  # REPEAT
+                r = g[p]
+                p += 1
+                flags.extend([f] * r)
+        flags = flags[:n_pts]
+        xs, x = [], 0
+        for f in flags:
+            if f & 2:  # x short
+                d = g[p]
+                p += 1
+                x += d if f & 16 else -d
+            elif not f & 16:
+                (d,) = struct.unpack_from(">h", g, p)
+                p += 2
+                x += d
+            xs.append(x)
+        ys, y = [], 0
+        for f in flags:
+            if f & 4:  # y short
+                d = g[p]
+                p += 1
+                y += d if f & 32 else -d
+            elif not f & 32:
+                (d,) = struct.unpack_from(">h", g, p)
+                p += 2
+                y += d
+            ys.append(y)
+        on = [bool(f & 1) for f in flags]
+        contours = []
+        start = 0
+        for e in ends:
+            pts = [
+                (float(xs[i]), float(ys[i]), on[i])
+                for i in range(start, e + 1)
+            ]
+            start = e + 1
+            poly = _flatten_quad_contour(pts)
+            if len(poly) >= 3:
+                contours.append(poly)
+        return contours or None
+
+    def _composite_path(self, g: bytes, depth: int) -> Optional[list]:
+        out = []
+        p = 10
+        while True:
+            flags, comp_gid = struct.unpack_from(">HH", g, p)
+            p += 4
+            if flags & 1:  # ARG_1_AND_2_ARE_WORDS
+                a1, a2 = struct.unpack_from(">hh", g, p)
+                p += 4
+            else:
+                a1, a2 = struct.unpack_from(">bb", g, p)
+                p += 2
+            sx = sy = 1.0
+            s01 = s10 = 0.0
+            if flags & 8:  # WE_HAVE_A_SCALE (F2Dot14)
+                (s,) = struct.unpack_from(">h", g, p)
+                p += 2
+                sx = sy = s / 16384.0
+            elif flags & 0x40:  # X_AND_Y_SCALE
+                v = struct.unpack_from(">hh", g, p)
+                p += 4
+                sx, sy = v[0] / 16384.0, v[1] / 16384.0
+            elif flags & 0x80:  # 2x2
+                v = struct.unpack_from(">hhhh", g, p)
+                p += 8
+                sx, s01, s10, sy = (x / 16384.0 for x in v)
+            dx, dy = (float(a1), float(a2)) if flags & 2 else (0.0, 0.0)
+            sub = self.glyph_path(comp_gid, depth + 1)
+            if sub:
+                out.extend(
+                    [
+                        (x * sx + y * s10 + dx, x * s01 + y * sy + dy)
+                        for x, y in c
+                    ]
+                    for c in sub
+                )
+            if not flags & 0x20:  # MORE_COMPONENTS
+                break
+        return out or None
 
     def glyph_bbox(self, gid: int) -> Optional[Tuple[float, float, float, float]]:
         """(xmin, ymin, xmax, ymax) in font units; None for empty glyphs."""

@@ -62,6 +62,17 @@ class _T1Run:
         if mark:
             self.add(self.x, self.y)
 
+    # lineto: identical arithmetic for the bbox run; the path run
+    # overrides it to extend the current contour instead of starting one
+    line = move
+
+    def flexpoint(self, dx: float, dy: float) -> None:
+        """A flex-sequence rmoveto (collected control/interpolation
+        point). Bbox semantics: same pen update + mark as always."""
+        self.x += dx
+        self.y += dy
+        self.add(self.x, self.y)
+
     def curve(self, d: Tuple[float, ...]) -> None:
         x1 = self.x + d[0]
         y1 = self.y + d[1]
@@ -72,6 +83,62 @@ class _T1Run:
         self.add(x1, y1)
         self.add(x2, y2)
         self.add(self.x, self.y)
+
+
+class _T1PathRun(_T1Run):
+    """_T1Run that also records flattened contours (see cff._PathRun —
+    same hook discipline: base-class pen/bbox arithmetic untouched).
+    Flex points are appended as line points: flex exists precisely for
+    nearly-straight curves, so the collected control points ARE the
+    flattening."""
+
+    __slots__ = ("contours",)
+
+    def __init__(self):
+        super().__init__()
+        self.contours: List[List[Tuple[float, float]]] = []
+
+    def move(self, dx: float, dy: float, mark: bool = True) -> None:
+        super().move(dx, dy, mark)
+        self.contours.append([(self.x, self.y)])
+
+    def line(self, dx: float, dy: float) -> None:
+        _T1Run.move(self, dx, dy)
+        if not self.contours:
+            self.contours.append([])
+        self.contours[-1].append((self.x, self.y))
+
+    def flexpoint(self, dx: float, dy: float) -> None:
+        super().flexpoint(dx, dy)
+        if not self.contours:
+            self.contours.append([])
+        self.contours[-1].append((self.x, self.y))
+
+    def curve(self, d: Tuple[float, ...]) -> None:
+        from gmft_spark.sources.pdfparse.cff import _CURVE_STEPS
+
+        x0, y0 = self.x, self.y
+        x1 = x0 + d[0]
+        y1 = y0 + d[1]
+        x2 = x1 + d[2]
+        y2 = y1 + d[3]
+        x3 = x2 + d[4]
+        y3 = y2 + d[5]
+        super().curve(d)
+        if not self.contours:
+            self.contours.append([(x0, y0)])
+        pts = self.contours[-1]
+        for k in range(1, _CURVE_STEPS + 1):
+            t = k / _CURVE_STEPS
+            u = 1.0 - t
+            pts.append(
+                (
+                    u * u * u * x0 + 3 * u * u * t * x1
+                    + 3 * u * t * t * x2 + t * t * t * x3,
+                    u * u * u * y0 + 3 * u * u * t * y1
+                    + 3 * u * t * t * y2 + t * t * t * y3,
+                )
+            )
 
 
 class Type1Font:
@@ -220,10 +287,8 @@ class Type1Font:
             elif b0 == 21:  # rmoveto
                 if len(st) >= 2:
                     if flex_pts is not None:
-                        run.x += st[-2]
-                        run.y += st[-1]
+                        run.flexpoint(st[-2], st[-1])
                         flex_pts.extend((run.x, run.y))
-                        run.add(run.x, run.y)
                     else:
                         run.move(st[-2], st[-1])
                 st.clear()
@@ -237,15 +302,15 @@ class Type1Font:
                 st.clear()
             elif b0 == 5:  # rlineto
                 if len(st) >= 2:
-                    run.move(st[-2], st[-1])
+                    run.line(st[-2], st[-1])
                 st.clear()
             elif b0 == 6:  # hlineto
                 if st:
-                    run.move(st[-1], 0.0)
+                    run.line(st[-1], 0.0)
                 st.clear()
             elif b0 == 7:  # vlineto
                 if st:
-                    run.move(0.0, st[-1])
+                    run.line(0.0, st[-1])
                 st.clear()
             elif b0 == 8:  # rrcurveto
                 if len(st) >= 6:
@@ -325,6 +390,7 @@ class Type1Font:
     def _seac(
         self, run: _T1Run, asb, adx, ady, bchar: int, achar: int
     ) -> None:
+        is_path = isinstance(run, _T1PathRun)
         for char, dx, dy in (
             (bchar, 0.0, 0.0),
             (achar, run.sbx - asb + adx, ady),
@@ -337,6 +403,18 @@ class Type1Font:
                 x0, y0, x1, y1, _w = sub
                 run.add(x0 + dx, y0 + dy)
                 run.add(x1 + dx, y1 + dy)
+            if is_path:
+                cs = self.charstrings.get(name)
+                if cs is None:
+                    continue
+                comp = _T1PathRun()
+                try:
+                    self._exec(cs, comp, 0)
+                except Exception:
+                    continue
+                run.contours.extend(
+                    [(x + dx, y + dy) for x, y in c] for c in comp.contours
+                )
 
     def _metrics(self, name: str):
         if name in self._cache:
@@ -360,6 +438,22 @@ class Type1Font:
 
     def has_glyph(self, name: str) -> bool:
         return name in self.charstrings
+
+    def glyph_path_by_name(
+        self, name: str
+    ) -> Optional[List[List[Tuple[float, float]]]]:
+        """Flattened outline contours in charstring units; [] for an
+        executed-but-blank glyph, None when the charstring is absent or
+        fails. Not cached (see cff.CFFFont.glyph_path)."""
+        cs = self.charstrings.get(name)
+        if cs is None:
+            return None
+        run = _T1PathRun()
+        try:
+            self._exec(cs, run, 0)
+        except Exception:
+            return None
+        return [c for c in run.contours if len(c) >= 3]
 
     def glyph_bbox_by_name(
         self, name: str

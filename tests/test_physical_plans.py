@@ -511,8 +511,12 @@ def test_conv_near_dup_has_no_pair_enumeration(spark):
     assert "CartesianProduct" not in plan
     assert "shingle" in plan  # the join key IS the content
     # conv assembly + shingle self-join sides + inter agg + 2 size joins
-    # + output sort; anything past this is a regression
-    assert plan.count("Exchange") <= 9
+    # + output sort + the df-cap's hot-shingle aggregation; the cap's
+    # anti-join ships as BroadcastExchange (hot set is tiny by
+    # construction), discounted here. Anything past this is a regression.
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 9
+    assert "LeftAnti" in plan  # the df cap is present in the default plan
 
 
 def test_transcript_lint_single_data_shuffle(spark):
