@@ -472,6 +472,77 @@ def page_visual_signatures(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def pdf_page_visual_signatures(
+    binary_docs: DataFrame, scale: float = 1.0
+) -> DataFrame:
+    """64-bit ahash signatures of REAL document pages, rendered with
+    glyph-outline ink (glyphrender) — the visual near-dup signal for
+    actual PDF corpora, drop-in for ``dedup_pages_visual`` (doc_name
+    rides the conv_id slot, page_no the turn_idx slot). One narrow map:
+    parse → rasterize → 8×8 tile ahash → bit-pack, no PNG round-trip.
+    Unparseable/pageless documents contribute no signature rows (they
+    can't be visual dups of anything; run ``rasterize_pdf_pages`` for
+    explicit error accounting).
+
+    Also carries ``n_ink_px`` — the page's exact ink pixel count, the
+    CONFIRMATION channel for candidate pairs: the 64-bit ahash is a
+    recall device (templated corpora collide on it by design — pages
+    that LOOK alike at 8×8 granularity), while exact/near-exact ink
+    agreement separates true re-renders from same-template pages."""
+    from gmft_spark.kernel.raster import block_ahash
+    from gmft_spark.sources.pdfparse import ParsedPDF
+    from gmft_spark.sources.pdfparse.glyphrender import render_page_glyphs
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("sig_lo", LongType()),
+            StructField("sig_hi", LongType()),
+            StructField("n_ink_px", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for name, payload in zip(batch["doc_name"], batch["payload"]):
+                try:
+                    doc = ParsedPDF(bytes(payload))
+                except Exception:
+                    continue
+                for p in range(len(doc)):
+                    try:
+                        arr = render_page_glyphs(doc, p, scale=scale)
+                    except Exception:
+                        continue
+                    sums, bits = block_ahash(arr)
+                    lo = hi = 0
+                    for by in range(8):
+                        for bx in range(8):
+                            idx = by * 8 + bx
+                            if bits[by, bx]:
+                                if idx < 32:
+                                    lo |= 1 << idx
+                                else:
+                                    hi |= 1 << (idx % 32)
+                    rows.append(
+                        {
+                            "conv_id": name,
+                            "turn_idx": p,
+                            "sig_lo": lo,
+                            "sig_hi": hi,
+                            "n_ink_px": int(sums.sum()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return binary_docs.select("doc_name", "payload").mapInPandas(
+        run, schema=schema
+    )
+
+
 def pack_visual_signatures(ahash: DataFrame) -> DataFrame:
     """Bit-pack a page_ahash frame into the (sig_lo, sig_hi) signature
     schema without touching pixels again: the signature IS the ahash bit
