@@ -629,6 +629,62 @@ def _pipeline_pdf_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_glyph_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glyph-OUTLINE rasterization of real conversation-PDF bytes (round
+    4, S5/S6 text-fidelity path): a subsampled set of conversations is
+    synthesized into multi-page documents, parsed, and every page
+    rendered by filling actual CFF glyph paths — per-page dimensions,
+    char and ink-pixel accounting. Rows-only driver check (glyph ink is
+    not SQL-derivable); the value-level evidence is the tiny.pdf glyph
+    golden + corpus containment suite (tests/test_glyph_raster.py)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gmft_spark.operators.render import rasterize_pdf_pages
+    from gmft_spark.sources.pdfgen import conversation_pdf
+    from gmft_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir, sample_mod=64)
+    convs = t.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list("turn_idx")).alias("turns")
+    )
+    bschema = StructType(
+        [
+            StructField("doc_name", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = [
+                {
+                    "doc_name": conv_id,
+                    "payload": conversation_pdf(
+                        conv_id, [int(x) for x in turns]
+                    ),
+                }
+                for conv_id, turns in zip(batch["conv_id"], batch["turns"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+
+    binary = convs.mapInPandas(build, schema=bschema)
+    return (
+        rasterize_pdf_pages(binary, scale=0.5)
+        .select(
+            "doc_name", "page_no", "width", "height", "n_chars", "n_ink_px"
+        )
+        .orderBy("doc_name", "page_no")
+    )
+
+
 def _pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmft_spark.operators.html_content import synthesize_html_transcripts
     from gmft_spark.operators.training_pipeline import curate
@@ -670,6 +726,7 @@ PIPELINE_QUERIES = {
         spark, sf_dir, "ditr"
     ).orderBy("conv_id", "turn_idx", "table_id"),
     "pdf_payload_extract_pipeline": _pipeline_pdf_payload,
+    "pdf_glyph_render_pipeline": _pipeline_glyph_render,
 }
 
 
