@@ -126,6 +126,62 @@ def _fallback_box(
     canvas[max(a_y, 0) : min(b_y, H), max(a_x, 0) : min(b_x, W)] = 0
 
 
+def build_template_library(
+    doc, scale: float = 1.0, pages=None, lib=None
+):
+    """OCR template library for a document: one entry per distinct
+    (font, code, rendering matrix) at ``scale`` — the exact bitmaps the
+    glyph renderer blits, labeled with the font's unicode mapping. In a
+    real pipeline the fonts ARE the document's embedded (subset)
+    programs, so this is what a renderer-aware OCR engine knows without
+    reading the text. Chars without outlines (descriptor-only fonts) or
+    without unicode contribute nothing."""
+    from gmft_spark.kernel.ocr import TemplateLibrary
+
+    if lib is None:
+        lib = TemplateLibrary()
+    seen = set()
+    for p in pages if pages is not None else range(len(doc)):
+        for ch in doc.page_chars(p):
+            if ch.font is None or ch.trm is None or ch.code < 0:
+                continue
+            key = (
+                id(ch.font),
+                ch.code,
+                round(ch.trm[0], 4),
+                round(ch.trm[1], 4),
+                round(ch.trm[2], 4),
+                round(ch.trm[3], 4),
+            )
+            if key in seen:
+                continue
+            seen.add(key)
+            bm = _glyph_bitmap(ch.font, ch.code, ch.trm[:4], scale)
+            if bm is None or bm[0].size == 0 or not bm[0].any():
+                continue
+            # advance in page pixels (axis-aligned: device advance =
+            # glyph width/1000 × m0) and left side bearing = the ink's
+            # pixel offset from the pen origin — both ride the template
+            # so the OCR can reconstruct pen positions for word gaps
+            adv_px = ch.font.width(ch.code) * 0.001 * ch.trm[0] * scale
+            lib.add(bm[0], ch.uni, adv=adv_px, lsb=float(bm[1]))
+    return lib
+
+
+def ocr_pdf_page(doc, page_no: int, scale: float = 1.0, lib=None) -> str:
+    """Recognize one page's text from PIXELS alone: render with glyph
+    outlines, then template-OCR the ink back to characters
+    (kernel/ocr.py). ``lib`` defaults to the document's own template
+    library. The round trip is exact wherever glyphs don't overlap and
+    distinct characters don't share a bitmap at the rendered size."""
+    if lib is None:
+        lib = build_template_library(doc, scale=scale)
+    from gmft_spark.kernel.ocr import assemble_text, ocr_page
+
+    arr = render_page_glyphs(doc, page_no, scale=scale)
+    return assemble_text(ocr_page(arr < 128, lib))
+
+
 def render_page_glyphs(
     doc, page_no: int, scale: float = 1.0, chars: Optional[List[Char]] = None
 ) -> np.ndarray:
