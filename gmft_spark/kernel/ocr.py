@@ -221,6 +221,86 @@ def ocr_page(
     return out
 
 
+def column_dividers(
+    tile_ink: np.ndarray, min_rel: float = 2.0, min_px: int = 4
+) -> List[float]:
+    """Column dividers of a table tile from its ink projection: interior
+    blank column runs that are SIGNIFICANTLY wider than the tile's
+    typical gap (≥ ``min_rel`` × the median blank-run width, and at
+    least ``min_px``). Inter-word spaces share one narrow width scale;
+    inter-column gutters are a multiple of it — a text paragraph (all
+    gaps alike) therefore yields NO dividers, which is the single-column
+    rejection the reference's formatters apply."""
+    colmask = tile_ink.any(axis=0)
+    xs = np.nonzero(colmask)[0]
+    if len(xs) == 0:
+        return []
+    gaps = []
+    run = None
+    for x in range(xs[0], xs[-1] + 1):
+        if not colmask[x]:
+            if run is None:
+                run = x
+        elif run is not None:
+            gaps.append((run, x))
+            run = None
+    if not gaps:
+        return []
+    widths = sorted(b - a for a, b in gaps)
+    med = widths[len(widths) // 2]
+    thr = max(min_rel * med, float(min_px))
+    return [(a + b) / 2.0 for a, b in gaps if b - a >= thr]
+
+
+def row_dividers(tile_ink: np.ndarray) -> List[float]:
+    """Row dividers: every interior blank row run's midpoint (text lines
+    separate cleanly; no width filter needed on the row axis)."""
+    rowmask = tile_ink.any(axis=1)
+    ys = np.nonzero(rowmask)[0]
+    if len(ys) == 0:
+        return []
+    out = []
+    run = None
+    for y in range(ys[0], ys[-1] + 1):
+        if not rowmask[y]:
+            if run is None:
+                run = y
+        elif run is not None:
+            out.append((run + y) / 2.0)
+            run = None
+    return out
+
+
+def glyphs_to_grid(
+    glyphs: List[Tuple[int, int, int, int, str, float]],
+    bbox: Tuple[int, int, int, int],
+    col_div: List[float],
+    row_div: List[float],
+) -> List[List[str]]:
+    """Assign recognized glyphs (page coordinates) to the divider grid of
+    the table at ``bbox`` by their centers; each cell's text assembles
+    with the same pen-gap word rule as free text."""
+    import bisect
+
+    x0, y0, x1, y1 = bbox
+    cells: Dict[Tuple[int, int], List] = {}
+    for g in glyphs:
+        gx = (g[0] + g[2]) / 2.0
+        gy = (g[1] + g[3]) / 2.0
+        if not (x0 <= gx <= x1 and y0 <= gy <= y1):
+            continue
+        r = bisect.bisect(row_div, gy)
+        c = bisect.bisect(col_div, gx)
+        cells.setdefault((r, c), []).append(g)
+    return [
+        [
+            assemble_text(cells.get((r, c), [])).replace("\n", " ")
+            for c in range(len(col_div) + 1)
+        ]
+        for r in range(len(row_div) + 1)
+    ]
+
+
 def assemble_text(
     glyphs: List[Tuple[int, int, int, int, str, float]],
     space_frac: float = 0.33,

@@ -157,3 +157,50 @@ def test_ocr_pdf_pages_operator(spark):
     assert tiny["n_unknown"] == 0
     assert tiny["text"].split()[:2] == ["Simple", "document"]
     assert tiny["n_glyphs"] > 100
+
+
+# -- image-only table extraction ---------------------------------------------
+
+
+def test_image_only_table_extraction_reproduces_golden_table(spark):
+    """THE image-only niche, end-to-end from pixels: render tiny.pdf,
+    detect ink blocks, derive dividers (width-filtered gutters), OCR the
+    cells — the ONE extracted table must equal the reference's known
+    tiny.pdf table exactly, and the text paragraphs must be rejected
+    (no dividers / low occupancy), all without reading a single word
+    box from the content stream."""
+    from gmft_spark.operators.ocr import extract_tables_from_images
+
+    df = spark.createDataFrame(
+        [("tiny.pdf", open(f"{PDFS}/tiny.pdf", "rb").read())],
+        "doc_name string, payload binary",
+    )
+    out = extract_tables_from_images(df).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["n_rows"], row["n_cols"]) == (4, 3)
+    assert row["csv"].strip().splitlines() == [
+        "Name,Celsius,Fahrenheit",
+        "Water Freezing Point,0,32",
+        "Water Boiling Point,100,212",
+        "Body Temperature,37,98.6",
+    ]
+
+
+def test_column_divider_width_filter_rejects_paragraphs():
+    import numpy as np
+
+    from gmft_spark.kernel.ocr import column_dividers
+
+    # a "paragraph": uniform word gaps of 3px — no divider qualifies
+    para = np.zeros((10, 60), dtype=bool)
+    for x0 in range(2, 56, 8):
+        para[2:8, x0 : x0 + 5] = True
+    assert column_dividers(para) == []
+    # a "table": word gaps of 3px plus one 20px gutter
+    tab = np.zeros((10, 80), dtype=bool)
+    for x0 in (2, 10, 18):
+        tab[2:8, x0 : x0 + 5] = True
+    tab[2:8, 45:70] = True
+    divs = column_dividers(tab)
+    assert len(divs) == 1 and 23 <= divs[0] <= 45
