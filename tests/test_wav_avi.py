@@ -1,0 +1,116 @@
+"""From-scratch WAVE PCM and MJPEG-AVI codecs (kernel/wav.py,
+kernel/avi.py) — lossless PCM roundtrips, container metadata probes,
+frame-stride sampling, and the shared containment contract."""
+
+import numpy as np
+import pytest
+
+from gmft_spark.kernel.avi import decode_avi_frames, encode_avi, probe_avi
+from gmft_spark.kernel.wav import decode_wav, encode_wav, probe_wav
+
+
+def _sine(n=4000, freq=440.0, rate=16000, amp=6000.0) -> np.ndarray:
+    t = np.arange(n, dtype=np.float64)
+    return (amp * np.sin(2.0 * np.pi * freq * t / rate)).astype(np.int16)
+
+
+def _frames(k=5, h=24, w=32):
+    return [
+        (
+            (np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 2 + i * 29)
+            % 256
+        ).astype(np.uint8)
+        for i in range(k)
+    ]
+
+
+def test_wav_mono_16bit_lossless():
+    s = _sine()
+    dec, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and dec.shape == (4000, 1)
+    assert (dec[:, 0] == s).all()
+
+
+def test_wav_stereo_lossless():
+    s = _sine()
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(st, 8000))
+    assert rate == 8000 and (dec == st).all()
+
+
+def test_wav_8bit_quantizes_not_breaks():
+    s = _sine()
+    dec, _ = decode_wav(encode_wav(s, 16000, bits=8))
+    # 8-bit storage: error bounded by one quantization step (256)
+    assert np.abs(dec[:, 0].astype(int) - s.astype(int)).max() < 256
+
+
+def test_wav_probe_and_odd_length_padding():
+    s = _sine(n=1001)
+    b = encode_wav(s, 22050, bits=8)  # odd data size → pad byte
+    assert probe_wav(b) == {
+        "channels": 1,
+        "sample_rate": 22050,
+        "bits": 8,
+        "n_samples": 1001,
+        "duration_ms": 45,
+    }
+    dec, rate = decode_wav(b)
+    assert dec.shape == (1001, 1) and rate == 22050
+
+
+def test_wav_containment():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(_sine(), 16000)[:30])  # truncated chunk
+    # non-PCM format code is a format gap, not bad data
+    b = bytearray(encode_wav(_sine(128), 16000))
+    i = b.find(b"fmt ")
+    b[i + 8] = 3  # IEEE float format code
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(b))
+
+
+def test_avi_probe_metadata():
+    av = encode_avi(_frames(7), fps=5, quality=92)
+    assert probe_avi(av) == {
+        "width": 32,
+        "height": 24,
+        "n_frames": 7,
+        "fps": 5.0,
+        "duration_ms": 1400,
+    }
+
+
+def test_avi_frame_stride_sampling():
+    frames = _frames(7)
+    av = encode_avi(frames, fps=8, quality=92)
+    got = decode_avi_frames(av, frame_stride=2)
+    assert len(got) == 4  # frames 0, 2, 4, 6
+    for g, f in zip(got, frames[::2]):
+        assert g.shape == f.shape
+        # the mod-256 wrap in the pattern is a sharp edge → ringing
+        assert np.abs(g.astype(int) - f.astype(int)).max() <= 16
+    # stride 1 decodes everything
+    assert len(decode_avi_frames(av, frame_stride=1)) == 7
+
+
+def test_avi_deterministic_bytes():
+    a = encode_avi(_frames(3), fps=10)
+    b = encode_avi(_frames(3), fps=10)
+    assert a == b
+
+
+def test_avi_containment():
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    av = encode_avi(_frames(3), fps=10)
+    with pytest.raises(ValueError):
+        decode_avi_frames(av[: len(av) // 2])  # truncated movi
+    with pytest.raises(ValueError):
+        decode_avi_frames(av, frame_stride=0)
+    with pytest.raises(ValueError):
+        encode_avi([], fps=10)
+    with pytest.raises(ValueError):
+        encode_avi([_frames(1)[0], np.zeros((8, 8), np.uint8)])
