@@ -53,9 +53,18 @@ DEFAULT_WEIGHTS = np.array([6.0, 25.0, 3.0, 0.90, 0.002], dtype=np.float64)
 
 class _LayoutDetector:
     """Executor-side lazy singleton holding the (broadcast) weights —
-    the init-once-per-python-worker pattern used for real model weights."""
+    the init-once-per-python-worker pattern used for real model weights.
 
-    _instance: Optional["_LayoutDetector"] = None
+    Keyed BY WEIGHTS: python workers are reused across jobs
+    (spark.python.worker.reuse), so two operators requesting different
+    weight vectors in one application (e.g. detect_pipeline's
+    point-space weights vs the image-OCR path's scale-multiplied pixel
+    weights) must each get their own instance — a single unkeyed slot
+    silently served the FIRST caller's weights to everyone, which made
+    image-only extraction return zero tables whenever a detect test had
+    already warmed the worker."""
+
+    _instances: dict[bytes, "_LayoutDetector"] = {}
 
     def __init__(self, weights: np.ndarray):
         self.weights = np.asarray(weights, dtype=np.float64)
@@ -63,11 +72,12 @@ class _LayoutDetector:
 
     @classmethod
     def get(cls, weights: np.ndarray) -> "_LayoutDetector":
-        if cls._instance is None:
-            cls._instance = cls(weights)
-        else:
-            cls._instance.init_count += 0  # reused
-        return cls._instance
+        key = np.asarray(weights, dtype=np.float64).tobytes()
+        inst = cls._instances.get(key)
+        if inst is None:
+            inst = cls(weights)
+            cls._instances[key] = inst
+        return inst
 
     def infer(self, word_boxes: np.ndarray):
         """Batch 'inference': vertical-gap block clustering.

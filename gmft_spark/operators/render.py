@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -100,7 +101,7 @@ GLYPH_RENDER_SCHEMA = StructType(
 
 
 def rasterize_pdf_pages(
-    binary_docs: DataFrame, scale: float = 1.0
+    binary_docs: DataFrame, scale: float = 1.0, draw_images: bool = False
 ) -> DataFrame:
     """REAL-document rasterization with glyph-outline ink
     (sources/pdfparse/glyphrender.py): (doc_name, payload) PDF bytes →
@@ -109,12 +110,22 @@ def rasterize_pdf_pages(
     detectors (detect_tables_in_rasters / img2table), vs the word-box
     occupancy `render_pages` uses for synthetic scenes.
 
+    ``draw_images=True`` additionally composites embedded Image
+    XObjects (JPEG via kernel/jpeg.py, Flate raw samples, stencils,
+    SMasks — sources/pdfparse/images.py) under the text layer, the
+    closest approximation of pdfium's full page bitmap; foreign codecs
+    (CCITTFax/JPX) skip per image. Off by default: the text-only layer
+    is the detectors' input contract (figure ink would shift their
+    synthetic-scene parity), and photo decode costs seconds/page in
+    pure python.
+
     Narrow Arrow map, no shuffle; per-page grain parallelizes documents
     AND pages (a page renders independently of its siblings). Corrupt
     payloads contribute one error row (page_no -1) and never poison the
     batch."""
     from gmft_spark.sources.pdfparse import ParsedPDF
     from gmft_spark.sources.pdfparse.glyphrender import render_page_glyphs
+    from gmft_spark.sources.pdfparse.images import draw_page_images
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -145,7 +156,23 @@ def rasterize_pdf_pages(
                     try:
                         chars = doc.page_chars(p)
                         n_chars = len(chars)
-                        arr = render_page_glyphs(doc, p, scale=scale, chars=chars)
+                        canvas = None
+                        if draw_images:
+                            import math as _math
+
+                            w_pts, h_pts = doc.page_size(p)
+                            canvas = np.full(
+                                (
+                                    max(1, int(_math.ceil(h_pts * scale))),
+                                    max(1, int(_math.ceil(w_pts * scale))),
+                                ),
+                                255,
+                                dtype=np.uint8,
+                            )
+                            draw_page_images(canvas, doc, p, scale=scale)
+                        arr = render_page_glyphs(
+                            doc, p, scale=scale, chars=chars, canvas=canvas
+                        )
                     except Exception:
                         rows.append(
                             {

@@ -151,6 +151,19 @@ class ContentInterpreter:
         self._run(content, resources, IDENTITY, out, 0)
         return out
 
+    def images_for_page(self, page: dict) -> List[tuple]:
+        """(Stream, ctm) per Image-XObject ``Do``, in paint order — the
+        ctm is the full transform at the invocation (form matrices
+        composed in), mapping the image's unit square to user space.
+        Inline images (BI/ID/EI) are not collected (none in the corpus;
+        documented seam)."""
+        content = self.pdf.page_content(page)
+        resources = self.pdf.resolve(page.get("Resources")) or {}
+        out: List[Char] = []
+        images: List[tuple] = []
+        self._run(content, resources, IDENTITY, out, 0, images=images)
+        return images
+
     def _run(
         self,
         content: bytes,
@@ -158,6 +171,7 @@ class ContentInterpreter:
         base_ctm: Matrix,
         out: List[Char],
         depth: int,
+        images: Optional[List[tuple]] = None,
     ) -> None:
         if depth > 8:
             return
@@ -302,7 +316,9 @@ class ContentInterpreter:
             elif op == b"Do" and stack:
                 xname = stack[-1]
                 if isinstance(xname, Name):
-                    self._do_xobject(str(xname), resources, gs, out, depth)
+                    self._do_xobject(
+                        str(xname), resources, gs, out, depth, images
+                    )
             elif op == b"BI":
                 # inline image: skip to EI at token boundary
                 data = lx.data
@@ -332,12 +348,18 @@ class ContentInterpreter:
         gs: _GState,
         out: List[Char],
         depth: int,
+        images: Optional[List[tuple]] = None,
     ) -> None:
         xobjs = self.pdf.resolve(resources.get("XObject")) or {}
         st = self.pdf.resolve(xobjs.get(name))
         if not isinstance(st, Stream):
             return
-        if self.pdf.resolve(st.dict.get("Subtype")) != "Form":
+        subtype = self.pdf.resolve(st.dict.get("Subtype"))
+        if subtype == "Image":
+            if images is not None:
+                images.append((st, gs.ctm))
+            return
+        if subtype != "Form":
             return
         mtx = self.pdf.resolve(st.dict.get("Matrix"))
         m: Matrix = IDENTITY
@@ -348,7 +370,9 @@ class ContentInterpreter:
             body = decode_stream(st, self.pdf)
         except Exception:
             return
-        self._run(body, inner_res, mat_mul(m, gs.ctm), out, depth + 1)
+        self._run(
+            body, inner_res, mat_mul(m, gs.ctm), out, depth + 1, images
+        )
 
     def _show(
         self, raw: bytes, gs: _GState, tm: Matrix, out: List[Char]

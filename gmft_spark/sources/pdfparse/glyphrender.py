@@ -20,9 +20,11 @@ narrow ``mapInPandas`` over (doc, page) rows. Within a page, glyph
 bitmaps are cached per (font, code, quantized-matrix): a body-text page
 pays the outline→scanline cost once per distinct glyph, then blits.
 
-What does NOT ink (documented seams, same as pdfium's text layer):
-vector path operators (re/l/c + f/S strokes — rules, borders) and
-images; text render modes 3/7 (invisible/clip-only) are skipped.
+What does NOT ink here (documented seams, same as pdfium's text
+layer): vector path operators (re/l/c + f/S strokes — rules, borders);
+text render modes 3/7 (invisible/clip-only) are skipped. Embedded
+images DO ink via the sibling ``images.render_page_full`` (JPEG/raw
+XObjects decoded and composited under the CTM before the text layer).
 """
 
 from __future__ import annotations
@@ -183,19 +185,26 @@ def ocr_pdf_page(doc, page_no: int, scale: float = 1.0, lib=None) -> str:
 
 
 def render_page_glyphs(
-    doc, page_no: int, scale: float = 1.0, chars: Optional[List[Char]] = None
+    doc,
+    page_no: int,
+    scale: float = 1.0,
+    chars: Optional[List[Char]] = None,
+    canvas: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Rasterize one page's text ink from real glyph outlines.
 
     Returns an (H, W) uint8 canvas, white 255 background, black 0 ink,
     H = ceil(crop_height·scale), W = ceil(crop_width·scale).
     ``chars`` short-circuits the content re-parse when the caller
-    already extracted the page's characters.
+    already extracted the page's characters. ``canvas`` lets a caller
+    ink text OVER an already-painted layer (images.render_page_full);
+    when given it must be page-sized and is mutated in place.
     """
     width, height = doc.page_size(page_no)
-    H = max(1, int(math.ceil(height * scale)))
-    W = max(1, int(math.ceil(width * scale)))
-    canvas = np.full((H, W), 255, dtype=np.uint8)
+    if canvas is None:
+        H = max(1, int(math.ceil(height * scale)))
+        W = max(1, int(math.ceil(width * scale)))
+        canvas = np.full((H, W), 255, dtype=np.uint8)
     for ch in chars if chars is not None else doc.page_chars(page_no):
         if ch.render in _NO_FILL_MODES:
             continue

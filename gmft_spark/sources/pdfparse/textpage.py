@@ -97,6 +97,12 @@ class ParsedPDF:
         chars = self._interp.chars_for_page(page)
         return self._reorder_line_objects(chars)
 
+    def page_images(self, n: int) -> List[tuple]:
+        """(Stream, ctm) per Image XObject painted on page ``n``, in
+        content-stream paint order (sources/pdfparse/images.py decodes
+        and composites them)."""
+        return self._interp.images_for_page(self._pages[n])
+
     @staticmethod
     def _reorder_line_objects(chars: List[Char]) -> List[Char]:
         # group consecutive chars by show-op object

@@ -111,3 +111,22 @@ def test_raster_detector_contains_corrupt_payloads(spark):
     good = [r for r in rows if r["det_id"] >= 0]
     assert len(bad) == 2 and all(r["label"] == -1 for r in bad)
     assert all(r["turn_idx"] != 0 for r in good) and good
+
+
+def test_layout_detector_singleton_is_keyed_by_weights():
+    """Python workers are reused across jobs, so two operators requesting
+    DIFFERENT weight vectors in one application must each get their own
+    instance (the unkeyed slot once served detect's point-space weights
+    to the image-OCR path's scale-multiplied request → zero tables)."""
+    import numpy as np
+
+    from gmft_spark.operators.detect import DEFAULT_WEIGHTS, _LayoutDetector
+
+    a = _LayoutDetector.get(DEFAULT_WEIGHTS)
+    scaled = DEFAULT_WEIGHTS * np.array([2.0, 2.0, 1.0, 1.0, 1.0])
+    b = _LayoutDetector.get(scaled)
+    assert a is not b
+    assert (b.weights == scaled).all() and (a.weights == DEFAULT_WEIGHTS).all()
+    # same weights → same instance (the init-once-per-worker property)
+    assert _LayoutDetector.get(DEFAULT_WEIGHTS) is a
+    assert _LayoutDetector.get(scaled.copy()) is b

@@ -228,3 +228,22 @@ def test_rasterize_pdf_pages_operator(spark):
     arr = decode_png(bytes(tiny["png"]))
     assert arr.shape == (tiny["height"], tiny["width"])
     assert ink_pixels(arr) == tiny["n_ink_px"]
+
+
+def test_rasterize_pdf_pages_draw_images(spark):
+    """draw_images=True composites embedded Image XObjects under the
+    text layer (7.pdf page 5 carries one Flate chart); pages without
+    images stay byte-identical to the text-only render."""
+    from gmft_spark.operators.render import rasterize_pdf_pages
+
+    path = next(p for p in CORPUS if p.endswith("7.pdf"))
+    docs_df = spark.createDataFrame(
+        [("7.pdf", open(path, "rb").read())], "doc_name string, payload binary"
+    )
+    base = rasterize_pdf_pages(docs_df, scale=1.0).toPandas()
+    full = rasterize_pdf_pages(docs_df, scale=1.0, draw_images=True).toPandas()
+    b = base.set_index("page_no")["n_ink_px"]
+    f = full.set_index("page_no")["n_ink_px"]
+    assert f[4] > b[4]  # the image page gained figure ink
+    same = [p for p in b.index if p != 4]
+    assert (f[same] == b[same]).all()
