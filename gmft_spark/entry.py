@@ -742,6 +742,7 @@ def _oracled_pipelines():
         HTML_ORACLE_SQL,
         HTML_SPANNED_CELLS_SQL,
     )
+    from gmft_spark.operators import multimodal
     from gmft_spark.operators.multimodal import MEDIA_FEATURES_ORACLE_SQL
 
     def scene(sql: str) -> str:
@@ -864,6 +865,23 @@ def _oracled_pipelines():
             _pipeline_media_features,
             MEDIA_FEATURES_ORACLE_SQL,
         ),
+        # round 4: the from-scratch codecs value-hashed cross-engine —
+        # an integer-formula signal rides a real encode→decode roundtrip
+        # on the Spark side while DuckDB recomputes the expected decode
+        # output from the formula (WAV/PNG lossless; JPEG on the
+        # exactly-lossless flat-DC case)
+        "media_wav_decode_parity": (
+            multimodal.media_wav_decode_parity,
+            multimodal.MEDIA_WAV_DECODE_PARITY_SQL,
+        ),
+        "media_png_decode_parity": (
+            multimodal.media_png_decode_parity,
+            multimodal.MEDIA_PNG_DECODE_PARITY_SQL,
+        ),
+        "media_jpeg_flat_parity": (
+            multimodal.media_jpeg_flat_parity,
+            multimodal.MEDIA_JPEG_FLAT_PARITY_SQL,
+        ),
     }
 
 
@@ -882,6 +900,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # back out; tests/test_entry_contract.py pins both properties).
 _ROUND4_WINDOW = (
     # --- round-4 additions (newest first) ---
+    # codec-decode parity: the from-scratch WAV/PNG/JPEG codecs
+    # value-hashed cross-engine (integer-formula signal through a real
+    # encode→decode roundtrip vs DuckDB recomputing the formula)
+    "media_wav_decode_parity",
+    "media_png_decode_parity",
+    "media_jpeg_flat_parity",
+    # rows-only (glyph ink is not SQL-derivable; value-level evidence is
+    # the tiny.pdf glyph golden + corpus containment suite) — takes a
+    # window slot from an r03-green parity re-confirmation
+    "pdf_glyph_render_pipeline",
     # --- the 41 never-driver-recorded queries (r01∪r02∪r03 complement) ---
     "cluster_balanced_sample",
     "conversation_funnel",
@@ -985,12 +1013,25 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
         for name, (fn, sql) in mod.QUERIES.items():
             module_items[name] = (fn, sql)
     entries: list[tuple[str, Callable, str | None]] = []
-    window_names = [n for n in _ROUND4_WINDOW if n in module_items]
+    oracled_pipes = _oracled_pipelines()
+    window_names = [
+        n
+        for n in _ROUND4_WINDOW
+        if n in module_items
+        or n in PIPELINE_QUERIES
+        or n in oracled_pipes
+    ]
     for name in window_names:
-        fn, sql = module_items[name]
-        entries.append((name, fn, sql))
+        if name in module_items:
+            fn, sql = module_items[name]
+            entries.append((name, fn, sql))
+        elif name in oracled_pipes:
+            fn, sql = oracled_pipes[name]
+            entries.append((name, fn, sql))
+        else:  # rows-only pipeline pulled into the verified window
+            entries.append((name, _driver_form(PIPELINE_QUERIES[name]), None))
     registered = set(window_names)
-    for name, (fn, sql) in _oracled_pipelines().items():
+    for name, (fn, sql) in oracled_pipes.items():
         if name not in registered:
             entries.append((name, fn, sql))
             registered.add(name)
@@ -1002,8 +1043,9 @@ def _ordered_entries() -> list[tuple[str, Callable, str | None]]:
             entries.append((name, fn, sql))
             registered.add(name)
     for name, fn in PIPELINE_QUERIES.items():
-        entries.append((name, _driver_form(fn), None))
-        registered.add(name)
+        if name not in registered:
+            entries.append((name, _driver_form(fn), None))
+            registered.add(name)
     tail_names = [
         n
         for n in relational.QUERIES

@@ -394,6 +394,33 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return arr[rows][:, cols].copy()
 
 
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize (deterministic, library-free): half-pixel-center
+    sampling (the align_corners=False convention), float64 accumulation,
+    round-half-up back to uint8. (H, W) or (H, W, C)."""
+    h, w = arr.shape[:2]
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize target must be positive")
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    if arr.ndim == 3:
+        fy = fy[:, :, None]
+        fx = fx[:, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    c = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    return np.floor(top + (bot - top) * fy + 0.5).astype(np.uint8)
+
+
 def mask_runs(mask: np.ndarray):
     """Maximal runs of True in a 1-D boolean mask, as [start, end)
     pairs — THE island-finding primitive shared by the raster detector

@@ -4,12 +4,14 @@ Image/audio/video payloads ride as ``binary`` columns with a typed
 metadata struct — the pattern a 100 TB multimodal training-data pipeline
 needs. The Spark-side plumbing (schema, Arrow batch shape, partitioning,
 UDF signatures) is real and tested. The codec step: ``decode_mode='real'``
-genuinely decodes PNG images through the from-scratch codec in
-kernel/raster.py (16-bin intensity-histogram features); JPEG and
-audio/video decoding need libraries this container lacks, so those raise
-``NotImplementedError`` at the exact seam where PIL/ffmpeg plug in.
-``decode_mode='fake'`` keeps the library-free deterministic stand-in for
-every modality.
+genuinely decodes ALL THREE modalities through from-scratch codecs —
+PNG (kernel/raster.py) and baseline JPEG (kernel/jpeg.py) images,
+RIFF/WAVE PCM audio (kernel/wav.py), MJPEG-in-AVI video (kernel/avi.py,
+stride frame sampling before pixel decode) — each to a 16-bin
+normalized histogram feature. Only foreign containers (TIFF/WebP,
+MP3/OGG, MP4/MKV) still raise ``NotImplementedError`` at the exact seam
+where PIL/ffmpeg plug in. ``decode_mode='fake'`` keeps the library-free
+deterministic stand-in for every modality.
 
 Scale notes: payload bytes never leave their scan partition (narrow
 mapInPandas); metadata-only queries never touch the binary column thanks
@@ -142,27 +144,157 @@ def synthesize_png_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.range(n).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def _real_decode(payload: bytes, modality: str) -> np.ndarray:
-    """Real decode path. Images: the from-scratch PNG codec
-    (kernel/raster.py) → 16-bin normalized intensity histogram. Other
-    image formats and audio/video stay behind the documented seam — JPEG
-    and media-container decoding need libraries this container lacks."""
+def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """Media table whose payloads are REAL decodable files across all
+    three modalities, generated distributively from media_id alone:
+    images alternate PNG (kernel/raster.py) and baseline JPEG
+    (kernel/jpeg.py), audio is PCM WAVE sine bursts (kernel/wav.py),
+    video is MJPEG-in-AVI gradient frames (kernel/avi.py). The real
+    decode path (extract_features(decode_mode='real')) runs end-to-end
+    on this table with zero external libraries."""
+    from gmft_spark.kernel.avi import encode_avi
+    from gmft_spark.kernel.jpeg import encode_jpeg
+    from gmft_spark.kernel.raster import encode_png
+    from gmft_spark.kernel.wav import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                kind = mid % 3
+                if kind == 0:  # image
+                    h, w = 24 + mid % 16, 40
+                    arr = (
+                        (
+                            np.arange(h)[:, None] * 5
+                            + np.arange(w)[None, :] * 3
+                            + mid * 11
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    if mid % 2 == 0:
+                        payload = encode_png(arr)
+                        mime = "image/png"
+                    else:
+                        payload = encode_jpeg(arr, quality=90)
+                        mime = "image/jpeg"
+                    meta = (mime, w, h, 0)
+                elif kind == 1:  # audio
+                    rate = 8000
+                    n_samp = 1000 + (mid % 7) * 500
+                    t = np.arange(n_samp, dtype=np.float64)
+                    freq = 200.0 + (mid % 13) * 60.0
+                    samples = (
+                        6000.0 * np.sin(2.0 * np.pi * freq * t / rate)
+                    ).astype(np.int16)
+                    payload = encode_wav(samples, rate)
+                    meta = (
+                        "audio/wav",
+                        0,
+                        0,
+                        int(round(1000.0 * n_samp / rate)),
+                    )
+                else:  # video
+                    h, w = 24, 32
+                    n_frames = 4 + mid % 5
+                    frames = [
+                        (
+                            (
+                                np.arange(h)[:, None] * 7
+                                + np.arange(w)[None, :] * 2
+                                + mid * 13
+                                + k * 29
+                            )
+                            % 256
+                        ).astype(np.uint8)
+                        for k in range(n_frames)
+                    ]
+                    payload = encode_avi(frames, fps=8, quality=88)
+                    meta = (
+                        "video/avi",
+                        w,
+                        h,
+                        int(round(1000.0 * n_frames / 8.0)),
+                    )
+                mime, w_, h_, dur = meta
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "modality": ("image", "audio", "video")[kind],
+                        "payload": payload,
+                        "meta": {
+                            "mime": mime,
+                            "width": w_,
+                            "height": h_,
+                            "duration_ms": dur,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _gray_hist(px: np.ndarray) -> np.ndarray:
+    """16-bin normalized intensity histogram of a uint8 image (RGB is
+    collapsed to REC-601 luma first)."""
+    if px.ndim == 3:
+        px = (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        ).astype(np.uint8)
+    hist = np.bincount(
+        (px.reshape(-1).astype(np.int32) >> 4), minlength=FEATURE_DIM
+    )[:FEATURE_DIM]
+    return (hist / max(1, px.size)).astype(np.float32)
+
+
+def _real_decode(
+    payload: bytes, modality: str, frame_stride: int = 4
+) -> tuple[np.ndarray, int]:
+    """Real decode path → (feature, n_frames_sampled). All three
+    modalities decode natively through the from-scratch codecs:
+    PNG (kernel/raster.py) and baseline JPEG (kernel/jpeg.py) images,
+    RIFF/WAVE PCM audio (kernel/wav.py), and MJPEG-in-AVI video
+    (kernel/avi.py, frames sampled every ``frame_stride`` BEFORE pixel
+    decode). Only genuinely foreign containers (TIFF/WebP, MP3/OGG,
+    MP4/MKV) remain the documented PIL/ffmpeg seam."""
+    from gmft_spark.kernel.avi import decode_avi_frames
+    from gmft_spark.kernel.jpeg import decode_jpeg
     from gmft_spark.kernel.raster import decode_png
+    from gmft_spark.kernel.wav import decode_wav
 
     if modality == "image":
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
-            raise NotImplementedError(
-                "non-PNG image decode needs PIL on executors; "
-                "install and implement here"
-            )
-        px = decode_png(payload)
-        hist = np.bincount(
-            (px.reshape(-1).astype(np.int32) >> 4), minlength=FEATURE_DIM
-        )[:FEATURE_DIM]
-        return (hist / max(1, px.size)).astype(np.float32)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _gray_hist(decode_png(payload)), 1
+        if payload[:2] == b"\xff\xd8":
+            return _gray_hist(decode_jpeg(payload)), 1
+        raise NotImplementedError(
+            "non-PNG/JPEG image decode needs PIL on executors; "
+            "install and implement here"
+        )
+    if modality == "audio":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            samples, _rate = decode_wav(payload)
+            # 16-bin amplitude histogram over the full int16 range
+            bins = (samples.reshape(-1).astype(np.int32) + 32768) >> 12
+            hist = np.bincount(bins, minlength=FEATURE_DIM)[:FEATURE_DIM]
+            return (hist / max(1, samples.size)).astype(np.float32), 1
+        raise NotImplementedError(
+            "non-WAVE audio decode needs ffmpeg on executors; "
+            "install and implement here"
+        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames = decode_avi_frames(payload, frame_stride=frame_stride)
+        if not frames:
+            raise ValueError("AVI carries no video frames")
+        feat = np.mean([_gray_hist(f) for f in frames], axis=0)
+        return feat.astype(np.float32), len(frames)
     raise NotImplementedError(
-        f"real {modality} decode needs ffmpeg on executors; "
-        "install and implement here"
+        f"real {modality} decode for non-AVI containers needs ffmpeg "
+        "on executors; install and implement here"
     )
 
 
@@ -195,9 +327,16 @@ def extract_features(
                 batch["media_id"], batch["modality"], batch["payload"]
             ):
                 raw = bytes(payload)
+                n_frames = (
+                    max(1, len(raw) // (frame_stride * 64))
+                    if modality == "video"
+                    else 1
+                )
                 if decode_mode == "real":
                     try:
-                        feat = _real_decode(raw, modality)
+                        feat, n_frames = _real_decode(
+                            raw, modality, frame_stride
+                        )
                     except ValueError:
                         # corrupt payload: contained as an error row
                         # (null feature, 0 frames) — never a task
@@ -216,11 +355,6 @@ def extract_features(
                         continue
                 else:
                     feat = _fake_decode(raw, modality)
-                n_frames = (
-                    max(1, len(raw) // (frame_stride * 64))
-                    if modality == "video"
-                    else 1
-                )
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -234,6 +368,79 @@ def extract_features(
                 yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    out_format: str = "png",
+    quality: int = 90,
+) -> DataFrame:
+    """Decode → bilinear-resize → re-encode image payloads (the resize
+    stage of a multimodal training-data pipeline). Non-image rows pass
+    through untouched; undecodable image payloads become error rows
+    (NULL payload) — never task failures. Narrow mapInPandas: payload
+    bytes stay inside their scan partition, nothing shuffles."""
+    from gmft_spark.kernel.jpeg import decode_jpeg, encode_jpeg
+    from gmft_spark.kernel.raster import (
+        decode_png,
+        encode_png,
+        resize_bilinear,
+    )
+
+    if out_format not in ("png", "jpeg"):
+        raise ValueError("out_format must be 'png' or 'jpeg'")
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize target must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, modality, payload, meta in zip(
+                batch["media_id"],
+                batch["modality"],
+                batch["payload"],
+                batch["meta"],
+            ):
+                raw = bytes(payload)
+                meta = dict(meta)
+                if modality == "image":
+                    try:
+                        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                            px = decode_png(raw)
+                        elif raw[:2] == b"\xff\xd8":
+                            px = decode_jpeg(raw)
+                        else:
+                            raise NotImplementedError(
+                                "non-PNG/JPEG image resize needs PIL; "
+                                "install and implement here"
+                            )
+                        resized = resize_bilinear(px, out_h, out_w)
+                        if out_format == "png":
+                            raw = encode_png(resized)
+                            meta["mime"] = "image/png"
+                        else:
+                            raw = encode_jpeg(resized, quality=quality)
+                            meta["mime"] = "image/jpeg"
+                        meta["width"] = out_w
+                        meta["height"] = out_h
+                        meta["n_bytes"] = len(raw)
+                    except ValueError:
+                        raw = None  # contained error row
+                        meta["n_bytes"] = 0
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "modality": modality,
+                        "payload": raw,
+                        "meta": meta,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 # DuckDB oracle for the media feature pipeline: the synthetic payload is
@@ -283,3 +490,170 @@ def dedup_media_exact(media: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_copies"), F.min("media_id").alias("keeper"))
         .orderBy("content_hash")
     )
+
+
+# --- codec-decode parity queries (round 4) ------------------------------
+# Cross-engine value-hash evidence for the from-scratch codecs: each
+# query pushes an integer-formula signal THROUGH a real encode→decode
+# roundtrip on the Spark side, while the DuckDB oracle recomputes the
+# expected decode output directly from the formula. Any bit of drift in
+# the codec (header layout, Huffman coder, bit stuffing, DCT/quantizer,
+# PCM framing) breaks the hash. Everything is integer-exact by
+# construction: WAV 16-bit PCM is lossless; PNG is lossless; flat
+# (single-DC) JPEG blocks reconstruct exactly because the quantization
+# error q/16 < 1/2 for every quality-90 table entry (see
+# tests/test_jpeg.py::test_flat_block_is_lossless).
+
+_WAV_PARITY_N_MEDIA = 64
+_PNG_PARITY_N_MEDIA = 32
+
+
+def media_wav_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAVE PCM roundtrip parity: samples s_t = ((id*7 + t*13) % 4096)
+    - 2048, encoded and decoded through kernel/wav.py, then histogrammed
+    into 16 amplitude bins ((s + 32768) >> 12). Emits integer bin counts
+    — the oracle recomputes them from the formula alone."""
+    from gmft_spark.kernel.wav import decode_wav, encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                n = 800 + (mid % 5) * 160
+                t = np.arange(n, dtype=np.int64)
+                s = ((mid * 7 + t * 13) % 4096 - 2048).astype(np.int16)
+                dec, rate = decode_wav(encode_wav(s, 16000))
+                assert rate == 16000
+                bins = (dec[:, 0].astype(np.int32) + 32768) >> 12
+                for b, c in zip(*np.unique(bins, return_counts=True)):
+                    rows.append(
+                        {"media_id": mid, "bin": int(b), "cnt": int(c)}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, bin int, cnt long"
+    return (
+        spark.range(_WAV_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "bin")
+    )
+
+
+MEDIA_WAV_DECODE_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_WAV_PARITY_N_MEDIA - 1}) g(i)),
+samples AS (
+    SELECT ids.media_id,
+           ((ids.media_id * 7 + ts.t * 13) % 4096) - 2048 AS s
+    FROM ids
+    CROSS JOIN generate_series(0, 800 + 4 * 160 - 1) ts(t)
+    WHERE ts.t < 800 + (ids.media_id % 5) * 160
+)
+SELECT media_id,
+       CAST((s + 32768) // 4096 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM samples
+GROUP BY media_id, bin
+ORDER BY media_id, bin
+"""
+
+
+def media_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG roundtrip parity: the synthesize_png_media gradient pattern
+    (v = (i*3 + j*7 + id*13) % 256, h = 32 + id % 16, w = 48) encoded
+    and decoded through kernel/raster.py, then binned (v >> 4). Integer
+    counts; the oracle recomputes from the formula."""
+    from gmft_spark.kernel.raster import decode_png, encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                h, w = 32 + mid % 16, 48
+                arr = (
+                    (
+                        np.arange(h)[:, None] * 3
+                        + np.arange(w)[None, :] * 7
+                        + mid * 13
+                    )
+                    % 256
+                ).astype(np.uint8)
+                px = decode_png(encode_png(arr))
+                bins = px.reshape(-1).astype(np.int32) >> 4
+                for b, c in zip(*np.unique(bins, return_counts=True)):
+                    rows.append(
+                        {"media_id": mid, "bin": int(b), "cnt": int(c)}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, bin int, cnt long"
+    return (
+        spark.range(_PNG_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "bin")
+    )
+
+
+MEDIA_PNG_DECODE_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_PNG_PARITY_N_MEDIA - 1}) g(i)),
+px AS (
+    SELECT ids.media_id,
+           (ri.i * 3 + cj.j * 7 + ids.media_id * 13) % 256 AS v
+    FROM ids
+    CROSS JOIN generate_series(0, 47) ri(i)
+    CROSS JOIN generate_series(0, 47) cj(j)
+    WHERE ri.i < 32 + ids.media_id % 16
+)
+SELECT media_id,
+       CAST(v // 16 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM px
+GROUP BY media_id, bin
+ORDER BY media_id, bin
+"""
+
+
+def media_jpeg_flat_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG roundtrip parity on the exactly-losslessly-coded
+    case: one flat 24x16 grayscale image per gray value v = (id*17 + 5)
+    % 256 over all 256 ids — a flat block is DC-only and reconstructs
+    exactly at quality 90 (quant error q/16 < 1/2). Emits per-image
+    min/max pixel and pixel count; decode must return the flat value."""
+    from gmft_spark.kernel.jpeg import decode_jpeg, encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                v = (mid * 17 + 5) % 256
+                arr = np.full((16, 24), v, dtype=np.uint8)
+                px = decode_jpeg(encode_jpeg(arr, quality=90))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                        "n_px": int(px.size),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, px_min int, px_max int, n_px long"
+    return (
+        spark.range(256).mapInPandas(run, schema=schema).orderBy("media_id")
+    )
+
+
+MEDIA_JPEG_FLAT_PARITY_SQL = """
+SELECT i AS media_id,
+       CAST((i * 17 + 5) % 256 AS INT) AS px_min,
+       CAST((i * 17 + 5) % 256 AS INT) AS px_max,
+       CAST(384 AS BIGINT) AS n_px
+FROM generate_series(0, 255) g(i)
+ORDER BY media_id
+"""

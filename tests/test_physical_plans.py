@@ -615,7 +615,12 @@ def test_conversation_funnel_composes_conv_keyed_joins(spark):
     plan = _plan(conversation_funnel(spark, SF))
     assert "CartesianProduct" not in plan
     assert "conv_id" in plan
-    assert plan.count("Exchange") <= 13
+    # conv_near_dup's hot-shingle df cap (round 4) rides in as tiny
+    # BroadcastExchanges — discounted exactly as its own plan test does;
+    # the SHUFFLE budget is the invariant this test pins.
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 13
+    assert plan.count("BroadcastExchange") <= 8
 
 
 def test_nb_classifier_model_joins_stay_keyed(spark):

@@ -367,3 +367,29 @@ def test_block_ahash_boundaries_and_bits():
     d_sums, d_bits = block_ahash(np.zeros((792, 612), dtype=np.uint8))
     assert int(d_sums.sum()) == 792 * 612
     assert int(d_bits.sum()) == 0 or int(d_bits.sum()) < 64  # unequal tiles
+
+
+def test_resize_bilinear_invariants():
+    """Half-pixel-center bilinear: identity at same size, constants stay
+    constant, monotone gradients stay monotone, channels independent."""
+    import numpy as np
+
+    from gmft_spark.kernel.raster import resize_bilinear
+
+    g = ((np.arange(9)[:, None] * 20 + np.arange(13)[None, :] * 5) % 256).astype(
+        np.uint8
+    )
+    assert (resize_bilinear(g, 9, 13) == g).all()
+    const = np.full((7, 5), 77, np.uint8)
+    assert (resize_bilinear(const, 19, 3) == 77).all()
+    up = resize_bilinear(np.arange(0, 250, 50, dtype=np.uint8)[None, :], 1, 10)
+    assert (np.diff(up[0].astype(int)) >= 0).all()  # monotone preserved
+    rgb = np.stack([g, 255 - g, const[0, 0] * np.ones_like(g)], axis=-1).astype(
+        np.uint8
+    )
+    out = resize_bilinear(rgb, 5, 7)
+    assert out.shape == (5, 7, 3)
+    assert (out[:, :, 2] == 77).all()  # constant channel untouched
+    assert (
+        out[:, :, 0].astype(int) + out[:, :, 1].astype(int) == 255
+    ).all()  # complementary channels stay complementary (linear op)
