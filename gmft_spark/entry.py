@@ -878,6 +878,10 @@ def _oracled_pipelines():
             multimodal.media_png_decode_parity,
             multimodal.MEDIA_PNG_DECODE_PARITY_SQL,
         ),
+        "media_ccitt_g4_parity": (
+            multimodal.media_ccitt_g4_parity,
+            multimodal.MEDIA_CCITT_G4_PARITY_SQL,
+        ),
         "media_jpeg_flat_parity": (
             multimodal.media_jpeg_flat_parity,
             multimodal.MEDIA_JPEG_FLAT_PARITY_SQL,
@@ -906,6 +910,7 @@ _ROUND4_WINDOW = (
     "media_wav_decode_parity",
     "media_png_decode_parity",
     "media_jpeg_flat_parity",
+    "media_ccitt_g4_parity",
     # rows-only (glyph ink is not SQL-derivable; value-level evidence is
     # the tiny.pdf glyph golden + corpus containment suite) — takes a
     # window slot from an r03-green parity re-confirmation

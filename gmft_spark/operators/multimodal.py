@@ -657,3 +657,63 @@ SELECT i AS media_id,
 FROM generate_series(0, 255) g(i)
 ORDER BY media_id
 """
+
+
+_CCITT_PARITY_N_MEDIA = 48
+
+
+def media_ccitt_g4_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group-4 (T.6) roundtrip parity: a bilevel diagonal-stripe
+    bitmap pixel(i,j) = [(i*5 + j*3 + id*11) % 7 < 2] of shape
+    (24 + id%8, 40) rides a real encode_g4 → decode_g4 roundtrip
+    (kernel/ccitt.py — single-pixel black runs exercise the horizontal
+    MH codes, the per-row shift of 5 ≡ -2 (mod 7) the vertical modes).
+    Emits per-row black-pixel counts; G4 is lossless, so the oracle
+    recomputes them from the formula alone."""
+    from gmft_spark.kernel.ccitt import decode_g4, encode_g4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                h, w = 24 + mid % 8, 40
+                ii = np.arange(h, dtype=np.int64)[:, None]
+                jj = np.arange(w, dtype=np.int64)[None, :]
+                bm = (((ii * 5 + jj * 3 + mid * 11) % 7) < 2).astype(
+                    np.uint8
+                )
+                dec = decode_g4(encode_g4(bm), w, h)
+                for r, c in enumerate(dec.sum(axis=1)):
+                    rows.append(
+                        {"media_id": mid, "row": int(r), "n_black": int(c)}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, row int, n_black long"
+    return (
+        spark.range(_CCITT_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "row")
+    )
+
+
+MEDIA_CCITT_G4_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_CCITT_PARITY_N_MEDIA - 1}) g(i)),
+px AS (
+    SELECT ids.media_id, ri.i AS r, cj.j AS c,
+           CASE WHEN (ri.i * 5 + cj.j * 3 + ids.media_id * 11) % 7 < 2
+                THEN 1 ELSE 0 END AS b
+    FROM ids
+    CROSS JOIN generate_series(0, 30) ri(i)
+    CROSS JOIN generate_series(0, 39) cj(j)
+    WHERE ri.i < 24 + ids.media_id % 8
+)
+SELECT media_id,
+       CAST(r AS INT) AS row,
+       CAST(sum(b) AS BIGINT) AS n_black
+FROM px
+GROUP BY media_id, r
+ORDER BY media_id, row
+"""

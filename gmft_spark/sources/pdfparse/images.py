@@ -15,11 +15,13 @@ content order under the page CTM; gmft's rasterized pipeline
 is nearest-sample, alpha thresholded at 128 — deterministic across
 platforms, no anti-aliasing (same contract as glyphrender).
 
-Format gaps (raise ``NotImplementedError``, callers skip per image):
-JPXDecode / CCITTFaxDecode / JBIG2Decode / RunLengthDecode payloads —
-the same external-codec seams the multimodal operators document.
-Malformed streams raise ``ValueError`` (containment contract shared
-with decode_jpeg/decode_png).
+CCITTFaxDecode (Group 4 K<0 and Group 3 1-D K=0 — kernel/ccitt.py, a
+from-scratch T.4/T.6 codec) and RunLengthDecode (objects.decode_stream)
+decode natively. Format gaps (raise ``NotImplementedError``, callers
+skip per image): JPXDecode / JBIG2Decode / CCITT K>0 — the same
+external-codec seams the multimodal operators document. Malformed
+streams raise ``ValueError`` (containment contract shared with
+decode_jpeg/decode_png).
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from gmft_spark.kernel.ccitt import decode_ccitt
 from gmft_spark.kernel.jpeg import decode_jpeg
 from gmft_spark.sources.pdfparse.objects import Stream, decode_stream
 
@@ -37,9 +40,9 @@ _MAX_PIXELS = 1 << 24
 _DATA_FILTERS = {
     "FlateDecode", "Fl", "ASCIIHexDecode", "AHx", "ASCII85Decode", "A85",
 }
-_UNSUPPORTED = {
-    "JPXDecode", "CCITTFaxDecode", "JBIG2Decode", "RunLengthDecode", "RL",
-}
+_UNSUPPORTED = {"JPXDecode", "JBIG2Decode"}
+
+_CCITT = ("CCITTFaxDecode", "CCF")
 
 
 def _filter_names(pdf, st: Stream) -> List[str]:
@@ -49,6 +52,23 @@ def _filter_names(pdf, st: Stream) -> List[str]:
     if not isinstance(filters, list):
         filters = [filters]
     return [str(pdf.resolve(f)) for f in filters]
+
+
+def _parms_for(pdf, st: Stream, names: List[str], targets) -> dict:
+    """DecodeParms dict aligned with the first filter named in
+    ``targets`` (PDF allows a bare dict for a single filter)."""
+    parms = pdf.resolve(st.dict.get("DecodeParms") or st.dict.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms]
+    while len(parms) < len(names):
+        parms.append(None)
+    for name, pm in zip(names, parms):
+        if name in targets:
+            pm = pdf.resolve(pm)
+            if isinstance(pm, dict):
+                return {k: pdf.resolve(v) for k, v in pm.items()}
+            return {}
+    return {}
 
 
 def _luma(rgb: np.ndarray) -> np.ndarray:
@@ -160,6 +180,23 @@ def decode_image(
     decode_arr = pdf.resolve(d.get("Decode"))
     data = decode_stream(st, pdf)  # applies data filters, passes DCT
 
+    if any(n in _CCITT for n in names):
+        pm = _parms_for(pdf, st, names, _CCITT)
+        cols = int(pm.get("Columns", 1728) or 1728)
+        rws = int(pm.get("Rows") or h)
+        black = decode_ccitt(
+            data,
+            cols,
+            rws,
+            k=int(pm.get("K", 0) or 0),
+            byte_align=bool(pm.get("EncodedByteAlign")),
+        )
+        # PDF sample contract: BlackIs1 false (default) → black = 0 bit
+        bits = black if bool(pm.get("BlackIs1")) else 1 - black
+        data = np.packbits(bits, axis=1).tobytes()
+        if (black.shape[0], cols) != (h, w):
+            h, w = black.shape[0], cols  # trust the decode, like DCT
+
     if any(n in ("DCTDecode", "DCT") for n in names):
         arr = decode_jpeg(data)
         if arr.shape[:2] != (h, w):
@@ -180,6 +217,8 @@ def decode_image(
         alpha = painted
     else:
         bpc = int(pdf.resolve(d.get("BitsPerComponent")) or 8)
+        if any(n in _CCITT for n in names):
+            bpc = 1  # CCITT output is bilevel by definition
         nc, palette = _n_components(pdf, d.get("ColorSpace"))
         samples = _unpack_samples(data, w, h, nc, bpc)
         if palette is not None:

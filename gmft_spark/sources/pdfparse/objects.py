@@ -409,6 +409,23 @@ def decode_stream(st: Stream, resolver: Optional["PDFFile"] = None) -> bytes:
             if len(body) % 2:
                 body += b"0"
             data = bytes.fromhex(body.decode("ascii", "ignore"))
+        elif f in ("RunLengthDecode", "RL"):
+            out = bytearray()
+            i = 0
+            n = len(data)
+            while i < n:
+                length = data[i]
+                i += 1
+                if length == 128:  # EOD
+                    break
+                if length < 128:
+                    out += data[i : i + length + 1]
+                    i += length + 1
+                else:
+                    if i < n:
+                        out += data[i : i + 1] * (257 - length)
+                    i += 1
+            data = bytes(out)
         elif f in ("ASCII85Decode", "A85"):
             import base64
 

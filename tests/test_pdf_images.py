@@ -54,7 +54,8 @@ def test_corpus_image_placement_counts():
 
 def test_corpus_subset_decodes_every_supported_image():
     """Decode the full image set of four documents (JPEG 4:2:0 photos,
-    Flate charts, an Indexed palette, one CCITTFax seam)."""
+    Flate charts, an Indexed palette, and 9.pdf's Group-4 fax scan —
+    formerly a seam, now kernel/ccitt.py)."""
     stats = {}
     for name in ("3.pdf", "6.pdf", "7.pdf", "9.pdf"):
         doc = _doc(name)
@@ -73,7 +74,7 @@ def test_corpus_subset_decodes_every_supported_image():
         "3.pdf": (6, 0),
         "6.pdf": (4, 0),
         "7.pdf": (1, 0),
-        "9.pdf": (17, 1),  # one CCITTFaxDecode (documented codec seam)
+        "9.pdf": (18, 0),  # incl. the CCITTFaxDecode G4 scan
     }
 
 
