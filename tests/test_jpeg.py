@@ -123,10 +123,11 @@ def test_containment_contract():
     with pytest.raises(ValueError):
         # garbage entropy bytes: flip a run in the middle of the scan
         decode_jpeg(b[:-40] + b"\xaa" * 38 + b[-2:])
-    # progressive is a format gap, not bad data
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single scan claims Ss=0/Se=63, illegal for a progressive DC scan)
     prog = b.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert probe_jpeg(prog)["progressive"] is True
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
 
 
@@ -146,3 +147,94 @@ def test_decoder_rejects_bad_huffman_stream():
     # shrink the declared segment length so symbol bytes go missing
     with pytest.raises(ValueError):
         decode_jpeg(bytes(b[: i + 8]))
+
+
+# --- progressive (SOF2) -------------------------------------------------
+# Correctness anchor: progressive and baseline encoding of the SAME
+# image at the SAME quality quantize to identical coefficient stores,
+# so both decodes must be pixel-identical. Any drift in the scan-script
+# emitters or the successive-approximation decode breaks the equality.
+
+from gmft_spark.kernel.jpeg import encode_jpeg_progressive  # noqa: E402
+
+
+def test_progressive_probe_and_marker():
+    data = encode_jpeg_progressive(_gray(), quality=85)
+    info = probe_jpeg(data)
+    assert info == {
+        "width": W,
+        "height": H,
+        "n_components": 1,
+        "progressive": True,
+    }
+
+
+def test_progressive_equals_baseline_gray():
+    for q in (30, 50, 85, 95):
+        base = decode_jpeg(encode_jpeg(_gray(), quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(_gray(), quality=q))
+        assert np.array_equal(base, prog), f"quality {q}"
+
+
+def test_progressive_equals_baseline_color():
+    rgb = _rgb_smooth()
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(rgb, quality=80, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(rgb, quality=80, subsampling=sub)
+        )
+        assert np.array_equal(base, prog), sub
+
+
+def test_progressive_random_sweep():
+    """Random content at odd geometries — exercises EOB runs spanning
+    blocks, ZRL-in-refinement, buffered correction bits, and the
+    non-interleaved used-vs-padded block grids."""
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for q in (50, 90):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(gray, quality=q)),
+                decode_jpeg(encode_jpeg_progressive(gray, quality=q)),
+            ), (h, w, q)
+    for _ in range(3):
+        h = int(rng.integers(9, 50))
+        w = int(rng.integers(9, 50))
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for sub in ("444", "420"):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(rgb, quality=60, subsampling=sub)),
+                decode_jpeg(
+                    encode_jpeg_progressive(rgb, quality=60, subsampling=sub)
+                ),
+            ), (h, w, sub)
+
+
+def test_progressive_smooth_and_flat():
+    # smooth gradients → long EOB runs; flat → DC-only blocks
+    smooth = (np.add.outer(np.arange(64), np.arange(96)) // 4).astype(
+        np.uint8
+    )
+    flat = np.full((40, 56), 77, np.uint8)
+    for img in (smooth, flat):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, quality=85)),
+            decode_jpeg(encode_jpeg_progressive(img, quality=85)),
+        )
+
+
+def test_progressive_determinism_golden():
+    data = encode_jpeg_progressive(_gray(), quality=85)
+    assert (
+        hashlib.sha256(data).hexdigest()
+        == "6c7082acd2e3f4110a4d4cb67858dbb0454cbfb1b9fdeaf098863c258ffd5844"
+    )
+
+
+def test_progressive_truncated_scan_is_value_error():
+    data = encode_jpeg_progressive(_gray(), quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) * 2 // 3])
