@@ -320,24 +320,131 @@ class ContentInterpreter:
                         str(xname), resources, gs, out, depth, images
                     )
             elif op == b"BI":
-                # inline image: skip to EI at token boundary
-                data = lx.data
-                p = lx.pos
-                while True:
-                    idx = data.find(b"EI", p)
-                    if idx < 0:
-                        lx.pos = len(data)
-                        break
-                    before_ok = idx == 0 or data[idx - 1] in b"\x00\t\n\x0c\r "
-                    after = data[idx + 2 : idx + 3]
-                    after_ok = after == b"" or after[0] in b"\x00\t\n\x0c\r "
-                    if before_ok and after_ok:
-                        lx.pos = idx + 2
-                        break
-                    p = idx + 2
+                st = self._parse_inline_image(lx)
+                if st is not None and images is not None:
+                    images.append((st, gs.ctm))
             if op not in (b"", b"(", b"<"):
                 stack.clear()
         return
+
+    # full names for the inline-image abbreviated keys (spec table 91)
+    _BI_KEYS = {
+        "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+        "CS": "ColorSpace", "F": "Filter", "IM": "ImageMask",
+        "D": "Decode", "DP": "DecodeParms", "L": "Length",
+        "I": "Interpolate",
+    }
+    _BI_CS = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+              "I": "Indexed"}
+    _BI_FILTERS = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                   "Fl": "FlateDecode", "LZW": "LZWDecode",
+                   "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+                   "DCT": "DCTDecode"}
+
+    @staticmethod
+    def _skip_to_ei(lx: Lexer) -> None:
+        """Advance past the next ``EI`` on a token boundary (the
+        conservative pre-round-4 skip, kept as the malformed-dict
+        fallback so the interpreter always resynchronizes)."""
+        data = lx.data
+        p = lx.pos
+        while True:
+            idx = data.find(b"EI", p)
+            if idx < 0:
+                lx.pos = len(data)
+                return
+            before_ok = idx == 0 or data[idx - 1] in b"\x00\t\n\x0c\r "
+            after = data[idx + 2 : idx + 3]
+            after_ok = after == b"" or after[0] in b"\x00\t\n\x0c\r "
+            if before_ok and after_ok:
+                lx.pos = idx + 2
+                return
+            p = idx + 2
+
+    def _parse_inline_image(self, lx: Lexer) -> Optional[Stream]:
+        """BI ... ID <data> EI → a normalized image Stream (abbreviated
+        keys/filters/colorspaces expanded so images.decode_image handles
+        it like an Image XObject). Uncompressed data ends at the exact
+        sample-byte count; filtered data at an ``EI`` on a token
+        boundary. Returns None (stream skipped) on malformed dicts."""
+        d: dict = {}
+        while True:
+            lx.skip_ws()
+            c = lx.peek_byte()
+            if c == -1:
+                return None
+            if c == 0x2F:  # /Key value
+                key = parse_object(lx, self.pdf)
+                val = parse_object(lx, self.pdf)
+                if isinstance(key, Name):
+                    d[self._BI_KEYS.get(str(key), str(key))] = val
+                continue
+            tok = lx.read_token()
+            if tok == b"ID":
+                break
+            if tok == b"":
+                return None
+        # exactly one whitespace byte separates ID from the data
+        if lx.peek_byte() in (0x20, 0x0A, 0x0D, 0x09, 0x0C, 0x00):
+            lx.pos += 1
+
+        def norm_one(v):
+            if isinstance(v, Name):
+                s = str(v)
+                return Name(self._BI_FILTERS.get(
+                    s, self._BI_CS.get(s, s)
+                ))
+            return v
+
+        filters = d.get("Filter")
+        if isinstance(filters, list):
+            d["Filter"] = [norm_one(f) for f in filters]
+        elif filters is not None:
+            d["Filter"] = norm_one(filters)
+        cs = d.get("ColorSpace")
+        if isinstance(cs, list):
+            d["ColorSpace"] = [norm_one(x) for x in cs]
+        elif cs is not None:
+            d["ColorSpace"] = norm_one(cs)
+
+        data = lx.data
+        start = lx.pos
+        if d.get("Filter") is None:
+            # exact length: ceil(W*ncomp*BPC/8) * H sample bytes
+            w = int(d.get("Width") or 0)
+            h = int(d.get("Height") or 0)
+            bpc = 1 if d.get("ImageMask") else int(
+                d.get("BitsPerComponent") or 8
+            )
+            cs = d.get("ColorSpace")
+            nc = 3 if str(cs) in ("DeviceRGB",) else (
+                4 if str(cs) in ("DeviceCMYK",) else 1
+            )
+            end = start + ((w * nc * bpc + 7) // 8) * h
+            if w <= 0 or h <= 0 or end > len(data):
+                self._skip_to_ei(lx)
+                return None
+            lx.pos = end
+            lx.skip_ws()
+            if lx.data[lx.pos : lx.pos + 2] == b"EI":
+                lx.pos += 2
+            return Stream(d, data[start:end])
+        # filtered: scan for EI at a token boundary
+        p = start
+        while True:
+            idx = data.find(b"EI", p)
+            if idx < 0:
+                lx.pos = len(data)
+                return None
+            before_ok = idx == 0 or data[idx - 1] in b"\x00\t\n\x0c\r "
+            after = data[idx + 2 : idx + 3]
+            after_ok = after == b"" or after[0] in b"\x00\t\n\x0c\r "
+            if before_ok and after_ok:
+                lx.pos = idx + 2
+                # strip the single whitespace byte before EI
+                end = idx - 1 if idx > start else idx
+                return Stream(d, data[start:end])
+            p = idx + 2
 
     # -- helpers ----------------------------------------------------------
 

@@ -95,6 +95,97 @@ def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> by
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (spec 7.4.4 — the TIFF variant with MSB-first
+    packing, clear=256, EOD=257, 9→12-bit growing codes; EarlyChange
+    widens one code early by default)."""
+    out = bytearray()
+    table: list = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(None)  # 256 clear
+        table.append(None)  # 257 EOD
+        return 9
+
+    width = reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                width = reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if entry is None:
+                    raise ValueError("bad LZW code")
+                if len(table) < 4096:  # full table: stop assigning,
+                    table.append(prev + entry[:1])  # mirror the encoder
+            elif code == len(table) and code < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_predictor_parms(data: bytes, pm, resolver) -> bytes:
+    """Shared /DecodeParms predictor handling for Flate and LZW."""
+    if not isinstance(pm, dict):
+        return data
+    pred = pm.get("Predictor", 1)
+    colors = pm.get("Colors", 1) or 1
+    bpc = pm.get("BitsPerComponent", 8) or 8
+    cols = pm.get("Columns", 1) or 1
+    if resolver is not None:
+        pred = resolver.resolve(pred)
+        colors = resolver.resolve(colors)
+        bpc = resolver.resolve(bpc)
+        cols = resolver.resolve(cols)
+    if isinstance(pred, int) and pred >= 10:
+        return _apply_png_predictor(data, colors, bpc, cols)
+    if pred == 2:
+        return _apply_tiff_predictor(data, colors, bpc, cols)
+    return data
+
+
+def _apply_tiff_predictor(
+    data: bytes, colors: int, bpc: int, columns: int
+) -> bytes:
+    """Reverse TIFF predictor 2 (horizontal differencing): cumulative
+    per-channel sums along each row. 8-bit samples only (the practical
+    case; other depths raise)."""
+    if bpc != 8:
+        raise ValueError("TIFF predictor needs 8-bit samples")
+    row_len = colors * columns
+    if row_len <= 0 or len(data) % row_len:
+        raise ValueError("TIFF predictor row misalignment")
+    import numpy as _np
+
+    arr = _np.frombuffer(data, dtype=_np.uint8).reshape(
+        -1, columns, colors
+    )
+    return _np.cumsum(arr, axis=1, dtype=_np.uint8).tobytes()
+
+
 class Lexer:
     """Tokenizer over a bytes buffer."""
 
@@ -388,21 +479,16 @@ def decode_stream(st: Stream, resolver: Optional["PDFFile"] = None) -> bytes:
             pm = resolver.resolve(pm)
         if f == "FlateDecode" or f == "Fl":
             data = _flate_bounded(data)
+            data = _apply_predictor_parms(data, pm, resolver)
+        elif f in ("LZWDecode", "LZW"):
+            early = 1
             if isinstance(pm, dict):
-                pred = pm.get("Predictor", 1)
+                early = pm.get("EarlyChange", 1)
                 if resolver is not None:
-                    pred = resolver.resolve(pred)
-                if isinstance(pred, int) and pred >= 10:
-                    colors = pm.get("Colors", 1) or 1
-                    bpc = pm.get("BitsPerComponent", 8) or 8
-                    cols = pm.get("Columns", 1) or 1
-                    if resolver is not None:
-                        colors = resolver.resolve(colors)
-                        bpc = resolver.resolve(bpc)
-                        cols = resolver.resolve(cols)
-                    data = _apply_png_predictor(data, colors, bpc, cols)
-                elif pred == 2:
-                    raise ValueError("TIFF predictor unsupported")
+                    early = resolver.resolve(early)
+                early = 1 if early is None else int(early)
+            data = _lzw_decode(data, early_change=early)
+            data = _apply_predictor_parms(data, pm, resolver)
         elif f in ("ASCIIHexDecode", "AHx"):
             body = data.split(b">")[0]
             body = bytes(c for c in body if c not in _WHITESPACE)
