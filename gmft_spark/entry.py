@@ -886,6 +886,12 @@ def _oracled_pipelines():
             multimodal.media_jpeg_flat_parity,
             multimodal.MEDIA_JPEG_FLAT_PARITY_SQL,
         ),
+        # round 4: TIFF 6.0 — LZW+predictor / PackBits strips, both
+        # byte orders, through the same lossless-roundtrip oracle shape
+        "media_tiff_decode_parity": (
+            multimodal.media_tiff_decode_parity,
+            multimodal.MEDIA_TIFF_DECODE_PARITY_SQL,
+        ),
     }
 
 
@@ -904,9 +910,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # back out; tests/test_entry_contract.py pins both properties).
 _ROUND4_WINDOW = (
     # --- round-4 additions (newest first) ---
-    # codec-decode parity: the from-scratch WAV/PNG/JPEG codecs
+    # codec-decode parity: the from-scratch TIFF/WAV/PNG/JPEG codecs
     # value-hashed cross-engine (integer-formula signal through a real
     # encode→decode roundtrip vs DuckDB recomputing the formula)
+    "media_tiff_decode_parity",
     "media_wav_decode_parity",
     "media_png_decode_parity",
     "media_jpeg_flat_parity",

@@ -6,12 +6,13 @@ needs. The Spark-side plumbing (schema, Arrow batch shape, partitioning,
 UDF signatures) is real and tested. The codec step: ``decode_mode='real'``
 genuinely decodes ALL THREE modalities through from-scratch codecs —
 PNG (kernel/raster.py) and baseline JPEG (kernel/jpeg.py) images,
-RIFF/WAVE PCM audio (kernel/wav.py), MJPEG-in-AVI video (kernel/avi.py,
-stride frame sampling before pixel decode) — each to a 16-bin
-normalized histogram feature. Only foreign containers (TIFF/WebP,
-MP3/OGG, MP4/MKV) still raise ``NotImplementedError`` at the exact seam
-where PIL/ffmpeg plug in. ``decode_mode='fake'`` keeps the library-free
-deterministic stand-in for every modality.
+TIFF 6.0 (kernel/tiff.py — LZW/PackBits/CCITT strips), RIFF/WAVE PCM
+audio (kernel/wav.py), MJPEG-in-AVI video (kernel/avi.py, stride frame
+sampling before pixel decode) — each to a 16-bin normalized histogram
+feature. Only foreign containers (WebP, MP3/OGG, MP4/MKV) still raise
+``NotImplementedError`` at the exact seam where PIL/ffmpeg plug in.
+``decode_mode='fake'`` keeps the library-free deterministic stand-in
+for every modality.
 
 Scale notes: payload bytes never leave their scan partition (narrow
 mapInPandas); metadata-only queries never touch the binary column thanks
@@ -256,11 +257,12 @@ def _real_decode(
 ) -> tuple[np.ndarray, int]:
     """Real decode path → (feature, n_frames_sampled). All three
     modalities decode natively through the from-scratch codecs:
-    PNG (kernel/raster.py) and baseline JPEG (kernel/jpeg.py) images,
-    RIFF/WAVE PCM audio (kernel/wav.py), and MJPEG-in-AVI video
-    (kernel/avi.py, frames sampled every ``frame_stride`` BEFORE pixel
-    decode). Only genuinely foreign containers (TIFF/WebP, MP3/OGG,
-    MP4/MKV) remain the documented PIL/ffmpeg seam."""
+    PNG (kernel/raster.py), baseline JPEG (kernel/jpeg.py) and TIFF 6.0
+    (kernel/tiff.py) images, RIFF/WAVE PCM audio (kernel/wav.py), and
+    MJPEG-in-AVI video (kernel/avi.py, frames sampled every
+    ``frame_stride`` BEFORE pixel decode). Only genuinely foreign
+    containers (WebP, MP3/OGG, MP4/MKV) remain the documented
+    PIL/ffmpeg seam."""
     from gmft_spark.kernel.avi import decode_avi_frames
     from gmft_spark.kernel.jpeg import decode_jpeg
     from gmft_spark.kernel.raster import decode_png
@@ -271,8 +273,12 @@ def _real_decode(
             return _gray_hist(decode_png(payload)), 1
         if payload[:2] == b"\xff\xd8":
             return _gray_hist(decode_jpeg(payload)), 1
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from gmft_spark.kernel.tiff import decode_tiff
+
+            return _gray_hist(decode_tiff(payload)), 1
         raise NotImplementedError(
-            "non-PNG/JPEG image decode needs PIL on executors; "
+            "non-PNG/JPEG/TIFF image decode needs PIL on executors; "
             "install and implement here"
         )
     if modality == "audio":
@@ -716,4 +722,75 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, r
 ORDER BY media_id, row
+"""
+
+
+_TIFF_PARITY_N_MEDIA = 32
+
+
+def media_tiff_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF 6.0 roundtrip parity: the PNG-parity gradient pattern
+    (v = (i*3 + j*7 + id*13) % 256, h = 24 + id % 16, w = 40) rides a
+    real encode_tiff → decode_tiff roundtrip (kernel/tiff.py) with the
+    codec matrix varied BY id — compression LZW+predictor-2 (even ids)
+    vs PackBits (odd), byte order II (id%4<2) vs MM, multi-strip at 8
+    rows — then binned (v >> 4). Every supported compression is
+    lossless, so the decoded bin counts are a pure function of the
+    formula; the oracle recomputes them without any codec."""
+    from gmft_spark.kernel.tiff import decode_tiff, encode_tiff
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                h, w = 24 + mid % 16, 40
+                arr = (
+                    (
+                        np.arange(h)[:, None] * 3
+                        + np.arange(w)[None, :] * 7
+                        + mid * 13
+                    )
+                    % 256
+                ).astype(np.uint8)
+                payload = encode_tiff(
+                    arr,
+                    compression="lzw" if mid % 2 == 0 else "packbits",
+                    predictor=mid % 2 == 0,
+                    rows_per_strip=8,
+                    big_endian=mid % 4 >= 2,
+                )
+                px = decode_tiff(payload)
+                bins = px.reshape(-1).astype(np.int32) >> 4
+                for b, c in zip(*np.unique(bins, return_counts=True)):
+                    rows.append(
+                        {"media_id": mid, "bin": int(b), "cnt": int(c)}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, bin int, cnt long"
+    return (
+        spark.range(_TIFF_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "bin")
+    )
+
+
+MEDIA_TIFF_DECODE_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_TIFF_PARITY_N_MEDIA - 1}) g(i)),
+px AS (
+    SELECT ids.media_id,
+           (ri.i * 3 + cj.j * 7 + ids.media_id * 13) % 256 AS v
+    FROM ids
+    CROSS JOIN generate_series(0, 39) ri(i)
+    CROSS JOIN generate_series(0, 39) cj(j)
+    WHERE ri.i < 24 + ids.media_id % 16
+)
+SELECT media_id,
+       CAST(v // 16 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM px
+GROUP BY media_id, bin
+ORDER BY media_id, bin
 """

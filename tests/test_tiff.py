@@ -1,0 +1,307 @@
+"""From-scratch TIFF 6.0 codec (kernel/tiff.py).
+
+Evidence model mirrors the other codec suites: bit-exact roundtrips
+(every supported compression is lossless), a byte-determinism golden,
+an encoder/decoder LZW mirror fuzz across the 9→12-bit width
+boundaries and the table-full clear, and the untrusted-input
+containment contract (ValueError for malformed streams,
+NotImplementedError only for genuine format gaps)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from gmft_spark.kernel.tiff import (
+    decode_tiff,
+    encode_tiff,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+    tiff_info,
+)
+from gmft_spark.sources.pdfparse.objects import _lzw_decode
+
+# 40x56: multi-strip at rows_per_strip=7 leaves a 5-row tail strip
+H, W = 40, 56
+
+
+def _gray() -> np.ndarray:
+    return (
+        (np.arange(H)[:, None] * 3 + np.arange(W)[None, :] * 7 + 11) % 256
+    ).astype(np.uint8)
+
+
+def _rgb() -> np.ndarray:
+    g = _gray().astype(np.int32)
+    return np.stack([g, (g + 50) % 256, (g * 3) % 256], axis=2).astype(
+        np.uint8
+    )
+
+
+def _bilevel() -> np.ndarray:
+    return (
+        ((np.arange(33)[:, None] * 5 + np.arange(50)[None, :] * 3) % 7) < 2
+    ).astype(np.uint8)
+
+
+def _prng_bytes(n: int, seed: int) -> bytes:
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+        c += 1
+    return bytes(out[:n])
+
+
+# ── LZW encoder mirrors the shared decoder ───────────────────────────
+
+
+def test_lzw_mirror_fuzz():
+    """Roundtrip across sizes that cross every code-width boundary
+    (9→10 at ~253 codes, →11, →12) and the 4094-entry clear; both
+    high-entropy (md5 stream: one table entry per ~code) and
+    low-entropy (long matches) inputs."""
+    for n in (0, 1, 5, 300, 4096, 20000, 120000):
+        for seed in (1, 2):
+            d = _prng_bytes(n, seed)
+            assert _lzw_decode(lzw_encode(d)) == d, (n, seed)
+        d = (b"abcab" * (n // 5 + 1))[:n]
+        assert _lzw_decode(lzw_encode(d)) == d, ("rep", n)
+        d = bytes([(i * 7) % 19 for i in range(n)])
+        assert _lzw_decode(lzw_encode(d)) == d, ("mod", n)
+
+
+def test_lzw_single_run():
+    # the classic KwKwK corner: w == c throughout
+    for n in (2, 3, 100, 5000):
+        d = b"\xaa" * n
+        assert _lzw_decode(lzw_encode(d)) == d, n
+
+
+# ── PackBits ─────────────────────────────────────────────────────────
+
+
+def test_packbits_roundtrip():
+    for n in (0, 1, 2, 3, 400, 5000):
+        d = _prng_bytes(n, 9)
+        assert packbits_decode(packbits_encode(d)) == d
+        assert packbits_decode(packbits_encode(bytes(n))) == bytes(n)
+    # mixed literal/replicate boundaries
+    d = b"ab" + b"c" * 130 + b"de" + b"f" * 3 + b"g"
+    assert packbits_decode(packbits_encode(d)) == d
+
+
+def test_packbits_malformed():
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05ab")  # literal run overruns input
+    with pytest.raises(ValueError):
+        packbits_decode(b"\xfe")  # replicate header missing its byte
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x00a", expected=5)  # short strip
+
+
+# ── grayscale / RGB roundtrips ───────────────────────────────────────
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("rps", [None, 7])
+def test_gray_roundtrip(comp, big_endian, rps):
+    g = _gray()
+    t = encode_tiff(g, comp, rows_per_strip=rps, big_endian=big_endian)
+    assert np.array_equal(decode_tiff(t), g)
+    info = tiff_info(t)
+    assert (info["width"], info["height"]) == (W, H)
+    assert info["n_strips"] == (1 if rps is None else -(-H // 7))
+
+
+@pytest.mark.parametrize("comp", ["lzw", "packbits"])
+def test_gray_predictor_roundtrip(comp):
+    g = _gray()
+    t = encode_tiff(g, comp, predictor=True, rows_per_strip=9)
+    assert np.array_equal(decode_tiff(t), g)
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [False, True])
+def test_rgb_roundtrip(comp, pred):
+    if pred and comp == "none":
+        pytest.skip("predictor without compression is pointless")
+    rgb = _rgb()
+    t = encode_tiff(rgb, comp, predictor=pred, rows_per_strip=13)
+    assert np.array_equal(decode_tiff(t), rgb)
+
+
+def test_gray_photometric_zero_inverts():
+    g = _gray()
+    t = encode_tiff(g, "lzw", photometric=0)
+    assert np.array_equal(decode_tiff(t), 255 - g)
+
+
+# ── bilevel (CCITT + MH) ─────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("comp", ["g4", "g3", "mh"])
+@pytest.mark.parametrize("rps", [None, 8])
+def test_bilevel_roundtrip(comp, rps):
+    bm = _bilevel()
+    t = encode_tiff(bm, comp, rows_per_strip=rps)
+    # photometric 0: black(1) → luminance 0
+    want = np.where(bm > 0, 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_tiff(t), want)
+
+
+@pytest.mark.parametrize("comp", ["g4", "mh"])
+def test_bilevel_fill_order_2(comp):
+    bm = _bilevel()
+    t = encode_tiff(bm, comp, fill_order=2)
+    want = np.where(bm > 0, 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_tiff(t), want)
+    # the stored strip genuinely differs from fill-order-1 bytes
+    t1 = encode_tiff(bm, comp)
+    assert t1 != t
+
+
+def test_bilevel_photometric_one_flips():
+    bm = _bilevel()
+    t = encode_tiff(bm, "g4", photometric=1)
+    assert np.array_equal(
+        decode_tiff(t), np.where(bm > 0, 255, 0).astype(np.uint8)
+    )
+
+
+def test_fill_order_2_rejected_for_gray():
+    with pytest.raises(ValueError):
+        encode_tiff(_gray(), "lzw", fill_order=2)
+
+
+# ── palette ──────────────────────────────────────────────────────────
+
+
+def test_palette_roundtrip():
+    idx = ((np.arange(20)[:, None] + np.arange(30)[None, :]) % 256).astype(
+        np.uint8
+    )
+    cmap = np.stack(
+        [
+            np.arange(256) * 257,
+            (255 - np.arange(256)) * 257,
+            (np.arange(256) * 100) % 65536,
+        ]
+    ).astype(np.uint16)
+    t = encode_tiff(idx, "lzw", colormap=cmap, big_endian=True)
+    out = decode_tiff(t)
+    assert out.shape == (20, 30, 3)
+    for c in range(3):
+        assert np.array_equal(
+            out[:, :, c], (cmap[c] >> 8).astype(np.uint8)[idx]
+        )
+
+
+# ── byte determinism golden ──────────────────────────────────────────
+
+
+def test_encode_golden():
+    """Any drift in the IFD layout, LZW coder, predictor or strip
+    framing flips these hashes."""
+    t = encode_tiff(_gray(), "lzw", predictor=True, rows_per_strip=7)
+    assert hashlib.md5(t).hexdigest() == _GOLDEN_LZW
+    t2 = encode_tiff(_bilevel(), "g4", fill_order=2)
+    assert hashlib.md5(t2).hexdigest() == _GOLDEN_G4
+
+
+_GOLDEN_LZW = "e7721dc9b966fdc32fecbc1801a7cf18"
+_GOLDEN_G4 = "147def4e2808ff1eafaef1f19489f630"
+
+
+# ── containment: malformed / unsupported ─────────────────────────────
+
+
+def test_malformed_rejected():
+    g = _gray()
+    t = bytearray(encode_tiff(g, "none"))
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX" + bytes(t[2:]))  # bad byte-order mark
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t[:6]))  # truncated header
+    bad = bytearray(t)
+    bad[4:8] = (len(bad) + 100).to_bytes(4, "little")  # IFD out of range
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t[: len(t) // 2]))  # body truncated
+
+
+def test_truncated_strip_rejected():
+    t = bytearray(encode_tiff(_gray(), "lzw"))
+    # find the strip-byte-counts tag (279) and halve the count
+    import struct
+
+    ifd_off = struct.unpack_from("<I", t, 4)[0]
+    n = struct.unpack_from("<H", t, ifd_off)[0]
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", t, pos)[0]
+        if tag == 279:
+            cnt = struct.unpack_from("<I", t, pos + 8)[0]
+            struct.pack_into("<I", t, pos + 8, cnt // 2)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t))
+
+
+def test_unsupported_corners():
+    import struct
+
+    t = bytearray(encode_tiff(_gray(), "none"))
+    ifd_off = struct.unpack_from("<I", t, 4)[0]
+    n = struct.unpack_from("<H", t, ifd_off)[0]
+
+    def patch(tag, value):
+        buf = bytearray(t)
+        for i in range(n):
+            pos = ifd_off + 2 + 12 * i
+            if struct.unpack_from("<H", buf, pos)[0] == tag:
+                struct.pack_into("<I", buf, pos + 8, value)
+        return bytes(buf)
+
+    with pytest.raises(ValueError):
+        decode_tiff(patch(259, 999))  # unknown compression id
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patch(259, 7))  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patch(284, 2))  # planar
+    with pytest.raises(NotImplementedError):
+        decode_tiff(patch(258, 16))  # 16-bit samples
+    with pytest.raises(ValueError):
+        decode_tiff(patch(259, 4))  # CCITT on 8-bit samples
+
+
+def test_dimension_cap():
+    import struct
+
+    t = bytearray(encode_tiff(_gray(), "none"))
+    ifd_off = struct.unpack_from("<I", t, 4)[0]
+    n = struct.unpack_from("<H", t, ifd_off)[0]
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", t, pos)[0] in (256, 257):
+            struct.pack_into("<I", t, pos + 8, 100_000)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t))
+
+
+# ── multimodal seam ──────────────────────────────────────────────────
+
+
+def test_real_decode_tiff_image():
+    from gmft_spark.operators.multimodal import _gray_hist, _real_decode
+
+    g = _gray()
+    for payload in (
+        encode_tiff(g, "lzw", predictor=True),
+        encode_tiff(g, "packbits", big_endian=True),
+    ):
+        feat, n = _real_decode(payload, "image")
+        assert n == 1
+        assert np.allclose(feat, _gray_hist(g))
