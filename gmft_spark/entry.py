@@ -892,6 +892,12 @@ def _oracled_pipelines():
             multimodal.media_tiff_decode_parity,
             multimodal.MEDIA_TIFF_DECODE_PARITY_SQL,
         ),
+        # round 4: ISO-BMFF MP4 sample-table resolution on the
+        # exactly-lossless flat-DC MJPEG case, stride sampling included
+        "media_mp4_flat_parity": (
+            multimodal.media_mp4_flat_parity,
+            multimodal.MEDIA_MP4_FLAT_PARITY_SQL,
+        ),
     }
 
 
@@ -913,6 +919,7 @@ _ROUND4_WINDOW = (
     # codec-decode parity: the from-scratch TIFF/WAV/PNG/JPEG codecs
     # value-hashed cross-engine (integer-formula signal through a real
     # encode→decode roundtrip vs DuckDB recomputing the formula)
+    "media_mp4_flat_parity",
     "media_tiff_decode_parity",
     "media_wav_decode_parity",
     "media_png_decode_parity",

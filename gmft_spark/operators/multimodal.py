@@ -7,10 +7,12 @@ UDF signatures) is real and tested. The codec step: ``decode_mode='real'``
 genuinely decodes ALL THREE modalities through from-scratch codecs —
 PNG (kernel/raster.py) and baseline JPEG (kernel/jpeg.py) images,
 TIFF 6.0 (kernel/tiff.py — LZW/PackBits/CCITT strips), RIFF/WAVE PCM
-audio (kernel/wav.py), MJPEG-in-AVI video (kernel/avi.py, stride frame
-sampling before pixel decode) — each to a 16-bin normalized histogram
-feature. Only foreign containers (WebP, MP3/OGG, MP4/MKV) still raise
-``NotImplementedError`` at the exact seam where PIL/ffmpeg plug in.
+audio (kernel/wav.py), MJPEG video in BOTH containers — AVI
+(kernel/avi.py) and ISO-BMFF MP4 (kernel/mp4.py), stride frame sampling
+before pixel decode — each to a 16-bin normalized histogram feature.
+Only foreign CODECS (WebP, MP3/OGG, avc1/hevc inside MP4/MKV) still
+raise ``NotImplementedError`` at the exact seam where PIL/ffmpeg plug
+in.
 ``decode_mode='fake'`` keeps the library-free deterministic stand-in
 for every modality.
 
@@ -259,10 +261,10 @@ def _real_decode(
     modalities decode natively through the from-scratch codecs:
     PNG (kernel/raster.py), baseline JPEG (kernel/jpeg.py) and TIFF 6.0
     (kernel/tiff.py) images, RIFF/WAVE PCM audio (kernel/wav.py), and
-    MJPEG-in-AVI video (kernel/avi.py, frames sampled every
-    ``frame_stride`` BEFORE pixel decode). Only genuinely foreign
-    containers (WebP, MP3/OGG, MP4/MKV) remain the documented
-    PIL/ffmpeg seam."""
+    MJPEG video in AVI (kernel/avi.py) or ISO-BMFF MP4 (kernel/mp4.py)
+    containers (frames sampled every ``frame_stride`` BEFORE pixel
+    decode). Only genuinely foreign codecs (WebP, MP3/OGG, avc1/hevc)
+    remain the documented PIL/ffmpeg seam."""
     from gmft_spark.kernel.avi import decode_avi_frames
     from gmft_spark.kernel.jpeg import decode_jpeg
     from gmft_spark.kernel.raster import decode_png
@@ -298,9 +300,17 @@ def _real_decode(
             raise ValueError("AVI carries no video frames")
         feat = np.mean([_gray_hist(f) for f in frames], axis=0)
         return feat.astype(np.float32), len(frames)
+    if payload[4:8] == b"ftyp":
+        from gmft_spark.kernel.mp4 import decode_mp4_frames
+
+        frames = decode_mp4_frames(payload, frame_stride=frame_stride)
+        if not frames:
+            raise ValueError("MP4 carries no video frames")
+        feat = np.mean([_gray_hist(f) for f in frames], axis=0)
+        return feat.astype(np.float32), len(frames)
     raise NotImplementedError(
-        f"real {modality} decode for non-AVI containers needs ffmpeg "
-        "on executors; install and implement here"
+        f"real {modality} decode for non-AVI/MP4 containers needs "
+        "ffmpeg on executors; install and implement here"
     )
 
 
@@ -793,4 +803,70 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, bin
 ORDER BY media_id, bin
+"""
+
+
+_MP4_PARITY_N_MEDIA = 48
+
+
+def media_mp4_flat_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF MP4 container parity on the exactly-lossless MJPEG
+    case: per media_id, 3 + id % 4 flat grayscale frames with frame k
+    at value v = (id*19 + k*17 + 5) % 256, written through encode_mp4
+    and read back through the full sample-table resolution path
+    (kernel/mp4.py: stsd/stts/stsc/stsz/stco) at frame_stride 2. Flat
+    blocks reconstruct exactly at quality 90, so each decoded frame's
+    min/max must equal the formula; the oracle enumerates the sampled
+    frames (k = 0, 2, 4, ...) without any codec."""
+    from gmft_spark.kernel.mp4 import decode_mp4_frames, encode_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                n = 3 + mid % 4
+                frames = [
+                    np.full(
+                        (16, 24), (mid * 19 + k * 17 + 5) % 256, np.uint8
+                    )
+                    for k in range(n)
+                ]
+                payload = encode_mp4(frames, fps=8, quality=90)
+                dec = decode_mp4_frames(payload, frame_stride=2)
+                for j, px in enumerate(dec):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame": 2 * j,
+                            "px_min": int(px.min()),
+                            "px_max": int(px.max()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, frame int, px_min int, px_max int"
+    return (
+        spark.range(_MP4_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "frame")
+    )
+
+
+MEDIA_MP4_FLAT_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_MP4_PARITY_N_MEDIA - 1}) g(i)),
+fr AS (
+    SELECT ids.media_id, ks.k AS frame,
+           (ids.media_id * 19 + ks.k * 17 + 5) % 256 AS v
+    FROM ids
+    CROSS JOIN generate_series(0, 5) ks(k)
+    WHERE ks.k < 3 + ids.media_id % 4 AND ks.k % 2 = 0
+)
+SELECT media_id,
+       CAST(frame AS INT) AS frame,
+       CAST(v AS INT) AS px_min,
+       CAST(v AS INT) AS px_max
+FROM fr
+ORDER BY media_id, frame
 """
