@@ -150,14 +150,17 @@ def synthesize_png_media(spark: SparkSession, n: int = 64) -> DataFrame:
 def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     """Media table whose payloads are REAL decodable files across all
     three modalities, generated distributively from media_id alone:
-    images alternate PNG (kernel/raster.py) and baseline JPEG
-    (kernel/jpeg.py), audio is PCM WAVE sine bursts (kernel/wav.py),
-    video is MJPEG-in-AVI gradient frames (kernel/avi.py). The real
-    decode path (extract_features(decode_mode='real')) runs end-to-end
-    on this table with zero external libraries."""
+    images rotate PNG (kernel/raster.py), baseline JPEG (kernel/jpeg.py)
+    and LZW TIFF (kernel/tiff.py); audio is PCM WAVE sine bursts
+    (kernel/wav.py); video alternates MJPEG-in-AVI (kernel/avi.py) and
+    MJPEG-in-MP4 (kernel/mp4.py) gradient frames. The real decode path
+    (extract_features(decode_mode='real')) runs end-to-end on this
+    table with zero external libraries."""
     from gmft_spark.kernel.avi import encode_avi
     from gmft_spark.kernel.jpeg import encode_jpeg
+    from gmft_spark.kernel.mp4 import encode_mp4
     from gmft_spark.kernel.raster import encode_png
+    from gmft_spark.kernel.tiff import encode_tiff
     from gmft_spark.kernel.wav import encode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,7 +169,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
             for mid in batch["id"]:
                 mid = int(mid)
                 kind = mid % 3
-                if kind == 0:  # image
+                if kind == 0:  # image: PNG / JPEG / TIFF in rotation
                     h, w = 24 + mid % 16, 40
                     arr = (
                         (
@@ -176,12 +179,16 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         )
                         % 256
                     ).astype(np.uint8)
-                    if mid % 2 == 0:
+                    sub = (mid // 3) % 3
+                    if sub == 0:
                         payload = encode_png(arr)
                         mime = "image/png"
-                    else:
+                    elif sub == 1:
                         payload = encode_jpeg(arr, quality=90)
                         mime = "image/jpeg"
+                    else:
+                        payload = encode_tiff(arr, "lzw", predictor=True)
+                        mime = "image/tiff"
                     meta = (mime, w, h, 0)
                 elif kind == 1:  # audio
                     rate = 8000
@@ -198,7 +205,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         0,
                         int(round(1000.0 * n_samp / rate)),
                     )
-                else:  # video
+                else:  # video: MJPEG in AVI / MP4 containers in rotation
                     h, w = 24, 32
                     n_frames = 4 + mid % 5
                     frames = [
@@ -213,9 +220,14 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         ).astype(np.uint8)
                         for k in range(n_frames)
                     ]
-                    payload = encode_avi(frames, fps=8, quality=88)
+                    if (mid // 3) % 2 == 0:
+                        payload = encode_avi(frames, fps=8, quality=88)
+                        mime = "video/avi"
+                    else:
+                        payload = encode_mp4(frames, fps=8, quality=88)
+                        mime = "video/mp4"
                     meta = (
-                        "video/avi",
+                        mime,
                         w,
                         h,
                         int(round(1000.0 * n_frames / 8.0)),
@@ -427,10 +439,14 @@ def resize_images(
                             px = decode_png(raw)
                         elif raw[:2] == b"\xff\xd8":
                             px = decode_jpeg(raw)
+                        elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                            from gmft_spark.kernel.tiff import decode_tiff
+
+                            px = decode_tiff(raw)
                         else:
                             raise NotImplementedError(
-                                "non-PNG/JPEG image resize needs PIL; "
-                                "install and implement here"
+                                "non-PNG/JPEG/TIFF image resize needs "
+                                "PIL; install and implement here"
                             )
                         resized = resize_bilinear(px, out_h, out_w)
                         if out_format == "png":
