@@ -898,6 +898,12 @@ def _oracled_pipelines():
             multimodal.media_mp4_flat_parity,
             multimodal.MEDIA_MP4_FLAT_PARITY_SQL,
         ),
+        # round 4: animated GIF (LSB-first LZW variant, interlace,
+        # frame composition) through the lossless-roundtrip oracle
+        "media_gif_decode_parity": (
+            multimodal.media_gif_decode_parity,
+            multimodal.MEDIA_GIF_DECODE_PARITY_SQL,
+        ),
     }
 
 
@@ -919,6 +925,7 @@ _ROUND4_WINDOW = (
     # codec-decode parity: the from-scratch TIFF/WAV/PNG/JPEG codecs
     # value-hashed cross-engine (integer-formula signal through a real
     # encode→decode roundtrip vs DuckDB recomputing the formula)
+    "media_gif_decode_parity",
     "media_mp4_flat_parity",
     "media_tiff_decode_parity",
     "media_wav_decode_parity",

@@ -291,9 +291,13 @@ def _real_decode(
             from gmft_spark.kernel.tiff import decode_tiff
 
             return _gray_hist(decode_tiff(payload)), 1
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from gmft_spark.kernel.gif import decode_gif_frames
+
+            return _gray_hist(decode_gif_frames(payload)[0]), 1
         raise NotImplementedError(
-            "non-PNG/JPEG/TIFF image decode needs PIL on executors; "
-            "install and implement here"
+            "non-PNG/JPEG/TIFF/GIF image decode needs PIL on "
+            "executors; install and implement here"
         )
     if modality == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -320,8 +324,14 @@ def _real_decode(
             raise ValueError("MP4 carries no video frames")
         feat = np.mean([_gray_hist(f) for f in frames], axis=0)
         return feat.astype(np.float32), len(frames)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):  # animated GIF as video
+        from gmft_spark.kernel.gif import decode_gif_frames
+
+        frames = decode_gif_frames(payload, frame_stride=frame_stride)
+        feat = np.mean([_gray_hist(f) for f in frames], axis=0)
+        return feat.astype(np.float32), len(frames)
     raise NotImplementedError(
-        f"real {modality} decode for non-AVI/MP4 containers needs "
+        f"real {modality} decode for non-AVI/MP4/GIF containers needs "
         "ffmpeg on executors; install and implement here"
     )
 
@@ -885,4 +895,83 @@ SELECT media_id,
        CAST(v AS INT) AS px_max
 FROM fr
 ORDER BY media_id, frame
+"""
+
+
+_GIF_PARITY_N_MEDIA = 32
+
+
+def media_gif_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF roundtrip parity: an animated GIF of 2 + id % 3 gradient
+    frames (pixel v = (i*3 + j*7 + id*13 + k*31) % 256 on frame k,
+    h = 24 + id % 8, w = 40; odd ids interlaced) rides a real
+    encode_gif → decode_gif_frames roundtrip (kernel/gif.py, the
+    LSB-first GIF LZW variant) at frame_stride 2, then red-channel
+    bins (v >> 4) per sampled frame. GIF is lossless, so the counts
+    are a pure function of the formula; the oracle enumerates the
+    sampled frames (k = 0, 2) without any codec."""
+    from gmft_spark.kernel.gif import decode_gif_frames, encode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                h, w = 24 + mid % 8, 40
+                n = 2 + mid % 3
+                frames = [
+                    (
+                        (
+                            np.arange(h)[:, None] * 3
+                            + np.arange(w)[None, :] * 7
+                            + mid * 13
+                            + k * 31
+                        )
+                        % 256
+                    ).astype(np.uint8)
+                    for k in range(n)
+                ]
+                payload = encode_gif(frames, interlace=mid % 2 == 1)
+                dec = decode_gif_frames(payload, frame_stride=2)
+                for j, px in enumerate(dec):
+                    bins = px[:, :, 0].reshape(-1).astype(np.int32) >> 4
+                    for b, c in zip(*np.unique(bins, return_counts=True)):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame": 2 * j,
+                                "bin": int(b),
+                                "cnt": int(c),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, frame int, bin int, cnt long"
+    return (
+        spark.range(_GIF_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "frame", "bin")
+    )
+
+
+MEDIA_GIF_DECODE_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_GIF_PARITY_N_MEDIA - 1}) g(i)),
+px AS (
+    SELECT ids.media_id, ks.k AS frame,
+           (ri.i * 3 + cj.j * 7 + ids.media_id * 13 + ks.k * 31) % 256 AS v
+    FROM ids
+    CROSS JOIN generate_series(0, 3) ks(k)
+    CROSS JOIN generate_series(0, 31) ri(i)
+    CROSS JOIN generate_series(0, 39) cj(j)
+    WHERE ks.k < 2 + ids.media_id % 3 AND ks.k % 2 = 0
+      AND ri.i < 24 + ids.media_id % 8
+)
+SELECT media_id,
+       CAST(frame AS INT) AS frame,
+       CAST(v // 16 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM px
+GROUP BY media_id, frame, bin
+ORDER BY media_id, frame, bin
 """
