@@ -150,13 +150,15 @@ def synthesize_png_media(spark: SparkSession, n: int = 64) -> DataFrame:
 def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     """Media table whose payloads are REAL decodable files across all
     three modalities, generated distributively from media_id alone:
-    images rotate PNG (kernel/raster.py), baseline JPEG (kernel/jpeg.py)
-    and LZW TIFF (kernel/tiff.py); audio is PCM WAVE sine bursts
-    (kernel/wav.py); video alternates MJPEG-in-AVI (kernel/avi.py) and
-    MJPEG-in-MP4 (kernel/mp4.py) gradient frames. The real decode path
-    (extract_features(decode_mode='real')) runs end-to-end on this
-    table with zero external libraries."""
+    images rotate PNG (kernel/raster.py), baseline JPEG
+    (kernel/jpeg.py), LZW TIFF (kernel/tiff.py) and GIF
+    (kernel/gif.py); audio is PCM WAVE sine bursts (kernel/wav.py);
+    video rotates MJPEG-in-AVI (kernel/avi.py), MJPEG-in-MP4
+    (kernel/mp4.py) and animated-GIF gradient frames. The real decode
+    path (extract_features(decode_mode='real')) runs end-to-end on
+    this table with zero external libraries."""
     from gmft_spark.kernel.avi import encode_avi
+    from gmft_spark.kernel.gif import encode_gif
     from gmft_spark.kernel.jpeg import encode_jpeg
     from gmft_spark.kernel.mp4 import encode_mp4
     from gmft_spark.kernel.raster import encode_png
@@ -179,16 +181,19 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         )
                         % 256
                     ).astype(np.uint8)
-                    sub = (mid // 3) % 3
+                    sub = (mid // 3) % 4
                     if sub == 0:
                         payload = encode_png(arr)
                         mime = "image/png"
                     elif sub == 1:
                         payload = encode_jpeg(arr, quality=90)
                         mime = "image/jpeg"
-                    else:
+                    elif sub == 2:
                         payload = encode_tiff(arr, "lzw", predictor=True)
                         mime = "image/tiff"
+                    else:
+                        payload = encode_gif([arr])
+                        mime = "image/gif"
                     meta = (mime, w, h, 0)
                 elif kind == 1:  # audio
                     rate = 8000
@@ -220,12 +225,16 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         ).astype(np.uint8)
                         for k in range(n_frames)
                     ]
-                    if (mid // 3) % 2 == 0:
+                    vsub = (mid // 3) % 3
+                    if vsub == 0:
                         payload = encode_avi(frames, fps=8, quality=88)
                         mime = "video/avi"
-                    else:
+                    elif vsub == 1:
                         payload = encode_mp4(frames, fps=8, quality=88)
                         mime = "video/mp4"
+                    else:  # animated GIF rides the video modality
+                        payload = encode_gif(frames, delay_cs=12)
+                        mime = "image/gif"
                     meta = (
                         mime,
                         w,
@@ -453,10 +462,16 @@ def resize_images(
                             from gmft_spark.kernel.tiff import decode_tiff
 
                             px = decode_tiff(raw)
+                        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                            from gmft_spark.kernel.gif import (
+                                decode_gif_frames,
+                            )
+
+                            px = decode_gif_frames(raw)[0]
                         else:
                             raise NotImplementedError(
-                                "non-PNG/JPEG/TIFF image resize needs "
-                                "PIL; install and implement here"
+                                "non-PNG/JPEG/TIFF/GIF image resize "
+                                "needs PIL; install and implement here"
                             )
                         resized = resize_bilinear(px, out_h, out_w)
                         if out_format == "png":

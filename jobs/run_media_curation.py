@@ -1,7 +1,8 @@
 """Multimodal media curation job entrypoint: a media table (image /
 audio / video payloads as opaque binary + typed metadata) → exact
 payload dedup → decode + feature extraction (the from-scratch PNG /
-JPEG / WAV / MJPEG-AVI codecs when ``--decode-mode real``) → optional
+JPEG / TIFF / GIF / WAV / MJPEG-in-AVI/MP4 codecs when
+``--decode-mode real``) → optional
 image thumbnailing → curated media corpus with lineage (and optionally
 an Iceberg-style snapshot commit).
 
@@ -17,7 +18,7 @@ Cluster deployment mirrors jobs/run_extraction.py:
 Every stage is an operator with its own tests or driver oracle
 (operators/multimodal.py — media_stats, dedup_media_exact,
 extract_features, resize_images; the codecs themselves are value-hash
-oracled in the gate: media_wav/png/jpeg_flat/ccitt_g4 parity). This
+oracled in the gate: media_wav/png/jpeg_flat/ccitt_g4/tiff/mp4_flat/gif parity). This
 entrypoint wires resume/lineage/snapshot plumbing around them the way a
 production media-curation run deploys. Corrupt payloads surface as
 status='error' rows (NULL feature), never task failures — the same
@@ -44,7 +45,8 @@ def main(argv=None) -> int:
         choices=("fake", "real"),
         default="real",
         help="'real' decodes payloads with the in-repo codecs (PNG/JPEG/"
-        "WAV/MJPEG-AVI); 'fake' is the deterministic no-decode stand-in",
+        "TIFF/GIF/WAV/MJPEG in AVI or MP4); 'fake' is the "
+        "deterministic no-decode stand-in",
     )
     parser.add_argument(
         "--thumb",
