@@ -549,6 +549,207 @@ def dedup_media_exact(media: DataFrame) -> DataFrame:
     )
 
 
+def _decode_image_payload(payload: bytes) -> np.ndarray:
+    """Shared image-container sniff → decoded pixels (the chain
+    _real_decode/resize_images use): PNG, JPEG, TIFF, GIF (first
+    frame)."""
+    from gmft_spark.kernel.jpeg import decode_jpeg
+    from gmft_spark.kernel.raster import decode_png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from gmft_spark.kernel.tiff import decode_tiff
+
+        return decode_tiff(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from gmft_spark.kernel.gif import decode_gif_frames
+
+        return decode_gif_frames(payload)[0]
+    raise NotImplementedError(
+        "non-PNG/JPEG/TIFF/GIF image decode needs PIL on executors; "
+        "install and implement here"
+    )
+
+
+def _to_luma(px: np.ndarray) -> np.ndarray:
+    """Luma collapse for the visual-identity channel. A gray image
+    stored in an RGB container (R==G==B everywhere — e.g. GIF's
+    identity-gray palette, paletted TIFF) IS the gray image: return the
+    channel directly so its pixel sha matches the same image stored as
+    native grayscale. True color collapses via integer REC-601 (exact,
+    engine-portable — float luma drifts 1 LSB at some values)."""
+    if px.ndim == 3:
+        r = px[:, :, 0].astype(np.int32)
+        g = px[:, :, 1].astype(np.int32)
+        b = px[:, :, 2].astype(np.int32)
+        if (r == g).all() and (g == b).all():
+            return px[:, :, 0]
+        return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(
+            np.uint8
+        )
+    return px
+
+
+def _media_ahash(px: np.ndarray) -> tuple:
+    """8×8 intensity average-hash over decoded luma: tile b spans
+    ``[b·dim // 8, (b+1)·dim // 8)``; bit set when the tile's MEAN
+    intensity is strictly above the image mean (pure integer compare:
+    tile_sum · image_area > total · tile_area — no float thresholds, so
+    re-encodes of the same pixels hash identically). Returns
+    (sig_lo, sig_hi) int64s, bits 0–31 / 32–63 little-endian."""
+    g = _to_luma(px).astype(np.int64)
+    h, w = g.shape
+    ys = [(b * h) // 8 for b in range(8)]
+    xs = [(b * w) // 8 for b in range(8)]
+    sums = np.add.reduceat(np.add.reduceat(g, ys, axis=0), xs, axis=1)
+    areas = np.outer(
+        np.diff(ys + [h]).astype(np.int64), np.diff(xs + [w]).astype(np.int64)
+    )
+    total = int(g.sum())
+    bits = (sums * (h * w) > total * areas).astype(np.int64).reshape(-1)
+    lo = hi = 0
+    for i in range(32):
+        lo |= int(bits[i]) << i
+        hi |= int(bits[32 + i]) << i
+    return lo, hi
+
+
+VISUAL_SIG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("px_sha", StringType()),
+        StructField("sig_lo", LongType()),
+        StructField("sig_hi", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def media_visual_signatures(media: DataFrame) -> DataFrame:
+    """Per-image visual identity: sha256 of the DECODED pixel buffer
+    (the cross-container exact channel — the same pixels written as
+    PNG, TIFF or GIF byte-differ as payloads but decode identically)
+    plus an 8×8 intensity ahash (the near-dup recall channel, catching
+    lossy re-encodes like JPEG). Non-image rows and undecodable
+    payloads are dropped (dedup never acts on them). Narrow map —
+    payload bytes stay in their scan partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, modality, payload in zip(
+                batch["media_id"], batch["modality"], batch["payload"]
+            ):
+                if modality != "image" or payload is None:
+                    continue
+                try:
+                    px = _decode_image_payload(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                g = _to_luma(px)
+                lo, hi = _media_ahash(g)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "px_sha": hashlib.sha256(
+                            np.ascontiguousarray(g).tobytes()
+                        ).hexdigest(),
+                        "sig_lo": lo,
+                        "sig_hi": hi,
+                        "width": int(g.shape[1]),
+                        "height": int(g.shape[0]),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        run, schema=VISUAL_SIG_SCHEMA
+    )
+
+
+def dedup_media_visual(
+    media: DataFrame, max_hamming: int = 2
+) -> DataFrame:
+    """Cross-container visual near-dup pairs by BANDED Hamming join
+    over the ahash (8 one-byte bands → one equi-join, exact for any
+    max_hamming < 8 by pigeonhole — the dedup_pages_visual shape,
+    render.py:597), confirmed by exact Hamming (JVM bit_count) and
+    flagged ``exact`` when the decoded pixel shas match (same pixels,
+    different container/compression). Same-size images only — a
+    resized copy is a different asset for dedup purposes."""
+    if max_hamming > 7:
+        raise ValueError(
+            "dedup_media_visual is exact only for max_hamming < 8 "
+            "(8 one-byte bands; pigeonhole)"
+        )
+    sigs = media_visual_signatures(media)
+    bands = sigs.select(
+        "media_id",
+        "px_sha",
+        "sig_lo",
+        "sig_hi",
+        "width",
+        "height",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("sig_lo" if b < 4 else "sig_hi"),
+                                8 * (b % 4),
+                            ).bitwiseAND(255)
+                        ).alias("val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "media_id",
+        "px_sha",
+        "sig_lo",
+        "sig_hi",
+        "width",
+        "height",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (
+                F.bit_count(
+                    F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo"))
+                )
+                + F.bit_count(
+                    F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi"))
+                )
+            ).alias("hamming"),
+            (F.col("a.px_sha") == F.col("b.px_sha")).alias("exact"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )
+
+
 # --- codec-decode parity queries (round 4) ------------------------------
 # Cross-engine value-hash evidence for the from-scratch codecs: each
 # query pushes an integer-formula signal THROUGH a real encode→decode

@@ -56,6 +56,13 @@ def main(argv=None) -> int:
         "PNG) — the curated payload column carries the thumbnail",
     )
     parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument(
+        "--visual-dedup",
+        action="store_true",
+        help="also drop images whose DECODED pixels are identical to an "
+        "earlier image (cross-container dups: the same pixels as "
+        "PNG/TIFF/GIF byte-differ, so exact payload dedup misses them)",
+    )
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--snapshot-table", default=None)
     parser.add_argument(
@@ -90,6 +97,7 @@ def main(argv=None) -> int:
         dedup_media_exact,
         extract_features,
         media_stats,
+        media_visual_signatures,
         resize_images,
     )
     from gmft_spark.plans.lineage import (
@@ -121,6 +129,42 @@ def main(argv=None) -> int:
     deduped = media.join(F.broadcast(keepers), "media_id", "inner")
     n_dropped = n_input - deduped.count()
 
+    # 1b. optional cross-container VISUAL dedup for images: the same
+    #     pixels re-encoded (PNG vs TIFF vs GIF, or a re-compressed
+    #     copy) byte-differ so stage 1 misses them; group by the sha of
+    #     the DECODED pixel buffer and keep one per group. Exact channel
+    #     only — near-dup (ahash Hamming) stays a report, never a drop
+    #     (the ahash is recall-only; see dedup_media_visual).
+    n_visual_dropped = 0
+    if args.visual_dedup:
+        vis = media_visual_signatures(
+            deduped.select("media_id", "modality", "payload")
+        )
+        vis_keep = vis.groupBy("px_sha").agg(
+            F.min("media_id").alias("keeper"),
+            F.count("*").alias("n_visual_copies"),
+        )
+        # losers = decodable images whose pixel sha has an earlier
+        # keeper; undecodable images never enter vis and pass through
+        # (they surface as contained error rows downstream)
+        losers = (
+            vis.join(F.broadcast(vis_keep), "px_sha")
+            .filter(F.col("media_id") != F.col("keeper"))
+            .select("media_id")
+        )
+        n_visual_dropped = losers.count()
+        deduped = deduped.join(
+            F.broadcast(losers), "media_id", "left_anti"
+        ).join(
+            F.broadcast(
+                vis_keep.select(
+                    F.col("keeper").alias("media_id"), "n_visual_copies"
+                )
+            ),
+            "media_id",
+            "left",
+        ).fillna({"n_visual_copies": 1})
+
     # 2. decode + features from the ORIGINAL payload (dedup identity and
     #    feature stay tied to the bytes that were deduplicated)
     feats = extract_features(
@@ -137,7 +181,13 @@ def main(argv=None) -> int:
             out_w=thumb[0],
             out_h=thumb[1],
         ).join(
-            deduped.select("media_id", "conv_id", "n_copies"), "media_id"
+            deduped.select(
+                "media_id",
+                "conv_id",
+                "n_copies",
+                *(["n_visual_copies"] if args.visual_dedup else []),
+            ),
+            "media_id",
         )
 
     run_id = args.run_id or f"media-{int(time.time())}"
@@ -152,9 +202,14 @@ def main(argv=None) -> int:
         spark, result, args.output, n_buckets=args.buckets, run_id=run_id
     )
     stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
+    visual_note = (
+        f"{n_visual_dropped} visual dups dropped, "
+        if args.visual_dedup
+        else ""
+    )
     print(
         f"run {run_id}: {n_input} media in, {n_dropped} exact dups "
-        f"dropped, {stats[0]} curated out ({stats[1]} ok) "
+        f"dropped, {visual_note}{stats[0]} curated out ({stats[1]} ok) "
         "(cumulative across resumed runs)"
     )
     if args.snapshot_table:

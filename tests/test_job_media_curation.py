@@ -119,3 +119,107 @@ def test_media_curation_rejects_bad_thumb(spark, tmp_path):
         J.main(["--input", "x", "--output", "y", "--thumb", "nonsense"])
     with pytest.raises(SystemExit):
         J.main(["--input", "x", "--output", "y", "--thumb", "0x4"])
+
+
+def _cross_container_media(spark):
+    """The SAME pixels encoded as PNG, TIFF and GIF (byte-distinct,
+    visually identical), a near-dup JPEG of them, one distinct image,
+    one undecodable image, and one audio row."""
+    from pyspark.sql import Row
+
+    from gmft_spark.kernel.gif import encode_gif
+    from gmft_spark.kernel.raster import encode_png
+    from gmft_spark.kernel.tiff import encode_tiff
+    from gmft_spark.kernel.wav import encode_wav
+
+    g = (
+        (np.arange(32)[:, None] * 3 + np.arange(48)[None, :] * 7) % 256
+    ).astype(np.uint8)
+    other = (
+        (np.arange(32)[:, None] * 11 + np.arange(48)[None, :] * 5 + 100)
+        % 256
+    ).astype(np.uint8)
+    rows = [
+        (0, "image", encode_png(g)),
+        (1, "image", encode_tiff(g, "lzw")),
+        (2, "image", encode_gif([g])),
+        (3, "image", encode_jpeg(g, quality=92)),
+        (4, "image", encode_png(other)),
+        (5, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),  # corrupt
+        (6, "audio", encode_wav(np.zeros(100, np.int16), 8000)),
+    ]
+    return spark.createDataFrame(
+        [Row(media_id=i, modality=m, payload=bytearray(p))
+         for i, m, p in rows]
+    ).select(
+        "media_id",
+        "modality",
+        "payload",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(48).alias("width"),
+            F.lit(32).alias("height"),
+            F.lit(0).alias("duration_ms"),
+            F.length("payload").cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def test_visual_dedup_pairs_cross_container(spark):
+    """dedup_media_visual: the exact channel (decoded-pixel sha) groups
+    the PNG/TIFF/GIF triplet; the JPEG re-encode pairs as near-dup only;
+    the distinct image pairs with nothing."""
+    from gmft_spark.operators.multimodal import dedup_media_visual
+
+    media = _cross_container_media(spark)
+    pairs = dedup_media_visual(media, max_hamming=2).collect()
+    exact = {
+        (r["media_a"], r["media_b"]) for r in pairs if r["exact"]
+    }
+    assert exact == {(0, 1), (0, 2), (1, 2)}
+    near = {
+        (r["media_a"], r["media_b"]) for r in pairs if not r["exact"]
+    }
+    assert near == {(0, 3), (1, 3), (2, 3)}
+    touched = {m for p in pairs for m in p[:2]}
+    assert 4 not in touched and 5 not in touched and 6 not in touched
+
+
+def test_visual_dedup_join_is_banded(spark):
+    """The candidate join keys on (band, value) — no cartesian product
+    in the physical plan."""
+    from gmft_spark.operators.multimodal import dedup_media_visual
+
+    plan = dedup_media_visual(
+        _cross_container_media(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    with __import__("pytest").raises(ValueError):
+        dedup_media_visual(_cross_container_media(spark), max_hamming=9)
+
+
+def test_media_curation_job_visual_dedup(spark, tmp_path, capsys):
+    """--visual-dedup drops the two later members of the pixel-identical
+    triplet (keeper 0), keeps the JPEG near-dup (near is report-only),
+    and keeps the undecodable image as a contained error row."""
+    import jobs.run_media_curation as J
+
+    src = str(tmp_path / "vmedia_in")
+    out = str(tmp_path / "vmedia_out")
+    _cross_container_media(spark).write.parquet(src)
+    assert (
+        J.main(
+            ["--input", src, "--output", out, "--buckets", "4",
+             "--decode-mode", "real", "--visual-dedup", "--run-id", "v1"]
+        )
+        == 0
+    )
+    captured = capsys.readouterr().out
+    assert "2 visual dups dropped" in captured
+    result = spark.read.parquet(os.path.join(out, "results"))
+    ids = {r["media_id"] for r in result.select("media_id").collect()}
+    assert ids == {0, 3, 4, 5, 6}
+    kept0 = result.filter(F.col("media_id") == 0).collect()[0]
+    assert kept0["n_visual_copies"] == 3
+    err = result.filter(F.col("media_id") == 5).collect()[0]
+    assert err["status"] == "error"
