@@ -904,6 +904,13 @@ def _oracled_pipelines():
             multimodal.media_gif_decode_parity,
             multimodal.MEDIA_GIF_DECODE_PARITY_SQL,
         ),
+        # round 4: cross-container visual dedup — the same pixels as
+        # PNG/TIFF/GIF through the real decode→sha→banded-join plan;
+        # the exact-pair list is a pure function of the group structure
+        "media_visual_dedup_parity": (
+            multimodal.media_visual_dedup_parity,
+            multimodal.MEDIA_VISUAL_DEDUP_PARITY_SQL,
+        ),
     }
 
 
@@ -925,6 +932,7 @@ _ROUND4_WINDOW = (
     # codec-decode parity: the from-scratch TIFF/WAV/PNG/JPEG codecs
     # value-hashed cross-engine (integer-formula signal through a real
     # encode→decode roundtrip vs DuckDB recomputing the formula)
+    "media_visual_dedup_parity",
     "media_gif_decode_parity",
     "media_mp4_flat_parity",
     "media_tiff_decode_parity",

@@ -1191,3 +1191,84 @@ FROM px
 GROUP BY media_id, frame, bin
 ORDER BY media_id, frame, bin
 """
+
+
+_VISDEDUP_PARITY_N_GROUPS = 8
+
+
+def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container visual-dedup parity: 8 pixel patterns
+    (v = (i*3 + j*7 + gid*29) % 256, 32×40), each written THREE ways —
+    PNG, LZW TIFF, GIF (byte-distinct payloads, identical pixels) as
+    media_ids 3·gid … 3·gid+2 — then pushed through the REAL
+    dedup_media_visual plan (decode → pixel sha + intensity ahash →
+    banded Hamming equi-join). The exact channel (pixel-sha equality)
+    is a pure function of the group structure, so the oracle enumerates
+    the 3 within-group pairs per group without running any codec. Only
+    exact pairs are emitted (near-channel hamming on NON-identical
+    patterns is codec-real but not formula-derivable)."""
+    from gmft_spark.kernel.gif import encode_gif
+    from gmft_spark.kernel.raster import encode_png
+    from gmft_spark.kernel.tiff import encode_tiff
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                gid = mid // 3
+                arr = (
+                    (
+                        np.arange(32)[:, None] * 3
+                        + np.arange(40)[None, :] * 7
+                        + gid * 29
+                    )
+                    % 256
+                ).astype(np.uint8)
+                enc = (encode_png, lambda a: encode_tiff(a, "lzw"), lambda a: encode_gif([a]))[mid % 3]
+                payload = enc(arr)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "modality": "image",
+                        "payload": payload,
+                        "meta": {
+                            "mime": "application/octet-stream",
+                            "width": 40,
+                            "height": 32,
+                            "duration_ms": 0,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    media = spark.range(3 * _VISDEDUP_PARITY_N_GROUPS).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+    return (
+        dedup_media_visual(media, max_hamming=2)
+        .filter(F.col("exact"))
+        .select(
+            "media_a",
+            "media_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
+MEDIA_VISUAL_DEDUP_PARITY_SQL = f"""
+WITH g AS (SELECT i AS gid FROM generate_series(0, {_VISDEDUP_PARITY_N_GROUPS - 1}) gg(i)),
+pairs AS (
+    SELECT gid, 0 AS a, 1 AS b FROM g
+    UNION ALL SELECT gid, 0, 2 FROM g
+    UNION ALL SELECT gid, 1, 2 FROM g
+)
+SELECT CAST(gid * 3 + a AS BIGINT) AS media_a,
+       CAST(gid * 3 + b AS BIGINT) AS media_b,
+       CAST(0 AS INT) AS hamming
+FROM pairs
+ORDER BY media_a, media_b
+"""
