@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from bisect import bisect_right
 from typing import Any, Dict, List, Optional, Tuple
 
 _WHITESPACE = b"\x00\t\n\x0c\r "
@@ -556,9 +557,35 @@ class PDFFile:
                 continue
             self._offsets[int(m.group(1))] = m.end()
 
+    def _objects_marked(self, token: bytes) -> List[int]:
+        """Object numbers whose raw bytes can contain ``token``, in byte
+        order of the (last-wins) header offset, dedup'd. A byte-scan
+        false positive (the token inside an unrelated stream body) just
+        costs the caller one wasted parse."""
+        data = self.data
+        if not self._offsets or data.find(token) < 0:
+            return []
+        starts = sorted(self._offsets.values())
+        num_at = {off: num for num, off in self._offsets.items()}
+        out: List[int] = []
+        seen = set()
+        for m in re.finditer(re.escape(token), data):
+            i = bisect_right(starts, m.start())
+            if i == 0:
+                continue
+            num = num_at[starts[i - 1]]
+            if num not in seen:
+                seen.add(num)
+                out.append(num)
+        return out
+
     def _expand_object_streams(self) -> None:
-        # find all /Type /ObjStm among scanned objects
-        for num in list(self._offsets):
+        # Lazy indexing: eagerly parsing EVERY scanned object here was
+        # the dominant fixed cost of per-turn payload decode (~20% of a
+        # real decode+extract profile). Only objects whose raw bytes can
+        # name ObjStm are parsed up front; everything else loads on
+        # first get_object.
+        for num in self._objects_marked(b"ObjStm"):
             try:
                 obj = self._load_at_offset(self._offsets[num])
             except Exception:
@@ -594,12 +621,14 @@ class PDFFile:
             if isinstance(obj, dict):
                 trailer.update(obj)
         if "Root" not in trailer:
-            for obj in self._cache.values():
+            for num in self._objects_marked(b"XRef"):
+                obj = self.get_object(num)
                 if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
                     trailer.update(obj.dict)
         if "Root" not in trailer:
             # last resort: find the catalog by scanning
-            for num, obj in self._cache.items():
+            for num in self._objects_marked(b"Catalog"):
+                obj = self.get_object(num)
                 o = obj.dict if isinstance(obj, Stream) else obj
                 if isinstance(o, dict) and o.get("Type") == "Catalog":
                     trailer["Root"] = Ref(num, 0)
