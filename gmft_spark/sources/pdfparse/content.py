@@ -39,6 +39,19 @@ IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 _NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)(?![0-9.eE])")
 
+# One C-level match per content-stream token: leading whitespace/comment
+# run (the Lexer's skip_ws pattern), then EITHER a number (the
+# _NUMBER_RE fast path, group 1) OR a regular token (the Lexer's
+# read_token charset, group 2). Delimiter bytes ( < [ / etc. match
+# neither alternative and are dispatched on the byte at m.end().
+# Byte-equivalent to the skip_ws/peek_byte/_NUMBER_RE/read_token
+# sequence it fuses — same fragments, same precedence.
+_RUN_TOKEN_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*"
+    rb"(?:([+-]?(?:\d+\.?\d*|\.\d+)(?![0-9.eE]))"
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+))?"
+)
+
 _LIGATURES = {
     "ﬀ": "ff",
     "ﬁ": "fi",
@@ -186,53 +199,63 @@ class ContentInterpreter:
         def num(v, default=0.0) -> float:
             return float(v) if isinstance(v, (int, float)) else default
 
+        data = content
+        nbytes = len(data)
+        tok_match = _RUN_TOKEN_RE.match
         while True:
-            lx.skip_ws()
-            c = lx.peek_byte()
-            if c == -1:
-                break
-            if (0x30 <= c <= 0x39) or c == 0x2B or c == 0x2D or c == 0x2E:
+            # one fused C-level match replaces the skip_ws / peek_byte /
+            # _NUMBER_RE / read_token call sequence (the per-token Python
+            # call overhead dominated the decode profile)
+            m = tok_match(data, lx.pos)
+            tok = m.group(1)
+            if tok is not None:
                 # numeric operand fast path (content streams carry no
                 # indirect references, so skip the "N G R" lookahead)
-                m = _NUMBER_RE.match(lx.data, lx.pos)
-                if m:
-                    tok = m.group(0)
-                    lx.pos = m.end()
-                    stack.append(
-                        float(tok) if (b"." in tok) else int(tok)
-                    )
-                    continue
-            if c == 0x5B:
-                # content-stream array (TJ): elements are numbers and
-                # strings only — skip parse_object's "N G R" indirect-
-                # reference lookahead for the numeric elements
-                lx.pos += 1
-                arr: List[object] = []
-                while True:
-                    lx.skip_ws()
-                    cc = lx.peek_byte()
-                    if cc == 0x5D:
-                        lx.pos += 1
-                        break
-                    if cc == -1:
-                        break
-                    if (0x30 <= cc <= 0x39) or cc in (0x2B, 0x2D, 0x2E):
-                        m = _NUMBER_RE.match(lx.data, lx.pos)
-                        if m:
-                            tok = m.group(0)
-                            lx.pos = m.end()
+                lx.pos = m.end()
+                stack.append(float(tok) if (b"." in tok) else int(tok))
+                continue
+            op = m.group(2)
+            if op is None:
+                p = m.end()
+                if p >= nbytes:
+                    break
+                c = data[p]
+                if c == 0x5B:
+                    # content-stream array (TJ): elements are numbers
+                    # and strings only — skip parse_object's "N G R"
+                    # indirect-reference lookahead for numeric elements
+                    lx.pos = p + 1
+                    arr: List[object] = []
+                    while True:
+                        ma = tok_match(data, lx.pos)
+                        atok = ma.group(1)
+                        if atok is not None:
+                            lx.pos = ma.end()
                             arr.append(
-                                float(tok) if (b"." in tok) else int(tok)
+                                float(atok) if (b"." in atok) else int(atok)
                             )
                             continue
-                    arr.append(parse_object(lx, self.pdf))
-                stack.append(arr)
-                continue
-            if c == 0x2F or c == 0x28 or c == 0x3C:
-                obj = parse_object(lx, self.pdf)
-                stack.append(obj)
-                continue
-            op = lx.read_token()
+                        pa = ma.start(2) if ma.group(2) is not None else ma.end()
+                        if pa >= nbytes:
+                            lx.pos = pa
+                            break
+                        if data[pa] == 0x5D:
+                            lx.pos = pa + 1
+                            break
+                        lx.pos = pa
+                        arr.append(parse_object(lx, self.pdf))
+                    stack.append(arr)
+                    continue
+                if c == 0x2F or c == 0x28 or c == 0x3C:
+                    lx.pos = p
+                    obj = parse_object(lx, self.pdf)
+                    stack.append(obj)
+                    continue
+                # stray delimiter byte — read_token consumes exactly one
+                lx.pos = p + 1
+                op = data[p : p + 1]
+            else:
+                lx.pos = m.end()
             if op == b"q":
                 gs_stack.append(gs.clone())
             elif op == b"Q":
