@@ -3,19 +3,23 @@
 The reader parses both byte orders (``II``/``MM``), walks the first
 IFD, assembles multi-strip images, and decompresses through the repo's
 own from-scratch codecs: LZW (the shared PDF/TIFF variant in
-sources/pdfparse/objects.py), PackBits (here), and CCITT Group 3/4
-(kernel/ccitt.py). Horizontal-differencing predictor 2, FillOrder 2
-bit reversal, and bilevel/gray/palette/RGB photometrics are supported.
-The writer is the roundtrip-test twin (tests/test_tiff.py) and also
-feeds the multimodal gate parity query — every supported compression
-is lossless, so decode(encode(x)) must be bit-exact.
+sources/pdfparse/objects.py), PackBits (here), CCITT Group 3/4
+(kernel/ccitt.py), and new-style JPEG-in-TIFF (compression 7 with
+JPEGTables splicing, kernel/jpeg.py). Horizontal-differencing
+predictor 2, FillOrder 2 bit reversal, and bilevel/gray/palette/RGB/
+YCbCr-JPEG photometrics are supported. The writer is the
+roundtrip-test twin (tests/test_tiff.py) and also feeds the multimodal
+gate parity query — every supported compression EXCEPT jpeg is
+lossless, so decode(encode(x)) must be bit-exact (jpeg roundtrips
+bit-exact only for flat-DC content at quality >= 90, the codec-parity
+recipe in kernel/jpeg.py).
 
 Output convention: ``decode_tiff`` returns DISPLAY luminance/color —
 ``(h, w) uint8`` grayscale (photometric applied: WhiteIsZero inverts)
-or ``(h, w, 3) uint8`` RGB for photometric 2/3. Malformed input raises
-``ValueError``; genuinely unsupported corners (tiles, planar=2,
-16-bit samples, JPEG-in-TIFF) raise ``NotImplementedError`` at the
-exact seam.
+or ``(h, w, 3) uint8`` RGB for photometric 2/3/6. Malformed input
+raises ``ValueError``; genuinely unsupported corners (tiles, planar=2,
+16-bit samples, old-style compression-6 JPEG, RGB-stored JPEG) raise
+``NotImplementedError`` at the exact seam.
 
 Scale note: payloads decode inside mapInPandas narrow maps
 (operators/multimodal.py) — bytes never leave their scan partition.
@@ -34,6 +38,7 @@ from gmft_spark.kernel.ccitt import (
     encode_g3_1d,
     encode_g4,
 )
+from gmft_spark.kernel.jpeg import decode_jpeg, encode_jpeg
 from gmft_spark.sources.pdfparse.objects import _lzw_decode
 
 __all__ = [
@@ -62,6 +67,7 @@ _T_T6OPTIONS = 293
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
+_T_JPEGTABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
@@ -319,8 +325,8 @@ def _decode_strip(
         out = _lzw_decode(raw, early_change=1)
     elif compression == 32773:
         out = packbits_decode(raw, expected=strip_rows * row_bytes)
-    elif compression == 6 or compression == 7:
-        raise NotImplementedError("JPEG-in-TIFF")
+    elif compression == 6:
+        raise NotImplementedError("old-style JPEG-in-TIFF (compression 6)")
     else:
         raise ValueError(f"unsupported TIFF compression {compression}")
     need = strip_rows * row_bytes
@@ -333,6 +339,86 @@ def _decode_strip(
         bits = np.unpackbits(arr, axis=1)[:, :w]
         return bits
     return arr
+
+
+def _split_jpeg_stream(stream: bytes) -> Tuple[bytes, bytes]:
+    """Full JFIF stream → (tables_body, abbreviated_stream). DQT/DHT/DRI
+    segments move to the tables body (the JPEGTables tag payload minus
+    its SOI/EOI framing); everything else — SOI, APP0, SOF, the SOS
+    header and the entropy-coded data through EOI — stays in the strip
+    stream verbatim (TIFF TechNote 2 layout)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker while splitting")
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS: entropy data follows — keep verbatim
+            rest += stream[pos:]
+            return bytes(tables), bytes(rest)
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + ln]
+        if m in (0xDB, 0xC4, 0xDD):  # DQT / DHT / DRI
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    raise ValueError("JPEG stream missing SOS")
+
+
+def _decode_jpeg_strips(
+    data: bytes,
+    tags: Dict[int, List[int]],
+    w: int,
+    h: int,
+    spp: int,
+    photometric: int,
+    offsets: List[int],
+    counts: List[int],
+    rows_per_strip: int,
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2): each
+    strip is a self-contained JPEG stream whose shared DQT/DHT/DRI
+    segments may instead live in the JPEGTables tag (347) as an
+    abbreviated SOI..EOI stream; the tables body is spliced in after
+    each strip's SOI before handing the stream to kernel/jpeg.py."""
+    tbody = b""
+    traw = tags.get(_T_JPEGTABLES)
+    if traw:
+        tb = bytes(traw)
+        end = tb.rfind(b"\xff\xd9")
+        if tb[:2] != b"\xff\xd8" or end < 2:
+            raise ValueError("JPEGTables is not an SOI..EOI stream")
+        tbody = tb[2:end]
+    if photometric == 2 and spp >= 3:
+        # decode_jpeg always applies the YCbCr→RGB transform; RGB-stored
+        # JPEG data (no transform) would come out miscolored.
+        raise NotImplementedError("RGB-stored JPEG-in-TIFF")
+    want = 3 if spp >= 3 else 1
+    parts: List[np.ndarray] = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(data):
+            raise ValueError("strip outruns file")
+        strip = bytes(data[off : off + cnt])
+        if strip[:2] != b"\xff\xd8":
+            raise ValueError("JPEG strip missing SOI")
+        px = decode_jpeg(strip[:2] + tbody + strip[2:])
+        strip_rows = min(rows_per_strip, h - s * rows_per_strip)
+        got = 1 if px.ndim == 2 else int(px.shape[2])
+        if got != want:
+            raise ValueError(
+                f"JPEG strip has {got} components, IFD declares {spp}"
+            )
+        if px.shape[0] < strip_rows or px.shape[1] < w:
+            raise ValueError("JPEG strip smaller than its strip window")
+        parts.append(px[:strip_rows, :w])
+    out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    if spp == 1 and photometric == 0:
+        out = (255 - out.astype(np.int16)).astype(np.uint8)
+    return np.ascontiguousarray(out)
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
@@ -380,6 +466,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError(
             f"strip count mismatch: {len(offsets)} strips for "
             f"{h} rows at {rows_per_strip}/strip"
+        )
+    if compression == 7:
+        if bps != 8:
+            raise ValueError("JPEG-in-TIFF requires 8-bit samples")
+        return _decode_jpeg_strips(
+            data, tags, w, h, spp, photometric,
+            offsets, counts, rows_per_strip,
         )
     row_bytes = (w * spp * bps + 7) // 8
     parts: List[np.ndarray] = []
@@ -451,14 +544,18 @@ def encode_tiff(
     colormap: Optional[np.ndarray] = None,
     photometric: Optional[int] = None,
     fill_order: int = 1,
+    quality: int = 90,
 ) -> bytes:
     """Write a single-IFD TIFF. ``arr``: (h, w) uint8 gray, (h, w, 3)
     uint8 RGB, or (h, w) {0,1} with a bilevel compression. Compressions:
     ``none``, ``lzw``, ``packbits``, ``g4``, ``g3`` (EOL-framed),
-    ``mh`` (compression 2, byte-aligned rows). ``colormap`` (3, 256)
-    uint16 turns a (h, w) uint8 index plane into photometric 3.
-    ``fill_order=2`` (bilevel only) stores strips LSB-first, the common
-    fax byte order."""
+    ``mh`` (compression 2, byte-aligned rows), ``jpeg`` (new-style
+    compression 7: shared DQT/DHT in a JPEGTables tag, abbreviated
+    per-strip streams; the ONE lossy compression — roundtrips are
+    bit-exact only for flat-DC content at ``quality`` >= 90).
+    ``colormap`` (3, 256) uint16 turns a (h, w) uint8 index plane into
+    photometric 3. ``fill_order=2`` (bilevel only) stores strips
+    LSB-first, the common fax byte order."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         h, w = arr.shape
@@ -475,10 +572,17 @@ def encode_tiff(
         "g3": 3,
         "g4": 4,
         "lzw": 5,
+        "jpeg": 7,
         "packbits": 32773,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unknown compression {compression!r}")
+    is_jpeg = compression == "jpeg"
+    if is_jpeg:
+        if colormap is not None:
+            raise ValueError("jpeg compression cannot carry a palette")
+        if predictor:
+            raise ValueError("predictor applies to lossless strips only")
     if bilevel:
         if spp != 1:
             raise ValueError("bilevel compressions need a 2-D bitmap")
@@ -491,6 +595,10 @@ def encode_tiff(
             raise ValueError("palette image must be a 2-D index plane")
         bps = 8
         photo = 3
+    elif is_jpeg:
+        bps = 8
+        # 6 = YCbCr: encode_jpeg color-converts 3-sample input
+        photo = (1 if spp == 1 else 6) if photometric is None else photometric
     else:
         bps = 8
         photo = (1 if spp == 1 else 2) if photometric is None else photometric
@@ -508,6 +616,7 @@ def encode_tiff(
         body = (diff & 0xFF).astype(np.uint8).reshape(h, -1)
 
     strips: List[bytes] = []
+    jpeg_tables: Optional[bytes] = None
     for y0 in range(0, h, rows_per_strip):
         rows = body[y0 : y0 + rows_per_strip]
         if bilevel:
@@ -522,6 +631,14 @@ def encode_tiff(
                         for y in range(rows.shape[0])
                     )
                 )
+        elif is_jpeg:
+            full = encode_jpeg(np.ascontiguousarray(rows), quality=quality)
+            tb, abbrev = _split_jpeg_stream(full)
+            if jpeg_tables is None:
+                jpeg_tables = tb
+            elif jpeg_tables != tb:  # pragma: no cover — fixed tables
+                raise ValueError("inconsistent JPEG tables across strips")
+            strips.append(abbrev)
         else:
             raw = rows.tobytes()
             if compression == "none":
@@ -567,13 +684,19 @@ def encode_tiff(
         entries.append(
             (_T_COLORMAP, 3, 768, [int(v) for v in cm.reshape(-1)])
         )
+    if is_jpeg and jpeg_tables:
+        jt = b"\xff\xd8" + jpeg_tables + b"\xff\xd9"
+        entries.append((_T_JPEGTABLES, 7, len(jt), jt))
     entries.sort(key=lambda e: e[0])
 
     # materialize overflow value arrays
     packed: List[Tuple[int, int, int, bytes]] = []
     code = {3: "H", 4: "I"}
     for tag, typ, n, vals in entries:
-        raw = struct.pack(f"{fmt}{n}{code[typ]}", *vals)
+        if typ == 7:  # UNDEFINED: raw bytes
+            raw = bytes(vals)
+        else:
+            raw = struct.pack(f"{fmt}{n}{code[typ]}", *vals)
         if len(raw) > 4:
             off = len(out)
             out += raw

@@ -268,7 +268,9 @@ def test_unsupported_corners():
     with pytest.raises(ValueError):
         decode_tiff(patch(259, 999))  # unknown compression id
     with pytest.raises(NotImplementedError):
-        decode_tiff(patch(259, 7))  # JPEG-in-TIFF
+        decode_tiff(patch(259, 6))  # old-style JPEG-in-TIFF
+    with pytest.raises(ValueError):
+        decode_tiff(patch(259, 7))  # claims JPEG but strips lack SOI
     with pytest.raises(NotImplementedError):
         decode_tiff(patch(284, 2))  # planar
     with pytest.raises(NotImplementedError):
@@ -291,6 +293,113 @@ def test_dimension_cap():
         decode_tiff(bytes(t))
 
 
+# ── JPEG-in-TIFF (new-style compression 7) ───────────────────────────
+
+
+def _flat_blocks(h: int, w: int) -> np.ndarray:
+    """Constant 8x8 blocks: the flat-DC content class that roundtrips
+    bit-exact through the q>=90 JPEG path (quant error < 1/2)."""
+    by = np.arange(h) // 8
+    bx = np.arange(w) // 8
+    return ((by[:, None] * 37 + bx[None, :] * 11 + 40) % 200 + 28).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_gray_flat_blocks_exact():
+    g = _flat_blocks(H, W)
+    t = encode_tiff(g, "jpeg", rows_per_strip=16)
+    info = tiff_info(t)
+    assert info["compression"] == 7
+    assert info["n_strips"] == 3
+    out = decode_tiff(t)
+    assert out.dtype == np.uint8 and out.shape == (H, W)
+    assert np.array_equal(out, g)
+
+
+def test_jpeg_rgb_close():
+    rgb = _rgb()
+    t = encode_tiff(rgb, "jpeg", quality=95)
+    assert tiff_info(t)["photometric"] == 6  # YCbCr
+    out = decode_tiff(t)
+    assert out.shape == (H, W, 3)
+    diff = np.abs(out.astype(np.int16) - rgb.astype(np.int16))
+    assert diff.max() <= 24 and diff.mean() < 3.0
+
+
+def test_jpeg_tables_are_shared_across_strips():
+    # one DQT segment total (in the JPEGTables tag), none per strip —
+    # 0xFFDB cannot appear in entropy data (FF is stuffed as FF00), so
+    # marker counts over the whole file are reliable.
+    t = encode_tiff(_flat_blocks(H, W), "jpeg", rows_per_strip=8)
+    assert tiff_info(t)["n_strips"] == 5
+    assert t.count(b"\xff\xdb") == 1  # gray: single shared DQT
+    assert t.count(b"\xff\xc4") == 2  # one DC + one AC DHT, shared
+    assert t.count(b"\xff\xc0") == 5  # each strip keeps its own SOF
+
+
+def test_jpeg_full_streams_without_tables_tag():
+    # spec-valid alternative layout: no JPEGTables tag, each strip a
+    # complete interchange stream — hand-built IFD exercises that path.
+    import struct
+
+    from gmft_spark.kernel.jpeg import encode_jpeg
+
+    g = _flat_blocks(24, 32)
+    strips = [encode_jpeg(g[:16], quality=90), encode_jpeg(g[16:], quality=90)]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 0))
+    offs = []
+    for s in strips:
+        offs.append(len(out))
+        out += s
+        if len(out) & 1:
+            out += b"\0"
+    entries = [
+        (256, 4, 1, [32]),
+        (257, 4, 1, [24]),
+        (258, 3, 1, [8]),
+        (259, 3, 1, [7]),
+        (262, 3, 1, [1]),
+        (273, 4, 2, offs),
+        (277, 3, 1, [1]),
+        (278, 4, 1, [16]),
+        (279, 4, 2, [len(s) for s in strips]),
+    ]
+    overflow = []
+    for tag, typ, n, vals in entries:
+        raw = struct.pack(f"<{n}{'H' if typ == 3 else 'I'}", *vals)
+        overflow.append((tag, typ, n, raw))
+    packed = []
+    for tag, typ, n, raw in overflow:
+        if len(raw) > 4:
+            off = len(out)
+            out += raw
+            raw = struct.pack("<I", off)
+        packed.append((tag, typ, n, raw.ljust(4, b"\0")))
+    ifd = len(out)
+    out += struct.pack("<H", len(packed))
+    for tag, typ, n, v4 in packed:
+        out += struct.pack("<HHI", tag, typ, n) + v4
+    out += struct.pack("<I", 0)
+    struct.pack_into("<I", out, 4, ifd)
+    assert np.array_equal(decode_tiff(bytes(out)), g)
+
+
+def test_jpeg_unsupported_combinations():
+    with pytest.raises(ValueError):
+        encode_tiff(_gray(), "jpeg", predictor=True)
+    with pytest.raises(ValueError):
+        encode_tiff(
+            _gray(),
+            "jpeg",
+            colormap=np.zeros((3, 256), dtype=np.uint16),
+        )
+    # RGB-stored JPEG (photometric 2 + 3 components) is a decode seam
+    t = encode_tiff(_rgb(), "jpeg", photometric=2)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(t)
+
+
 # ── multimodal seam ──────────────────────────────────────────────────
 
 
@@ -305,3 +414,8 @@ def test_real_decode_tiff_image():
         feat, n = _real_decode(payload, "image")
         assert n == 1
         assert np.allclose(feat, _gray_hist(g))
+    # lossy-but-flat JPEG strips decode to the exact source pixels
+    fb = _flat_blocks(H, W)
+    feat, n = _real_decode(encode_tiff(fb, "jpeg", rows_per_strip=16), "image")
+    assert n == 1
+    assert np.allclose(feat, _gray_hist(fb))
