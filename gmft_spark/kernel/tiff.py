@@ -5,9 +5,11 @@ IFD, assembles multi-strip images, and decompresses through the repo's
 own from-scratch codecs: LZW (the shared PDF/TIFF variant in
 sources/pdfparse/objects.py), PackBits (here), CCITT Group 3/4
 (kernel/ccitt.py), and new-style JPEG-in-TIFF (compression 7 with
-JPEGTables splicing, kernel/jpeg.py). Horizontal-differencing
-predictor 2, FillOrder 2 bit reversal, and bilevel/gray/palette/RGB/
-YCbCr-JPEG photometrics are supported. The writer is the
+JPEGTables splicing, kernel/jpeg.py). Strip AND tile layouts, chunky
+AND planar (2) configurations, 8- and 16-bit samples,
+horizontal-differencing predictor 2 (per chunk — tiles restart it),
+FillOrder 2 bit reversal, and bilevel/gray/palette/RGB/YCbCr-JPEG
+photometrics are supported. The writer is the
 roundtrip-test twin (tests/test_tiff.py) and also feeds the multimodal
 gate parity query — every supported compression EXCEPT jpeg is
 lossless, so decode(encode(x)) must be bit-exact (jpeg roundtrips
@@ -16,9 +18,10 @@ recipe in kernel/jpeg.py).
 
 Output convention: ``decode_tiff`` returns DISPLAY luminance/color —
 ``(h, w) uint8`` grayscale (photometric applied: WhiteIsZero inverts)
-or ``(h, w, 3) uint8`` RGB for photometric 2/3/6. Malformed input
-raises ``ValueError``; genuinely unsupported corners (tiles, planar=2,
-16-bit samples, old-style compression-6 JPEG, RGB-stored JPEG) raise
+or ``(h, w, 3) uint8`` RGB for photometric 2/3/6; 16-bit samples
+display as their high byte. Malformed input raises ``ValueError``;
+genuinely unsupported corners (old-style compression-6 JPEG,
+RGB-stored JPEG, raw YCbCr, planar JPEG, T.4 2-D strips) raise
 ``NotImplementedError`` at the exact seam.
 
 Scale note: payloads decode inside mapInPandas narrow maps
@@ -67,6 +70,9 @@ _T_T6OPTIONS = 293
 _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 _T_JPEGTABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -280,6 +286,7 @@ def tiff_info(data: bytes) -> dict:
         "bits_per_sample": one(_T_BPS, 1),
         "samples_per_pixel": one(_T_SPP, 1),
         "n_strips": len(tags.get(_T_STRIP_OFFSETS, [])),
+        "n_tiles": len(tags.get(_T_TILE_OFFSETS, [])),
     }
 
 
@@ -369,64 +376,70 @@ def _split_jpeg_stream(stream: bytes) -> Tuple[bytes, bytes]:
     raise ValueError("JPEG stream missing SOS")
 
 
-def _decode_jpeg_strips(
-    data: bytes,
-    tags: Dict[int, List[int]],
-    w: int,
-    h: int,
-    spp: int,
-    photometric: int,
-    offsets: List[int],
-    counts: List[int],
-    rows_per_strip: int,
-) -> np.ndarray:
-    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2): each
-    strip is a self-contained JPEG stream whose shared DQT/DHT/DRI
-    segments may instead live in the JPEGTables tag (347) as an
-    abbreviated SOI..EOI stream; the tables body is spliced in after
-    each strip's SOI before handing the stream to kernel/jpeg.py."""
-    tbody = b""
+def _jpeg_tables_body(tags: Dict[int, List[int]]) -> bytes:
+    """JPEGTables tag (347) payload → the marker-segment body to splice
+    after each chunk's SOI (TIFF TechNote 2 abbreviated-stream layout)."""
     traw = tags.get(_T_JPEGTABLES)
-    if traw:
-        tb = bytes(traw)
-        end = tb.rfind(b"\xff\xd9")
-        if tb[:2] != b"\xff\xd8" or end < 2:
-            raise ValueError("JPEGTables is not an SOI..EOI stream")
-        tbody = tb[2:end]
-    if photometric == 2 and spp >= 3:
-        # decode_jpeg always applies the YCbCr→RGB transform; RGB-stored
-        # JPEG data (no transform) would come out miscolored.
-        raise NotImplementedError("RGB-stored JPEG-in-TIFF")
-    want = 3 if spp >= 3 else 1
-    parts: List[np.ndarray] = []
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(data):
-            raise ValueError("strip outruns file")
-        strip = bytes(data[off : off + cnt])
-        if strip[:2] != b"\xff\xd8":
-            raise ValueError("JPEG strip missing SOI")
-        px = decode_jpeg(strip[:2] + tbody + strip[2:])
-        strip_rows = min(rows_per_strip, h - s * rows_per_strip)
-        got = 1 if px.ndim == 2 else int(px.shape[2])
-        if got != want:
-            raise ValueError(
-                f"JPEG strip has {got} components, IFD declares {spp}"
-            )
-        if px.shape[0] < strip_rows or px.shape[1] < w:
-            raise ValueError("JPEG strip smaller than its strip window")
-        parts.append(px[:strip_rows, :w])
-    out = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    if spp == 1 and photometric == 0:
-        out = (255 - out.astype(np.int16)).astype(np.uint8)
-    return np.ascontiguousarray(out)
+    if not traw:
+        return b""
+    tb = bytes(traw)
+    end = tb.rfind(b"\xff\xd9")
+    if tb[:2] != b"\xff\xd8" or end < 2:
+        raise ValueError("JPEGTables is not an SOI..EOI stream")
+    return tb[2:end]
+
+
+def _decode_jpeg_chunk(
+    raw: bytes, tbody: bytes, rows: int, cols: int, want: int
+) -> np.ndarray:
+    """One JPEG strip/tile → (rows, cols*want) uint8 display samples."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEG chunk missing SOI")
+    px = decode_jpeg(raw[:2] + tbody + raw[2:])
+    got = 1 if px.ndim == 2 else int(px.shape[2])
+    if got != want:
+        raise ValueError(
+            f"JPEG chunk has {got} components, IFD declares {want}"
+        )
+    if px.shape[0] < rows or px.shape[1] < cols:
+        raise ValueError("JPEG chunk smaller than its window")
+    return np.ascontiguousarray(px[:rows, :cols]).reshape(rows, cols * want)
+
+
+def _display_samples(
+    arr: np.ndarray,
+    rows: int,
+    cols: int,
+    spp: int,
+    bps: int,
+    fmt: str,
+    predictor: int,
+) -> np.ndarray:
+    """(rows, row_bytes) decompressed bytes → (rows, cols*spp) uint8
+    display samples. Horizontal-differencing predictor 2 is undone HERE,
+    per chunk, because tiles restart the differencing at their own left
+    edge (TIFF 6.0 §14 applies the predictor within each tile row).
+    16-bit samples display as their high byte after un-prediction."""
+    if bps == 16:
+        u = np.frombuffer(arr.tobytes(), dtype=fmt + "u2").reshape(
+            rows, cols, spp
+        )
+        if predictor == 2:
+            u = np.cumsum(u.astype(np.uint32), axis=1) & 0xFFFF
+        return (u >> 8).astype(np.uint8).reshape(rows, cols * spp)
+    s = arr.reshape(rows, cols, spp)
+    if predictor == 2:
+        s = (np.cumsum(s.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
+    return np.ascontiguousarray(s).reshape(rows, cols * spp)
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode the first IFD → display pixels: (h, w) uint8 grayscale or
-    (h, w, 3) uint8 RGB (photometric 2 chunky, or 3 via ColorMap)."""
+    (h, w, 3) uint8 RGB (photometric 2 chunky/planar, 3 via ColorMap,
+    6 via JPEG strips/tiles). Strip AND tile layouts decode through one
+    chunk-window model; planar configuration 2 stacks per-plane chunks;
+    16-bit samples display as their high byte."""
     fmt, tags = _open(data)
-    if _T_TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF")
 
     def one(tag: int, default: int) -> int:
         v = tags.get(tag)
@@ -443,71 +456,129 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if len(set(bps_list)) != 1:
         raise NotImplementedError("mixed bits-per-sample")
     bps = int(bps_list[0])
-    if bps not in (1, 8):
+    if bps not in (1, 8, 16):
         raise NotImplementedError(f"{bps}-bit samples")
-    if one(_T_PLANAR, 1) != 1:
-        raise NotImplementedError("planar configuration 2")
+    planar = one(_T_PLANAR, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"bad planar configuration {planar}")
+    if spp == 1:
+        planar = 1  # single-sample planar is the chunky layout
     photometric = one(_T_PHOTOMETRIC, 1)
     compression = one(_T_COMPRESSION, 1)
     predictor = one(_T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"predictor {predictor}")
     fill_order = one(_T_FILLORDER, 1)
     bilevel = bps == 1
     if bilevel and spp != 1:
         raise NotImplementedError("multi-sample bilevel")
-    offsets = tags.get(_T_STRIP_OFFSETS)
-    counts = tags.get(_T_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("missing/mismatched strip tables")
-    rows_per_strip = one(_T_ROWS_PER_STRIP, h)
-    if rows_per_strip <= 0:
-        rows_per_strip = h
-    n_strips = (h + rows_per_strip - 1) // rows_per_strip
-    if n_strips != len(offsets):
-        raise ValueError(
-            f"strip count mismatch: {len(offsets)} strips for "
-            f"{h} rows at {rows_per_strip}/strip"
-        )
     if compression == 7:
         if bps != 8:
             raise ValueError("JPEG-in-TIFF requires 8-bit samples")
-        return _decode_jpeg_strips(
-            data, tags, w, h, spp, photometric,
-            offsets, counts, rows_per_strip,
+        if planar == 2:
+            raise NotImplementedError("planar JPEG-in-TIFF")
+        if photometric == 2 and spp >= 3:
+            # decode_jpeg always applies the YCbCr→RGB transform;
+            # RGB-stored JPEG data would come out miscolored.
+            raise NotImplementedError("RGB-stored JPEG-in-TIFF")
+        if photometric == 3:
+            raise ValueError("palette JPEG-in-TIFF")
+    elif photometric == 6:
+        raise NotImplementedError("raw (non-JPEG) YCbCr samples")
+    if photometric == 3 and bps == 16:
+        raise ValueError("16-bit palette indices")
+
+    n_planes = spp if planar == 2 else 1
+    chunk_spp = 1 if planar == 2 else spp
+    tiled = _T_TILE_WIDTH in tags or _T_TILE_OFFSETS in tags
+    # windows: (plane, y0, x0, rows, cols, full_rows, full_cols) in
+    # stored-chunk order — full_* is the stored geometry (edge tiles
+    # carry a full tile of data; strips store only surviving rows)
+    windows: List[Tuple[int, int, int, int, int, int, int]] = []
+    if tiled:
+        tile_w = one(_T_TILE_WIDTH, 0)
+        tile_h = one(_T_TILE_LENGTH, 0)
+        if tile_w <= 0 or tile_h <= 0:
+            raise ValueError("missing/invalid tile dimensions")
+        offsets = tags.get(_T_TILE_OFFSETS)
+        counts = tags.get(_T_TILE_COUNTS)
+        tiles_x = (w + tile_w - 1) // tile_w
+        tiles_y = (h + tile_h - 1) // tile_h
+        if tiles_x * tiles_y * n_planes > 65536:
+            raise ValueError("tile count exceeds decoder cap")
+        for p in range(n_planes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    y0, x0 = ty * tile_h, tx * tile_w
+                    windows.append((
+                        p, y0, x0,
+                        min(tile_h, h - y0), min(tile_w, w - x0),
+                        tile_h, tile_w,
+                    ))
+    else:
+        offsets = tags.get(_T_STRIP_OFFSETS)
+        counts = tags.get(_T_STRIP_COUNTS)
+        rows_per_strip = one(_T_ROWS_PER_STRIP, h)
+        if rows_per_strip <= 0:
+            rows_per_strip = h
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+        for p in range(n_planes):
+            for s in range(n_strips):
+                y0 = s * rows_per_strip
+                rows = min(rows_per_strip, h - y0)
+                windows.append((p, y0, 0, rows, w, rows, w))
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("missing/mismatched strip/tile tables")
+    if len(offsets) != len(windows):
+        raise ValueError(
+            f"chunk count mismatch: {len(offsets)} stored for "
+            f"{len(windows)} expected"
         )
-    row_bytes = (w * spp * bps + 7) // 8
-    parts: List[np.ndarray] = []
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+
+    tbody = _jpeg_tables_body(tags) if compression == 7 else b""
+    want = 3 if (compression == 7 and spp >= 3) else chunk_spp
+    cs = 1 if bilevel else want  # canvas samples per pixel column
+    canvas = np.zeros((n_planes, h, w * cs), dtype=np.uint8)
+    t4o = one(_T_T4OPTIONS, 0)
+    t6o = one(_T_T6OPTIONS, 0)
+    for (p, y0, x0, rows, cols, frows, fcols), off, cnt in zip(
+        windows, offsets, counts
+    ):
         if off + cnt > len(data):
-            raise ValueError("strip outruns file")
-        strip_rows = min(rows_per_strip, h - s * rows_per_strip)
-        parts.append(
-            _decode_strip(
-                data[off : off + cnt],
-                compression,
-                w,
-                strip_rows,
-                row_bytes,
-                bilevel,
-                fill_order,
-                one(_T_T4OPTIONS, 0),
-                one(_T_T6OPTIONS, 0),
+            raise ValueError("strip/tile outruns file")
+        raw = bytes(data[off : off + cnt])
+        if compression == 7:
+            sm = _decode_jpeg_chunk(raw, tbody, frows, fcols, want)
+        else:
+            row_bytes = (fcols * chunk_spp * bps + 7) // 8
+            arr = _decode_strip(
+                raw, compression, fcols, frows, row_bytes,
+                bilevel, fill_order, t4o, t6o,
             )
-        )
-    samples = np.concatenate(parts, axis=0)
+            if bilevel:
+                sm = arr
+            else:
+                sm = _display_samples(
+                    arr, frows, fcols, chunk_spp, bps, fmt, predictor
+                )
+        canvas[p, y0 : y0 + rows, x0 * cs : (x0 + cols) * cs] = sm[
+            :rows, : cols * cs
+        ]
+
     if bilevel:
+        bits = canvas[0]
         # photometric 0 (WhiteIsZero): sample 1 = black → lum 0
         if photometric == 0:
-            return np.where(samples > 0, 0, 255).astype(np.uint8)
-        return np.where(samples > 0, 255, 0).astype(np.uint8)
-    if predictor == 2:
-        samples = (
-            np.cumsum(
-                samples.reshape(h, w, spp).astype(np.uint32), axis=1
-            )
-            & 0xFF
-        ).astype(np.uint8).reshape(h, row_bytes)
-    elif predictor != 1:
-        raise NotImplementedError(f"predictor {predictor}")
+            return np.where(bits > 0, 0, 255).astype(np.uint8)
+        return np.where(bits > 0, 255, 0).astype(np.uint8)
+    if planar == 2:
+        samples = np.stack(
+            [canvas[p].reshape(h, w) for p in range(spp)], axis=2
+        ).reshape(h, w * spp)
+        eff = spp
+    else:
+        samples = canvas[0]
+        eff = want
     if photometric == 3:
         cmap = tags.get(_T_COLORMAP)
         if not cmap or len(cmap) != 3 * 256:
@@ -517,15 +588,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         )
         idx = samples.reshape(h, w)
         return np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=2)
-    if spp >= 3:
-        px = samples.reshape(h, w, spp)[:, :, :3]
+    if eff >= 3:
+        px = samples.reshape(h, w, eff)[:, :, :3]
         if photometric == 0:
             px = (255 - px.astype(np.int16)).astype(np.uint8)
         return np.ascontiguousarray(px)
     px = samples.reshape(h, w)
     if photometric == 0:
         return (255 - px.astype(np.int16)).astype(np.uint8)
-    return px
+    return np.ascontiguousarray(px)
 
 
 # ── encode (roundtrip-test twin) ─────────────────────────────────────
@@ -545,17 +616,23 @@ def encode_tiff(
     photometric: Optional[int] = None,
     fill_order: int = 1,
     quality: int = 90,
+    tile: Optional[Tuple[int, int]] = None,
+    planar: int = 1,
 ) -> bytes:
     """Write a single-IFD TIFF. ``arr``: (h, w) uint8 gray, (h, w, 3)
-    uint8 RGB, or (h, w) {0,1} with a bilevel compression. Compressions:
-    ``none``, ``lzw``, ``packbits``, ``g4``, ``g3`` (EOL-framed),
-    ``mh`` (compression 2, byte-aligned rows), ``jpeg`` (new-style
-    compression 7: shared DQT/DHT in a JPEGTables tag, abbreviated
-    per-strip streams; the ONE lossy compression — roundtrips are
-    bit-exact only for flat-DC content at ``quality`` >= 90).
-    ``colormap`` (3, 256) uint16 turns a (h, w) uint8 index plane into
-    photometric 3. ``fill_order=2`` (bilevel only) stores strips
-    LSB-first, the common fax byte order."""
+    uint8 RGB, (h, w[, 3]) uint16 (written as 16-bit samples; the
+    decoder displays their high byte), or (h, w) {0,1} with a bilevel
+    compression. Compressions: ``none``, ``lzw``, ``packbits``, ``g4``,
+    ``g3`` (EOL-framed), ``mh`` (compression 2, byte-aligned rows),
+    ``jpeg`` (new-style compression 7: shared DQT/DHT in a JPEGTables
+    tag, abbreviated per-chunk streams; the ONE lossy compression —
+    roundtrips are bit-exact only for flat-DC content at ``quality``
+    >= 90). ``colormap`` (3, 256) uint16 turns a (h, w) uint8 index
+    plane into photometric 3. ``fill_order=2`` (bilevel only) stores
+    chunks LSB-first, the common fax byte order. ``tile=(tw, th)``
+    (multiples of 16) writes the tiled layout instead of strips;
+    ``planar=2`` writes plane-major chunks for (h, w, 3) uint8/uint16
+    input."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         h, w = arr.shape
@@ -565,6 +642,7 @@ def encode_tiff(
         spp = 3
     else:
         raise ValueError("arr must be (h,w) or (h,w,3)")
+    sixteen = arr.dtype == np.uint16
     bilevel = compression in ("g4", "g3", "mh")
     comp_id = {
         "none": 1,
@@ -583,6 +661,16 @@ def encode_tiff(
             raise ValueError("jpeg compression cannot carry a palette")
         if predictor:
             raise ValueError("predictor applies to lossless strips only")
+    if sixteen and (bilevel or is_jpeg or colormap is not None):
+        raise ValueError("16-bit samples support none/lzw/packbits only")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
+    if planar == 2 and (spp != 3 or is_jpeg or colormap is not None):
+        raise ValueError("planar=2 needs plain (h, w, 3) samples")
+    if tile is not None:
+        tw_, th_ = tile
+        if tw_ <= 0 or th_ <= 0 or tw_ % 16 or th_ % 16:
+            raise ValueError("tile dims must be positive multiples of 16")
     if bilevel:
         if spp != 1:
             raise ValueError("bilevel compressions need a 2-D bitmap")
@@ -600,7 +688,7 @@ def encode_tiff(
         # 6 = YCbCr: encode_jpeg color-converts 3-sample input
         photo = (1 if spp == 1 else 6) if photometric is None else photometric
     else:
-        bps = 8
+        bps = 16 if sixteen else 8
         photo = (1 if spp == 1 else 2) if photometric is None else photometric
     if fill_order == 2 and not bilevel:
         raise ValueError("fill_order=2 is only written for bilevel data")
@@ -608,45 +696,79 @@ def encode_tiff(
         rows_per_strip = h
     fmt = ">" if big_endian else "<"
 
-    body = arr
-    if predictor and not bilevel:
-        px = body.reshape(h, w, spp).astype(np.int16)
-        diff = px.copy()
-        diff[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
-        body = (diff & 0xFF).astype(np.uint8).reshape(h, -1)
+    # chunk windows: strips span full rows; edge tiles pad to full size
+    n_planes = spp if planar == 2 else 1
+    if tile is not None:
+        tw_, th_ = tile
+        wins = [
+            (p, ty * th_, tx * tw_, th_, tw_)
+            for p in range(n_planes)
+            for ty in range((h + th_ - 1) // th_)
+            for tx in range((w + tw_ - 1) // tw_)
+        ]
+    else:
+        wins = [
+            (p, y0, 0, min(rows_per_strip, h - y0), w)
+            for p in range(n_planes)
+            for y0 in range(0, h, rows_per_strip)
+        ]
 
+    px3 = arr.reshape(h, w, spp)
     strips: List[bytes] = []
     jpeg_tables: Optional[bytes] = None
-    for y0 in range(0, h, rows_per_strip):
-        rows = body[y0 : y0 + rows_per_strip]
+    for p, y0, x0, rows, cols in wins:
+        sub = (
+            px3[y0 : y0 + rows, x0 : x0 + cols, p : p + 1]
+            if planar == 2
+            else px3[y0 : y0 + rows, x0 : x0 + cols, :]
+        )
+        if sub.shape[0] < rows or sub.shape[1] < cols:  # edge tile
+            sub = np.pad(
+                sub,
+                (
+                    (0, rows - sub.shape[0]),
+                    (0, cols - sub.shape[1]),
+                    (0, 0),
+                ),
+                mode="edge",
+            )
         if bilevel:
+            bm = sub[:, :, 0]
             if compression == "g4":
-                strips.append(encode_g4(rows))
+                strips.append(encode_g4(bm))
             elif compression == "g3":
-                strips.append(encode_g3_1d(rows, eol=True))
+                strips.append(encode_g3_1d(bm, eol=True))
             else:  # mh: byte-aligned EOL-free rows
                 strips.append(
                     b"".join(
-                        encode_g3_1d(rows[y : y + 1], eol=False)
-                        for y in range(rows.shape[0])
+                        encode_g3_1d(bm[y : y + 1], eol=False)
+                        for y in range(bm.shape[0])
                     )
                 )
-        elif is_jpeg:
-            full = encode_jpeg(np.ascontiguousarray(rows), quality=quality)
+            continue
+        if is_jpeg:
+            img = sub[:, :, 0] if spp == 1 else sub
+            full = encode_jpeg(np.ascontiguousarray(img), quality=quality)
             tb, abbrev = _split_jpeg_stream(full)
             if jpeg_tables is None:
                 jpeg_tables = tb
             elif jpeg_tables != tb:  # pragma: no cover — fixed tables
-                raise ValueError("inconsistent JPEG tables across strips")
+                raise ValueError("inconsistent JPEG tables across chunks")
             strips.append(abbrev)
+            continue
+        if predictor:
+            # differencing restarts at each chunk's left edge (§14)
+            mask = 0xFFFF if sixteen else 0xFF
+            d = sub.astype(np.int32).copy()
+            d[:, 1:, :] -= sub[:, :-1, :].astype(np.int32)
+            sub = (d & mask).astype(np.uint16 if sixteen else np.uint8)
+        raw = sub.astype(fmt + ("u2" if sixteen else "u1")).tobytes()
+        if compression == "none":
+            strips.append(raw)
+        elif compression == "lzw":
+            strips.append(lzw_encode(raw))
         else:
-            raw = rows.tobytes()
-            if compression == "none":
-                strips.append(raw)
-            elif compression == "lzw":
-                strips.append(lzw_encode(raw))
-            else:
-                strips.append(packbits_encode(raw))
+            strips.append(packbits_encode(raw))
     if fill_order == 2:
         strips = [s.translate(_BITREV) for s in strips]
 
@@ -665,12 +787,22 @@ def encode_tiff(
         (_T_BPS, 3, spp, [bps] * spp),
         (_T_COMPRESSION, 3, 1, [comp_id]),
         (_T_PHOTOMETRIC, 3, 1, [photo]),
-        (_T_STRIP_OFFSETS, 4, len(strips), strip_offsets),
         (_T_SPP, 3, 1, [spp]),
-        (_T_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
-        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
-        (_T_PLANAR, 3, 1, [1]),
+        (_T_PLANAR, 3, 1, [planar]),
     ]
+    if tile is not None:
+        entries += [
+            (_T_TILE_WIDTH, 4, 1, [tile[0]]),
+            (_T_TILE_LENGTH, 4, 1, [tile[1]]),
+            (_T_TILE_OFFSETS, 4, len(strips), strip_offsets),
+            (_T_TILE_COUNTS, 4, len(strips), [len(s) for s in strips]),
+        ]
+    else:
+        entries += [
+            (_T_STRIP_OFFSETS, 4, len(strips), strip_offsets),
+            (_T_ROWS_PER_STRIP, 4, 1, [rows_per_strip]),
+            (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips]),
+        ]
     if predictor and not bilevel:
         entries.append((_T_PREDICTOR, 3, 1, [2]))
     if fill_order == 2:

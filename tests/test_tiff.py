@@ -271,10 +271,14 @@ def test_unsupported_corners():
         decode_tiff(patch(259, 6))  # old-style JPEG-in-TIFF
     with pytest.raises(ValueError):
         decode_tiff(patch(259, 7))  # claims JPEG but strips lack SOI
+    # planar=2 on a single-sample image is the chunky layout: still valid
+    assert np.array_equal(decode_tiff(patch(284, 2)), _gray())
+    with pytest.raises(ValueError):
+        decode_tiff(patch(284, 3))  # invalid planar value
+    with pytest.raises(ValueError):
+        decode_tiff(patch(258, 16))  # claims 16-bit: strips run short
     with pytest.raises(NotImplementedError):
-        decode_tiff(patch(284, 2))  # planar
-    with pytest.raises(NotImplementedError):
-        decode_tiff(patch(258, 16))  # 16-bit samples
+        decode_tiff(patch(258, 4))  # 4-bit samples
     with pytest.raises(ValueError):
         decode_tiff(patch(259, 4))  # CCITT on 8-bit samples
 
@@ -291,6 +295,85 @@ def test_dimension_cap():
             struct.pack_into("<I", t, pos + 8, 100_000)
     with pytest.raises(ValueError):
         decode_tiff(bytes(t))
+
+
+# ── tiled layout / planar configuration 2 / 16-bit samples ──────────
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [False, True])
+def test_tiled_gray_roundtrip(comp, pred):
+    g = _gray()  # 40x56 with 32x16 tiles → 2x2 grid, both edges ragged
+    t = encode_tiff(g, comp, predictor=pred, tile=(32, 16))
+    assert np.array_equal(decode_tiff(t), g)
+
+
+@pytest.mark.parametrize("comp", ["lzw", "packbits"])
+def test_tiled_rgb_roundtrip(comp):
+    rgb = _rgb()
+    t = encode_tiff(rgb, comp, tile=(16, 16), big_endian=True)
+    assert np.array_equal(decode_tiff(t), rgb)
+
+
+def test_tiled_bilevel_g4_roundtrip():
+    bm = _bilevel()  # 33x50 with 16x16 tiles → ragged edges
+    t = encode_tiff(bm, "g4", tile=(16, 16))
+    out = decode_tiff(t)
+    assert np.array_equal(out, np.where(bm > 0, 0, 255).astype(np.uint8))
+
+
+def test_tiled_jpeg_flat_blocks_exact():
+    g = _flat_blocks(H, W)
+    t = encode_tiff(g, "jpeg", tile=(16, 16))
+    assert np.array_equal(decode_tiff(t), g)
+
+
+def test_tile_dims_must_be_multiples_of_16():
+    with pytest.raises(ValueError):
+        encode_tiff(_gray(), "none", tile=(20, 16))
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw"])
+@pytest.mark.parametrize("pred", [False, True])
+def test_planar_rgb_roundtrip(comp, pred):
+    rgb = _rgb()
+    t = encode_tiff(rgb, comp, predictor=pred, planar=2, rows_per_strip=7)
+    assert np.array_equal(decode_tiff(t), rgb)
+
+
+def test_planar_tiled_roundtrip():
+    rgb = _rgb()
+    t = encode_tiff(rgb, "packbits", planar=2, tile=(16, 16))
+    assert np.array_equal(decode_tiff(t), rgb)
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+@pytest.mark.parametrize("pred", [False, True])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_sixteen_bit_gray(comp, pred, big_endian):
+    g16 = (
+        (np.arange(H)[:, None] * 1021 + np.arange(W)[None, :] * 257) % 65536
+    ).astype(np.uint16)
+    t = encode_tiff(g16, comp, predictor=pred, big_endian=big_endian)
+    assert tiff_info(t)["bits_per_sample"] == 16
+    assert np.array_equal(decode_tiff(t), (g16 >> 8).astype(np.uint8))
+
+
+def test_sixteen_bit_rgb_planar_tiled():
+    g16 = (
+        (np.arange(H)[:, None] * 911 + np.arange(W)[None, :] * 401) % 65536
+    ).astype(np.uint16)
+    rgb16 = np.stack([g16, g16 * 3, g16 * 7], axis=2).astype(np.uint16)
+    t = encode_tiff(rgb16, "lzw", predictor=True, planar=2, tile=(16, 32))
+    assert np.array_equal(decode_tiff(t), (rgb16 >> 8).astype(np.uint8))
+
+
+def test_sixteen_bit_rejects_lossy_and_bilevel():
+    g16 = np.zeros((8, 8), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        encode_tiff(g16, "jpeg")
+    with pytest.raises(ValueError):
+        encode_tiff(g16, "g4")
 
 
 # ── JPEG-in-TIFF (new-style compression 7) ───────────────────────────
