@@ -3,9 +3,11 @@
 Decodes the `CCITTFaxDecode` streams PDF scanners embed (the last two
 undecoded images in the reference golden corpus are K=-1 Group 4 scans;
 reference behavior: pdfium's fax decoder feeding FPDF_RenderPageBitmap).
-Covers K < 0 (pure 2-D / T.6 MMR) and K = 0 (pure 1-D MH rows, optional
-EOLs); K > 0 (mixed per-row tagging) raises ``NotImplementedError`` —
-no such stream exists in the corpus and callers surface codec seams.
+Covers K < 0 (pure 2-D / T.6 MMR), K = 0 (pure 1-D MH rows, optional
+EOLs), and K > 0 (T.4 mixed 2-D: every row framed EOL + tag bit, 1-D
+rows at least every K rows, 2-D rows coded against the previous row) —
+the three row coders share one transition-list representation, so the
+2-D machinery is written once (``_decode_2d_row`` / ``_encode_2d_row``).
 
 The encoder exists for the roundtrip property tests: the code tables are
 prefix-free per color class (asserted in tests), and a transcription
@@ -199,6 +201,71 @@ def _read_run(r: _BitReader, black: bool) -> int:
     raise ValueError("unterminated MH makeup chain")
 
 
+def _decode_2d_row(
+    r: _BitReader, ref: List[int], columns: int
+) -> List[int]:
+    """One 2-D coded row (shared by T.6 and T.4 K>0) → transition list.
+    ``ref`` is the previous row's transitions + [columns, columns]."""
+    cur: List[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    guard = 0
+    while a0 < columns:
+        guard += 1
+        if guard > 2 * columns + 8:
+            raise ValueError("row fails to terminate")
+        # b1: first ref transition > a0 with parity matching `color`
+        i = bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        ent = _MODE_LUT[r.peek(7)]
+        if ent is None:
+            raise ValueError("bad 2-D mode code")
+        mode, n = ent
+        r.skip(n)
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(r, black=bool(color))
+            r2 = _read_run(r, black=not bool(color))
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > columns or a1 > columns:
+                a1 = min(a1, columns)
+                a2 = min(a2, columns)
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:  # vertical family
+            delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + delta
+            if a1 < 0 or a1 > columns:
+                raise ValueError("vertical mode out of row")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_1d_row(r: _BitReader, columns: int) -> List[int]:
+    """One MH 1-D coded row → transition list."""
+    cur: List[int] = []
+    pos = 0
+    color = 0
+    while pos < columns:
+        run = _read_run(r, black=bool(color))
+        pos += run
+        cur.append(min(pos, columns))
+        color ^= 1
+    if pos > columns:
+        raise ValueError("1-D row overruns columns")
+    return cur
+
+
 def decode_g4(
     data: bytes,
     columns: int,
@@ -224,48 +291,7 @@ def decode_g4(
             break
         if r.peek(len(_EOL)) == 1:  # EOL prefix == EOFB half
             break
-        cur: List[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        guard = 0
-        while a0 < columns:
-            guard += 1
-            if guard > 2 * columns + 8:
-                raise ValueError("row fails to terminate")
-            # b1: first ref transition > a0 with parity matching `color`
-            i = bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            ent = _MODE_LUT[r.peek(7)]
-            if ent is None:
-                raise ValueError("bad 2-D mode code")
-            mode, n = ent
-            r.skip(n)
-            if mode == "P":
-                a0 = b2
-            elif mode == "H":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(r, black=bool(color))
-                r2 = _read_run(r, black=not bool(color))
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > columns or a1 > columns:
-                    a1 = min(a1, columns)
-                    a2 = min(a2, columns)
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            else:  # vertical family
-                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + delta
-                if a1 < 0 or a1 > columns:
-                    raise ValueError("vertical mode out of row")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
+        cur = _decode_2d_row(r, ref, columns)
         out_rows.append(cur)
         ref = cur + [columns, columns]
     if rows is not None and len(out_rows) < rows:
@@ -298,19 +324,60 @@ def decode_g3_1d(
                 break
         if rows is None and r.exhausted():
             break
-        cur: List[int] = []
-        pos = 0
-        color = 0
-        while pos < columns:
-            run = _read_run(r, black=bool(color))
-            pos += run
-            cur.append(min(pos, columns))
-            color ^= 1
-        if pos > columns:
-            raise ValueError("1-D row overruns columns")
-        out_rows.append(cur)
+        out_rows.append(_decode_1d_row(r, columns))
     if rows is not None and len(out_rows) < rows:
         raise ValueError(f"short G3 stream: {len(out_rows)}/{rows} rows")
+    return _rows_to_bitmap(out_rows, columns)
+
+
+def decode_g3_2d(
+    data: bytes,
+    columns: int,
+    rows: Optional[int] = None,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """T.4 mixed 2-D (K>0) decode → (rows, columns) uint8, 1 = black.
+
+    Every row is framed ``EOL + tag`` (tag 1 = 1-D MH row, 0 = 2-D row
+    coded against the previous row); zero fill bits before an EOL are
+    consumed. With ``rows=None`` decodes until RTC (an EOL directly
+    following an EOL+1 frame) or input end. ``byte_align`` aligns
+    before each EOL (PDF ``EncodedByteAlign``)."""
+    if columns <= 0:
+        raise ValueError("columns must be positive")
+    r = _BitReader(data)
+    ref: List[int] = [columns, columns]
+    out_rows: List[List[int]] = []
+    max_rows = rows if rows is not None else 1 << 30
+    while len(out_rows) < max_rows:
+        if byte_align:
+            r.byte_align()
+        # zero fill bits, then the mandatory EOL
+        guard = 0
+        while not r.exhausted() and r.peek(len(_EOL)) != 1:
+            if r.peek(1) != 0:
+                raise ValueError("expected EOL before G3 2-D row")
+            r.skip(1)
+            guard += 1
+            if guard > 4096:
+                raise ValueError("EOL fill search overran")
+        if r.exhausted():
+            break
+        r.skip(len(_EOL))
+        tag = r.peek(1)
+        r.skip(1)
+        if tag and (r.exhausted() or r.peek(len(_EOL)) == 1):
+            break  # RTC: EOL+1 frames with no row data between them
+        if tag:
+            cur = _decode_1d_row(r, columns)
+        else:
+            cur = _decode_2d_row(r, ref, columns)
+        out_rows.append(cur)
+        ref = cur + [columns, columns]
+    if rows is not None and len(out_rows) < rows:
+        raise ValueError(
+            f"short G3 2-D stream: {len(out_rows)}/{rows} rows"
+        )
     return _rows_to_bitmap(out_rows, columns)
 
 
@@ -321,12 +388,13 @@ def decode_ccitt(
     k: int = 0,
     byte_align: bool = False,
 ) -> np.ndarray:
-    """PDF CCITTFaxDecode dispatch: K<0 → G4, K=0 → G3 1-D, K>0 → seam."""
+    """PDF CCITTFaxDecode dispatch: K<0 → G4, K=0 → G3 1-D, K>0 → G3
+    mixed 2-D."""
     if k < 0:
         return decode_g4(data, columns, rows, byte_align)
     if k == 0:
         return decode_g3_1d(data, columns, rows, byte_align)
-    raise NotImplementedError("CCITT K>0 (mixed 2-D) unsupported")
+    return decode_g3_2d(data, columns, rows, byte_align)
 
 
 def _rows_to_bitmap(out_rows: List[List[int]], columns: int) -> np.ndarray:
@@ -368,6 +436,13 @@ class _BitWriter:
             self.nbits = 0
         return bytes(self.buf)
 
+    def pad_align(self) -> None:
+        """Zero-fill to the next byte boundary (EncodedByteAlign)."""
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+
 
 _ENC_WHITE = {run: bits for bits, run in _WHITE_CODES}
 _ENC_BLACK = {run: bits for bits, run in _BLACK_CODES}
@@ -398,6 +473,59 @@ def _transitions(line: np.ndarray) -> List[int]:
     return idx.tolist()
 
 
+def _encode_2d_row(
+    w: _BitWriter, cur: List[int], ref: List[int], cols: int
+) -> None:
+    """One 2-D coded row (shared by T.6 and T.4 K>0). ``cur`` is the
+    row's transition list; ``ref`` the previous row's + [cols, cols]."""
+    curx = cur + [cols, cols, cols]
+    a0 = -1
+    color = 0
+    ci = 0  # index of next transition > a0 in cur
+    while a0 < cols:
+        a1 = curx[ci] if ci < len(cur) else cols
+        i = bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else cols
+        b2 = ref[i + 1] if i + 1 < len(ref) else cols
+        if b2 < a1:
+            w.write(_ENC_MODE["P"])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            w.write(_ENC_MODE[
+                {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
+                 -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
+            ])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = curx[ci + 1] if ci + 1 < len(cur) else cols
+            start = a0 if a0 > 0 else 0
+            w.write(_ENC_MODE["H"])
+            _write_run(w, a1 - start, black=bool(color))
+            _write_run(w, a2 - a1, black=not bool(color))
+            a0 = a2
+            ci += 2
+
+
+def _encode_1d_row(w: _BitWriter, cur: List[int], cols: int) -> None:
+    """One MH 1-D coded row from its transition list."""
+    pos = 0
+    color = 0
+    for t in cur + [cols]:
+        if t < pos:
+            continue
+        _write_run(w, t - pos, black=bool(color))
+        pos = t
+        color ^= 1
+        if pos >= cols:
+            break
+    if pos < cols:
+        _write_run(w, cols - pos, black=bool(color))
+
+
 def encode_g4(bitmap: np.ndarray) -> bytes:
     """T.6 encode of a (rows, cols) {0,1} bitmap (1 = black), EOFB
     terminated. The decoder twin for the roundtrip property tests."""
@@ -409,36 +537,7 @@ def encode_g4(bitmap: np.ndarray) -> bytes:
     ref: List[int] = [cols, cols]
     for y in range(h):
         cur = _transitions(bitmap[y])
-        curx = cur + [cols, cols, cols]
-        a0 = -1
-        color = 0
-        ci = 0  # index of next transition > a0 in cur
-        while a0 < cols:
-            a1 = curx[ci] if ci < len(cur) else cols
-            i = bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else cols
-            b2 = ref[i + 1] if i + 1 < len(ref) else cols
-            if b2 < a1:
-                w.write(_ENC_MODE["P"])
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                w.write(_ENC_MODE[
-                    {0: "V0", 1: "VR1", 2: "VR2", 3: "VR3",
-                     -1: "VL1", -2: "VL2", -3: "VL3"}[a1 - b1]
-                ])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = curx[ci + 1] if ci + 1 < len(cur) else cols
-                start = a0 if a0 > 0 else 0
-                w.write(_ENC_MODE["H"])
-                _write_run(w, a1 - start, black=bool(color))
-                _write_run(w, a2 - a1, black=not bool(color))
-                a0 = a2
-                ci += 2
+        _encode_2d_row(w, cur, ref, cols)
         ref = cur + [cols, cols]
     w.write(_EOL)
     w.write(_EOL)
@@ -453,17 +552,35 @@ def encode_g3_1d(bitmap: np.ndarray, eol: bool = True) -> bytes:
     for y in range(h):
         if eol:
             w.write(_EOL)
-        tr = _transitions(bitmap[y]) + [cols]
-        pos = 0
-        color = 0
-        for t in tr:
-            if t < pos:
-                continue
-            _write_run(w, t - pos, black=bool(color))
-            pos = t
-            color ^= 1
-            if pos >= cols:
-                break
-        if pos < cols:
-            _write_run(w, cols - pos, black=bool(color))
+        _encode_1d_row(w, _transitions(bitmap[y]), cols)
+    return w.flush()
+
+
+def encode_g3_2d(
+    bitmap: np.ndarray, k: int = 2, byte_align: bool = False
+) -> bytes:
+    """T.4 mixed 2-D encode (K>0): every row framed ``EOL + tag``; the
+    first row of each K-row group is 1-D, the rest 2-D against the
+    previous row. RTC-free (PDF CCITTFaxDecode relies on the row
+    count). ``byte_align`` zero-fills so each EOL starts a byte."""
+    bitmap = np.asarray(bitmap)
+    if bitmap.ndim != 2:
+        raise ValueError("bitmap must be 2-D")
+    if k < 1:
+        raise ValueError("k must be >= 1 for G3 2-D")
+    h, cols = bitmap.shape
+    w = _BitWriter()
+    ref: List[int] = [cols, cols]
+    for y in range(h):
+        if byte_align:
+            w.pad_align()
+        one_d = (y % k) == 0
+        w.write(_EOL)
+        w.write("1" if one_d else "0")
+        cur = _transitions(bitmap[y])
+        if one_d:
+            _encode_1d_row(w, cur, cols)
+        else:
+            _encode_2d_row(w, cur, ref, cols)
+        ref = cur + [cols, cols]
     return w.flush()

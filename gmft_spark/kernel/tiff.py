@@ -21,7 +21,7 @@ Output convention: ``decode_tiff`` returns DISPLAY luminance/color —
 or ``(h, w, 3) uint8`` RGB for photometric 2/3/6; 16-bit samples
 display as their high byte. Malformed input raises ``ValueError``;
 genuinely unsupported corners (old-style compression-6 JPEG,
-RGB-stored JPEG, raw YCbCr, planar JPEG, T.4 2-D strips) raise
+RGB-stored JPEG, raw YCbCr, planar JPEG, T.6 uncompressed mode) raise
 ``NotImplementedError`` at the exact seam.
 
 Scale note: payloads decode inside mapInPandas narrow maps
@@ -37,8 +37,10 @@ import numpy as np
 
 from gmft_spark.kernel.ccitt import (
     decode_g3_1d,
+    decode_g3_2d,
     decode_g4,
     encode_g3_1d,
+    encode_g3_2d,
     encode_g4,
 )
 from gmft_spark.kernel.jpeg import decode_jpeg, encode_jpeg
@@ -316,11 +318,14 @@ def _decode_strip(
                 raise NotImplementedError("T.6 uncompressed mode")
             bm = decode_g4(raw, w, strip_rows)
         elif compression == 3:
-            if t4_options & 1:
-                raise NotImplementedError("T.4 2-D (K>0) TIFF strips")
-            bm = decode_g3_1d(
-                raw, w, strip_rows, byte_align=bool(t4_options & 4)
-            )
+            if t4_options & 1:  # bit 0: 2-D (mixed) coding
+                bm = decode_g3_2d(
+                    raw, w, strip_rows, byte_align=bool(t4_options & 4)
+                )
+            else:
+                bm = decode_g3_1d(
+                    raw, w, strip_rows, byte_align=bool(t4_options & 4)
+                )
         else:  # 2: Modified Huffman RLE — EOL-free, byte-aligned rows
             bm = decode_g3_1d(raw, w, strip_rows, byte_align=True)
         # CCITT decodes 1 = black; photometric 0 maps black to sample 1,
@@ -623,7 +628,9 @@ def encode_tiff(
     uint8 RGB, (h, w[, 3]) uint16 (written as 16-bit samples; the
     decoder displays their high byte), or (h, w) {0,1} with a bilevel
     compression. Compressions: ``none``, ``lzw``, ``packbits``, ``g4``,
-    ``g3`` (EOL-framed), ``mh`` (compression 2, byte-aligned rows),
+    ``g3`` (EOL-framed 1-D), ``g32d`` (compression 3 with T4Options
+    2-D: EOL+tag framed mixed rows), ``mh`` (compression 2,
+    byte-aligned rows),
     ``jpeg`` (new-style compression 7: shared DQT/DHT in a JPEGTables
     tag, abbreviated per-chunk streams; the ONE lossy compression —
     roundtrips are bit-exact only for flat-DC content at ``quality``
@@ -643,11 +650,12 @@ def encode_tiff(
     else:
         raise ValueError("arr must be (h,w) or (h,w,3)")
     sixteen = arr.dtype == np.uint16
-    bilevel = compression in ("g4", "g3", "mh")
+    bilevel = compression in ("g4", "g3", "g32d", "mh")
     comp_id = {
         "none": 1,
         "mh": 2,
         "g3": 3,
+        "g32d": 3,  # compression 3 with T4Options bit 0 set
         "g4": 4,
         "lzw": 5,
         "jpeg": 7,
@@ -736,6 +744,8 @@ def encode_tiff(
             bm = sub[:, :, 0]
             if compression == "g4":
                 strips.append(encode_g4(bm))
+            elif compression == "g32d":
+                strips.append(encode_g3_2d(bm, k=4))
             elif compression == "g3":
                 strips.append(encode_g3_1d(bm, eol=True))
             else:  # mh: byte-aligned EOL-free rows
@@ -809,6 +819,8 @@ def encode_tiff(
         entries.append((_T_FILLORDER, 3, 1, [2]))
     if compression == "g3":
         entries.append((_T_T4OPTIONS, 4, 1, [0]))
+    elif compression == "g32d":
+        entries.append((_T_T4OPTIONS, 4, 1, [1]))
     if colormap is not None:
         cm = np.asarray(colormap)
         if cm.shape != (3, 256):

@@ -15,11 +15,12 @@ content order under the page CTM; gmft's rasterized pipeline
 is nearest-sample, alpha thresholded at 128 — deterministic across
 platforms, no anti-aliasing (same contract as glyphrender).
 
-CCITTFaxDecode (Group 4 K<0 and Group 3 1-D K=0 — kernel/ccitt.py, a
-from-scratch T.4/T.6 codec) and RunLengthDecode (objects.decode_stream)
-decode natively. Format gaps (raise ``NotImplementedError``, callers
-skip per image): JPXDecode / JBIG2Decode / CCITT K>0 — the same
-external-codec seams the multimodal operators document. Malformed
+CCITTFaxDecode (Group 4 K<0, Group 3 1-D K=0, and mixed 2-D K>0 —
+kernel/ccitt.py, a from-scratch T.4/T.6 codec) and RunLengthDecode
+(objects.decode_stream) decode natively. Format gaps (raise
+``NotImplementedError``, callers skip per image): JPXDecode /
+JBIG2Decode — the same external-codec seams the multimodal operators
+document. Malformed
 streams raise ``ValueError`` (containment contract shared with
 decode_jpeg/decode_png).
 """

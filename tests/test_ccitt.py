@@ -20,8 +20,10 @@ from gmft_spark.kernel.ccitt import (
     _WHITE_CODES,
     decode_ccitt,
     decode_g3_1d,
+    decode_g3_2d,
     decode_g4,
     encode_g3_1d,
+    encode_g3_2d,
     encode_g4,
 )
 from gmft_spark.sources.pdfparse import ParsedPDF
@@ -114,9 +116,54 @@ def test_malformed_streams_raise_value_error():
         decode_g4(b"", 0, 1)  # bad geometry
 
 
-def test_k_positive_is_a_named_seam():
-    with pytest.raises(NotImplementedError):
-        decode_ccitt(b"\x00", 8, 1, k=4)
+# ── T.4 mixed 2-D (K > 0) ────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+@pytest.mark.parametrize("byte_align", [False, True])
+def test_g3_2d_roundtrip_random(k, byte_align):
+    rng = np.random.default_rng(100 * k + byte_align)
+    for _ in range(25):
+        h = int(rng.integers(1, 30))
+        w = int(rng.integers(1, 80))
+        bm = (rng.random((h, w)) < rng.uniform(0.05, 0.95)).astype(np.uint8)
+        enc = encode_g3_2d(bm, k=k, byte_align=byte_align)
+        assert (decode_g3_2d(enc, w, h, byte_align=byte_align) == bm).all()
+        # dispatcher: any K > 0 routes to the mixed 2-D decoder
+        assert (decode_ccitt(enc, w, h, k=k, byte_align=byte_align) == bm).all()
+
+
+def test_g3_2d_rowless_count_and_rtc():
+    bm = (np.arange(48).reshape(6, 8) % 5 == 0).astype(np.uint8)
+    enc = encode_g3_2d(bm, k=2)
+    # rows=None: stops at input end
+    assert (decode_g3_2d(enc, 8, None) == bm).all()
+    # rows=None with an explicit RTC appended (6 × EOL+1)
+    rtc = b""
+    acc = ""
+    for _ in range(6):
+        acc += "000000000001" + "1"
+    acc += "0" * ((-len(acc)) % 8)
+    rtc = bytes(int(acc[i : i + 8], 2) for i in range(0, len(acc), 8))
+    assert (decode_g3_2d(enc + rtc, 8, None) == bm).all()
+
+
+def test_g3_2d_k1_is_all_one_d_rows():
+    # k=1 tags every row 1-D: the stream is EOL+1 framed MH rows
+    bm = (np.eye(5, 40) > 0).astype(np.uint8)
+    enc = encode_g3_2d(bm, k=1)
+    assert (decode_g3_2d(enc, 40, 5) == bm).all()
+
+
+def test_g3_2d_malformed_raises():
+    with pytest.raises(ValueError):
+        decode_g3_2d(b"\xff\xff\xff\xff", 8, 2)  # no EOL where required
+    bm = np.ones((4, 16), np.uint8)
+    enc = encode_g3_2d(bm, k=2)
+    with pytest.raises(ValueError):
+        decode_g3_2d(enc, 16, 100)  # short stream vs declared rows
+    with pytest.raises(ValueError):
+        encode_g3_2d(bm, k=0)
 
 
 # ── corpus goldens ───────────────────────────────────────────────────

@@ -142,7 +142,7 @@ def test_gray_photometric_zero_inverts():
 # ── bilevel (CCITT + MH) ─────────────────────────────────────────────
 
 
-@pytest.mark.parametrize("comp", ["g4", "g3", "mh"])
+@pytest.mark.parametrize("comp", ["g4", "g3", "g32d", "mh"])
 @pytest.mark.parametrize("rps", [None, 8])
 def test_bilevel_roundtrip(comp, rps):
     bm = _bilevel()
