@@ -59,17 +59,63 @@ def test_wav_probe_and_odd_length_padding():
     assert dec.shape == (1001, 1) and rate == 22050
 
 
+@pytest.mark.parametrize("bits", [24, 32])
+def test_wav_wide_pcm_lossless(bits):
+    s = _sine()
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(st, 44100, bits=bits))
+    assert rate == 44100 and (dec == st).all()
+
+
+def test_wav_float32_lossless_and_clipped():
+    s = _sine()
+    b = encode_wav(s, 16000, bits=32, audio_format="float")
+    dec, _ = decode_wav(b)
+    assert (dec[:, 0] == s).all()  # int16/32768 floats are exact
+    # out-of-range float samples clip at full scale
+    import struct as _s
+
+    hot = bytearray(b)
+    i = hot.find(b"data") + 8
+    hot[i : i + 8] = _s.pack("<2f", 2.0, -3.0)
+    dec2, _ = decode_wav(bytes(hot))
+    assert dec2[0, 0] == 32767 and dec2[1, 0] == -32768
+
+
+def test_wav_extensible_routes_subformat():
+    import struct as _s
+
+    s = _sine()
+    base = encode_wav(s, 16000, bits=24)
+    data_chunk = base[base.find(b"data") :]
+    # WAVE_FORMAT_EXTENSIBLE: cbSize=22, SubFormat GUID leads with the
+    # real format code (1 = PCM)
+    ext = _s.pack("<HHI", 22, 24, 4) + _s.pack("<H", 1) + b"\x00" * 14
+    fmt = _s.pack("<HHIIHH", 0xFFFE, 1, 16000, 48000, 3, 24) + ext
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt + data_chunk
+    dec, rate = decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+    assert rate == 16000 and (dec[:, 0] == s).all()
+
+
 def test_wav_containment():
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         decode_wav(encode_wav(_sine(), 16000)[:30])  # truncated chunk
-    # non-PCM format code is a format gap, not bad data
+    # genuinely foreign coding (IMA ADPCM) is a format gap, not bad data
     b = bytearray(encode_wav(_sine(128), 16000))
     i = b.find(b"fmt ")
-    b[i + 8] = 3  # IEEE float format code
+    b[i + 8] = 17  # IMA ADPCM format code
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(b))
+    # float claimed at 16 bits is malformed, not a gap
+    b[i + 8] = 3
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    with pytest.raises(ValueError):
+        encode_wav(_sine(16), bits=24, audio_format="float")
+    with pytest.raises(ValueError):
+        encode_wav(_sine(16), bits=12)
 
 
 def test_avi_probe_metadata():
