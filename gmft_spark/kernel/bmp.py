@@ -1,0 +1,294 @@
+"""From-scratch Windows BMP (DIB) codec — reader + writer twin.
+
+Pure-spec implementation of the public BITMAPFILEHEADER +
+BITMAPINFOHEADER format: 1/4/8-bit palette, 24-bit BGR and 32-bit BGRx
+pixels, BI_RGB and BI_RLE8 compressions, bottom-up (positive height)
+and top-down (negative height) row orders, 4-byte row stride padding.
+Later header revisions (V4/V5) parse through the same first-40-byte
+layout. The writer is the roundtrip-test twin (tests/test_bmp.py):
+every supported encoding is lossless, so decode(encode(x)) is
+bit-exact.
+
+Output convention matches the other image codecs (kernel/raster,
+kernel/jpeg, kernel/tiff): ``decode_bmp`` returns (h, w, 3) uint8 RGB
+(the multimodal luma collapse recognizes R==G==B gray). Malformed
+input raises ``ValueError``; the one genuine format gap (BI_RLE4)
+raises ``NotImplementedError`` at the exact seam.
+
+Scale note: payloads decode inside mapInPandas narrow maps
+(operators/multimodal.py) — bytes never leave their scan partition.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["decode_bmp", "encode_bmp", "bmp_info"]
+
+_MAX_PIXELS = 64_000_000
+
+
+def _read_headers(data: bytes):
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic or too short)")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER (OS/2) BMP")
+    (w, h, planes, bits, comp, _simg, _xp, _yp, clr_used, _ci) = (
+        struct.unpack_from("<iiHHIIiiII", data, 18)
+    )
+    if planes != 1:
+        raise ValueError(f"bad plane count {planes}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("missing/invalid image dimensions")
+    if w * h > _MAX_PIXELS:
+        raise ValueError("BMP dimensions exceed decoder cap")
+    pal_off = 14 + hdr_size
+    return data_off, w, h, bits, comp, clr_used, top_down, pal_off
+
+
+def bmp_info(data: bytes) -> dict:
+    """Header-only probe (metadata queries stay cheap)."""
+    _off, w, h, bits, comp, clr_used, top_down, _p = _read_headers(data)
+    return {
+        "width": w,
+        "height": h,
+        "bits": bits,
+        "compression": comp,
+        "colors_used": clr_used,
+        "top_down": top_down,
+    }
+
+
+def _read_palette(
+    data: bytes, pal_off: int, bits: int, clr_used: int
+) -> np.ndarray:
+    n = clr_used if clr_used else (1 << bits)
+    if n > 256:
+        raise ValueError("hostile palette size")
+    end = pal_off + 4 * n
+    if end > len(data):
+        raise ValueError("palette outruns file")
+    quads = np.frombuffer(data[pal_off:end], dtype=np.uint8).reshape(n, 4)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:n] = quads[:, [2, 1, 0]]  # BGRA quads → RGB
+    return pal
+
+
+def _decode_rle8(
+    data: bytes, off: int, w: int, h: int
+) -> np.ndarray:
+    """BI_RLE8 → (h, w) uint8 index plane in BOTTOM-UP storage order
+    (caller flips). Escapes: 0=EOL, 1=EOB, 2=delta, n>=3 literal run
+    padded to a word boundary."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = off
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            run = min(cnt, w - x)
+            idx[y, x : x + run] = val
+            x += run
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("RLE8 delta missing offsets")
+            x = min(w, x + data[i])
+            y += data[i + 1]
+            if y >= h:
+                raise ValueError("RLE8 delta leaves bitmap")
+            i += 2
+        else:  # literal run of `val` bytes, word-aligned
+            j = i + val
+            if j > n:
+                raise ValueError("RLE8 literal overruns input")
+            run = min(val, w - x)
+            idx[y, x : x + run] = np.frombuffer(
+                data[i : i + run], dtype=np.uint8
+            )
+            x += val
+            x = min(x, w)
+            i = j + (val & 1)
+    return idx
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode BMP bytes → (h, w, 3) uint8 RGB."""
+    (data_off, w, h, bits, comp, clr_used, top_down, pal_off) = (
+        _read_headers(data)
+    )
+    if comp == 1:  # BI_RLE8
+        if bits != 8:
+            raise ValueError("BI_RLE8 requires 8-bit pixels")
+        pal = _read_palette(data, pal_off, bits, clr_used)
+        idx = _decode_rle8(data, data_off, w, h)
+        if not top_down:
+            idx = idx[::-1]
+        return np.ascontiguousarray(pal[idx])
+    if comp == 2:
+        raise NotImplementedError("BI_RLE4 BMP")
+    if comp not in (0, 3):
+        raise ValueError(f"unsupported BMP compression {comp}")
+    if comp == 3 and bits not in (16, 32):
+        raise ValueError("BI_BITFIELDS requires 16/32-bit pixels")
+    if comp == 3:
+        # masks live right after the info header; only the canonical
+        # 8-8-8 layout (the one every writer emits for 32-bit) decodes
+        masks = struct.unpack_from("<III", data, pal_off)
+        if bits != 32 or masks != (0xFF0000, 0xFF00, 0xFF):
+            raise NotImplementedError("non-canonical BI_BITFIELDS masks")
+    if bits not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP pixels")
+    stride = ((w * bits + 31) // 32) * 4
+    need = data_off + stride * h
+    if need > len(data):
+        raise ValueError("pixel data outruns file")
+    raw = np.frombuffer(
+        data[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    if not top_down:
+        raw = raw[::-1]
+    if bits == 24:
+        px = raw[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return np.ascontiguousarray(px)
+    if bits == 32:
+        px = raw[:, : 4 * w].reshape(h, w, 4)[:, :, [2, 1, 0]]
+        return np.ascontiguousarray(px)
+    pal = _read_palette(data, pal_off, bits, clr_used)
+    if bits == 8:
+        idx = raw[:, :w]
+    elif bits == 4:
+        nib = np.empty((h, 2 * stride), dtype=np.uint8)
+        nib[:, 0::2] = raw >> 4
+        nib[:, 1::2] = raw & 0xF
+        idx = nib[:, :w]
+    else:  # 1-bit, MSB first
+        idx = np.unpackbits(raw, axis=1)[:, :w]
+    return np.ascontiguousarray(pal[idx])
+
+
+def _gray_palette() -> np.ndarray:
+    g = np.arange(256, dtype=np.uint8)
+    return np.stack([g, g, g], axis=1)
+
+
+def encode_bmp(
+    arr: np.ndarray,
+    bits: int = 24,
+    rle: bool = False,
+    top_down: bool = False,
+    palette: Optional[np.ndarray] = None,
+) -> bytes:
+    """Write a BMP. ``arr``: (h, w, 3) uint8 RGB for ``bits`` 24/32;
+    (h, w) uint8 index/gray plane for ``bits`` 8 (``palette`` (n, 3)
+    RGB, default identity gray), values < 16 for ``bits`` 4, {0, 1}
+    for ``bits`` 1 (palette rows 0/1 default black/white). ``rle``
+    (8-bit only) writes BI_RLE8."""
+    arr = np.asarray(arr)
+    if bits in (24, 32):
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("24/32-bit BMP needs (h, w, 3) RGB")
+        h, w = arr.shape[:2]
+    else:
+        if arr.ndim != 2:
+            raise ValueError("palette BMP needs a 2-D index plane")
+        h, w = arr.shape
+        if arr.max(initial=0) >= (1 << bits):
+            raise ValueError(f"index plane overflows {bits}-bit palette")
+    if bits not in (1, 4, 8, 24, 32):
+        raise ValueError("bits must be 1, 4, 8, 24 or 32")
+    if rle and bits != 8:
+        raise ValueError("RLE is written for 8-bit planes only")
+
+    pal_bytes = b""
+    n_colors = 0
+    if bits <= 8:
+        if palette is None:
+            pal = (
+                _gray_palette()[: 1 << bits]
+                if bits > 1
+                else np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+            )
+        else:
+            pal = np.asarray(palette, dtype=np.uint8)
+            if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+                raise ValueError("palette must be (n<=256, 3) RGB")
+        n_colors = pal.shape[0]
+        quads = np.zeros((n_colors, 4), dtype=np.uint8)
+        quads[:, :3] = pal[:, ::-1]  # RGB → BGRA quads
+        pal_bytes = quads.tobytes()
+
+    rows = arr if top_down else arr[::-1]
+    if rle:
+        body = bytearray()
+        for y in range(h):
+            line = rows[y]
+            x = 0
+            while x < w:
+                run = 1
+                while (
+                    x + run < w and line[x + run] == line[x] and run < 255
+                ):
+                    run += 1
+                body += bytes([run, int(line[x])])
+                x += run
+            body += b"\x00\x00"  # EOL
+        body += b"\x00\x01"  # EOB
+        pixel = bytes(body)
+        comp = 1
+    else:
+        stride = ((w * bits + 31) // 32) * 4
+        if bits == 24:
+            line = rows[:, :, ::-1].reshape(h, 3 * w)
+        elif bits == 32:
+            bgrx = np.zeros((h, w, 4), dtype=np.uint8)
+            bgrx[:, :, :3] = rows[:, :, ::-1]
+            line = bgrx.reshape(h, 4 * w)
+        elif bits == 8:
+            line = rows
+        elif bits == 4:
+            padded_w = 2 * ((w + 1) // 2)
+            nib = np.zeros((h, padded_w), dtype=np.uint8)
+            nib[:, :w] = rows
+            line = (nib[:, 0::2] << 4) | nib[:, 1::2]
+        else:  # 1-bit
+            line = np.packbits(rows.astype(np.uint8), axis=1)
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : line.shape[1]] = line
+        pixel = padded.tobytes()
+        comp = 0
+
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        bits,
+        comp,
+        len(pixel),
+        2835,
+        2835,
+        n_colors,
+        0,
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(pixel), 0, 0, data_off
+    )
+    return head + info + pal_bytes + pixel

@@ -304,8 +304,12 @@ def _real_decode(
             from gmft_spark.kernel.gif import decode_gif_frames
 
             return _gray_hist(decode_gif_frames(payload)[0]), 1
+        if payload[:2] == b"BM":
+            from gmft_spark.kernel.bmp import decode_bmp
+
+            return _gray_hist(decode_bmp(payload)), 1
         raise NotImplementedError(
-            "non-PNG/JPEG/TIFF/GIF image decode needs PIL on "
+            "non-PNG/JPEG/TIFF/GIF/BMP image decode needs PIL on "
             "executors; install and implement here"
         )
     if modality == "audio":
@@ -468,9 +472,13 @@ def resize_images(
                             )
 
                             px = decode_gif_frames(raw)[0]
+                        elif raw[:2] == b"BM":
+                            from gmft_spark.kernel.bmp import decode_bmp
+
+                            px = decode_bmp(raw)
                         else:
                             raise NotImplementedError(
-                                "non-PNG/JPEG/TIFF/GIF image resize "
+                                "non-PNG/JPEG/TIFF/GIF/BMP image resize "
                                 "needs PIL; install and implement here"
                             )
                         resized = resize_bilinear(px, out_h, out_w)
@@ -568,8 +576,12 @@ def _decode_image_payload(payload: bytes) -> np.ndarray:
         from gmft_spark.kernel.gif import decode_gif_frames
 
         return decode_gif_frames(payload)[0]
+    if payload[:2] == b"BM":
+        from gmft_spark.kernel.bmp import decode_bmp
+
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG/TIFF/GIF image decode needs PIL on executors; "
+        "non-PNG/JPEG/TIFF/GIF/BMP image decode needs PIL on executors; "
         "install and implement here"
     )
 

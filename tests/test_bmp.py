@@ -1,0 +1,181 @@
+"""From-scratch BMP codec (kernel/bmp.py).
+
+Evidence model mirrors the other codec suites: bit-exact roundtrips
+across every supported depth/row-order/compression, hand-built streams
+for decoder-only features (RLE8 delta/early-EOB escapes), and the
+untrusted-input containment contract (ValueError for malformed
+streams, NotImplementedError only for genuine format gaps)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gmft_spark.kernel.bmp import bmp_info, decode_bmp, encode_bmp
+
+H, W = 21, 37  # odd width: every sub-byte depth exercises row padding
+
+
+def _rgb() -> np.ndarray:
+    g = (np.arange(H)[:, None] * 5 + np.arange(W)[None, :] * 11) % 256
+    return np.stack([g, (g + 85) % 256, (g * 3) % 256], axis=2).astype(
+        np.uint8
+    )
+
+
+def _gray() -> np.ndarray:
+    return ((np.arange(H)[:, None] * 7 + np.arange(W)[None, :]) % 256).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("bits", [24, 32])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_truecolor_roundtrip(bits, top_down):
+    rgb = _rgb()
+    b = encode_bmp(rgb, bits=bits, top_down=top_down)
+    info = bmp_info(b)
+    assert (info["width"], info["height"]) == (W, H)
+    assert info["top_down"] == top_down
+    assert np.array_equal(decode_bmp(b), rgb)
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_gray8_roundtrip(top_down):
+    g = _gray()
+    out = decode_bmp(encode_bmp(g, bits=8, top_down=top_down))
+    assert np.array_equal(out, np.stack([g, g, g], axis=2))
+
+
+def test_palette8_roundtrip():
+    idx = (_gray() % 5).astype(np.uint8)
+    pal = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9], [77, 1, 200]],
+        dtype=np.uint8,
+    )
+    out = decode_bmp(encode_bmp(idx, bits=8, palette=pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_4bit_roundtrip():
+    idx = (_gray() % 16).astype(np.uint8)
+    out = decode_bmp(encode_bmp(idx, bits=4))
+    g16 = np.arange(0, 256, 1, dtype=np.uint8)[: 1 << 4]
+    pal = np.stack([g16, g16, g16], axis=1)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_1bit_roundtrip():
+    bm = ((_gray() & 1) == 1).astype(np.uint8)
+    out = decode_bmp(encode_bmp(bm, bits=1))
+    expect = np.repeat(
+        np.where(bm[:, :, None] > 0, 255, 0).astype(np.uint8), 3, axis=2
+    )
+    assert np.array_equal(out, expect)
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_rle8_roundtrip(top_down):
+    g = (_gray() // 32 * 32).astype(np.uint8)  # runs to compress
+    b = encode_bmp(g, bits=8, rle=True, top_down=top_down)
+    assert bmp_info(b)["compression"] == 1
+    assert np.array_equal(decode_bmp(b), np.stack([g, g, g], axis=2))
+
+
+def test_rle8_delta_and_early_eob():
+    # hand-built stream: run, delta skip (filled with palette 0), EOB
+    # before the last rows (remainder stays index 0)
+    body = bytes(
+        [
+            3, 7,        # 3 px of color 7 at (0..2, row 0)
+            0, 2, 2, 1,  # delta: x += 2, y += 1 → (5, row 1)
+            2, 9,        # 2 px of color 9
+            0, 1,        # end of bitmap
+        ]
+    )
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[7] = (10, 20, 30)
+    pal[9] = (40, 50, 60)
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, :3] = pal[:, ::-1]
+    data_off = 14 + 40 + 1024
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 8, -4, 1, 8, 1, len(body), 0, 0, 256, 0
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    )
+    out = decode_bmp(head + info + quads.tobytes() + body)
+    assert out.shape == (4, 8, 3)
+    assert np.array_equal(out[0, 0], (10, 20, 30))
+    assert np.array_equal(out[0, 2], (10, 20, 30))
+    assert np.array_equal(out[1, 5], (40, 50, 60))
+    assert np.array_equal(out[1, 6], (40, 50, 60))
+    assert (out[2:] == 0).all()
+
+
+def test_v5_header_sizes_parse():
+    # re-frame a 24-bit file with a 124-byte (V5) info header
+    rgb = _rgb()
+    b = encode_bmp(rgb)
+    (old_off,) = struct.unpack_from("<I", b, 10)
+    extra = 124 - 40
+    body = b[14:54] + b"\x00" * extra + b[54:]
+    body = bytearray(body)
+    struct.pack_into("<I", body, 0, 124)
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(body), 0, 0, old_off + extra
+    )
+    assert np.array_equal(decode_bmp(head + bytes(body)), rgb)
+
+
+def test_canonical_bitfields_32bit():
+    rgb = _rgb()
+    b = bytearray(encode_bmp(rgb, bits=32))
+    struct.pack_into("<I", b, 30, 3)  # BI_BITFIELDS
+    # masks live where the palette would start (canonical 888)
+    masked = bytes(b[:54]) + struct.pack("<III", 0xFF0000, 0xFF00, 0xFF)
+    # shift data offset past the masks
+    out = bytearray(masked + bytes(b[54:]))
+    struct.pack_into("<I", out, 10, 54 + 12)
+    assert np.array_equal(decode_bmp(bytes(out)), rgb)
+    # non-canonical masks are a named seam
+    bad = bytearray(out)
+    struct.pack_into("<III", bad, 54, 0xFF, 0xFF00, 0xFF0000)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_containment():
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMshort")
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    good = encode_bmp(_rgb())
+    with pytest.raises(ValueError):
+        decode_bmp(good[:70])  # pixel data truncated
+    huge = bytearray(good)
+    struct.pack_into("<ii", huge, 18, 100_000, 100_000)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(huge))
+    rle4 = bytearray(encode_bmp(_gray(), bits=8, rle=True))
+    struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle4))
+    with pytest.raises(ValueError):
+        encode_bmp(_rgb(), bits=8)  # RGB into a palette depth
+    with pytest.raises(ValueError):
+        encode_bmp(_gray(), bits=4)  # values overflow 4-bit palette
+    with pytest.raises(ValueError):
+        encode_bmp(_gray(), bits=24)
+    with pytest.raises(ValueError):
+        encode_bmp(_rgb(), rle=True)
+
+
+def test_real_decode_bmp_image():
+    from gmft_spark.operators.multimodal import _gray_hist, _real_decode
+
+    g = _gray()
+    feat, n = _real_decode(encode_bmp(g, bits=8), "image")
+    assert n == 1
+    assert np.allclose(feat, _gray_hist(np.stack([g, g, g], axis=2)))
