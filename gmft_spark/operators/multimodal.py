@@ -151,13 +151,14 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     """Media table whose payloads are REAL decodable files across all
     three modalities, generated distributively from media_id alone:
     images rotate PNG (kernel/raster.py), baseline JPEG
-    (kernel/jpeg.py), LZW TIFF (kernel/tiff.py) and GIF
-    (kernel/gif.py); audio is PCM WAVE sine bursts (kernel/wav.py);
-    video rotates MJPEG-in-AVI (kernel/avi.py), MJPEG-in-MP4
-    (kernel/mp4.py) and animated-GIF gradient frames. The real decode
-    path (extract_features(decode_mode='real')) runs end-to-end on
-    this table with zero external libraries."""
+    (kernel/jpeg.py), LZW TIFF (kernel/tiff.py), GIF (kernel/gif.py)
+    and gray BMP (kernel/bmp.py); audio is PCM WAVE sine bursts
+    (kernel/wav.py); video rotates MJPEG-in-AVI (kernel/avi.py),
+    MJPEG-in-MP4 (kernel/mp4.py) and animated-GIF gradient frames. The
+    real decode path (extract_features(decode_mode='real')) runs
+    end-to-end on this table with zero external libraries."""
     from gmft_spark.kernel.avi import encode_avi
+    from gmft_spark.kernel.bmp import encode_bmp
     from gmft_spark.kernel.gif import encode_gif
     from gmft_spark.kernel.jpeg import encode_jpeg
     from gmft_spark.kernel.mp4 import encode_mp4
@@ -171,7 +172,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
             for mid in batch["id"]:
                 mid = int(mid)
                 kind = mid % 3
-                if kind == 0:  # image: PNG / JPEG / TIFF in rotation
+                if kind == 0:  # image: PNG/JPEG/TIFF/GIF/BMP rotation
                     h, w = 24 + mid % 16, 40
                     arr = (
                         (
@@ -181,7 +182,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         )
                         % 256
                     ).astype(np.uint8)
-                    sub = (mid // 3) % 4
+                    sub = (mid // 3) % 5
                     if sub == 0:
                         payload = encode_png(arr)
                         mime = "image/png"
@@ -191,9 +192,12 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                     elif sub == 2:
                         payload = encode_tiff(arr, "lzw", predictor=True)
                         mime = "image/tiff"
-                    else:
+                    elif sub == 3:
                         payload = encode_gif([arr])
                         mime = "image/gif"
+                    else:
+                        payload = encode_bmp(arr, bits=8)
+                        mime = "image/bmp"
                     meta = (mime, w, h, 0)
                 elif kind == 1:  # audio
                     rate = 8000
@@ -1210,15 +1214,16 @@ _VISDEDUP_PARITY_N_GROUPS = 8
 
 def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-container visual-dedup parity: 8 pixel patterns
-    (v = (i*3 + j*7 + gid*29) % 256, 32×40), each written THREE ways —
-    PNG, LZW TIFF, GIF (byte-distinct payloads, identical pixels) as
-    media_ids 3·gid … 3·gid+2 — then pushed through the REAL
+    (v = (i*3 + j*7 + gid*29) % 256, 32×40), each written FOUR ways —
+    PNG, LZW TIFF, GIF, RLE8 BMP (byte-distinct payloads, identical
+    pixels) as media_ids 4·gid … 4·gid+3 — then pushed through the REAL
     dedup_media_visual plan (decode → pixel sha + intensity ahash →
     banded Hamming equi-join). The exact channel (pixel-sha equality)
     is a pure function of the group structure, so the oracle enumerates
-    the 3 within-group pairs per group without running any codec. Only
+    the 6 within-group pairs per group without running any codec. Only
     exact pairs are emitted (near-channel hamming on NON-identical
     patterns is codec-real but not formula-derivable)."""
+    from gmft_spark.kernel.bmp import encode_bmp
     from gmft_spark.kernel.gif import encode_gif
     from gmft_spark.kernel.raster import encode_png
     from gmft_spark.kernel.tiff import encode_tiff
@@ -1228,7 +1233,7 @@ def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for mid in batch["id"]:
                 mid = int(mid)
-                gid = mid // 3
+                gid = mid // 4
                 arr = (
                     (
                         np.arange(32)[:, None] * 3
@@ -1237,7 +1242,12 @@ def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     % 256
                 ).astype(np.uint8)
-                enc = (encode_png, lambda a: encode_tiff(a, "lzw"), lambda a: encode_gif([a]))[mid % 3]
+                enc = (
+                    encode_png,
+                    lambda a: encode_tiff(a, "lzw"),
+                    lambda a: encode_gif([a]),
+                    lambda a: encode_bmp(a, bits=8, rle=True),
+                )[mid % 4]
                 payload = enc(arr)
                 rows.append(
                     {
@@ -1256,7 +1266,7 @@ def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    media = spark.range(3 * _VISDEDUP_PARITY_N_GROUPS).mapInPandas(
+    media = spark.range(4 * _VISDEDUP_PARITY_N_GROUPS).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
     return (
@@ -1274,12 +1284,12 @@ def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_VISUAL_DEDUP_PARITY_SQL = f"""
 WITH g AS (SELECT i AS gid FROM generate_series(0, {_VISDEDUP_PARITY_N_GROUPS - 1}) gg(i)),
 pairs AS (
-    SELECT gid, 0 AS a, 1 AS b FROM g
-    UNION ALL SELECT gid, 0, 2 FROM g
-    UNION ALL SELECT gid, 1, 2 FROM g
+    SELECT gid, a.i AS a, b.i AS b
+    FROM g, generate_series(0, 3) a(i), generate_series(0, 3) b(i)
+    WHERE a.i < b.i
 )
-SELECT CAST(gid * 3 + a AS BIGINT) AS media_a,
-       CAST(gid * 3 + b AS BIGINT) AS media_b,
+SELECT CAST(gid * 4 + a AS BIGINT) AS media_a,
+       CAST(gid * 4 + b AS BIGINT) AS media_b,
        CAST(0 AS INT) AS hamming
 FROM pairs
 ORDER BY media_a, media_b
