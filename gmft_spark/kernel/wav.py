@@ -2,15 +2,16 @@
 decode seam (operators/multimodal.py previously raised
 ``NotImplementedError`` for every audio payload).
 
-Pure-spec implementation (RIFF container + PCM sample frames, the
-public WAVE format): encoder emits canonical 8/16/24/32-bit PCM and
-32-bit IEEE-float files for deterministic test corpora; decoder parses
-arbitrary chunk layouts (skipping LIST/fact/etc.), handles PCM
-(format 1), IEEE float (format 3) and WAVE_FORMAT_EXTENSIBLE (0xFFFE,
-routed by its SubFormat code), normalizing everything to int16 — with
-the same untrusted-input containment contract as
-kernel/raster.decode_png and kernel/jpeg.decode_jpeg — hostile sizes
-capped, every malformed stream a ``ValueError``."""
+Pure-spec implementation (RIFF container, public WAVE formats):
+encoder emits canonical 8/16/24/32-bit PCM, 32-bit IEEE-float, G.711
+µ-law/A-law, and IMA ADPCM files for deterministic test corpora;
+decoder parses arbitrary chunk layouts (skipping LIST etc.), handles
+PCM (format 1), IEEE float (3), A-law (6), µ-law (7), IMA ADPCM (17,
+fact-chunk-trimmed) and WAVE_FORMAT_EXTENSIBLE (0xFFFE, routed by its
+SubFormat code), normalizing everything to int16 — with the same
+untrusted-input containment contract as kernel/raster.decode_png and
+kernel/jpeg.decode_jpeg — hostile sizes capped, every malformed
+stream a ``ValueError``."""
 
 from __future__ import annotations
 
@@ -23,6 +24,188 @@ __all__ = ["encode_wav", "decode_wav", "probe_wav"]
 _MAX_SAMPLES = 1 << 26  # containment: ~64M samples (~256 MB mono f32)
 
 
+# ── IMA/DVI ADPCM (format 17, public IMA spec) ───────────────────────
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, idx: int, nibble: int) -> tuple:
+    """One IMA ADPCM state update (shared by encoder and decoder — the
+    encoder simulates the decoder so the pair never drifts)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble & 7]))
+    return pred, idx
+
+
+def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
+    step = _IMA_STEPS[idx]
+    delta = sample - pred
+    n = 0
+    if delta < 0:
+        n = 8
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    return n
+
+
+def _ima_decode_blocks(
+    payload: bytes, ch: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM data chunk → (n, ch) int16. Block layout: per-channel
+    4-byte header (predictor int16, step index, reserved), then 4-byte
+    nibble words round-robin across channels, low nibble first."""
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError("bad ADPCM block alignment")
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    words = (block_align - 4 * ch) // (4 * ch)
+    out = []
+    for b0 in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[b0 : b0 + block_align]
+        preds = []
+        idxs = []
+        chans = []
+        for c in range(ch):
+            pred, idx, _r = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError("bad ADPCM step index")
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        pos = 4 * ch
+        for _w in range(words):
+            for c in range(ch):
+                for byte in block[pos : pos + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(
+                            preds[c], idxs[c], nib
+                        )
+                        chans[c].append(preds[c])
+                pos += 4
+        frame = np.stack(
+            [np.array(chans[c][:spb], dtype=np.int16) for c in range(ch)],
+            axis=1,
+        )
+        out.append(frame)
+    if not out:
+        return np.zeros((0, ch), dtype=np.int16)
+    return np.concatenate(out, axis=0)
+
+
+def _ima_encode_blocks(
+    arr: np.ndarray, words_per_channel: int = 31
+) -> tuple:
+    """(n, ch) int16 → (payload bytes, block_align, samples_per_block).
+    Step index persists across blocks (each block header snapshots it,
+    exactly what the decoder reads)."""
+    n, ch = arr.shape
+    spb = words_per_channel * 8 + 1
+    block_align = 4 * ch + 4 * ch * words_per_channel
+    out = bytearray()
+    idxs = [0] * ch
+    pos = 0
+    while pos < n:
+        take = arr[pos : pos + spb]
+        if take.shape[0] < spb:  # pad the tail block by repetition
+            pad = np.repeat(take[-1:], spb - take.shape[0], axis=0)
+            take = np.concatenate([take, pad], axis=0)
+        preds = []
+        for c in range(ch):
+            pred = int(take[0, c])
+            out += struct.pack("<hBB", pred, idxs[c], 0)
+            preds.append(pred)
+        nibs = [[] for _ in range(ch)]
+        for s in range(1, spb):
+            for c in range(ch):
+                nib = _ima_encode_nibble(int(take[s, c]), preds[c], idxs[c])
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        per_word = 8
+        for w in range(words_per_channel):
+            for c in range(ch):
+                grp = nibs[c][w * per_word : (w + 1) * per_word]
+                for k in range(0, 8, 2):
+                    out.append(grp[k] | (grp[k + 1] << 4))
+        pos += spb
+    return bytes(out), block_align, spb
+
+
+# ── G.711 µ-law / A-law companding (ITU-T G.711, public formulas) ────
+
+
+def _mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 → µ-law code bytes (bias 0x84, clip 32635)."""
+    x = x.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _mulaw_decode(c: np.ndarray) -> np.ndarray:
+    c = (~c.astype(np.int32)) & 0xFF
+    sign = c & 0x80
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign > 0, -mag, mag).astype(np.int16)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 → A-law code bytes (even-bit inversion 0x55). Exact
+    inverse of ``_alaw_decode``'s midpoint cells: segment s >= 1 covers
+    [256 << (s-1), 512 << (s-1)) in steps of 16 << (s-1)."""
+    x = x.astype(np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 0x7FFF)
+    seg = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(
+        0, 7
+    )
+    small = mag < 256
+    mant = np.where(small, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    code = np.where(small, mant, (seg << 4) | mant)
+    return ((sign | code) ^ 0x55).astype(np.uint8)
+
+
+def _alaw_decode(c: np.ndarray) -> np.ndarray:
+    a = c.astype(np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    mag = np.where(
+        seg == 0,
+        t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << (seg - 1).clip(0)),
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
 def encode_wav(
     samples: np.ndarray,
     sample_rate: int = 16000,
@@ -33,17 +216,39 @@ def encode_wav(
     ``audio_format='pcm'`` with ``bits`` 8 (unsigned, offset 128),
     16 (int16 LE), 24 (int16 << 8, 3-byte LE) or 32 (int16 << 16);
     ``audio_format='float'`` (bits must be 32) writes IEEE float32 at
-    int16/32768 scale. Every depth roundtrips the int16 input exactly
-    through ``decode_wav``."""
+    int16/32768 scale — every PCM/float depth roundtrips the int16
+    input exactly through ``decode_wav``. ``'mulaw'`` / ``'alaw'``
+    (bits must be 8) write G.711 companded codes; ``'adpcm'`` (bits
+    must be 4) writes IMA ADPCM blocks with a fact chunk carrying the
+    true sample count — both lossy, bounded-error codings."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError("samples must be (n,) or (n, channels)")
     n, ch = arr.shape
-    if audio_format not in ("pcm", "float"):
-        raise ValueError("audio_format must be 'pcm' or 'float'")
-    if audio_format == "float":
+    if audio_format not in ("pcm", "float", "mulaw", "alaw", "adpcm"):
+        raise ValueError(
+            "audio_format must be 'pcm', 'float', 'mulaw', 'alaw' "
+            "or 'adpcm'"
+        )
+    fmt_extra = b""
+    fact = b""
+    if audio_format == "adpcm":
+        if bits != 4:
+            raise ValueError("IMA ADPCM WAVE is 4-bit")
+        payload, block, spb = _ima_encode_blocks(arr.astype(np.int16))
+        fmt_code = 17
+        fmt_extra = struct.pack("<HH", 2, spb)
+        fact = b"fact" + struct.pack("<II", 4, n)
+    elif audio_format in ("mulaw", "alaw"):
+        if bits != 8:
+            raise ValueError("G.711 companded WAVE is 8-bit")
+        enc = _mulaw_encode if audio_format == "mulaw" else _alaw_encode
+        payload = enc(arr.astype(np.int16)).tobytes()
+        block = ch
+        fmt_code = 7 if audio_format == "mulaw" else 6
+    elif audio_format == "float":
         if bits != 32:
             raise ValueError("float WAVE is 32-bit")
         payload = (arr.astype(np.float32) / 32768.0).astype("<f4").tobytes()
@@ -71,13 +276,15 @@ def encode_wav(
         fmt_code = 1
     else:
         raise ValueError("bits must be 8, 16, 24 or 32")
+    spb_div = spb if audio_format == "adpcm" else 1
     fmt = struct.pack(
-        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * block,
-        block, bits,
-    )
+        "<HHIIHH", fmt_code, ch, sample_rate,
+        sample_rate * block // spb_div, block, bits,
+    ) + fmt_extra
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + fact
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     if len(payload) % 2:
@@ -101,14 +308,16 @@ def _parse_chunks(data: bytes):
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode WAVE bytes → (int16 array (n, channels), sample_rate).
-    PCM 8/16/24/32-bit and IEEE float32 all normalize to int16 (wider
-    depths keep their top 16 bits; float is clipped at full scale).
-    WAVE_FORMAT_EXTENSIBLE routes by its SubFormat code. Genuinely
-    foreign codings (ADPCM, µ-law...) raise ``NotImplementedError``
-    (a format gap, not bad data)."""
+    PCM 8/16/24/32-bit, IEEE float32, G.711 µ-law/A-law (formats 7/6)
+    and IMA ADPCM (format 17, fact-chunk-trimmed) all normalize to
+    int16 (wider depths keep their top 16 bits; float is clipped at
+    full scale). WAVE_FORMAT_EXTENSIBLE routes by its SubFormat code.
+    Genuinely foreign codings (MS-ADPCM, MP3-in-WAV...) raise
+    ``NotImplementedError`` (a format gap, not bad data)."""
     fmt = None
     fmt_body = b""
     payload = None
+    n_fact = None
     try:
         for cid, body in _parse_chunks(data):
             if cid == b"fmt ":
@@ -118,6 +327,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 fmt_body = body
             elif cid == b"data":
                 payload = body
+            elif cid == b"fact" and len(body) >= 4:
+                (n_fact,) = struct.unpack("<I", body[:4])
     except struct.error as ex:
         raise ValueError(f"corrupt WAVE: {ex}") from ex
     if fmt is None or payload is None:
@@ -138,6 +349,27 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         flat = np.clip(
             np.round(f * 32768.0), -32768, 32767
         ).astype(np.int16)
+    elif audio_format in (6, 7):  # G.711 A-law / µ-law
+        if bits != 8:
+            raise ValueError("G.711 WAVE must be 8-bit")
+        codes = np.frombuffer(
+            payload[: len(payload) - len(payload) % ch], dtype=np.uint8
+        )
+        dec = _alaw_decode if audio_format == 6 else _mulaw_decode
+        flat = dec(codes)
+    elif audio_format == 17:  # IMA ADPCM
+        if bits != 4:
+            raise ValueError("IMA ADPCM WAVE must be 4-bit")
+        if _align < 4 * ch:
+            raise ValueError("bad ADPCM block alignment")
+        spb = (_align - 4 * ch) * 2 // ch + 1
+        est = (len(payload) // _align) * spb * ch
+        if est > 1 << 22:  # sequential python decode: tighter cap
+            raise ValueError("audio too large")
+        out = _ima_decode_blocks(payload, ch, _align)
+        if n_fact is not None:
+            out = out[:n_fact]
+        return np.ascontiguousarray(out), int(rate)
     elif audio_format != 1:
         raise NotImplementedError(
             f"non-PCM WAVE format {audio_format} not implemented"
@@ -201,8 +433,12 @@ def probe_wav(data: bytes) -> dict:
     if fmt is None or data_size is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, ch, rate, _brate, _align, bits = fmt
-    block = max(1, ch * (bits // 8))
-    n = data_size // block
+    if audio_format == 17 and ch >= 1 and _align >= 4 * ch:
+        spb = (_align - 4 * ch) * 2 // ch + 1
+        n = (data_size // _align) * spb
+    else:
+        block = max(1, ch * (bits // 8))
+        n = data_size // block
     return {
         "channels": int(ch),
         "sample_rate": int(rate),

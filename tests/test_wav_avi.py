@@ -97,15 +97,91 @@ def test_wav_extensible_routes_subformat():
     assert rate == 16000 and (dec[:, 0] == s).all()
 
 
+def test_g711_code_space_identity():
+    """decode(code) re-encodes to the same code for every one of the
+    256 code points — the standard G.711 consistency property."""
+    from gmft_spark.kernel.wav import (
+        _alaw_decode,
+        _alaw_encode,
+        _mulaw_decode,
+        _mulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    a_round = _alaw_encode(_alaw_decode(codes))
+    assert (a_round == codes).all()
+    m_round = _mulaw_encode(_mulaw_decode(codes))
+    # µ-law's negative zero (0x7F) decodes to 0, which re-encodes as
+    # positive zero (0xFF) — the one canonical exception
+    ok = (m_round == codes) | (codes == 0x7F)
+    assert ok.all() and m_round[0x7F] == 0xFF
+
+
+@pytest.mark.parametrize("fmt", ["mulaw", "alaw"])
+def test_g711_wav_roundtrip_bounded_error(fmt):
+    s = _sine()
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    b = encode_wav(st, 8000, bits=8, audio_format=fmt)
+    assert probe_wav(b)["bits"] == 8
+    dec, rate = decode_wav(b)
+    assert rate == 8000 and dec.shape == st.shape
+    err = np.abs(dec.astype(np.int32) - st.astype(np.int32))
+    # companding error is proportional to magnitude (segment size)
+    bound = np.abs(st.astype(np.int32)) // 8 + 80
+    assert (err <= bound).all()
+    # re-encoding the decoded signal is a fixpoint (codes are stable)
+    b2 = encode_wav(dec, 8000, bits=8, audio_format=fmt)
+    dec2, _ = decode_wav(b2)
+    assert (dec2 == dec).all()
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ima_adpcm_roundtrip(channels):
+    s = _sine(n=1000)
+    arr = (
+        s if channels == 1 else np.stack([s, (-s) // 2], axis=1)
+    ).astype(np.int16)
+    b = encode_wav(arr, 16000, bits=4, audio_format="adpcm")
+    info = probe_wav(b)
+    assert info["bits"] == 4 and info["channels"] == channels
+    dec, rate = decode_wav(b)
+    assert rate == 16000
+    # fact chunk trims the padded tail block to the true length
+    assert dec.shape == (1000, channels)
+    ref = arr.reshape(1000, channels).astype(np.int32)
+    err = np.abs(dec.astype(np.int32) - ref)
+    # the first samples carry the step-adaptation transient (idx starts
+    # at 0); once the step has ramped, tracking error is tight
+    assert err[100:].max() < 500 and err.mean() < 300
+
+
+def test_ima_adpcm_state_and_stream_shape():
+    from gmft_spark.kernel.wav import _ima_decode_blocks, _ima_step
+
+    # spec vector: from (pred=0, idx=0, step=7), nibble 0 adds step>>3
+    assert _ima_step(0, 0, 0) == (0, 0)
+    assert _ima_step(0, 0, 4) == (7, 2)  # +step, index += 2
+    assert _ima_step(0, 0, 12) == (-7, 2)  # sign bit subtracts
+    # clamping: index floors at 0, prediction clips to int16
+    assert _ima_step(32767, 88, 7)[0] == 32767 - 0  # nibble 7 < 8: adds
+    assert _ima_step(0, 0, 8) == (0, 0)
+    # a malformed step index in a block header is contained
+    import struct as _s
+
+    bad = _s.pack("<hBB", 0, 99, 0) + b"\x00" * 4
+    with pytest.raises(ValueError):
+        _ima_decode_blocks(bad, 1, 8)
+
+
 def test_wav_containment():
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         decode_wav(encode_wav(_sine(), 16000)[:30])  # truncated chunk
-    # genuinely foreign coding (IMA ADPCM) is a format gap, not bad data
+    # genuinely foreign coding (MS-ADPCM) is a format gap, not bad data
     b = bytearray(encode_wav(_sine(128), 16000))
     i = b.find(b"fmt ")
-    b[i + 8] = 17  # IMA ADPCM format code
+    b[i + 8] = 2  # MS-ADPCM format code
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(b))
     # float claimed at 16 bits is malformed, not a gap
