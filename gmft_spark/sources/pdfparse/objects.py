@@ -3,7 +3,11 @@
 Parses the subset of PDF 1.x needed to extract positioned text from the
 reference corpus: object scanning (robust against broken xref tables),
 object streams (``/Type /ObjStm``), FlateDecode (with PNG predictors),
-dictionaries/arrays/strings/names/numbers/references, and the page tree.
+dictionaries/arrays/strings/names/numbers/references, the page tree,
+and encrypted documents (standard security handler, empty user
+password — crypt.py; strings and streams decrypt at object-load time,
+BEFORE any filter runs, so the rest of the parser never sees
+ciphertext; xref streams and the /Encrypt dict stay raw per spec).
 
 This is an independent implementation informed only by the public PDF
 specification (ISO 32000-1). It deliberately does NOT implement xref
@@ -538,9 +542,13 @@ class PDFFile:
     def __init__(self, data: bytes):
         self.data = data
         self._offsets: Dict[int, int] = {}
+        self._gens: Dict[int, int] = {}
         self._cache: Dict[int, Any] = {}
         self._objstm_members: Dict[int, Tuple[int, int]] = {}  # objnum -> (stm_num, idx)
+        self._crypt = None  # set by _init_encryption for encrypted files
+        self._crypt_num: Optional[int] = None
         self._scan_objects()
+        self._init_encryption()
         self._expand_object_streams()
         self._trailer = self._find_trailer()
         self._pages: Optional[List[dict]] = None
@@ -555,7 +563,64 @@ class PDFFile:
                 b" ", b"\n", b"\r", b"\t", b"\x00", b"\x0c", b">", b"]",
             ):
                 continue
-            self._offsets[int(m.group(1))] = m.end()
+            num = int(m.group(1))
+            self._offsets[num] = m.end()
+            self._gens[num] = int(m.group(2))
+
+    def _init_encryption(self) -> None:
+        """Attach the standard security handler BEFORE any stream is
+        decoded (object streams are encrypted; xref streams are not).
+        Empty-user-password documents open transparently; a required
+        user password raises ValueError at open (crypt.PDFCrypt)."""
+        if self.data.find(b"/Encrypt") < 0:
+            return
+        enc_ref = None
+        file_id = b""
+        for m in re.finditer(rb"trailer", self.data):
+            lx = Lexer(self.data, m.end())
+            try:
+                obj = parse_object(lx, self)
+            except Exception:
+                continue
+            if isinstance(obj, dict):
+                if obj.get("Encrypt") is not None:
+                    enc_ref = obj["Encrypt"]
+                if obj.get("ID"):
+                    file_id = obj["ID"]
+        if enc_ref is None:
+            # XRef-stream-only layout: the trailer fields live in the
+            # XRef stream dict (never encrypted, safe to decode now).
+            # Only genuine XRef streams are cached — a byte-scan false
+            # positive must NOT enter the cache before decryption is up.
+            for num in self._objects_marked(b"XRef"):
+                try:
+                    obj = self._load_at_offset(self._offsets[num])
+                except Exception:
+                    continue
+                if isinstance(obj, Stream) and obj.dict.get("Type") == "XRef":
+                    self._cache[num] = obj
+                    if obj.dict.get("Encrypt") is not None:
+                        enc_ref = obj.dict["Encrypt"]
+                    if obj.dict.get("ID"):
+                        file_id = obj.dict["ID"]
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        from gmft_spark.sources.pdfparse.crypt import PDFCrypt
+
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        id0 = b""
+        if isinstance(file_id, list) and file_id:
+            first = self.resolve(file_id[0])
+            if isinstance(first, bytes):
+                id0 = first
+        self._crypt = PDFCrypt(enc, id0)
+        if isinstance(enc_ref, Ref):
+            self._crypt_num = enc_ref[0]  # its strings stay raw
+        else:
+            self._crypt_num = None
 
     def _objects_marked(self, token: bytes) -> List[int]:
         """Object numbers whose raw bytes can contain ``token``, in byte
@@ -587,7 +652,7 @@ class PDFFile:
         # first get_object.
         for num in self._objects_marked(b"ObjStm"):
             try:
-                obj = self._load_at_offset(self._offsets[num])
+                obj = self._load_direct(num)
             except Exception:
                 continue
             if isinstance(obj, Stream) and obj.dict.get("Type") == "ObjStm":
@@ -639,6 +704,17 @@ class PDFFile:
         lx = Lexer(self.data, pos)
         return parse_object(lx, self)
 
+    def _load_direct(self, num: int) -> Any:
+        """Load a top-level (non-ObjStm-member) object, applying the
+        security handler to its strings and stream bytes. ObjStm
+        members are NOT decrypted separately — their container was."""
+        obj = self._load_at_offset(self._offsets[num])
+        if self._crypt is not None and num != self._crypt_num:
+            obj = self._crypt.decrypt_object(
+                obj, num, self._gens.get(num, 0)
+            )
+        return obj
+
     # -- object access ----------------------------------------------------
 
     def get_object(self, num: int) -> Any:
@@ -647,7 +723,7 @@ class PDFFile:
         obj = None
         if num in self._offsets:
             try:
-                obj = self._load_at_offset(self._offsets[num])
+                obj = self._load_direct(num)
             except Exception:
                 obj = None
         elif num in self._objstm_members:

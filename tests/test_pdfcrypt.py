@@ -1,0 +1,148 @@
+"""PDF standard security handler (sources/pdfparse/crypt.py).
+
+Evidence model: published cipher vectors (FIPS-197 appendix C, the
+classic RC4 test vector) pin the from-scratch primitives; the
+encryptor twin then proves the document-level contract — an encrypted
+PDF with an empty user password extracts WORD-IDENTICAL text to its
+plain original, across every handler revision (RC4 40/128, AESV2,
+AES-256/R6) and across the whole reference corpus. Password-protected
+and public-key documents fail closed with the exact exception type the
+pipeline's error containment expects."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from gmft_spark.sources.pdfparse import ParsedPDF
+from gmft_spark.sources.pdfparse.crypt import (
+    _INV_SBOX,
+    _SBOX,
+    PDFCrypt,
+    _decrypt_blocks_ecb,
+    _encrypt_block,
+    _expand_key,
+    _hash_2b,
+    aes_cbc_decrypt,
+    aes_cbc_encrypt,
+    encrypt_pdf,
+    make_encrypt_dict,
+    rc4,
+)
+
+PDF_DIR = "/root/reference/data/pdfs"
+TINY = open(f"{PDF_DIR}/tiny.pdf", "rb").read()
+
+
+# ── primitive vectors ────────────────────────────────────────────────
+
+
+def test_sbox_spot_values():
+    assert _SBOX[0x00] == 0x63 and _SBOX[0x01] == 0x7C
+    assert _SBOX[0x53] == 0xED and _SBOX[0xFF] == 0x16
+    assert all(_INV_SBOX[_SBOX[a]] == a for a in range(256))
+
+
+def test_aes_fips197_vectors():
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rks, nr = _expand_key(bytes(range(16)))
+    assert _encrypt_block(pt, rks, nr).hex() == (
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    rks2, nr2 = _expand_key(bytes(range(32)))
+    assert _encrypt_block(pt, rks2, nr2).hex() == (
+        "8ea2b7ca516745bfeafc49904b496089"
+    )
+    # vectorized inverse cipher inverts the reference encryption
+    ct = _encrypt_block(pt, rks, nr)
+    back = _decrypt_blocks_ecb(
+        np.frombuffer(ct, dtype=np.uint8).reshape(1, 16), rks, nr
+    ).tobytes()
+    assert back == pt
+
+
+def test_aes_cbc_roundtrip_and_containment():
+    key = bytes(range(16))
+    iv = bytes(range(100, 116))
+    for n in (0, 1, 15, 16, 17, 333):
+        data = bytes((7 * i + 3) % 256 for i in range(n))
+        assert aes_cbc_decrypt(key, iv + aes_cbc_encrypt(key, iv, data)) == data
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, b"short")
+    with pytest.raises(ValueError):
+        aes_cbc_decrypt(key, bytes(16) + b"x" * 15)  # unaligned body
+    with pytest.raises(ValueError):
+        aes_cbc_encrypt(key, iv, b"abc", pad=False)
+
+
+def test_rc4_vector():
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    data = b"symmetric" * 9
+    assert rc4(b"k2", rc4(b"k2", data)) == data
+
+
+def test_hash_2b_is_deterministic_32_bytes():
+    a = _hash_2b(b"", b"saltsalt", b"")
+    assert len(a) == 32 and a == _hash_2b(b"", b"saltsalt", b"")
+    assert a != _hash_2b(b"", b"other..!", b"")
+
+
+# ── document-level goldens ───────────────────────────────────────────
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_tiny_roundtrip_word_identical(mode):
+    plain = ParsedPDF(TINY)
+    ref = [plain.page_words(i) for i in range(len(plain))]
+    doc = ParsedPDF(encrypt_pdf(TINY, mode))
+    assert [doc.page_words(i) for i in range(len(doc))] == ref
+
+
+def test_corpus_roundtrip_rc4_128():
+    """Every corpus PDF (ObjStm flattening, fonts, images included)
+    survives encrypt→parse with word-identical extraction."""
+    for path in sorted(glob.glob(f"{PDF_DIR}/*.pdf")):
+        data = open(path, "rb").read()
+        plain = ParsedPDF(data)
+        ref = [plain.page_words(i) for i in range(len(plain))]
+        doc = ParsedPDF(encrypt_pdf(data, "rc4-128"))
+        got = [doc.page_words(i) for i in range(len(doc))]
+        assert got == ref, path
+
+
+def test_double_encryption_rejected():
+    enc = encrypt_pdf(TINY, "rc4-128")
+    with pytest.raises(ValueError):
+        encrypt_pdf(enc)
+
+
+# ── failure-closed paths ─────────────────────────────────────────────
+
+
+def test_user_password_required_raises():
+    import hashlib
+    import struct
+
+    id0 = hashlib.md5(TINY[:1024] + struct.pack("<I", len(TINY))).digest()
+    for mode in ("rc4-128", "aesv3"):
+        d = make_encrypt_dict(mode, id0)
+        d["U"] = bytes(len(bytes(d["U"])))  # corrupt the /U check value
+        with pytest.raises(ValueError, match="password"):
+            PDFCrypt(d, id0)
+
+
+def test_public_key_handler_is_a_named_seam():
+    from gmft_spark.sources.pdfparse.objects import Name
+
+    with pytest.raises(NotImplementedError):
+        PDFCrypt({"Filter": Name("Adobe.PubSec")}, b"")
+
+
+def test_encrypted_doc_with_wrong_password_fails_at_open():
+    enc = bytearray(encrypt_pdf(TINY, "rc4-128"))
+    # corrupt the /U entry inside the serialized Encrypt dict: find its
+    # hex string by key and flip bytes
+    i = enc.find(b"/U <")
+    enc[i + 4 : i + 12] = b"00000000"
+    with pytest.raises(ValueError, match="password"):
+        ParsedPDF(bytes(enc))
