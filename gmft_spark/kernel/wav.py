@@ -4,11 +4,12 @@ decode seam (operators/multimodal.py previously raised
 
 Pure-spec implementation (RIFF container, public WAVE formats):
 encoder emits canonical 8/16/24/32-bit PCM, 32-bit IEEE-float, G.711
-µ-law/A-law, and IMA ADPCM files for deterministic test corpora;
-decoder parses arbitrary chunk layouts (skipping LIST etc.), handles
-PCM (format 1), IEEE float (3), A-law (6), µ-law (7), IMA ADPCM (17,
-fact-chunk-trimmed) and WAVE_FORMAT_EXTENSIBLE (0xFFFE, routed by its
-SubFormat code), normalizing everything to int16 — with the same
+µ-law/A-law, and IMA/Microsoft ADPCM files for deterministic test
+corpora; decoder parses arbitrary chunk layouts (skipping LIST etc.),
+handles PCM (format 1), MS-ADPCM (2), IEEE float (3), A-law (6),
+µ-law (7), IMA ADPCM (17) — both ADPCMs fact-chunk-trimmed — and
+WAVE_FORMAT_EXTENSIBLE (0xFFFE, routed by its SubFormat code),
+normalizing everything to int16 — with the same
 untrusted-input containment contract as kernel/raster.decode_png and
 kernel/jpeg.decode_jpeg — hostile sizes capped, every malformed
 stream a ``ValueError``."""
@@ -156,6 +157,115 @@ def _ima_encode_blocks(
     return bytes(out), block_align, spb
 
 
+# ── Microsoft ADPCM (format 2, public RIFF spec) ─────────────────────
+
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_decode_blocks(
+    payload: bytes, ch: int, block_align: int
+) -> np.ndarray:
+    """MS-ADPCM data chunk → (n, ch) int16. Block: per-channel
+    predictor index (u8), then per-channel delta (i16), sample1 (i16),
+    sample2 (i16); body nibbles alternate channels, HIGH nibble first."""
+    head = 7 * ch
+    if block_align <= head:
+        raise ValueError("bad MS-ADPCM block alignment")
+    spb = (block_align - head) * 2 // ch + 2
+    out = []
+    for b0 in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[b0 : b0 + block_align]
+        coef = []
+        for c in range(ch):
+            ip = block[c]
+            if ip >= len(_MS_COEFS):
+                raise ValueError("bad MS-ADPCM predictor index")
+            coef.append(_MS_COEFS[ip])
+        delta = list(
+            struct.unpack_from(f"<{ch}h", block, ch)
+        )
+        s1 = list(struct.unpack_from(f"<{ch}h", block, 3 * ch))
+        s2 = list(struct.unpack_from(f"<{ch}h", block, 5 * ch))
+        chans = [[s2[c], s1[c]] for c in range(ch)]
+        c = 0
+        for byte in block[head:]:
+            for nib in (byte >> 4, byte & 0xF):
+                signed = nib - 16 if nib & 8 else nib
+                c1, c2 = coef[c]
+                pred = (s1[c] * c1 + s2[c] * c2) // 256 + signed * delta[c]
+                pred = max(-32768, min(32767, pred))
+                chans[c].append(pred)
+                s2[c], s1[c] = s1[c], pred
+                delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) // 256)
+                c = (c + 1) % ch
+        frame = np.stack(
+            [np.array(chans[k][:spb], dtype=np.int16) for k in range(ch)],
+            axis=1,
+        )
+        out.append(frame)
+    if not out:
+        return np.zeros((0, ch), dtype=np.int16)
+    return np.concatenate(out, axis=0)
+
+
+def _ms_encode_blocks(
+    arr: np.ndarray, body_bytes: int = 124
+) -> tuple:
+    """(n, ch) int16 → (payload, block_align, samples_per_block). Uses
+    predictor 0 (coef 256/0 — previous-sample prediction) with the
+    standard delta adaptation; the encoder runs the decoder's exact
+    update so the pair never drifts."""
+    n, ch = arr.shape
+    if body_bytes % ch:
+        body_bytes += ch - body_bytes % ch
+    block_align = 7 * ch + body_bytes
+    spb = body_bytes * 2 // ch + 2
+    out = bytearray()
+    pos = 0
+    while pos < n:
+        take = arr[pos : pos + spb]
+        if take.shape[0] < spb:
+            pad = np.repeat(take[-1:], spb - take.shape[0], axis=0)
+            take = np.concatenate([take, pad], axis=0)
+        s2 = [int(take[0, c]) for c in range(ch)]
+        s1 = [int(take[1, c]) for c in range(ch)]
+        delta = [
+            max(16, abs(int(take[2, c]) - s1[c]) // 4 or 16)
+            for c in range(ch)
+        ]
+        out += bytes([0] * ch)  # predictor index 0 per channel
+        out += struct.pack(f"<{ch}h", *delta)
+        out += struct.pack(f"<{ch}h", *s1)
+        out += struct.pack(f"<{ch}h", *s2)
+        nibs = []
+        state = [list(x) for x in zip(s1, s2, delta)]
+        for s in range(2, spb):
+            for c in range(ch):
+                cs1, cs2, cd = state[c]
+                pred = (cs1 * 256 + cs2 * 0) // 256
+                err = int(take[s, c]) - pred
+                nib = max(-8, min(7, int(round(err / cd)))) & 0xF
+                signed = nib - 16 if nib & 8 else nib
+                val = max(-32768, min(32767, pred + signed * cd))
+                state[c] = [
+                    val,
+                    cs1,
+                    max(16, (_MS_ADAPT[nib] * cd) // 256),
+                ]
+                nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            out.append((nibs[i] << 4) | nibs[i + 1])
+        pos += spb
+    return bytes(out), block_align, spb
+
+
 # ── G.711 µ-law / A-law companding (ITU-T G.711, public formulas) ────
 
 
@@ -218,19 +328,22 @@ def encode_wav(
     ``audio_format='float'`` (bits must be 32) writes IEEE float32 at
     int16/32768 scale — every PCM/float depth roundtrips the int16
     input exactly through ``decode_wav``. ``'mulaw'`` / ``'alaw'``
-    (bits must be 8) write G.711 companded codes; ``'adpcm'`` (bits
-    must be 4) writes IMA ADPCM blocks with a fact chunk carrying the
-    true sample count — both lossy, bounded-error codings."""
+    (bits must be 8) write G.711 companded codes; ``'adpcm'`` /
+    ``'msadpcm'`` (bits must be 4) write IMA / Microsoft ADPCM blocks
+    with a fact chunk carrying the true sample count — all lossy,
+    bounded-error codings."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError("samples must be (n,) or (n, channels)")
     n, ch = arr.shape
-    if audio_format not in ("pcm", "float", "mulaw", "alaw", "adpcm"):
+    if audio_format not in (
+        "pcm", "float", "mulaw", "alaw", "adpcm", "msadpcm",
+    ):
         raise ValueError(
-            "audio_format must be 'pcm', 'float', 'mulaw', 'alaw' "
-            "or 'adpcm'"
+            "audio_format must be 'pcm', 'float', 'mulaw', 'alaw', "
+            "'adpcm' or 'msadpcm'"
         )
     fmt_extra = b""
     fact = b""
@@ -240,6 +353,16 @@ def encode_wav(
         payload, block, spb = _ima_encode_blocks(arr.astype(np.int16))
         fmt_code = 17
         fmt_extra = struct.pack("<HH", 2, spb)
+        fact = b"fact" + struct.pack("<II", 4, n)
+    elif audio_format == "msadpcm":
+        if bits != 4:
+            raise ValueError("MS-ADPCM WAVE is 4-bit")
+        payload, block, spb = _ms_encode_blocks(arr.astype(np.int16))
+        fmt_code = 2
+        coefs = b"".join(
+            struct.pack("<hh", a, b) for a, b in _MS_COEFS
+        )
+        fmt_extra = struct.pack("<HHH", 32, spb, len(_MS_COEFS)) + coefs
         fact = b"fact" + struct.pack("<II", 4, n)
     elif audio_format in ("mulaw", "alaw"):
         if bits != 8:
@@ -276,7 +399,7 @@ def encode_wav(
         fmt_code = 1
     else:
         raise ValueError("bits must be 8, 16, 24 or 32")
-    spb_div = spb if audio_format == "adpcm" else 1
+    spb_div = spb if audio_format in ("adpcm", "msadpcm") else 1
     fmt = struct.pack(
         "<HHIIHH", fmt_code, ch, sample_rate,
         sample_rate * block // spb_div, block, bits,
@@ -308,12 +431,13 @@ def _parse_chunks(data: bytes):
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode WAVE bytes → (int16 array (n, channels), sample_rate).
-    PCM 8/16/24/32-bit, IEEE float32, G.711 µ-law/A-law (formats 7/6)
-    and IMA ADPCM (format 17, fact-chunk-trimmed) all normalize to
-    int16 (wider depths keep their top 16 bits; float is clipped at
-    full scale). WAVE_FORMAT_EXTENSIBLE routes by its SubFormat code.
-    Genuinely foreign codings (MS-ADPCM, MP3-in-WAV...) raise
-    ``NotImplementedError`` (a format gap, not bad data)."""
+    PCM 8/16/24/32-bit, IEEE float32, G.711 µ-law/A-law (formats 7/6),
+    MS-ADPCM (format 2) and IMA ADPCM (format 17), both
+    fact-chunk-trimmed, all normalize to int16 (wider depths keep
+    their top 16 bits; float is clipped at full scale).
+    WAVE_FORMAT_EXTENSIBLE routes by its SubFormat code. Genuinely
+    foreign codings (MP3-in-WAV, GSM...) raise ``NotImplementedError``
+    (a format gap, not bad data)."""
     fmt = None
     fmt_body = b""
     payload = None
@@ -357,16 +481,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         )
         dec = _alaw_decode if audio_format == 6 else _mulaw_decode
         flat = dec(codes)
-    elif audio_format == 17:  # IMA ADPCM
+    elif audio_format in (2, 17):  # MS-ADPCM / IMA ADPCM
         if bits != 4:
-            raise ValueError("IMA ADPCM WAVE must be 4-bit")
-        if _align < 4 * ch:
+            raise ValueError("ADPCM WAVE must be 4-bit")
+        head = 7 * ch if audio_format == 2 else 4 * ch
+        if _align <= head:
             raise ValueError("bad ADPCM block alignment")
-        spb = (_align - 4 * ch) * 2 // ch + 1
+        extra = 2 if audio_format == 2 else 1
+        spb = (_align - head) * 2 // ch + extra
         est = (len(payload) // _align) * spb * ch
         if est > 1 << 22:  # sequential python decode: tighter cap
             raise ValueError("audio too large")
-        out = _ima_decode_blocks(payload, ch, _align)
+        dec = _ms_decode_blocks if audio_format == 2 else _ima_decode_blocks
+        out = dec(payload, ch, _align)
         if n_fact is not None:
             out = out[:n_fact]
         return np.ascontiguousarray(out), int(rate)
@@ -433,8 +560,10 @@ def probe_wav(data: bytes) -> dict:
     if fmt is None or data_size is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, ch, rate, _brate, _align, bits = fmt
-    if audio_format == 17 and ch >= 1 and _align >= 4 * ch:
-        spb = (_align - 4 * ch) * 2 // ch + 1
+    head = (7 if audio_format == 2 else 4) * max(1, ch)
+    if audio_format in (2, 17) and ch >= 1 and _align > head:
+        extra = 2 if audio_format == 2 else 1
+        spb = (_align - head) * 2 // ch + extra
         n = (data_size // _align) * spb
     else:
         block = max(1, ch * (bits // 8))

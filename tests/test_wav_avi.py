@@ -155,6 +155,45 @@ def test_ima_adpcm_roundtrip(channels):
     assert err[100:].max() < 500 and err.mean() < 300
 
 
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ms_adpcm_roundtrip(channels):
+    s = _sine(n=1200)
+    arr = (
+        s if channels == 1 else np.stack([s, (-s) // 3], axis=1)
+    ).astype(np.int16)
+    b = encode_wav(arr, 22050, bits=4, audio_format="msadpcm")
+    info = probe_wav(b)
+    assert info["bits"] == 4 and info["channels"] == channels
+    dec, rate = decode_wav(b)
+    assert rate == 22050
+    assert dec.shape == (1200, channels)  # fact-trimmed
+    ref = arr.reshape(1200, channels).astype(np.int32)
+    err = np.abs(dec.astype(np.int32) - ref)
+    # header carries two verbatim samples per block; the 4-bit body
+    # tracks within the adapted delta after the initial settle
+    assert err[50:].max() < 1500 and err.mean() < 400
+
+
+def test_ms_adpcm_containment():
+    import struct as _s
+
+    from gmft_spark.kernel.wav import _ms_decode_blocks
+
+    bad = bytes([9]) + b"\x00" * 10  # predictor index out of range
+    with pytest.raises(ValueError):
+        _ms_decode_blocks(bad, 1, 11)
+    with pytest.raises(ValueError):
+        _ms_decode_blocks(b"", 1, 5)  # block smaller than its header
+    # declared ADPCM with a PCM-sized block alignment is malformed
+    b = bytearray(encode_wav(_sine(64), 8000))
+    i = b.find(b"fmt ")
+    b[i + 8] = 2
+    _s.pack_into("<H", b, i + 8 + 12, 2)  # block_align 2 <= header 7
+    b[i + 8 + 14] = 4  # bits
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+
+
 def test_ima_adpcm_state_and_stream_shape():
     from gmft_spark.kernel.wav import _ima_decode_blocks, _ima_step
 
@@ -178,10 +217,10 @@ def test_wav_containment():
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         decode_wav(encode_wav(_sine(), 16000)[:30])  # truncated chunk
-    # genuinely foreign coding (MS-ADPCM) is a format gap, not bad data
+    # genuinely foreign coding (MPEG-in-WAV) is a format gap
     b = bytearray(encode_wav(_sine(128), 16000))
     i = b.find(b"fmt ")
-    b[i + 8] = 2  # MS-ADPCM format code
+    b[i + 8] = 85  # MPEG layer 3 format code
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(b))
     # float claimed at 16 bits is malformed, not a gap
