@@ -312,9 +312,13 @@ def _real_decode(
             from gmft_spark.kernel.bmp import decode_bmp
 
             return _gray_hist(decode_bmp(payload)), 1
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from gmft_spark.kernel.webp import decode_webp
+
+            return _gray_hist(decode_webp(payload)[:, :, :3]), 1
         raise NotImplementedError(
-            "non-PNG/JPEG/TIFF/GIF/BMP image decode needs PIL on "
-            "executors; install and implement here"
+            "non-PNG/JPEG/TIFF/GIF/BMP/WebP-lossless image decode "
+            "needs PIL on executors; install and implement here"
         )
     if modality == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -480,10 +484,17 @@ def resize_images(
                             from gmft_spark.kernel.bmp import decode_bmp
 
                             px = decode_bmp(raw)
+                        elif (
+                            raw[:4] == b"RIFF" and raw[8:12] == b"WEBP"
+                        ):
+                            from gmft_spark.kernel.webp import decode_webp
+
+                            px = decode_webp(raw)[:, :, :3]
                         else:
                             raise NotImplementedError(
-                                "non-PNG/JPEG/TIFF/GIF/BMP image resize "
-                                "needs PIL; install and implement here"
+                                "non-PNG/JPEG/TIFF/GIF/BMP/WebP image "
+                                "resize needs PIL; install and "
+                                "implement here"
                             )
                         resized = resize_bilinear(px, out_h, out_w)
                         if out_format == "png":
@@ -584,9 +595,13 @@ def _decode_image_payload(payload: bytes) -> np.ndarray:
         from gmft_spark.kernel.bmp import decode_bmp
 
         return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from gmft_spark.kernel.webp import decode_webp
+
+        return decode_webp(payload)[:, :, :3]
     raise NotImplementedError(
-        "non-PNG/JPEG/TIFF/GIF/BMP image decode needs PIL on executors; "
-        "install and implement here"
+        "non-PNG/JPEG/TIFF/GIF/BMP/WebP-lossless image decode needs "
+        "PIL on executors; install and implement here"
     )
 
 
