@@ -151,9 +151,10 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     """Media table whose payloads are REAL decodable files across all
     three modalities, generated distributively from media_id alone:
     images rotate PNG (kernel/raster.py), baseline JPEG
-    (kernel/jpeg.py), LZW TIFF (kernel/tiff.py), GIF (kernel/gif.py)
-    and gray BMP (kernel/bmp.py); audio is PCM WAVE sine bursts
-    (kernel/wav.py); video rotates MJPEG-in-AVI (kernel/avi.py),
+    (kernel/jpeg.py), LZW TIFF (kernel/tiff.py), GIF (kernel/gif.py),
+    gray BMP (kernel/bmp.py) and lossless WebP (kernel/webp.py); audio
+    is PCM WAVE sine bursts (kernel/wav.py); video rotates
+    MJPEG-in-AVI (kernel/avi.py),
     MJPEG-in-MP4 (kernel/mp4.py) and animated-GIF gradient frames. The
     real decode path (extract_features(decode_mode='real')) runs
     end-to-end on this table with zero external libraries."""
@@ -165,6 +166,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     from gmft_spark.kernel.raster import encode_png
     from gmft_spark.kernel.tiff import encode_tiff
     from gmft_spark.kernel.wav import encode_wav
+    from gmft_spark.kernel.webp import encode_webp_lossless
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -172,7 +174,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
             for mid in batch["id"]:
                 mid = int(mid)
                 kind = mid % 3
-                if kind == 0:  # image: PNG/JPEG/TIFF/GIF/BMP rotation
+                if kind == 0:  # PNG/JPEG/TIFF/GIF/BMP/WebP rotation
                     h, w = 24 + mid % 16, 40
                     arr = (
                         (
@@ -182,7 +184,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         )
                         % 256
                     ).astype(np.uint8)
-                    sub = (mid // 3) % 5
+                    sub = (mid // 3) % 6
                     if sub == 0:
                         payload = encode_png(arr)
                         mime = "image/png"
@@ -195,9 +197,15 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                     elif sub == 3:
                         payload = encode_gif([arr])
                         mime = "image/gif"
-                    else:
+                    elif sub == 4:
                         payload = encode_bmp(arr, bits=8)
                         mime = "image/bmp"
+                    else:
+                        payload = encode_webp_lossless(
+                            np.stack([arr, arr, arr], axis=2),
+                            subtract_green=True,
+                        )
+                        mime = "image/webp"
                     meta = (mime, w, h, 0)
                 elif kind == 1:  # audio
                     rate = 8000
