@@ -716,21 +716,16 @@ class _CodeSet:
         _write_code_msb(bw, self.codes[s], self.lengths[s])
 
 
-def _encode_image(
-    bw: _Writer,
-    argb: np.ndarray,
-    tokens: Optional[List] = None,
-) -> None:
-    """Entropy-code an ARGB image with one prefix group, no cache, no
-    meta groups. ``tokens`` (from the LZ77 pass) override the default
-    all-literals stream."""
+def _encode_image(bw: _Writer, argb: np.ndarray) -> None:
+    """Entropy-code a SUB-image (transform data / entropy image): one
+    prefix group, all literals, no cache, no meta groups — the exact
+    stream shape ``_decode_image(level0=False)`` reads."""
     h, w, _ = argb.shape
-    if tokens is None:
-        tokens = [
-            ("lit", tuple(int(v) for v in argb[y, x]))
-            for y in range(h)
-            for x in range(w)
-        ]
+    tokens = [
+        ("lit", tuple(int(v) for v in argb[y, x]))
+        for y in range(h)
+        for x in range(w)
+    ]
     gfreq = [0] * 280
     rfreq = [0] * 256
     bfreq = [0] * 256
