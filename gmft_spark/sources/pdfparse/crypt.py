@@ -583,12 +583,18 @@ def serialize_object(obj: Any) -> bytes:
     raise ValueError(f"unserializable object {type(obj).__name__}")
 
 
-def encrypt_pdf(data: bytes, mode: str = "rc4-128") -> bytes:
+def encrypt_pdf(
+    data: bytes, mode: str = "rc4-128", xref_stream: bool = False
+) -> bytes:
     """Re-serialize an UNENCRYPTED PDF with every string and stream
     encrypted under an empty user password (object streams are
-    flattened to top-level objects; a classic xref table is written).
-    The decrypt-side golden: parsing the result must extract text
-    byte-identical to the plain input."""
+    flattened to top-level objects). ``xref_stream=False`` writes a
+    classic xref table + trailer; ``xref_stream=True`` writes the
+    modern layout — a /Type/XRef stream carrying the trailer fields
+    (incl. /Encrypt) in its own dict, which per spec stays
+    UNENCRYPTED: the decoder's _init_encryption XRef probe is the
+    consumer. The decrypt-side golden either way: parsing the result
+    must extract text byte-identical to the plain input."""
     from gmft_spark.sources.pdfparse.objects import (
         Name,
         PDFFile,
@@ -625,17 +631,8 @@ def encrypt_pdf(data: bytes, mode: str = "rc4-128") -> bytes:
     out += serialize_object(enc_dict)
     out += b"\nendobj\n"
 
-    xref_at = len(out)
-    size = max(offsets) + 2
-    out += b"xref\n0 %d\n" % size
-    out += b"0000000000 65535 f \n"
-    for num in range(1, size):
-        if num in offsets:
-            out += b"%010d 00000 n \n" % offsets[num]
-        else:
-            out += b"0000000000 65535 f \n"
     trailer = {
-        "Size": size,
+        "Size": 0,  # patched below
         "Root": pdf.trailer.get("Root"),
         "Encrypt": Ref(enc_num, 0),
         "ID": [id0, id0],
@@ -644,6 +641,39 @@ def encrypt_pdf(data: bytes, mode: str = "rc4-128") -> bytes:
         pdf.trailer.get("Info"), Ref
     ):
         trailer["Info"] = pdf.trailer["Info"]
+    if xref_stream:
+        xref_num = enc_num + 1
+        size = xref_num + 1
+        trailer["Size"] = size
+        offsets[xref_num] = len(out)
+        # W = [1 4 2]: type byte, 4-byte offset, 2-byte generation
+        rows = bytearray()
+        for num in range(size):
+            if num in offsets:
+                rows += struct.pack(">BIH", 1, offsets[num], 0)
+            else:
+                rows += struct.pack(">BIH", 0, 0, 65535)
+        xdict = dict(trailer)
+        xdict["Type"] = Name("XRef")
+        xdict["W"] = [1, 4, 2]
+        xdict["Index"] = [0, size]
+        st = Stream(xdict, bytes(rows))
+        xref_at = len(out)
+        out += b"%d 0 obj\n" % xref_num
+        out += serialize_object(st)
+        out += b"\nendobj\n"
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(out)
+    xref_at = len(out)
+    size = max(offsets) + 2
+    trailer["Size"] = size
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
     out += b"trailer\n" + serialize_object(trailer)
     out += b"\nstartxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)

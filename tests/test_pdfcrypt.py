@@ -110,6 +110,19 @@ def test_corpus_roundtrip_rc4_128():
         assert got == ref, path
 
 
+@pytest.mark.parametrize("mode", ["rc4-128", "aesv3"])
+def test_xref_stream_layout_roundtrip(mode):
+    """Modern layout: /Encrypt travels in the XRef STREAM's dict (no
+    classic trailer) — exercises _init_encryption's XRef probe and the
+    xref-streams-stay-unencrypted exemption."""
+    plain = ParsedPDF(TINY)
+    ref = [plain.page_words(i) for i in range(len(plain))]
+    enc = encrypt_pdf(TINY, mode, xref_stream=True)
+    assert b"trailer" not in enc
+    doc = ParsedPDF(enc)
+    assert [doc.page_words(i) for i in range(len(doc))] == ref
+
+
 def test_double_encryption_rejected():
     enc = encrypt_pdf(TINY, "rc4-128")
     with pytest.raises(ValueError):
