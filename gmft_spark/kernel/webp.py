@@ -15,8 +15,11 @@ The writer emits valid VP8L streams (package-merge length-limited
 prefix codes; optional SUBTRACT_GREEN / COLOR / PREDICTOR /
 COLOR_INDEXING forward transforms and plane-coded short distances),
 so decode(encode(x)) is bit-exact for every mode — the same
-encoder-twin evidence model as the other codecs. Lossy VP8 ("VP8 "
-chunk) is the remaining named seam.
+encoder-twin evidence model as the other codecs. ANIMATED WebP
+(VP8X + ANIM + ANMF framing) decodes with full frame composition
+(offsets, dispose-to-background, integer alpha blending) and has its
+own writer twin (``encode_webp_anim``). Lossy VP8 ("VP8 " chunks,
+still or as animation frames) is the remaining named seam.
 
 Output convention matches the other image codecs: (h, w, 3) uint8 RGB
 or (h, w, 4) RGBA when the stream carries meaningful alpha.
@@ -31,7 +34,13 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["decode_webp", "encode_webp_lossless", "webp_info"]
+__all__ = [
+    "decode_webp",
+    "decode_webp_frames",
+    "encode_webp_lossless",
+    "encode_webp_anim",
+    "webp_info",
+]
 
 _MAX_PIXELS = 64_000_000
 
@@ -558,13 +567,28 @@ def _apply_transforms(argb: np.ndarray, transforms, w: int, h: int):
     return argb
 
 
+def _riff_chunks(data: bytes):
+    """Iterate (fourcc, payload) over a RIFF WEBP container."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    while pos + 8 <= len(data):
+        cc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cc!r} chunk")
+        yield cc, body
+        pos += 8 + size + (size & 1)
+
+
 def webp_info(data: bytes) -> dict:
-    """Header-only probe of a WebP container."""
-    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+    """Header-only probe of a WebP container (still or animated)."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF header)")
     fourcc = data[12:16]
     if fourcc == b"VP8L":
-        if data[20] != 0x2F:
+        if len(data) < 26 or data[20] != 0x2F:
             raise ValueError("bad VP8L signature byte")
         br = _Reader(data[21:26])
         w = br.read(14) + 1
@@ -577,23 +601,27 @@ def webp_info(data: bytes) -> dict:
             "height": h,
             "has_alpha": bool(alpha),
             "version": version,
+            "n_frames": 1,
+        }
+    if fourcc == b"VP8X":
+        flags = data[20]
+        cw = 1 + int.from_bytes(data[24:27], "little")
+        ch = 1 + int.from_bytes(data[27:30], "little")
+        n_frames = sum(1 for cc, _ in _riff_chunks(data) if cc == b"ANMF")
+        return {
+            "format": "VP8X",
+            "width": cw,
+            "height": ch,
+            "has_alpha": bool(flags & 0x10),
+            "version": 0,
+            "n_frames": n_frames,
         }
     return {"format": fourcc.decode("latin-1").strip(), "width": 0,
-            "height": 0, "has_alpha": False, "version": -1}
+            "height": 0, "has_alpha": False, "version": -1, "n_frames": 0}
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a lossless WebP → (h, w, 3) uint8 RGB, or (h, w, 4)
-    RGBA when the alpha channel carries information. Lossy VP8 is the
-    named ffmpeg/PIL seam."""
-    info = webp_info(data)
-    if info["format"] != "VP8L":
-        raise NotImplementedError(
-            f"WebP {info['format']} (lossy/extended) decode needs "
-            "libwebp on executors; install and implement here"
-        )
-    (size,) = struct.unpack_from("<I", data, 16)
-    payload = data[20 : 20 + size]
+def _decode_vp8l_payload(payload: bytes) -> np.ndarray:
+    """A VP8L chunk body → (h, w, 4) uint8 ARGB (post-transform)."""
     br = _Reader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature byte")
@@ -609,12 +637,112 @@ def decode_webp(data: bytes) -> np.ndarray:
     argb = _apply_transforms(argb, transforms, w, h)
     if argb.shape[0] != h or argb.shape[1] != w:
         raise ValueError("decoded geometry mismatch")
+    return argb
+
+
+def _argb_out(argb: np.ndarray) -> np.ndarray:
+    """(h, w, 4) ARGB → display RGB, or RGBA when alpha varies."""
     rgb = argb[:, :, [1, 2, 3]]
     if (argb[:, :, 0] != 255).any():
         return np.ascontiguousarray(
             np.concatenate([rgb, argb[:, :, :1]], axis=2)
         )
     return np.ascontiguousarray(rgb)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a lossless WebP → (h, w, 3) uint8 RGB, or (h, w, 4)
+    RGBA when the alpha channel carries information. Animated (VP8X)
+    files decode to their first composed frame. Lossy VP8 is the
+    named ffmpeg/PIL seam."""
+    info = webp_info(data)
+    if info["format"] == "VP8X":
+        return decode_webp_frames(data)[0]
+    if info["format"] != "VP8L":
+        raise NotImplementedError(
+            f"WebP {info['format']} (lossy) decode needs libwebp on "
+            "executors; install and implement here"
+        )
+    (size,) = struct.unpack_from("<I", data, 16)
+    return _argb_out(_decode_vp8l_payload(data[20 : 20 + size]))
+
+
+def decode_webp_frames(
+    data: bytes, frame_stride: int = 1
+) -> List[np.ndarray]:
+    """Decode an animated (VP8X/ANIM/ANMF) or still WebP → list of
+    composed (h, w, 3|4) uint8 frames, every ``frame_stride``-th
+    DISPLAYED frame (composition still walks every frame — animation
+    deltas chain, unlike MJPEG samples). ANMF disposal 1 clears the
+    frame rect to transparent; blending 0 alpha-composites the frame
+    over the canvas."""
+    if frame_stride < 1:
+        raise ValueError("frame_stride must be >= 1")
+    info = webp_info(data)
+    if info["format"] == "VP8L":
+        return [decode_webp(data)]
+    if info["format"] != "VP8X":
+        raise NotImplementedError(
+            f"WebP {info['format']} (lossy) decode needs libwebp on "
+            "executors; install and implement here"
+        )
+    cw, ch = info["width"], info["height"]
+    if cw * ch > _MAX_PIXELS:
+        raise ValueError("WebP canvas exceeds decoder cap")
+    canvas = np.zeros((ch, cw, 4), dtype=np.int32)  # [a, r, g, b]
+    frames: List[np.ndarray] = []
+    idx = 0
+    for cc, body in _riff_chunks(data):
+        if cc != b"ANMF":
+            continue
+        if len(body) < 16:
+            raise ValueError("truncated ANMF header")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = 1 + int.from_bytes(body[6:9], "little")
+        fh = 1 + int.from_bytes(body[9:12], "little")
+        flags = body[15]
+        sub = None
+        pos = 16
+        while pos + 8 <= len(body):
+            scc = body[pos : pos + 4]
+            (ssize,) = struct.unpack_from("<I", body, pos + 4)
+            if scc == b"VP8L":
+                sub = body[pos + 8 : pos + 8 + ssize]
+                break
+            if scc == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 animation frame needs libwebp"
+                )
+            pos += 8 + ssize + (ssize & 1)
+        if sub is None:
+            raise ValueError("ANMF frame carries no image chunk")
+        fr = _decode_vp8l_payload(sub).astype(np.int32)
+        if fr.shape[0] != fh or fr.shape[1] != fw:
+            raise ValueError("ANMF frame geometry mismatch")
+        if fy + fh > ch or fx + fw > cw:
+            raise ValueError("ANMF frame outside the canvas")
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # no blend: overwrite
+            blended = fr
+        else:  # alpha-composite frame over canvas (integer math)
+            fa = fr[:, :, :1]
+            ca = rect[:, :, :1]
+            ca_scaled = ca * (255 - fa) // 255
+            out_a = fa + ca_scaled
+            num = fr[:, :, 1:] * fa + rect[:, :, 1:] * ca_scaled
+            blended = np.concatenate(
+                [out_a, num // np.maximum(out_a, 1)], axis=2
+            )
+        canvas[fy : fy + fh, fx : fx + fw] = blended
+        if idx % frame_stride == 0:
+            frames.append(_argb_out(canvas.astype(np.uint8)))
+        if flags & 0x01:  # dispose to background: clear frame rect
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        idx += 1
+    if not frames:
+        raise ValueError("VP8X container carries no ANMF frames")
+    return frames
 
 
 def _decode_image_with_transforms(br: _Reader, w: int, h: int):
@@ -935,6 +1063,75 @@ def encode_webp_lossless(
 
 def _cache_hash(val: int, bits: int) -> int:
     return (0x1E35A7BD * val & 0xFFFFFFFF) >> (32 - bits)
+
+
+def encode_webp_anim(
+    frames: List[np.ndarray],
+    duration_ms: int = 100,
+    offsets: Optional[List[Tuple[int, int]]] = None,
+    dispose: bool = False,
+    blend: bool = False,
+    canvas: Optional[Tuple[int, int]] = None,
+    loop: int = 0,
+) -> bytes:
+    """Encode frames as an ANIMATED lossless WebP (VP8X + ANIM + ANMF
+    with embedded VP8L chunks). ``offsets`` are per-frame (x, y)
+    canvas positions (even values, per the spec's 2-pixel grid);
+    ``dispose`` clears each frame's rect afterwards; ``blend``
+    alpha-composites instead of overwriting. The decoder twin is
+    ``decode_webp_frames``."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    offs = offsets or [(0, 0)] * len(frames)
+    if len(offs) != len(frames):
+        raise ValueError("offsets/frames length mismatch")
+    cw = ch = 0
+    for fr, (x, y) in zip(frames, offs):
+        if x % 2 or y % 2:
+            raise ValueError("frame offsets must be even")
+        cw = max(cw, x + fr.shape[1])
+        ch = max(ch, y + fr.shape[0])
+    if canvas is not None:
+        if canvas[0] < cw or canvas[1] < ch:
+            raise ValueError("canvas smaller than its frames")
+        cw, ch = canvas
+    chunks = bytearray()
+    has_alpha = any(
+        fr.ndim == 3 and fr.shape[2] == 4 and (fr[:, :, 3] != 255).any()
+        for fr in frames
+    )
+    vp8x = bytes(
+        [0x02 | (0x10 if has_alpha else 0), 0, 0, 0]
+    ) + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<IH", 0, loop)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for fr, (x, y) in zip(frames, offs):
+        still = encode_webp_lossless(np.asarray(fr))
+        # lift the VP8L chunk out of the still container
+        sub = None
+        for cc, body in _riff_chunks(still):
+            if cc == b"VP8L":
+                sub = body
+                break
+        assert sub is not None
+        flags = (0x01 if dispose else 0) | (0 if blend else 0x02)
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fr.shape[1] - 1).to_bytes(3, "little")
+            + (fr.shape[0] - 1).to_bytes(3, "little")
+            + int(duration_ms).to_bytes(3, "little")
+            + bytes([flags])
+        )
+        payload = head + b"VP8L" + struct.pack("<I", len(sub)) + sub
+        if len(sub) % 2:
+            payload += b"\x00"
+        chunks += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunks += b"\x00"
+    body = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _encode_main(

@@ -359,9 +359,15 @@ def _real_decode(
         frames = decode_gif_frames(payload, frame_stride=frame_stride)
         feat = np.mean([_gray_hist(f) for f in frames], axis=0)
         return feat.astype(np.float32), len(frames)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from gmft_spark.kernel.webp import decode_webp_frames
+
+        frames = decode_webp_frames(payload, frame_stride=frame_stride)
+        feat = np.mean([_gray_hist(f[:, :, :3]) for f in frames], axis=0)
+        return feat.astype(np.float32), len(frames)
     raise NotImplementedError(
-        f"real {modality} decode for non-AVI/MP4/GIF containers needs "
-        "ffmpeg on executors; install and implement here"
+        f"real {modality} decode for non-AVI/MP4/GIF/WebP containers "
+        "needs ffmpeg on executors; install and implement here"
     )
 
 

@@ -173,6 +173,102 @@ def test_containment():
         encode_webp_lossless(np.zeros((2, 2), dtype=np.uint8))
 
 
+# ── animated WebP (VP8X / ANIM / ANMF) ───────────────────────────────
+
+
+def _anim_frame(k):
+    g = (
+        (np.arange(20)[:, None] * 5 + np.arange(28)[None, :] * 3 + 29 * k)
+        % 256
+    ).astype(np.uint8)
+    return np.stack(
+        [g, (g.astype(int) + 50) % 256, (g.astype(int) * 3) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_anim_roundtrip_and_stride():
+    from gmft_spark.kernel.webp import decode_webp_frames, encode_webp_anim
+
+    frames = [_anim_frame(k) for k in range(5)]
+    b = encode_webp_anim(frames, duration_ms=80)
+    info = webp_info(b)
+    assert (info["format"], info["n_frames"]) == ("VP8X", 5)
+    out = decode_webp_frames(b)
+    assert len(out) == 5
+    assert all(np.array_equal(a, e) for a, e in zip(out, frames))
+    # decode_webp on an animation = first composed frame
+    assert np.array_equal(decode_webp(b), frames[0])
+    # stride samples DISPLAYED frames but still composes every delta
+    assert len(decode_webp_frames(b, frame_stride=2)) == 3
+
+
+def test_anim_offsets_dispose_and_blend():
+    from gmft_spark.kernel.webp import decode_webp_frames, encode_webp_anim
+
+    base = _anim_frame(0)
+    patch = _anim_frame(9)[:8, :12]
+    b = encode_webp_anim(
+        [base, patch, _anim_frame(1)],
+        offsets=[(0, 0), (6, 4), (0, 0)],
+        canvas=(28, 20),
+    )
+    out = decode_webp_frames(b)
+    exp1 = base.copy()
+    exp1[4:12, 6:18] = patch
+    assert np.array_equal(out[1], exp1)
+    assert np.array_equal(out[2], _anim_frame(1))
+    # dispose: an offset frame on a cleared canvas → transparent RGBA
+    b2 = encode_webp_anim(
+        [patch], offsets=[(6, 4)], canvas=(28, 20), dispose=True
+    )
+    o = decode_webp_frames(b2)[0]
+    assert o.shape == (20, 28, 4)
+    assert np.array_equal(o[4:12, 6:18, :3], patch)
+    assert (o[:4, :, 3] == 0).all()  # outside the rect: transparent
+    # blend: semi-transparent overlay composites with integer math
+    rgba = np.concatenate(
+        [patch, np.full((8, 12, 1), 128, np.uint8)], axis=2
+    )
+    b3 = encode_webp_anim(
+        [base, rgba], offsets=[(0, 0), (6, 4)], canvas=(28, 20), blend=True
+    )
+    got = decode_webp_frames(b3)[1][4:12, 6:18, :3].astype(np.int64)
+    fa, ca = 128, 255 * (255 - 128) // 255
+    exp = (
+        patch.astype(np.int64) * fa + base[4:12, 6:18].astype(np.int64) * ca
+    ) // (fa + ca)
+    assert np.abs(got - exp).max() == 0
+
+
+def test_anim_containment():
+    from gmft_spark.kernel.webp import decode_webp_frames, encode_webp_anim
+
+    with pytest.raises(ValueError):
+        encode_webp_anim([])
+    with pytest.raises(ValueError):
+        encode_webp_anim([_anim_frame(0)], offsets=[(1, 0)])  # odd offset
+    with pytest.raises(ValueError):
+        encode_webp_anim([_anim_frame(0)], canvas=(4, 4))  # too small
+    b = bytearray(encode_webp_anim([_anim_frame(0)]))
+    with pytest.raises(ValueError):
+        decode_webp_frames(bytes(b[:40]))  # truncated chunk
+    # a lossy frame inside the animation is a named seam
+    i = bytes(b).find(b"VP8L", 30)
+    lossy = bytes(b[:i]) + b"VP8 " + bytes(b[i + 4 :])
+    with pytest.raises(NotImplementedError):
+        decode_webp_frames(lossy)
+
+
+def test_real_decode_webp_video_modality():
+    from gmft_spark.kernel.webp import encode_webp_anim
+    from gmft_spark.operators.multimodal import _real_decode
+
+    frames = [_anim_frame(k) for k in range(6)]
+    feat, n = _real_decode(encode_webp_anim(frames), "video")
+    assert n == 2  # 6 frames at the default stride 4 → ceil(6/4)
+    assert abs(sum(feat) - 1.0) < 1e-3
+
+
 def test_real_decode_webp_image():
     from gmft_spark.operators.multimodal import _gray_hist, _real_decode
 
