@@ -195,13 +195,21 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("missing IHDR")
+    return _inflate_defilter(bytes(idat), width, height, color)
+
+
+def _inflate_defilter(
+    idat: bytes, width: int, height: int, color: int
+) -> np.ndarray:
+    """One zlib-compressed filtered scanline stream → pixel array
+    (shared by the still decoder and the APNG frame decoder)."""
     bpp = _CHANNELS[color]
     stride = width * bpp
     expected = (stride + 1) * height
     # bounded inflate: never produce more bytes than the IHDR promises,
     # regardless of what the deflate stream would expand to
     d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), expected)
+    raw = d.decompress(idat, expected)
     if d.unconsumed_tail or d.decompress(b"", 1):
         raise ValueError("IDAT inflates past the declared image size")
     if len(raw) != expected:
@@ -251,6 +259,225 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
     if color == _COLOR_GRAY:
         return out
     return out.reshape(height, width, bpp)
+
+
+# ---------------------------------------------------------------------------
+# APNG (acTL/fcTL/fdAT — the PNG 3rd-edition animation chunks)
+# ---------------------------------------------------------------------------
+
+
+def _to_rgba_frame(px: np.ndarray) -> np.ndarray:
+    if px.ndim == 2:
+        px = np.stack([px, px, px], axis=2)
+    if px.shape[2] == 3:
+        px = np.concatenate(
+            [px, np.full(px.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+    return px.astype(np.int32)
+
+
+def encode_apng(
+    frames: Sequence[np.ndarray],
+    delay_ms: int = 100,
+    offsets=None,
+    dispose=0,
+    blend=0,
+    compress_level: int = 6,
+) -> bytes:
+    """Encode frames as an APNG. Frame 0 is the default image and must
+    cover the canvas at offset (0, 0); later frames may be sub-rects
+    at ``offsets``. ``dispose`` (scalar or per-frame): 0 keep, 1 clear
+    rect to transparent, 2 restore the pre-frame canvas. ``blend``
+    (scalar or per-frame): 0 replace, 1 alpha-over. The decoder twin
+    is ``decode_apng_frames``."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    offs = offsets or [(0, 0)] * len(frames)
+    if len(offs) != len(frames):
+        raise ValueError("offsets/frames length mismatch")
+    if offs[0] != (0, 0):
+        raise ValueError("frame 0 is the default image: offset (0, 0)")
+    disp = (
+        list(dispose)
+        if isinstance(dispose, (list, tuple))
+        else [dispose] * len(frames)
+    )
+    blnd = (
+        list(blend)
+        if isinstance(blend, (list, tuple))
+        else [blend] * len(frames)
+    )
+    if len(disp) != len(frames) or len(blnd) != len(frames):
+        raise ValueError("dispose/blend length mismatch")
+    if any(d not in (0, 1, 2) for d in disp) or any(
+        b not in (0, 1) for b in blnd
+    ):
+        raise ValueError("bad dispose/blend op")
+    chans = max(
+        (f.shape[2] if np.asarray(f).ndim == 3 else 1) for f in frames
+    )
+    chans = 1 if chans == 1 else chans
+    color = {1: _COLOR_GRAY, 3: _COLOR_RGB, 4: _COLOR_RGBA}[chans]
+
+    def norm(f):
+        f = np.asarray(f, dtype=np.uint8)
+        if chans == 1:
+            return f if f.ndim == 2 else f[:, :, 0]
+        if f.ndim == 2:
+            f = np.stack([f] * 3, axis=2)
+        if f.shape[2] < chans:
+            f = np.concatenate(
+                [f, np.full(f.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        return f
+
+    nf = [norm(f) for f in frames]
+    ch, cw = nf[0].shape[:2]
+    for f, (x, y) in zip(nf, offs):
+        if y + f.shape[0] > ch or x + f.shape[1] > cw:
+            raise ValueError("frame outside the canvas")
+
+    def scanlines(f):
+        h, w = f.shape[:2]
+        stride = w * chans
+        buf = np.empty((h, stride + 1), dtype=np.uint8)
+        buf[:, 0] = 0
+        buf[:, 1:] = f.reshape(h, stride)
+        return zlib.compress(buf.tobytes(), compress_level)
+
+    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, color, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+
+    def fctl(f, x, y, d, bl):
+        nonlocal seq
+        p = struct.pack(
+            ">IIIIIHHBB",
+            seq, f.shape[1], f.shape[0], x, y,
+            delay_ms, 1000, d, bl,
+        )
+        seq += 1
+        return _chunk(b"fcTL", p)
+
+    out += fctl(nf[0], 0, 0, disp[0], blnd[0])
+    out += _chunk(b"IDAT", scanlines(nf[0]))
+    for f, (x, y), d, bl in zip(nf[1:], offs[1:], disp[1:], blnd[1:]):
+        out += fctl(f, x, y, d, bl)
+        out += _chunk(
+            b"fdAT", struct.pack(">I", seq) + scanlines(f)
+        )
+        seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(data: bytes, frame_stride: int = 1) -> list:
+    """Decode an APNG → list of composed (h, w, 3|4) uint8 frames,
+    every ``frame_stride``-th DISPLAYED frame (composition walks every
+    frame). A plain PNG decodes as a single frame. fcTL dispose 1
+    clears the rect, 2 restores the pre-frame canvas; blend 1
+    alpha-composites with the same integer math as the WebP/GIF
+    compositors."""
+    if frame_stride < 1:
+        raise ValueError("frame_stride must be >= 1")
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = color = None
+    actl = None
+    # entries: (fctl_fields, bytearray of this frame's compressed data)
+    entries = []
+    default_idat = bytearray()
+    default_has_fctl = False
+    last_seq = -1
+    try:
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                (width, height, depth, color, _c, _f, interlace) = (
+                    struct.unpack(">IIBBBBB", payload)
+                )
+                if depth != 8 or color not in _CHANNELS or interlace:
+                    raise ValueError("unsupported APNG base format")
+                if width == 0 or height == 0:
+                    raise ValueError("zero-dimension image")
+                if width * height > MAX_DECODE_PIXELS:
+                    raise ValueError("image too large")
+            elif tag == b"acTL":
+                actl = struct.unpack(">II", payload[:8])
+            elif tag == b"fcTL":
+                f = struct.unpack(">IIIIIHHBB", payload[:26])
+                if f[0] != last_seq + 1:
+                    raise ValueError("APNG sequence number gap")
+                last_seq = f[0]
+                entries.append((f, bytearray()))
+                if not default_idat:
+                    default_has_fctl = True
+            elif tag == b"IDAT":
+                if entries and default_has_fctl:
+                    entries[-1][1].extend(payload)
+                default_idat.extend(payload)
+            elif tag == b"fdAT":
+                (sq,) = struct.unpack(">I", payload[:4])
+                if sq != last_seq + 1:
+                    raise ValueError("APNG sequence number gap")
+                last_seq = sq
+                if not entries:
+                    raise ValueError("fdAT before any fcTL")
+                entries[-1][1].extend(payload[4:])
+            elif tag == b"IEND":
+                break
+    except (struct.error, zlib.error) as ex:
+        raise ValueError(f"corrupt APNG: {ex}") from ex
+    if width is None:
+        raise ValueError("missing IHDR")
+    if actl is None or not entries:
+        return [decode_png(data)]
+    if len(entries) != actl[0]:
+        raise ValueError("acTL frame count mismatch")
+    canvas = np.zeros((height, width, 4), dtype=np.int32)
+    frames = []
+    for idx, ((
+        _sq, fw, fh, fx, fy, _dn, _dd, dispose, blend
+    ), dat) in enumerate(entries):
+        if fx + fw > width or fy + fh > height or fw == 0 or fh == 0:
+            raise ValueError("APNG frame outside the canvas")
+        try:
+            px = _inflate_defilter(bytes(dat), fw, fh, color)
+        except zlib.error as ex:
+            raise ValueError(f"corrupt APNG frame: {ex}") from ex
+        fr = _to_rgba_frame(
+            px if color == _COLOR_GRAY else px.reshape(fh, fw, _CHANNELS[color])
+        )
+        prev = canvas[fy : fy + fh, fx : fx + fw].copy()
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        if blend == 1:
+            fa = fr[:, :, 3:]
+            ca_scaled = rect[:, :, 3:] * (255 - fa) // 255
+            out_a = fa + ca_scaled
+            num = fr[:, :, :3] * fa + rect[:, :, :3] * ca_scaled
+            blended = np.concatenate(
+                [num // np.maximum(out_a, 1), out_a], axis=2
+            )
+        else:
+            blended = fr
+        canvas[fy : fy + fh, fx : fx + fw] = blended
+        if idx % frame_stride == 0:
+            disp = canvas.astype(np.uint8)
+            if (disp[:, :, 3] != 255).any():
+                frames.append(disp.copy())
+            else:
+                frames.append(np.ascontiguousarray(disp[:, :, :3]))
+        if dispose == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = prev
+    return frames
 
 
 # ---------------------------------------------------------------------------

@@ -365,9 +365,19 @@ def _real_decode(
         frames = decode_webp_frames(payload, frame_stride=frame_stride)
         feat = np.mean([_gray_hist(f[:, :, :3]) for f in frames], axis=0)
         return feat.astype(np.float32), len(frames)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":  # APNG as video
+        from gmft_spark.kernel.raster import decode_apng_frames
+
+        frames = decode_apng_frames(payload, frame_stride=frame_stride)
+        feat = np.mean(
+            [_gray_hist(f[:, :, :3] if f.ndim == 3 else f) for f in frames],
+            axis=0,
+        )
+        return feat.astype(np.float32), len(frames)
     raise NotImplementedError(
-        f"real {modality} decode for non-AVI/MP4/GIF/WebP containers "
-        "needs ffmpeg on executors; install and implement here"
+        f"real {modality} decode for non-AVI/MP4/GIF/WebP/APNG "
+        "containers needs ffmpeg on executors; install and implement "
+        "here"
     )
 
 

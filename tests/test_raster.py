@@ -393,3 +393,108 @@ def test_resize_bilinear_invariants():
     assert (
         out[:, :, 0].astype(int) + out[:, :, 1].astype(int) == 255
     ).all()  # complementary channels stay complementary (linear op)
+
+
+# ── APNG (acTL/fcTL/fdAT) ────────────────────────────────────────────
+
+
+def _apng_frame(k, shape=(18, 26)):
+    from numpy import arange, stack
+
+    h, w = shape
+    g = ((arange(h)[:, None] * 5 + arange(w)[None, :] * 3 + 31 * k) % 256).astype(
+        np.uint8
+    )
+    return stack(
+        [g, (g.astype(int) + 60) % 256, (g.astype(int) * 3) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_apng_roundtrip_and_default_image():
+    from gmft_spark.kernel.raster import (
+        decode_apng_frames,
+        decode_png,
+        encode_apng,
+    )
+
+    frames = [_apng_frame(k) for k in range(4)]
+    b = encode_apng(frames, delay_ms=50)
+    out = decode_apng_frames(b)
+    assert len(out) == 4
+    assert all(np.array_equal(a, e) for a, e in zip(out, frames))
+    # a plain-PNG decoder sees the default image (frame 0)
+    assert np.array_equal(decode_png(b), frames[0])
+    assert len(decode_apng_frames(b, frame_stride=3)) == 2
+    # a plain PNG through the frames API is one frame
+    from gmft_spark.kernel.raster import encode_png
+
+    assert len(decode_apng_frames(encode_png(frames[0]))) == 1
+
+
+def test_apng_subrect_dispose_blend():
+    from gmft_spark.kernel.raster import decode_apng_frames, encode_apng
+
+    base = _apng_frame(0)
+    patch = _apng_frame(7, (6, 10))
+    b = encode_apng([base, patch], offsets=[(0, 0), (5, 8)])
+    out = decode_apng_frames(b)
+    exp = base.copy()
+    exp[8:14, 5:15] = patch
+    assert np.array_equal(out[1], exp)
+    # dispose 2: the patched rect restores before the next frame
+    b2 = encode_apng(
+        [base, patch, _apng_frame(2, (6, 10))],
+        offsets=[(0, 0), (5, 8), (5, 8)],
+        dispose=[0, 2, 0],
+    )
+    o2 = decode_apng_frames(b2)
+    exp2 = base.copy()
+    exp2[8:14, 5:15] = _apng_frame(2, (6, 10))
+    assert np.array_equal(o2[2], exp2)
+    # blend 1: integer alpha-over compositing
+    rgba = np.concatenate(
+        [patch, np.full((6, 10, 1), 100, np.uint8)], axis=2
+    )
+    b3 = encode_apng(
+        [base, rgba], offsets=[(0, 0), (5, 8)], blend=[0, 1]
+    )
+    o3 = decode_apng_frames(b3)
+    fa, cs = 100, 255 * (255 - 100) // 255
+    expb = (
+        patch.astype(np.int64) * fa
+        + base[8:14, 5:15].astype(np.int64) * cs
+    ) // (fa + cs)
+    assert np.abs(o3[1][8:14, 5:15, :3].astype(np.int64) - expb).max() == 0
+
+
+def test_apng_gray_and_containment():
+    import pytest
+
+    from gmft_spark.kernel.raster import decode_apng_frames, encode_apng
+
+    gf = [_apng_frame(k)[:, :, 0] for k in range(3)]
+    o = decode_apng_frames(encode_apng(gf))
+    assert len(o) == 3 and o[1].shape == (18, 26, 3)
+    assert np.array_equal(o[1][:, :, 0], gf[1])
+    with pytest.raises(ValueError):
+        encode_apng([])
+    with pytest.raises(ValueError):
+        encode_apng(gf, offsets=[(2, 0), (0, 0), (0, 0)])  # frame 0 off
+    with pytest.raises(ValueError):
+        encode_apng(gf, dispose=7)
+    b = bytearray(encode_apng(gf))
+    # break a sequence number → gap detected
+    i = bytes(b).find(b"fcTL", 60)
+    b[i + 4 : i + 8] = (9).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        decode_apng_frames(bytes(b))
+
+
+def test_apng_real_decode_video_modality():
+    from gmft_spark.kernel.raster import encode_apng
+    from gmft_spark.operators.multimodal import _real_decode
+
+    frames = [_apng_frame(k) for k in range(6)]
+    feat, n = _real_decode(encode_apng(frames), "video")
+    assert n == 2  # stride 4 over 6 composed frames
+    assert abs(float(np.sum(feat)) - 1.0) < 1e-3
