@@ -44,8 +44,18 @@ def write_results_with_lineage(
     run_id: str = "run-0",
 ) -> DataFrame:
     """Write extraction results partitioned by conv bucket + lineage rows.
-    Returns the lineage DataFrame for inspection."""
-    bucketed = with_bucket(results, n_buckets)
+    Returns the lineage DataFrame for inspection.
+
+    Scale note: results are repartitioned BY BUCKET before the
+    partitionBy write, so each bucket directory receives ONE file per
+    run instead of one per upstream task (an un-repartitioned
+    partitionBy fans out to tasks x buckets small files — measured
+    4,096 files for a 16-task/256-bucket run, and the file-metadata
+    overhead flattened the 4-to-16-core e2e scaling). The shuffle
+    moves only the compact RESULT rows, never the extraction input."""
+    bucketed = with_bucket(results, n_buckets).repartition(
+        n_buckets, F.col("bucket")
+    )
     bucketed.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out_dir, "results")
     )
@@ -85,7 +95,10 @@ def write_results_with_lineage(
         )
     lineage = landed.groupBy("bucket").agg(*aggs)
     lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage"))
-    return lineage
+    # hand back the WRITTEN table: downstream aggregations (run stats,
+    # resume probes) read the tiny lineage parquet instead of
+    # re-scanning every landed result file a second time
+    return spark.read.parquet(os.path.join(out_dir, "_lineage"))
 
 
 def resume_filter(
