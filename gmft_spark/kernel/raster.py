@@ -52,7 +52,13 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(
-    arr: np.ndarray, filter_type: int = 0, compress_level: int = 6
+    arr: np.ndarray,
+    filter_type: int = 0,
+    compress_level: int = 6,
+    depth: int = 8,
+    palette=None,
+    trns=None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode a uint8 array as PNG bytes.
 
@@ -61,7 +67,26 @@ def encode_png(
     1-4 exist so the decoder's filter inverses can be differentially
     tested against this encoder). ``compress_level``: zlib level —
     pipelines whose payloads are transient (stay in-partition) trade a
-    couple KB for ~2× encode speed at level 3."""
+    couple KB for ~2× encode speed at level 3.
+
+    Full-format knobs (decoder-path twins; filter 0 only):
+    ``palette`` ((n, 3) uint8 + (H, W) index plane, ``depth`` 1/2/4/8,
+    optional ``trns`` per-entry alpha bytes), ``depth`` 1/2/4 gray
+    (values < 2^depth, display-scaled on decode) or 16 (uint16 input,
+    decoder keeps the high byte), (H, W, 2) gray+alpha input, and
+    ``interlace`` (Adam7)."""
+    a = np.asarray(arr)
+    general = (
+        palette is not None
+        or trns is not None
+        or depth != 8
+        or interlace
+        or (a.ndim == 3 and a.shape[2] == 2)
+    )
+    if general:
+        return _encode_png_general(
+            a, depth, palette, trns, interlace, compress_level
+        )
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         color, bpp = _COLOR_GRAY, 1
@@ -139,8 +164,12 @@ MAX_DECODE_PIXELS = 64_000_000
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to a uint8 array ((H, W) for grayscale, (H, W, C)
-    otherwise). Supports bit depth 8, color types 0/2/6, no interlace —
-    everything ``encode_png`` emits plus all five scanline filters.
+    otherwise). Supports the FULL still-image format: bit depths
+    1/2/4/8/16 (sub-byte gray display-scales; 16-bit keeps its high
+    byte), all five color types incl. palette (PLTE + tRNS → RGBA) and
+    gray+alpha (→ RGBA), tRNS color keys, Adam7 interlace, and all
+    five scanline filters. The byte-sample non-interlaced shapes that
+    production pipelines emit take a pure-numpy fast path.
 
     Untrusted-input containment: dimensions are capped (a hostile IHDR
     cannot allocate unbounded memory) and the IDAT stream inflates
@@ -162,7 +191,9 @@ def decode_png(data: bytes) -> np.ndarray:
 def _decode_png_inner(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
-    color = None
+    color = depth = interlace = None
+    plte = b""
+    trns = b""
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -173,12 +204,14 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if color not in _CHANNELS:
+            if color not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported color type {color}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
+            if depth not in _PNG_DEPTHS[color]:
+                raise ValueError(
+                    f"bad depth {depth} for color type {color}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
             if width == 0 or height == 0:
                 # zero-dim images would bypass the pixel cap below
                 # (0 * huge = 0) while expected = (0*bpp+1)*height still
@@ -189,13 +222,35 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
                     f"image too large ({width}x{height} exceeds "
                     f"{MAX_DECODE_PIXELS} pixel cap)"
                 )
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
-    return _inflate_defilter(bytes(idat), width, height, color)
+    if depth == 8 and color in _CHANNELS and not interlace and not trns:
+        # fast path: byte samples, no interlace — the shape every
+        # production pipeline payload takes (pure-numpy defilter)
+        return _inflate_defilter(bytes(idat), width, height, color)
+    return _decode_png_general(
+        bytes(idat), width, height, color, depth, interlace, plte, trns
+    )
+
+
+def _inflate_bounded(idat: bytes, expected: int) -> bytes:
+    """Bounded inflate: never produce more bytes than the IHDR promises,
+    regardless of what the deflate stream would expand to."""
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise ValueError("IDAT inflates past the declared image size")
+    if len(raw) != expected:
+        raise ValueError("IDAT length mismatch")
+    return raw
 
 
 def _inflate_defilter(
@@ -205,15 +260,7 @@ def _inflate_defilter(
     (shared by the still decoder and the APNG frame decoder)."""
     bpp = _CHANNELS[color]
     stride = width * bpp
-    expected = (stride + 1) * height
-    # bounded inflate: never produce more bytes than the IHDR promises,
-    # regardless of what the deflate stream would expand to
-    d = zlib.decompressobj()
-    raw = d.decompress(idat, expected)
-    if d.unconsumed_tail or d.decompress(b"", 1):
-        raise ValueError("IDAT inflates past the declared image size")
-    if len(raw) != expected:
-        raise ValueError("IDAT length mismatch")
+    raw = _inflate_bounded(idat, (stride + 1) * height)
 
     grid = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     if not grid[:, 0].any():
@@ -259,6 +306,293 @@ def _inflate_defilter(
     if color == _COLOR_GRAY:
         return out
     return out.reshape(height, width, bpp)
+
+
+# ---------------------------------------------------------------------------
+# General-format PNG path (palette, sub-byte/16-bit depths, Adam7)
+# ---------------------------------------------------------------------------
+
+# color type → sample channels (the full spec set; _CHANNELS above is
+# the byte-sample fast-path subset)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _pack_sample_rows(
+    samples: np.ndarray, w: int, channels: int, depth: int
+) -> np.ndarray:
+    """(h, w, channels) uint16 raw samples → (h, stride) bytes
+    (sub-byte MSB-first, 16-bit big-endian) — the inverse of
+    ``_bytes_to_samples``."""
+    h = samples.shape[0]
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(h, w * channels)
+    if depth == 16:
+        return np.frombuffer(
+            np.ascontiguousarray(samples.astype(">u2")).tobytes(),
+            dtype=np.uint8,
+        ).reshape(h, w * channels * 2)
+    flat = samples.reshape(h, w * channels).astype(np.uint8)
+    bits = (
+        (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, -1).astype(np.uint8)
+    return np.packbits(bits, axis=1)
+
+
+def _encode_png_general(
+    a: np.ndarray,
+    depth: int,
+    palette,
+    trns,
+    interlace: bool,
+    compress_level: int,
+) -> bytes:
+    if palette is not None:
+        if a.ndim != 2:
+            raise ValueError("palette PNG needs a 2-D index plane")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+            raise ValueError("palette must be (n<=256, 3) RGB")
+        color = 3
+        samples = a[:, :, None].astype(np.uint16)
+        limit = min(1 << depth, pal.shape[0])
+        if int(samples.max(initial=0)) >= limit:
+            raise ValueError("index plane overflows the palette/depth")
+    elif a.ndim == 2:
+        color = 0
+        samples = a[:, :, None].astype(np.uint16)
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        color = {2: 4, 3: 2, 4: 6}[a.shape[2]]
+        samples = a.astype(np.uint16)
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"bad depth {depth} for color type {color}")
+    if depth < 8 and color == 0 and int(samples.max(initial=0)) >= (
+        1 << depth
+    ):
+        raise ValueError(f"gray values overflow {depth}-bit storage")
+    if depth == 16 and np.asarray(a).dtype != np.uint16:
+        samples = samples << 8  # widen uint8 input to the high byte
+    h, w = a.shape[0], a.shape[1]
+    channels = _PNG_CHANNELS[color]
+
+    def filtered(rows: np.ndarray) -> bytes:
+        buf = np.empty((rows.shape[0], rows.shape[1] + 1), dtype=np.uint8)
+        buf[:, 0] = 0
+        buf[:, 1:] = rows
+        return buf.tobytes()
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                filtered(
+                    _pack_sample_rows(sub, sub.shape[1], channels, depth)
+                )
+            )
+        payload = b"".join(parts)
+    else:
+        payload = filtered(_pack_sample_rows(samples, w, channels, depth))
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if trns is not None:
+            out += _chunk(b"tRNS", bytes(bytearray(trns)))
+    elif trns is not None:
+        out += _chunk(b"tRNS", bytes(bytearray(trns)))
+    out += _chunk(b"IDAT", zlib.compress(payload, compress_level))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _defilter_bytes(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Filtered scanlines (any depth: ``bpp`` = filter unit in BYTES,
+    >= 1 per spec) → (height, stride) uint8 of raw sample bytes."""
+    grid = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not grid[:, 0].any():
+        return grid[:, 1:].copy()
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        ft = int(grid[y, 0])
+        row = grid[y, 1:].astype(np.int16)
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                upleft = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    v = row[x] + left
+                elif ft == 3:
+                    v = row[x] + (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = (
+                        left
+                        if (pa <= pb and pa <= pc)
+                        else (up if pb <= pc else upleft)
+                    )
+                    v = row[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _bytes_to_samples(
+    rows: np.ndarray, w: int, channels: int, depth: int
+) -> np.ndarray:
+    """(h, stride) sample bytes → (h, w, channels) uint16 raw samples
+    (sub-byte values MSB-first within each byte; 16-bit big-endian)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return (
+            rows[:, : w * channels]
+            .reshape(h, w, channels)
+            .astype(np.uint16)
+        )
+    if depth == 16:
+        u = np.frombuffer(
+            np.ascontiguousarray(rows[:, : 2 * w * channels]).tobytes(),
+            dtype=">u2",
+        )
+        return u.reshape(h, w, channels).astype(np.uint16)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits.shape[1] // depth
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (
+        bits[:, : per * depth].reshape(h, per, depth).astype(np.uint16)
+        @ weights
+    )
+    return vals[:, : w * channels].reshape(h, w, channels)
+
+
+def _decode_png_general(
+    idat: bytes,
+    width: int,
+    height: int,
+    color: int,
+    depth: int,
+    interlace: int,
+    plte: bytes,
+    trns: bytes,
+) -> np.ndarray:
+    channels = _PNG_CHANNELS[color]
+    bpp = max(1, (channels * depth) // 8)
+
+    def pass_dims(x0, y0, dx, dy):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        return pw, ph
+
+    if interlace:
+        passes = [p for p in _ADAM7 if pass_dims(*p)[0] and pass_dims(*p)[1]]
+        expected = sum(
+            (((pw * channels * depth + 7) // 8) + 1) * ph
+            for pw, ph in (pass_dims(*p) for p in passes)
+        )
+    else:
+        passes = None
+        expected = (((width * channels * depth + 7) // 8) + 1) * height
+    raw = _inflate_bounded(idat, expected)
+    samples = np.zeros((height, width, channels), dtype=np.uint16)
+    if passes is None:
+        stride = (width * channels * depth + 7) // 8
+        rows = _defilter_bytes(raw, height, stride, bpp)
+        samples = _bytes_to_samples(rows, width, channels, depth)
+    else:
+        off = 0
+        for x0, y0, dx, dy in passes:
+            pw, ph = pass_dims(x0, y0, dx, dy)
+            stride = (pw * channels * depth + 7) // 8
+            take = (stride + 1) * ph
+            rows = _defilter_bytes(raw[off : off + take], ph, stride, bpp)
+            off += take
+            samples[y0::dy, x0::dx] = _bytes_to_samples(
+                rows, pw, channels, depth
+            )
+
+    if color == 3:  # palette
+        n = len(plte) // 3
+        if n == 0:
+            raise ValueError("palette image lacks a PLTE chunk")
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:n] = np.frombuffer(plte[: 3 * n], dtype=np.uint8).reshape(n, 3)
+        idx = np.minimum(samples[:, :, 0], n - 1)
+        rgb = pal[idx]
+        if trns:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            a = alpha[idx]
+            if (a != 255).any():
+                return np.ascontiguousarray(
+                    np.concatenate([rgb, a[:, :, None]], axis=2)
+                )
+        return np.ascontiguousarray(rgb)
+    # scale to display: sub-byte gray expands to full range, 16-bit
+    # keeps its high byte (the TIFF convention)
+    if depth < 8:
+        disp = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif depth == 16:
+        disp = (samples >> 8).astype(np.uint8)
+    else:
+        disp = samples.astype(np.uint8)
+    key_alpha = None
+    if trns and color in (0, 2):
+        # transparent-color key (raw sample values, 16-bit fields)
+        key = np.frombuffer(trns[: 2 * channels], dtype=">u2").astype(
+            np.uint16
+        )
+        key_alpha = np.where(
+            (samples == key[None, None, :]).all(axis=2), 0, 255
+        ).astype(np.uint8)
+    if color == 4:  # gray + alpha → RGBA
+        g = disp[:, :, 0]
+        return np.ascontiguousarray(
+            np.stack([g, g, g, disp[:, :, 1]], axis=2)
+        )
+    if color == 0:
+        g = disp[:, :, 0]
+        if key_alpha is not None and (key_alpha != 255).any():
+            return np.ascontiguousarray(
+                np.stack([g, g, g, key_alpha], axis=2)
+            )
+        return np.ascontiguousarray(g)
+    if key_alpha is not None and (key_alpha != 255).any():
+        return np.ascontiguousarray(
+            np.concatenate([disp[:, :, :3], key_alpha[:, :, None]], axis=2)
+        )
+    return np.ascontiguousarray(disp)
 
 
 # ---------------------------------------------------------------------------
