@@ -5,7 +5,9 @@ BITMAPINFOHEADER format: 1/4/8-bit palette, 24-bit BGR and 32-bit BGRx
 pixels, BI_RGB and BI_RLE8 compressions, bottom-up (positive height)
 and top-down (negative height) row orders, 4-byte row stride padding.
 Later header revisions (V4/V5) parse through the same first-40-byte
-layout. The writer is the roundtrip-test twin (tests/test_bmp.py):
+layout; the OS/2 BITMAPCOREHEADER (12 bytes, u16 dimensions, BGR
+triple palettes) decodes too. The writer is the roundtrip-test twin
+(tests/test_bmp.py):
 every supported encoding is lossless, so decode(encode(x)) is
 bit-exact.
 
@@ -32,30 +34,42 @@ _MAX_PIXELS = 64_000_000
 
 
 def _read_headers(data: bytes):
-    if len(data) < 54 or data[:2] != b"BM":
+    if len(data) < 26 or data[:2] != b"BM":
         raise ValueError("not a BMP (bad magic or too short)")
     (data_off,) = struct.unpack_from("<I", data, 10)
     (hdr_size,) = struct.unpack_from("<I", data, 14)
-    if hdr_size < 40:
-        raise NotImplementedError("pre-BITMAPINFOHEADER (OS/2) BMP")
-    (w, h, planes, bits, comp, _simg, _xp, _yp, clr_used, _ci) = (
-        struct.unpack_from("<iiHHIIiiII", data, 18)
-    )
+    if hdr_size == 12:  # OS/2 BITMAPCOREHEADER: u16 dims, RGB triples
+        (w, h, planes, bits) = struct.unpack_from("<HHHH", data, 18)
+        comp = 0
+        clr_used = 0
+        top_down = False
+        core = True
+    elif hdr_size < 40:
+        raise NotImplementedError(f"unknown {hdr_size}-byte BMP header")
+    else:
+        if len(data) < 54:
+            raise ValueError("truncated BMP info header")
+        (w, h, planes, bits, comp, _simg, _xp, _yp, clr_used, _ci) = (
+            struct.unpack_from("<iiHHIIiiII", data, 18)
+        )
+        top_down = h < 0
+        h = abs(h)
+        core = False
     if planes != 1:
         raise ValueError(f"bad plane count {planes}")
-    top_down = h < 0
-    h = abs(h)
     if w <= 0 or h <= 0:
         raise ValueError("missing/invalid image dimensions")
     if w * h > _MAX_PIXELS:
         raise ValueError("BMP dimensions exceed decoder cap")
     pal_off = 14 + hdr_size
-    return data_off, w, h, bits, comp, clr_used, top_down, pal_off
+    return data_off, w, h, bits, comp, clr_used, top_down, pal_off, core
 
 
 def bmp_info(data: bytes) -> dict:
     """Header-only probe (metadata queries stay cheap)."""
-    _off, w, h, bits, comp, clr_used, top_down, _p = _read_headers(data)
+    (_off, w, h, bits, comp, clr_used, top_down, _p, _core) = (
+        _read_headers(data)
+    )
     return {
         "width": w,
         "height": h,
@@ -67,17 +81,18 @@ def bmp_info(data: bytes) -> dict:
 
 
 def _read_palette(
-    data: bytes, pal_off: int, bits: int, clr_used: int
+    data: bytes, pal_off: int, bits: int, clr_used: int, core: bool = False
 ) -> np.ndarray:
     n = clr_used if clr_used else (1 << bits)
     if n > 256:
         raise ValueError("hostile palette size")
-    end = pal_off + 4 * n
+    per = 3 if core else 4  # OS/2 core palettes are BGR triples
+    end = pal_off + per * n
     if end > len(data):
         raise ValueError("palette outruns file")
-    quads = np.frombuffer(data[pal_off:end], dtype=np.uint8).reshape(n, 4)
+    quads = np.frombuffer(data[pal_off:end], dtype=np.uint8).reshape(n, per)
     pal = np.zeros((256, 3), dtype=np.uint8)
-    pal[:n] = quads[:, [2, 1, 0]]  # BGRA quads → RGB
+    pal[:n] = quads[:, [2, 1, 0]]  # BGR(A) → RGB
     return pal
 
 
@@ -129,7 +144,7 @@ def _decode_rle8(
 
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode BMP bytes → (h, w, 3) uint8 RGB."""
-    (data_off, w, h, bits, comp, clr_used, top_down, pal_off) = (
+    (data_off, w, h, bits, comp, clr_used, top_down, pal_off, core) = (
         _read_headers(data)
     )
     if comp == 1:  # BI_RLE8
@@ -169,7 +184,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bits == 32:
         px = raw[:, : 4 * w].reshape(h, w, 4)[:, :, [2, 1, 0]]
         return np.ascontiguousarray(px)
-    pal = _read_palette(data, pal_off, bits, clr_used)
+    pal = _read_palette(data, pal_off, bits, clr_used, core)
     if bits == 8:
         idx = raw[:, :w]
     elif bits == 4:

@@ -146,6 +146,49 @@ def test_canonical_bitfields_32bit():
         decode_bmp(bytes(bad))
 
 
+def test_os2_core_header_decodes():
+    # hand-built BITMAPCOREHEADER file: 12-byte header, BGR-triple
+    # palette, 8-bit indices, bottom-up rows
+    idx = (_gray() % 5).astype(np.uint8)
+    pal = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [9, 9, 9], [77, 1, 200]],
+        dtype=np.uint8,
+    )
+    n = 5
+    stride = (W + 3) // 4 * 4
+    rows = np.zeros((H, stride), dtype=np.uint8)
+    rows[:, :W] = idx[::-1]
+    pal_bytes = pal[:, ::-1].tobytes()  # RGB → BGR triples
+    data_off = 14 + 12 + 3 * 256  # core palettes are 2^bits entries
+    full_pal = np.zeros((256, 3), dtype=np.uint8)
+    full_pal[:n] = pal[:, ::-1]
+    core = struct.pack("<IHHHH", 12, W, H, 1, 8)
+    head = struct.pack(
+        "<2sIHHI", b"BM", data_off + rows.size, 0, 0, data_off
+    )
+    b = head + core + full_pal.tobytes() + rows.tobytes()
+    info = bmp_info(b)
+    assert (info["width"], info["height"], info["bits"]) == (W, H, 8)
+    assert np.array_equal(decode_bmp(b), pal[idx])
+    # 24-bit core file
+    rgb = _rgb()
+    stride24 = (3 * W + 3) // 4 * 4
+    rows24 = np.zeros((H, stride24), dtype=np.uint8)
+    rows24[:, : 3 * W] = rgb[::-1, :, ::-1].reshape(H, 3 * W)
+    core24 = struct.pack("<IHHHH", 12, W, H, 1, 24)
+    head24 = struct.pack(
+        "<2sIHHI", b"BM", 14 + 12 + rows24.size, 0, 0, 14 + 12
+    )
+    assert np.array_equal(
+        decode_bmp(head24 + core24 + rows24.tobytes()), rgb
+    )
+    # unknown in-between header size stays a named seam
+    weird = bytearray(head + core + full_pal.tobytes() + rows.tobytes())
+    struct.pack_into("<I", weird, 14, 16)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(weird))
+
+
 def test_containment():
     with pytest.raises(ValueError):
         decode_bmp(b"BMshort")
