@@ -2,8 +2,11 @@
 
 Pure-spec implementation of the public BITMAPFILEHEADER +
 BITMAPINFOHEADER format: 1/4/8-bit palette, 24-bit BGR and 32-bit BGRx
-pixels, BI_RGB and BI_RLE8 compressions, bottom-up (positive height)
-and top-down (negative height) row orders, 4-byte row stride padding.
+pixels, BI_RGB, BI_RLE8 and BI_RLE4 compressions (RLE4's encoded runs
+alternate the two nibbles of the value byte; absolute mode packs
+nibbles high-first and pads to a word boundary), bottom-up (positive
+height) and top-down (negative height) row orders, 4-byte row stride
+padding.
 Later header revisions (V4/V5) parse through the same first-40-byte
 layout; the OS/2 BITMAPCOREHEADER (12 bytes, u16 dimensions, BGR
 triple palettes) decodes too. The writer is the roundtrip-test twin
@@ -14,8 +17,7 @@ bit-exact.
 Output convention matches the other image codecs (kernel/raster,
 kernel/jpeg, kernel/tiff): ``decode_bmp`` returns (h, w, 3) uint8 RGB
 (the multimodal luma collapse recognizes R==G==B gray). Malformed
-input raises ``ValueError``; the one genuine format gap (BI_RLE4)
-raises ``NotImplementedError`` at the exact seam.
+input raises ``ValueError``.
 
 Scale note: payloads decode inside mapInPandas narrow maps
 (operators/multimodal.py) — bytes never leave their scan partition.
@@ -142,6 +144,57 @@ def _decode_rle8(
     return idx
 
 
+def _decode_rle4(data: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 → (h, w) uint8 index plane in BOTTOM-UP storage order
+    (caller flips). Encoded runs alternate the value byte's high and
+    low nibbles; absolute runs (escape n>=3) carry n nibbles packed
+    high-first, padded to a 16-bit boundary. Escapes 0/1/2 are
+    EOL/EOB/delta, as in RLE8."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = off
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run: nibbles alternate hi, lo, hi, ...
+            run = min(cnt, w - x)
+            pat = np.tile(
+                np.array([val >> 4, val & 0xF], dtype=np.uint8),
+                (run + 1) // 2 + 1,
+            )
+            idx[y, x : x + run] = pat[:run]
+            x += run
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("RLE4 delta missing offsets")
+            x = min(w, x + data[i])
+            y += data[i + 1]
+            if y >= h:
+                raise ValueError("RLE4 delta leaves bitmap")
+            i += 2
+        else:  # absolute run of `val` nibbles, word-aligned
+            nbytes = (val + 1) // 2
+            if i + nbytes > n:
+                raise ValueError("RLE4 absolute run overruns input")
+            byts = np.frombuffer(data[i : i + nbytes], dtype=np.uint8)
+            nibs = np.empty(2 * nbytes, dtype=np.uint8)
+            nibs[0::2] = byts >> 4
+            nibs[1::2] = byts & 0xF
+            run = min(val, w - x)
+            idx[y, x : x + run] = nibs[:run]
+            x = min(x + val, w)
+            i += nbytes + (nbytes & 1)
+    return idx
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode BMP bytes → (h, w, 3) uint8 RGB."""
     (data_off, w, h, bits, comp, clr_used, top_down, pal_off, core) = (
@@ -155,8 +208,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
         if not top_down:
             idx = idx[::-1]
         return np.ascontiguousarray(pal[idx])
-    if comp == 2:
-        raise NotImplementedError("BI_RLE4 BMP")
+    if comp == 2:  # BI_RLE4
+        if bits != 4:
+            raise ValueError("BI_RLE4 requires 4-bit pixels")
+        pal = _read_palette(data, pal_off, bits, clr_used)
+        idx = _decode_rle4(data, data_off, w, h)
+        if not top_down:
+            idx = idx[::-1]
+        return np.ascontiguousarray(pal[idx])
     if comp not in (0, 3):
         raise ValueError(f"unsupported BMP compression {comp}")
     if comp == 3 and bits not in (16, 32):
@@ -197,6 +256,60 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(pal[idx])
 
 
+def _p2run(line: np.ndarray, x: int, w: int) -> int:
+    """Length of the period-2 nibble run at ``x`` (capped at 255): the
+    longest stretch where pixel x+k equals pixel x+(k%2) — the pattern
+    one RLE4 encoded pair (cnt, hi|lo) reproduces."""
+    cap = min(w - x, 255)
+    run = min(2, cap)
+    while run < cap and line[x + run] == line[x + (run & 1)]:
+        run += 1
+    return run
+
+
+def _encode_rle4(rows: np.ndarray, h: int, w: int) -> bytes:
+    """BI_RLE4 writer: period-2 encoded runs where they pay (>= 3 px),
+    absolute-mode nibble stretches (>= 3 px, word-padded) elsewhere,
+    encoded 1-2 px stragglers, EOL per row, EOB at the end."""
+    body = bytearray()
+    for y in range(h):
+        line = rows[y]
+        x = 0
+        while x < w:
+            run = _p2run(line, x, w)
+            if run >= 3:
+                hi = int(line[x])
+                lo = int(line[x + 1])
+                body += bytes([run, (hi << 4) | lo])
+                x += run
+                continue
+            # literal stretch until a paying period-2 run begins
+            j = x
+            while j < w and (j - x) < 255 and _p2run(line, j, w) < 4:
+                j += 1
+            lit = j - x
+            if lit >= 3:
+                nibs = line[x:j]
+                packed = bytearray()
+                for k in range(0, lit, 2):
+                    hi = int(nibs[k])
+                    lo = int(nibs[k + 1]) if k + 1 < lit else 0
+                    packed.append((hi << 4) | lo)
+                if len(packed) & 1:
+                    packed.append(0)
+                body += bytes([0, lit]) + bytes(packed)
+                x = j
+            else:  # 1-2 stragglers: encoded pairs
+                take = max(lit, 1)
+                hi = int(line[x])
+                lo = int(line[x + 1]) if take == 2 else 0
+                body += bytes([take, (hi << 4) | lo])
+                x += take
+        body += b"\x00\x00"  # EOL
+    body += b"\x00\x01"  # EOB
+    return bytes(body)
+
+
 def _gray_palette() -> np.ndarray:
     g = np.arange(256, dtype=np.uint8)
     return np.stack([g, g, g], axis=1)
@@ -213,7 +326,9 @@ def encode_bmp(
     (h, w) uint8 index/gray plane for ``bits`` 8 (``palette`` (n, 3)
     RGB, default identity gray), values < 16 for ``bits`` 4, {0, 1}
     for ``bits`` 1 (palette rows 0/1 default black/white). ``rle``
-    (8-bit only) writes BI_RLE8."""
+    writes BI_RLE8 (``bits`` 8) or BI_RLE4 (``bits`` 4; period-2
+    encoded runs where they pay, absolute-mode nibble stretches
+    elsewhere — both decoder paths exercised by roundtrips)."""
     arr = np.asarray(arr)
     if bits in (24, 32):
         if arr.ndim != 3 or arr.shape[2] != 3:
@@ -227,8 +342,8 @@ def encode_bmp(
             raise ValueError(f"index plane overflows {bits}-bit palette")
     if bits not in (1, 4, 8, 24, 32):
         raise ValueError("bits must be 1, 4, 8, 24 or 32")
-    if rle and bits != 8:
-        raise ValueError("RLE is written for 8-bit planes only")
+    if rle and bits not in (4, 8):
+        raise ValueError("RLE is written for 4/8-bit planes only")
 
     pal_bytes = b""
     n_colors = 0
@@ -249,7 +364,7 @@ def encode_bmp(
         pal_bytes = quads.tobytes()
 
     rows = arr if top_down else arr[::-1]
-    if rle:
+    if rle and bits == 8:
         body = bytearray()
         for y in range(h):
             line = rows[y]
@@ -266,6 +381,9 @@ def encode_bmp(
         body += b"\x00\x01"  # EOB
         pixel = bytes(body)
         comp = 1
+    elif rle:  # bits == 4
+        pixel = _encode_rle4(rows, h, w)
+        comp = 2
     else:
         stride = ((w * bits + 31) // 32) * 4
         if bits == 24:

@@ -1,10 +1,12 @@
 """From-scratch BMP codec (kernel/bmp.py).
 
 Evidence model mirrors the other codec suites: bit-exact roundtrips
-across every supported depth/row-order/compression, hand-built streams
-for decoder-only features (RLE8 delta/early-EOB escapes), and the
-untrusted-input containment contract (ValueError for malformed
-streams, NotImplementedError only for genuine format gaps)."""
+across every supported depth/row-order/compression (RLE4 roundtrips
+cover both its encoded alternating-nibble runs and absolute mode),
+hand-built streams for decoder-only features (RLE8/RLE4
+delta/early-EOB escapes), and the untrusted-input containment contract
+(ValueError for malformed streams, NotImplementedError only for
+genuine format gaps)."""
 
 import struct
 
@@ -80,6 +82,72 @@ def test_rle8_roundtrip(top_down):
     b = encode_bmp(g, bits=8, rle=True, top_down=top_down)
     assert bmp_info(b)["compression"] == 1
     assert np.array_equal(decode_bmp(b), np.stack([g, g, g], axis=2))
+
+
+@pytest.mark.parametrize("top_down", [False, True])
+def test_rle4_roundtrip(top_down):
+    # quantized gradient: long alternating and solid runs plus literal
+    # stretches → both encoded and absolute modes appear in the stream
+    idx = ((_gray() // 24) % 16).astype(np.uint8)
+    b = encode_bmp(idx, bits=4, rle=True, top_down=top_down)
+    assert bmp_info(b)["compression"] == 2
+    g16 = np.arange(16, dtype=np.uint8)
+    pal = np.stack([g16, g16, g16], axis=1)
+    assert np.array_equal(decode_bmp(b), pal[idx])
+
+
+def test_rle4_roundtrip_fuzz():
+    rng = np.random.default_rng(414)
+    for _ in range(40):
+        h = int(rng.integers(1, 9))
+        w = int(rng.integers(1, 40))
+        # mix solid runs, alternating pairs, and noise
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            idx = rng.integers(0, 16, size=(h, w)).astype(np.uint8)
+        elif kind == 1:
+            idx = np.tile(
+                rng.integers(0, 16, size=(h, 2)).astype(np.uint8),
+                (1, (w + 1) // 2),
+            )[:, :w]
+        else:
+            idx = np.repeat(
+                rng.integers(0, 16, size=(h, (w + 4) // 5)), 5, axis=1
+            )[:, :w].astype(np.uint8)
+        out = decode_bmp(encode_bmp(idx, bits=4, rle=True))
+        assert np.array_equal(out[:, :, 0], idx), (h, w, kind)
+
+
+def test_rle4_hand_built_escapes():
+    # alternating encoded run, absolute run (odd count, word pad),
+    # delta skip, early EOB — the decoder-only escape paths
+    body = bytes(
+        [
+            5, 0x7_3,     # 5 px alternating 7,3,7,3,7
+            0, 3, 0x12, 0x30,  # absolute: nibbles 1,2,3 (2 B, aligned)
+            0, 2, 1, 1,   # delta: x += 1, y += 1
+            2, 0x9_0 | 0x4,  # 2 px: 9 then 4
+            0, 1,         # end of bitmap
+        ]
+    )
+    quads = np.zeros((16, 4), dtype=np.uint8)
+    quads[:, :3] = np.arange(16, dtype=np.uint8)[:, None] * 16
+    data_off = 14 + 40 + 64
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 12, -3, 1, 4, 2, len(body), 0, 0, 16, 0
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    )
+    out = decode_bmp(head + info + quads.tobytes() + body)
+    assert out.shape == (3, 12, 3)
+    row0 = out[0, :, 0] // 16
+    assert list(row0[:8]) == [7, 3, 7, 3, 7, 1, 2, 3]
+    assert (row0[8:] == 0).all()
+    # delta moved the pen from (8, 0) to (9, 1)
+    row1 = out[1, :, 0] // 16
+    assert list(row1[9:11]) == [9, 4]
+    assert (out[2] == 0).all()
 
 
 def test_rle8_delta_and_early_eob():
@@ -202,9 +270,11 @@ def test_containment():
     with pytest.raises(ValueError):
         decode_bmp(bytes(huge))
     rle4 = bytearray(encode_bmp(_gray(), bits=8, rle=True))
-    struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4
-    with pytest.raises(NotImplementedError):
+    struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4 claimed on 8-bit px
+    with pytest.raises(ValueError):
         decode_bmp(bytes(rle4))
+    with pytest.raises(ValueError):
+        encode_bmp((_gray() & 1).astype(np.uint8), bits=1, rle=True)
     with pytest.raises(ValueError):
         encode_bmp(_rgb(), bits=8)  # RGB into a palette depth
     with pytest.raises(ValueError):
