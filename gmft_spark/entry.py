@@ -27,6 +27,7 @@ from gmft_spark.operators import (
     similarity,
     textstats,
     toolcalls,
+    webcorpus,
 )
 from gmft_spark.operators.extract import (
     assemble_pages,
@@ -46,6 +47,7 @@ _ORACLE_MODULES = (
     curation,
     toolcalls,
     convstats,
+    webcorpus,
 )
 
 # Correctness-gate scene sampling (paired with scene_sql.sampled on the
@@ -998,6 +1000,12 @@ _EARLY_MODULE_QUERIES = (
     # that were driver-green in prior rounds move back out). Newest
     # additions first, then the verdict-mandated plan rewrites, then the
     # round's conversation/toolcall flagships, then the rest.
+    # round-4 web-corpus ingestion suite (_ROUND4_WINDOW is full at 50,
+    # so these register immediately after it — first names past the
+    # driver-recorded window, still value-hash-oracled in pytest replay)
+    "warc_ingest_pipeline",
+    "url_normalize_dedup",
+    "url_domain_census",
     "curriculum_order",
     "sft_fold_tool_turns",
     "dpo_pairs_from_retries",

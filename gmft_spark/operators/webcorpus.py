@@ -1,0 +1,439 @@
+"""Web-corpus ingestion: WARC archives → documents, plus URL curation.
+
+The front door of a Common-Crawl-style training pipeline: archive
+files (kernel/warc.py) are parsed inside a narrow ``mapInPandas``
+(one task per archive row, no shuffle), response records run through
+the same boilerplate-strip extractor as the HTML payload path
+(kernel/html.extract_main_content), and the resulting page URLs feed
+pure-JVM curation columns — component parse, normalization (lowercase
+host, default-port strip, trailing-slash strip, utm_* param removal,
+fragment drop), registered-domain extraction, and normalized-URL
+dedup. All URL operators are built-in-function column expressions
+(no UDFs): at 100 TB they are narrow maps; only the per-domain
+aggregations shuffle, on the (low-cardinality) domain key.
+
+Gate evidence (the codec-parity oracle pattern): document text rides a
+deterministic HTML template into real WARC bytes (writer twin), back
+through the real reader + extractor, and DuckDB re-derives the
+expected output straight from the formulas. THREE copies of the URL
+formula must agree — ``_url_for`` (python, the WARC builder),
+``urls_from_documents`` (Spark column exprs), and ``_URL_SQL_CTE``
+(DuckDB) — a PAIR-style contract: the warc_ingest oracle hash-checks
+python↔SQL and the url_* oracles hash-check Spark↔SQL, so a drift in
+any copy trips the gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gmft_spark.kernel.html import extract_main_content
+from gmft_spark.kernel.warc import build_warc, http_response, parse_warc
+
+# ── deterministic URL synthesis (b = doc_id // 4 is the page identity,
+#    v = doc_id % 4 picks one normalization-relevant mangle per variant:
+#    v=0 default port + fragment, v=1 uppercased host, v=2 trailing
+#    slash, v=3 utm_ tracking param) ─────────────────────────────────
+
+
+def _url_for(doc_id: int) -> str:
+    """Python copy of the URL formula (drives the WARC writer twin)."""
+    b, v = doc_id // 4, doc_id % 4
+    sub = "www." if b % 5 == 0 else ""
+    sfx = ("com", "org", "co.uk")[b % 3]
+    host = f"{sub}site{b % 7}.{sfx}"
+    canon_q = f"?ref={b % 5}" if b % 2 == 0 else ""
+    if v == 1:
+        host = host.upper()
+    port = ":443" if v == 0 else ""
+    path = f"/docs/{b}" + ("/" if v == 2 else "")
+    if v == 3:
+        q = "?utm_source=feed" + ("&" + canon_q[1:] if canon_q else "")
+    else:
+        q = canon_q
+    frag = "#sec2" if v == 0 else ""
+    return f"https://{host}{port}{path}{q}{frag}"
+
+
+def urls_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, ...) → (doc_id, url): the Spark-expression copy of the
+    URL formula — a narrow map, no UDF."""
+    b = F.expr("doc_id div 4")
+    v = (F.col("doc_id") % 4).cast("int")
+    sfx = (
+        F.when(b % 3 == 0, "com").when(b % 3 == 1, "org").otherwise("co.uk")
+    )
+    host_lc = F.concat(
+        F.when(b % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (b % 7).cast("string"),
+        F.lit("."),
+        sfx,
+    )
+    canon_q = F.when(
+        b % 2 == 0, F.concat(F.lit("?ref="), (b % 5).cast("string"))
+    ).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(v == 1, F.upper(host_lc)).otherwise(host_lc),
+        F.when(v == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        b.cast("string"),
+        F.when(v == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            v == 3,
+            F.concat(
+                F.lit("?utm_source=feed"),
+                F.when(
+                    canon_q != "",
+                    F.concat(F.lit("&"), F.substring(canon_q, 2, 1 << 30)),
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(canon_q),
+        F.when(v == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+# DuckDB copy of the same formula (plus the normalized/registered
+# expectations, derived INDEPENDENTLY of the Spark parser).
+_URL_SQL_CTE = """
+    WITH uu AS (
+        SELECT doc_id, doc_id // 4 AS b, CAST(doc_id % 4 AS INT) AS v
+        FROM documents
+    ),
+    ff AS (
+        SELECT doc_id, b, v,
+               (CASE WHEN b % 5 = 0 THEN 'www.' ELSE '' END)
+                 || 'site' || CAST(b % 7 AS VARCHAR) || '.'
+                 || (CASE b % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                     ELSE 'co.uk' END) AS host_lc,
+               'site' || CAST(b % 7 AS VARCHAR) || '.'
+                 || (CASE b % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                     ELSE 'co.uk' END) AS reg_domain,
+               CASE WHEN b % 2 = 0
+                    THEN '?ref=' || CAST(b % 5 AS VARCHAR)
+                    ELSE '' END AS canon_q
+        FROM uu
+    ),
+    urls AS (
+        SELECT doc_id, b, v, host_lc, reg_domain, canon_q,
+               'https://'
+                 || (CASE WHEN v = 1 THEN upper(host_lc) ELSE host_lc END)
+                 || (CASE WHEN v = 0 THEN ':443' ELSE '' END)
+                 || '/docs/' || CAST(b AS VARCHAR)
+                 || (CASE WHEN v = 2 THEN '/' ELSE '' END)
+                 || (CASE WHEN v = 3 THEN '?utm_source=feed'
+                         || (CASE WHEN canon_q <> ''
+                             THEN '&' || substr(canon_q, 2)
+                             ELSE '' END)
+                     ELSE canon_q END)
+                 || (CASE WHEN v = 0 THEN '#sec2' ELSE '' END) AS url,
+               'https://' || host_lc || '/docs/' || CAST(b AS VARCHAR)
+                 || canon_q AS url_norm
+        FROM ff
+    )
+"""
+
+
+# ── real URL operators (generic over any `url` column; no UDFs) ─────
+
+
+def url_components(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds scheme/host/port/path/query/fragment columns (raw case)."""
+    u = F.col(url_col)
+    hostport = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    return (
+        df.withColumn(
+            "scheme",
+            F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)),
+        )
+        .withColumn("host", F.regexp_extract(hostport, r"^([^:]*)", 1))
+        .withColumn("port", F.regexp_extract(hostport, r":(\d+)$", 1))
+        .withColumn(
+            "path",
+            F.regexp_extract(
+                u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1
+            ),
+        )
+        .withColumn("query", F.regexp_extract(u, r"\?([^#]*)", 1))
+        .withColumn("fragment", F.regexp_extract(u, r"#(.*)$", 1))
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, default port stripped,
+    one trailing slash stripped (root '/' kept), utm_* params dropped,
+    remaining params kept in order, fragment dropped."""
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    hostport = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+    )
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "https") & (port == "443"))
+        & ~((scheme == "http") & (port == "80"))
+    )
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.regexp_replace(path, r"/$", ""),
+    ).otherwise(path)
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda t: (t != "") & ~t.startswith("utm_"),
+    )
+    norm_q = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        norm_q,
+    )
+
+
+# documented mini public-suffix rule: multi-label suffixes this corpus
+# can produce; a production deployment swaps in the full PSL table as a
+# broadcast join instead of a literal list
+_MULTI_SUFFIXES = ("co.uk",)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered (pay-level) domain of a lowercase host."""
+    h = F.lower(host)
+    expr = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    for sfx in _MULTI_SUFFIXES:
+        pat = r"([^.]+\." + sfx.replace(".", r"\.") + r")$"
+        expr = F.when(
+            h.endswith("." + sfx), F.regexp_extract(h, pat, 1)
+        ).otherwise(expr)
+    return expr
+
+
+# ── WARC synthesis + ingestion pipeline ─────────────────────────────
+
+
+def _page_html(doc_id: int, text: str) -> str:
+    """Deterministic page template around a document's text — the SQL
+    twin in WARC_INGEST_SQL re-derives title/main/dropped from it."""
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        "<script>var t=1;</script></head><body>"
+        '<nav class="menu"><a href="/">Home</a></nav>'
+        f"<article><h1>Report {doc_id}</h1>"
+        f"<p>{text} end of article body.</p></article>"
+        '<footer class="footer">Footer note</footer></body></html>'
+    )
+
+
+def warc_files_from_documents(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> DataFrame:
+    """documents → (warc_id, payload, n_docs): real WARC file bytes
+    (gzip members, warcinfo + request + response records) built by the
+    writer twin, ``n_files`` archives via doc_id % n_files."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = docs.withColumn(
+        "warc_id", (F.col("doc_id") % n_files).cast("int")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs: List[Tuple[str, bytes]] = [
+            (_url_for(int(d)), _page_html(int(d), t or "").encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            [
+                {
+                    "warc_id": int(pdf["warc_id"].iloc[0]),
+                    "payload": build_warc(recs),
+                    "n_docs": len(recs),
+                }
+            ]
+        )
+
+    return docs.groupBy("warc_id").applyInPandas(
+        build, schema="warc_id int, payload binary, n_docs int"
+    )
+
+
+WARC_DOC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("mime", StringType()),
+        StructField("title", StringType()),
+        StructField("main_text", StringType()),
+        StructField("n_dropped_chars", IntegerType()),
+    ]
+)
+
+
+def extract_warc_documents(warc_files: DataFrame) -> DataFrame:
+    """(.., payload) → one row per response record: URL, HTTP status,
+    mime, and the boilerplate-stripped main content. Narrow map —
+    archives parse where they were scanned."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for payload in batch["payload"]:
+                for rec in parse_warc(bytes(payload)):
+                    if rec.warc_type != "response":
+                        continue
+                    status, hdrs, body = http_response(rec.block)
+                    c = extract_main_content(
+                        body.decode("utf-8", "replace")
+                    )
+                    rows.append(
+                        {
+                            "url": rec.target_uri,
+                            "http_status": int(status),
+                            "mime": hdrs.get("content-type", ""),
+                            "title": c.title,
+                            "main_text": c.main_text,
+                            "n_dropped_chars": int(c.n_dropped_chars),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return warc_files.select("payload").mapInPandas(
+        run, schema=WARC_DOC_SCHEMA
+    )
+
+
+# ── gate queries + DuckDB twins ─────────────────────────────────────
+
+
+def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full archive roundtrip: documents → HTML template → WARC writer
+    twin → real reader → boilerplate strip; doc identity recovered
+    from the page title for stable ordering."""
+    out = extract_warc_documents(
+        warc_files_from_documents(spark, sf_dir)
+    )
+    return out.select(
+        F.regexp_extract("title", r"Doc (\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "url",
+        "http_status",
+        "mime",
+        "title",
+        "main_text",
+        "n_dropped_chars",
+    ).orderBy("doc_id")
+
+
+WARC_INGEST_SQL = _URL_SQL_CTE + """,
+    built AS (
+        SELECT d.doc_id, u.url,
+               200 AS http_status,
+               'text/html; charset=utf-8' AS mime,
+               'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+               'Report ' || CAST(d.doc_id AS VARCHAR) || ' '
+                 || trim(regexp_replace(d.text, '\\s+', ' ', 'g'))
+                 || ' end of article body.' AS main_text
+        FROM documents d JOIN urls u USING (doc_id)
+    )
+    SELECT doc_id, url, http_status, mime, title, main_text,
+           CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' Home ')
+                + length(' Footer note') AS INT) AS n_dropped_chars
+    FROM built
+    ORDER BY doc_id
+"""
+
+
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization collapses each page's 4 crawl variants (port +
+    fragment, host case, trailing slash, utm param) onto one canonical
+    URL; the oracle derives the expected canonical form from the synth
+    formula — independently of the parser under test."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = urls_from_documents(docs)
+    norm = urls.withColumn("url_norm", normalize_url(F.col("url")))
+    return (
+        norm.groupBy("url_norm")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("url").alias("n_raw"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("url_norm")
+    )
+
+
+URL_NORMALIZE_DEDUP_SQL = _URL_SQL_CTE + """
+    SELECT url_norm,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+           min(doc_id) AS first_doc
+    FROM urls
+    GROUP BY url_norm
+    ORDER BY url_norm
+"""
+
+
+def url_domain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain aggregation (the domain-level curation grain:
+    caps, blocklists, mixing all key on it): component parse → suffix
+    rule → counts per pay-level domain."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = url_components(urls_from_documents(docs))
+    dom = parts.withColumn(
+        "domain", registered_domain(F.col("host"))
+    ).withColumn("host_lc", F.lower(F.col("host")))
+    return (
+        dom.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host_lc").alias("n_hosts"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+        .orderBy("domain")
+    )
+
+
+URL_DOMAIN_CENSUS_SQL = _URL_SQL_CTE + """
+    SELECT reg_domain AS domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host_lc) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+    FROM urls
+    GROUP BY reg_domain
+    ORDER BY reg_domain
+"""
+
+
+QUERIES = {
+    "warc_ingest_pipeline": (warc_ingest_pipeline, WARC_INGEST_SQL),
+    "url_normalize_dedup": (url_normalize_dedup, URL_NORMALIZE_DEDUP_SQL),
+    "url_domain_census": (url_domain_census, URL_DOMAIN_CENSUS_SQL),
+}
