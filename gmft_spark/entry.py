@@ -876,6 +876,13 @@ def _oracled_pipelines():
             multimodal.media_wav_decode_parity,
             multimodal.MEDIA_WAV_DECODE_PARITY_SQL,
         ),
+        # round 4 (late): FLAC — lossless predictive coding, stereo
+        # decorrelation, Rice residuals — through the same
+        # lossless-roundtrip oracle shape
+        "media_flac_decode_parity": (
+            multimodal.media_flac_decode_parity,
+            multimodal.MEDIA_FLAC_DECODE_PARITY_SQL,
+        ),
         "media_png_decode_parity": (
             multimodal.media_png_decode_parity,
             multimodal.MEDIA_PNG_DECODE_PARITY_SQL,

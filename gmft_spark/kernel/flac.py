@@ -1,0 +1,724 @@
+"""From-scratch FLAC codec — reader + writer twin.
+
+Implements the public FLAC bitstream (the xiph format spec / RFC
+9639): STREAMINFO metadata, byte-aligned frames with CRC-8-protected
+headers and CRC-16-protected bodies, UTF-8-style coded frame numbers,
+all four subframe types (CONSTANT, VERBATIM, FIXED orders 0-4, LPC
+with quantized coefficients and right-shift), wasted-bits packing,
+partitioned Rice residual coding (4- and 5-bit parameter forms plus
+the raw-bits escape), and all four stereo decorrelations (independent,
+left/side, right/side, mid/side — side channels carry bps+1 bits).
+The decoder verifies every frame CRC and the STREAMINFO MD5 of the
+decoded audio (the spec's whole-stream integrity check), so a
+roundtrip exercises the arithmetic end to end; malformed or truncated
+input raises ``ValueError``.
+
+Unlike the DCT/Huffman codecs there are NO large fixed probability
+tables here — every coding decision is carried in-stream — which is
+what makes a faithful from-scratch implementation possible in this
+environment (contrast the documented lossy-VP8 seam in
+kernel/webp.py, whose default probability tables are not
+reconstructible from first principles).
+
+The writer is the roundtrip twin (tests/test_flac.py): it rotates
+through stereo modes, fixed and LPC predictors, multi-partition Rice,
+the all-zero escape, and wasted-bits shifts, so every decoder path is
+exercised by decode(encode(x)) == x. FLAC is lossless, so equality is
+exact.
+
+Output convention matches kernel/wav.py consumers: ``decode_flac``
+returns (samples int32 (n, channels), sample_rate, bits_per_sample).
+
+Scale note: payloads decode inside mapInPandas narrow maps
+(operators/multimodal.py) — bytes never leave their scan partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["decode_flac", "encode_flac", "flac_info"]
+
+_MAX_SAMPLES = 1 << 28  # hostile-input cap (~268 M samples)
+
+# ── CRCs (FLAC: CRC-8 poly 0x07, CRC-16 poly 0x8005, both init 0) ───
+
+
+def _make_crc8() -> np.ndarray:
+    t = np.zeros(256, dtype=np.uint8)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t[i] = c
+    return t
+
+
+def _make_crc16() -> np.ndarray:
+    t = np.zeros(256, dtype=np.uint16)
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t[i] = c
+    return t
+
+
+_CRC8 = _make_crc8()
+_CRC16 = _make_crc16()
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC16[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ── bit reader (MSB-first) ──────────────────────────────────────────
+
+
+class _BitReader:
+    def __init__(self, data: bytes, start_byte: int = 0):
+        self.data = data
+        self._bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self._ones = np.flatnonzero(self._bits).astype(np.int64)
+        self.pos = start_byte * 8
+        self.n = len(self._bits)
+
+    def read(self, nb: int) -> int:
+        p = self.pos
+        if p + nb > self.n:
+            raise ValueError("FLAC bitstream truncated")
+        self.pos = p + nb
+        if nb == 0:
+            return 0
+        sl = self._bits[p : p + nb].astype(np.int64)
+        return int(sl @ (np.int64(1) << np.arange(nb - 1, -1, -1)))
+
+    def sread(self, nb: int) -> int:
+        v = self.read(nb)
+        if nb and v >> (nb - 1):
+            v -= 1 << nb
+        return v
+
+    def unary(self) -> int:
+        j = int(np.searchsorted(self._ones, self.pos))
+        if j >= len(self._ones):
+            raise ValueError("FLAC unary code runs off the stream")
+        t = int(self._ones[j])
+        q = t - self.pos
+        self.pos = t + 1
+        if q > 1 << 24:
+            raise ValueError("hostile FLAC unary run")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    @property
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+# ── bit writer ──────────────────────────────────────────────────────
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, v: int, nb: int) -> None:
+        if nb == 0:
+            return
+        self.acc = (self.acc << nb) | (v & ((1 << nb) - 1))
+        self.nacc += nb
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def swrite(self, v: int, nb: int) -> None:
+        self.write(v & ((1 << nb) - 1), nb)
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+
+    def bytes(self) -> bytes:
+        assert self.nacc == 0
+        return bytes(self.buf)
+
+
+# ── header pieces ───────────────────────────────────────────────────
+
+_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _read_coded_number(br: _BitReader) -> int:
+    """UTF-8-style variable-length frame/sample number (up to 36 bits)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n_extra = 0
+    mask = 0x40
+    while b0 & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise ValueError("bad FLAC coded number lead byte")
+    v = b0 & (mask - 1)
+    for _ in range(n_extra):
+        b = br.read(8)
+        if b >> 6 != 0b10:
+            raise ValueError("bad FLAC coded number continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _write_coded_number(bw: _BitWriter, v: int) -> None:
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    # n_extra continuation bytes carry 6 bits each; the lead byte
+    # carries 6 - n_extra more (UTF-8 shape, extended to 36 bits)
+    n_extra = 1
+    while v >= (1 << (6 + 5 * n_extra)):
+        n_extra += 1
+    if n_extra > 6:
+        raise ValueError("coded number overflows 36 bits")
+    bw.write(((0xFF << (7 - n_extra)) & 0xFF) | (v >> (6 * n_extra)), 8)
+    for i in range(n_extra - 1, -1, -1):
+        bw.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+# ── metadata ────────────────────────────────────────────────────────
+
+
+def flac_info(data: bytes) -> dict:
+    """STREAMINFO probe (header-only; metadata queries stay cheap)."""
+    si, _ = _parse_metadata(data)
+    return si
+
+
+def _parse_metadata(data: bytes) -> Tuple[dict, int]:
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (bad magic)")
+    i = 4
+    si: Optional[dict] = None
+    while True:
+        if i + 4 > len(data):
+            raise ValueError("truncated FLAC metadata header")
+        last = data[i] >> 7
+        btype = data[i] & 0x7F
+        (length,) = struct.unpack(">I", b"\x00" + data[i + 1 : i + 4])
+        i += 4
+        if i + length > len(data):
+            raise ValueError("FLAC metadata block outruns file")
+        if btype == 0:
+            blk = data[i : i + length]
+            if length < 34:
+                raise ValueError("short STREAMINFO")
+            min_bs, max_bs = struct.unpack(">HH", blk[0:4])
+            packed = int.from_bytes(blk[10:18], "big")
+            si = {
+                "min_block_size": min_bs,
+                "max_block_size": max_bs,
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+                "md5": blk[18:34],
+            }
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        i += length
+        if last:
+            break
+    if si is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    if si["total_samples"] > _MAX_SAMPLES:
+        raise ValueError("FLAC sample count exceeds decoder cap")
+    return si, i
+
+
+# ── residual / subframe / frame decode ──────────────────────────────
+
+
+def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if block_size % nparts:
+        raise ValueError("FLAC partition order does not divide block")
+    out = np.empty(block_size - order, dtype=np.int64)
+    idx = 0
+    read, unary = br.read, br.unary
+    for p in range(nparts):
+        cnt = (block_size >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("FLAC predictor order exceeds first partition")
+        k = read(pbits)
+        if k == escape:
+            nb = read(5)
+            if nb == 0:
+                out[idx : idx + cnt] = 0
+                idx += cnt
+            else:
+                for _ in range(cnt):
+                    out[idx] = br.sread(nb)
+                    idx += 1
+        else:
+            for _ in range(cnt):
+                q = unary()
+                v = (q << k) | read(k)
+                out[idx] = (v >> 1) ^ -(v & 1)
+                idx += 1
+    return out
+
+
+def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+    eb = bps - wasted
+    if eb <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        out = np.full(n, br.sread(eb), dtype=np.int64)
+    elif t == 1:  # VERBATIM
+        out = np.fromiter(
+            (br.sread(eb) for _ in range(n)), dtype=np.int64, count=n
+        )
+    elif 8 <= t <= 12:  # FIXED order 0-4
+        order = t - 8
+        if order > n:
+            raise ValueError("FLAC fixed order exceeds block size")
+        warm = [br.sread(eb) for _ in range(order)]
+        resid = _read_residual(br, n, order)
+        s = warm + [0] * (n - order)
+        r = resid.tolist()
+        if order == 0:
+            s = r
+        elif order == 1:
+            for i in range(order, n):
+                s[i] = r[i - 1] + s[i - 1]
+        elif order == 2:
+            for i in range(order, n):
+                s[i] = r[i - 2] + 2 * s[i - 1] - s[i - 2]
+        elif order == 3:
+            for i in range(order, n):
+                s[i] = r[i - 3] + 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3]
+        else:
+            for i in range(order, n):
+                s[i] = (
+                    r[i - 4]
+                    + 4 * s[i - 1]
+                    - 6 * s[i - 2]
+                    + 4 * s[i - 3]
+                    - s[i - 4]
+                )
+        out = np.array(s, dtype=np.int64)
+    elif t >= 32:  # LPC
+        order = (t & 31) + 1
+        if order > n:
+            raise ValueError("FLAC LPC order exceeds block size")
+        warm = [br.sread(eb) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision code 1111")
+        shift = br.sread(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.sread(prec) for _ in range(order)]
+        resid = _read_residual(br, n, order)
+        s = warm + [0] * (n - order)
+        r = resid.tolist()
+        for i in range(order, n):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * s[i - 1 - j]
+            s[i] = r[i - order] + (acc >> shift)
+        out = np.array(s, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {t}")
+    return out << wasted
+
+
+def _decode_frame(
+    br: _BitReader, si: dict
+) -> Tuple[np.ndarray, int]:
+    fs = br.byte_pos
+    if br.read(14) != 0x3FFE:
+        raise ValueError("bad FLAC frame sync")
+    if br.read(1):
+        raise ValueError("reserved FLAC frame bit set")
+    br.read(1)  # blocking strategy (fixed/variable — number reads the same)
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    ch_code = br.read(4)
+    ss_code = br.read(3)
+    if br.read(1):
+        raise ValueError("reserved FLAC frame bit set")
+    _read_coded_number(br)
+    if bs_code == 0:
+        raise ValueError("reserved FLAC block size code 0")
+    elif bs_code in _BLOCK_SIZES:
+        n = _BLOCK_SIZES[bs_code]
+    elif bs_code == 6:
+        n = br.read(8) + 1
+    elif bs_code == 7:
+        n = br.read(16) + 1
+    else:
+        n = 256 << (bs_code - 8)
+    if sr_code == 0:
+        pass
+    elif sr_code in _SAMPLE_RATES:
+        pass
+    elif sr_code == 12:
+        br.read(8)
+    elif sr_code in (13, 14):
+        br.read(16)
+    else:
+        raise ValueError("invalid FLAC sample rate code 15")
+    if ss_code == 0:
+        bps = si["bits_per_sample"]
+    elif ss_code in _SAMPLE_SIZES:
+        bps = _SAMPLE_SIZES[ss_code]
+    else:
+        raise ValueError("reserved FLAC sample size code")
+    if _crc8(br.data[fs : br.byte_pos]) != br.read(8):
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+
+    if ch_code <= 7:
+        nch = ch_code + 1
+        chans = [
+            _decode_subframe(br, n, bps) for _ in range(nch)
+        ]
+    elif ch_code in (8, 9, 10):
+        side_first = ch_code == 9
+        a = _decode_subframe(br, n, bps + (1 if side_first else 0))
+        b = _decode_subframe(br, n, bps + (0 if side_first else 1))
+        if ch_code == 8:  # left/side: right = left - side
+            chans = [a, a - b]
+        elif ch_code == 9:  # side/right: left = side + right
+            chans = [a + b, b]
+        else:  # mid/side
+            side = b
+            mid2 = (a << 1) | (side & 1)
+            chans = [(mid2 + side) >> 1, (mid2 - side) >> 1]
+    else:
+        raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+    br.align()
+    if _crc16(br.data[fs : br.byte_pos]) != br.read(16):
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return np.stack(chans, axis=1), bps
+
+
+def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """FLAC bytes → (samples int32 (n, channels), rate, bits/sample).
+    Verifies frame CRCs and the STREAMINFO MD5 of the decoded audio."""
+    si, off = _parse_metadata(data)
+    total = si["total_samples"]
+    br = _BitReader(data, off)
+    blocks: List[np.ndarray] = []
+    got = 0
+    while (total == 0 or got < total) and br.byte_pos < len(data) - 1:
+        block, _bps = _decode_frame(br, si)
+        if block.shape[1] != si["channels"]:
+            raise ValueError("FLAC frame channel count != STREAMINFO")
+        blocks.append(block)
+        got += block.shape[0]
+        if got > _MAX_SAMPLES:
+            raise ValueError("FLAC sample count exceeds decoder cap")
+    if not blocks:
+        raise ValueError("FLAC stream carries no audio frames")
+    out = np.concatenate(blocks, axis=0)
+    if total:
+        if out.shape[0] < total:
+            raise ValueError("FLAC stream ends before total_samples")
+        out = out[:total]
+    bps = si["bits_per_sample"]
+    if si["md5"] != b"\x00" * 16 and bps % 8 == 0:
+        width = bps // 8
+        dt = {1: "<i1", 2: "<i2", 3: None, 4: "<i4"}[width]
+        if width == 3:
+            lo = out.astype(np.int64) & 0xFFFFFF
+            raw = (
+                lo.astype("<u4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+            )
+        else:
+            raw = out.astype(dt).tobytes()
+        if hashlib.md5(raw).digest() != si["md5"]:
+            raise ValueError("FLAC MD5 mismatch (decoded audio corrupt)")
+    return out.astype(np.int32), si["sample_rate"], bps
+
+
+# ── encoder twin ────────────────────────────────────────────────────
+
+
+def _rice_cost(resid: np.ndarray, k: int) -> int:
+    z = (np.abs(resid) << 1) - (resid < 0)
+    return int(np.sum(z >> k)) + len(resid) * (k + 1)
+
+
+def _best_k(resid: np.ndarray) -> int:
+    best, bk = None, 0
+    for k in range(0, 19):
+        c = _rice_cost(resid, k)
+        if best is None or c < best:
+            best, bk = c, k
+    return bk
+
+
+def _write_residual(
+    bw: _BitWriter, resid: np.ndarray, block_size: int, order: int, po: int
+) -> None:
+    nparts = 1 << po
+    assert block_size % nparts == 0
+    ks: List[Tuple[int, Optional[int], np.ndarray]] = []
+    idx = 0
+    for p in range(nparts):
+        cnt = (block_size >> po) - (order if p == 0 else 0)
+        part = resid[idx : idx + cnt]
+        idx += cnt
+        if cnt and not part.any():
+            ks.append((-1, 0, part))  # escape, 0-bit raw
+        else:
+            ks.append((_best_k(part), None, part))
+    method = 1 if any(k > 14 for k, _, _ in ks) else 0
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    bw.write(method, 2)
+    bw.write(po, 4)
+    for k, raw_nb, part in ks:
+        if k < 0:
+            bw.write(escape, pbits)
+            bw.write(raw_nb, 5)
+            continue
+        bw.write(k, pbits)
+        for r in part.tolist():
+            v = (abs(r) << 1) - (1 if r < 0 else 0)
+            bw.unary(v >> k)
+            bw.write(v & ((1 << k) - 1), k)
+
+
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_LPC_COEFS = [700, -300]  # order 2, shift 9, precision 11
+_LPC_SHIFT = 9
+_LPC_PREC = 11
+
+
+def _fixed_residual(s: np.ndarray, order: int) -> np.ndarray:
+    r = s.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _encode_subframe(
+    bw: _BitWriter, s: np.ndarray, bps: int, use_lpc: bool, po: int
+) -> None:
+    n = len(s)
+    s = s.astype(np.int64)
+    # wasted-bits detection: largest w with every sample divisible by
+    # 2^w (trailing zeros survive the bitwise OR in two's complement)
+    wasted = 0
+    ors = int(np.bitwise_or.reduce(s))
+    if ors:
+        wasted = min(8, (ors & -ors).bit_length() - 1)
+    eb = bps - wasted
+    sw = s >> wasted if wasted else s
+    if np.all(sw == sw[0]):
+        bw.write(0, 1)
+        bw.write(0, 6)
+        _write_wasted(bw, wasted)
+        bw.swrite(int(sw[0]), eb)
+        return
+    if use_lpc and n > 2:
+        order = 2
+        bw.write(0, 1)
+        bw.write(32 + (order - 1), 6)
+        _write_wasted(bw, wasted)
+        for x in sw[:order].tolist():
+            bw.swrite(x, eb)
+        bw.write(_LPC_PREC - 1, 4)
+        bw.swrite(_LPC_SHIFT, 5)
+        for c in _LPC_COEFS:
+            bw.swrite(c, _LPC_PREC)
+        sl = sw.tolist()
+        resid = np.array(
+            [
+                sl[i]
+                - (
+                    (_LPC_COEFS[0] * sl[i - 1] + _LPC_COEFS[1] * sl[i - 2])
+                    >> _LPC_SHIFT
+                )
+                for i in range(order, n)
+            ],
+            dtype=np.int64,
+        )
+        _write_residual(bw, resid, n, order, po if n % (1 << po) == 0 and (n >> po) > order else 0)
+        return
+    # best fixed order 0-2
+    best_o, best_cost, best_res = 0, None, None
+    for o in range(0, min(3, n)):
+        res = _fixed_residual(sw, o)
+        cost = int(np.sum(np.abs(res)))
+        if best_cost is None or cost < best_cost:
+            best_o, best_cost, best_res = o, cost, res
+    bw.write(0, 1)
+    bw.write(8 + best_o, 6)
+    _write_wasted(bw, wasted)
+    for x in sw[:best_o].tolist():
+        bw.swrite(x, eb)
+    use_po = po if n % (1 << po) == 0 and (n >> po) > best_o else 0
+    _write_residual(bw, best_res, n, best_o, use_po)
+
+
+def _write_wasted(bw: _BitWriter, wasted: int) -> None:
+    if wasted:
+        bw.write(1, 1)
+        bw.unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int,
+    bps: int = 16,
+    block_size: int = 1024,
+) -> bytes:
+    """Write a FLAC stream. ``samples``: (n,) or (n, channels) int
+    array (two-channel input rotates through all four stereo modes
+    frame by frame; more channels encode independently). Lossless:
+    decode_flac(encode_flac(x)) reproduces x exactly."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if not (1 <= ch <= 8):
+        raise ValueError("FLAC supports 1-8 channels")
+    if n == 0:
+        raise ValueError("empty sample array")
+    lim = 1 << (bps - 1)
+    if s.min() < -lim or s.max() >= lim:
+        raise ValueError(f"samples overflow {bps}-bit range")
+    s = s.astype(np.int64)
+
+    frames = bytearray()
+    starts = list(range(0, n, block_size))
+    min_bs = min(block_size, n)
+    max_bs = min(block_size, n)
+    for fi, st in enumerate(starts):
+        blk = s[st : st + block_size]
+        bn = blk.shape[0]
+        min_bs = min(min_bs, bn)
+        max_bs = max(max_bs, bn)
+        bw = _BitWriter()
+        mode = fi % 4 if ch == 2 else 0
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking
+        bw.write(7, 4)  # 16-bit block size - 1 follows
+        bw.write(0, 4)  # sample rate from STREAMINFO
+        if ch == 2 and mode:
+            bw.write({1: 8, 2: 9, 3: 10}[mode], 4)
+        else:
+            bw.write(ch - 1, 4)
+        bw.write(0, 3)  # sample size from STREAMINFO
+        bw.write(0, 1)
+        _write_coded_number(bw, fi)
+        bw.write(bn - 1, 16)
+        bw.align()
+        hdr = bw.bytes()
+        bw2 = _BitWriter()
+        po = 2 if (fi % 3 == 0 and bn % 4 == 0) else 0
+        use_lpc = fi % 5 == 4
+        if ch == 2 and mode:
+            left = blk[:, 0]
+            right = blk[:, 1]
+            if mode == 1:  # left/side
+                subs = [(left, bps), (left - right, bps + 1)]
+            elif mode == 2:  # side/right
+                subs = [(left - right, bps + 1), (right, bps)]
+            else:  # mid/side
+                mid = (left + right) >> 1
+                subs = [(mid, bps), (left - right, bps + 1)]
+        else:
+            subs = [(blk[:, c], bps) for c in range(ch)]
+        for sub, sbps in subs:
+            _encode_subframe(bw2, sub, sbps, use_lpc, po)
+        bw2.align()
+        body = bw2.bytes()
+        with_crc8 = hdr + bytes([_crc8(hdr)])
+        frame = with_crc8 + body
+        frame += struct.pack(">H", _crc16(frame))
+        frames += frame
+
+    # STREAMINFO
+    width = bps // 8 if bps % 8 == 0 else 0
+    if width in (1, 2, 4):
+        md5 = hashlib.md5(
+            s.astype({1: "<i1", 2: "<i2", 4: "<i4"}[width]).tobytes()
+        ).digest()
+    elif width == 3:
+        lo = s & 0xFFFFFF
+        md5 = hashlib.md5(
+            lo.astype("<u4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        ).digest()
+    else:
+        md5 = b"\x00" * 16
+    packed = (
+        (sample_rate << 44)
+        | ((ch - 1) << 41)
+        | ((bps - 1) << 36)
+        | n
+    )
+    si = (
+        struct.pack(">HH", min_bs, max_bs)
+        + b"\x00\x00\x00" * 2  # min/max frame size unknown
+        + packed.to_bytes(8, "big")
+        + md5
+    )
+    header = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    return header + bytes(frames)

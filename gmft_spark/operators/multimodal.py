@@ -153,7 +153,8 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
     images rotate PNG (kernel/raster.py), baseline JPEG
     (kernel/jpeg.py), LZW TIFF (kernel/tiff.py), GIF (kernel/gif.py),
     gray BMP (kernel/bmp.py) and lossless WebP (kernel/webp.py); audio
-    is PCM WAVE sine bursts (kernel/wav.py); video rotates
+    rotates PCM WAVE (kernel/wav.py) and FLAC (kernel/flac.py) sine
+    bursts; video rotates
     MJPEG-in-AVI (kernel/avi.py),
     MJPEG-in-MP4 (kernel/mp4.py) and animated-GIF gradient frames. The
     real decode path (extract_features(decode_mode='real')) runs
@@ -207,7 +208,7 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                         )
                         mime = "image/webp"
                     meta = (mime, w, h, 0)
-                elif kind == 1:  # audio
+                elif kind == 1:  # audio: WAV / FLAC rotation
                     rate = 8000
                     n_samp = 1000 + (mid % 7) * 500
                     t = np.arange(n_samp, dtype=np.float64)
@@ -215,9 +216,16 @@ def synthesize_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
                     samples = (
                         6000.0 * np.sin(2.0 * np.pi * freq * t / rate)
                     ).astype(np.int16)
-                    payload = encode_wav(samples, rate)
+                    if (mid // 3) % 2 == 0:
+                        payload = encode_wav(samples, rate)
+                        mime = "audio/wav"
+                    else:
+                        from gmft_spark.kernel.flac import encode_flac
+
+                        payload = encode_flac(samples, rate)
+                        mime = "audio/flac"
                     meta = (
-                        "audio/wav",
+                        mime,
                         0,
                         0,
                         int(round(1000.0 * n_samp / rate)),
@@ -293,7 +301,8 @@ def _real_decode(
     """Real decode path → (feature, n_frames_sampled). All three
     modalities decode natively through the from-scratch codecs:
     PNG (kernel/raster.py), baseline JPEG (kernel/jpeg.py) and TIFF 6.0
-    (kernel/tiff.py) images, RIFF/WAVE PCM audio (kernel/wav.py), and
+    (kernel/tiff.py) images, RIFF/WAVE PCM (kernel/wav.py) and FLAC
+    (kernel/flac.py) audio, and
     MJPEG video in AVI (kernel/avi.py) or ISO-BMFF MP4 (kernel/mp4.py)
     containers (frames sampled every ``frame_stride`` BEFORE pixel
     decode). Only genuinely foreign codecs (WebP, MP3/OGG, avc1/hevc)
@@ -331,14 +340,27 @@ def _real_decode(
     if modality == "audio":
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             samples, _rate = decode_wav(payload)
-            # 16-bin amplitude histogram over the full int16 range
-            bins = (samples.reshape(-1).astype(np.int32) + 32768) >> 12
-            hist = np.bincount(bins, minlength=FEATURE_DIM)[:FEATURE_DIM]
-            return (hist / max(1, samples.size)).astype(np.float32), 1
-        raise NotImplementedError(
-            "non-WAVE audio decode needs ffmpeg on executors; "
-            "install and implement here"
-        )
+        elif payload[:4] == b"fLaC":
+            from gmft_spark.kernel.flac import decode_flac
+
+            raw, _rate, bps = decode_flac(payload)
+            # normalize to the int16 display range (shift like the TIFF
+            # high-byte convention)
+            if bps > 16:
+                samples = (raw >> (bps - 16)).astype(np.int16)
+            elif bps < 16:
+                samples = (raw << (16 - bps)).astype(np.int16)
+            else:
+                samples = raw.astype(np.int16)
+        else:
+            raise NotImplementedError(
+                "non-WAVE/FLAC audio decode needs ffmpeg on executors; "
+                "install and implement here"
+            )
+        # 16-bin amplitude histogram over the full int16 range
+        bins = (samples.reshape(-1).astype(np.int32) + 32768) >> 12
+        hist = np.bincount(bins, minlength=FEATURE_DIM)[:FEATURE_DIM]
+        return (hist / max(1, samples.size)).astype(np.float32), 1
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames = decode_avi_frames(payload, frame_stride=frame_stride)
         if not frames:
@@ -869,6 +891,75 @@ SELECT media_id,
 FROM samples
 GROUP BY media_id, bin
 ORDER BY media_id, bin
+"""
+
+
+_FLAC_PARITY_N_MEDIA = 48
+
+
+def media_flac_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC roundtrip parity: a stereo integer-formula signal
+    (ch0_t = ((id*11 + t*17) % 4096) - 2048, ch1_t = ((id*5 + t*7) %
+    4096) - 2048, n = 700 + (id%4)*256 — frames >1024 samples cross a
+    block boundary, so the stereo-mode rotation and multi-frame path
+    run) encoded and decoded through kernel/flac.py, then histogrammed
+    per channel into 16 amplitude bins. FLAC is lossless, so the
+    oracle recomputes the bins from the formula alone."""
+    from gmft_spark.kernel.flac import decode_flac, encode_flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                n = 700 + (mid % 4) * 256
+                t = np.arange(n, dtype=np.int64)
+                ch0 = (mid * 11 + t * 17) % 4096 - 2048
+                ch1 = (mid * 5 + t * 7) % 4096 - 2048
+                st = np.stack([ch0, ch1], axis=1)
+                dec, rate, bps = decode_flac(encode_flac(st, 16000))
+                assert (rate, bps) == (16000, 16)
+                for c in (0, 1):
+                    bins = (dec[:, c].astype(np.int32) + 32768) >> 12
+                    for b, cnt in zip(*np.unique(bins, return_counts=True)):
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "ch": c,
+                                "bin": int(b),
+                                "cnt": int(cnt),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    schema = "media_id long, ch int, bin int, cnt long"
+    return (
+        spark.range(_FLAC_PARITY_N_MEDIA)
+        .mapInPandas(run, schema=schema)
+        .orderBy("media_id", "ch", "bin")
+    )
+
+
+MEDIA_FLAC_DECODE_PARITY_SQL = f"""
+WITH ids AS (SELECT i AS media_id FROM generate_series(0, {_FLAC_PARITY_N_MEDIA - 1}) g(i)),
+samples AS (
+    SELECT ids.media_id, ch.c AS ch,
+           CASE ch.c
+             WHEN 0 THEN ((ids.media_id * 11 + ts.t * 17) % 4096) - 2048
+             ELSE ((ids.media_id * 5 + ts.t * 7) % 4096) - 2048
+           END AS s
+    FROM ids
+    CROSS JOIN generate_series(0, 700 + 3 * 256 - 1) ts(t)
+    CROSS JOIN (VALUES (0), (1)) ch(c)
+    WHERE ts.t < 700 + (ids.media_id % 4) * 256
+)
+SELECT media_id, CAST(ch AS INT) AS ch,
+       CAST((s + 32768) // 4096 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM samples
+GROUP BY media_id, ch, bin
+ORDER BY media_id, ch, bin
 """
 
 
