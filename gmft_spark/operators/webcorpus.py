@@ -25,7 +25,7 @@ any copy trips the gate.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 
@@ -283,49 +283,128 @@ def warc_files_from_documents(
     )
 
 
-WARC_DOC_SCHEMA = StructType(
-    [
-        StructField("url", StringType()),
-        StructField("http_status", IntegerType()),
-        StructField("mime", StringType()),
-        StructField("title", StringType()),
-        StructField("main_text", StringType()),
-        StructField("n_dropped_chars", IntegerType()),
-    ]
-)
+WARC_DOC_FIELDS = [
+    StructField("url", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("mime", StringType()),
+    StructField("title", StringType()),
+    StructField("main_text", StringType()),
+    StructField("n_dropped_chars", IntegerType()),
+    StructField("status", StringType()),
+]
+
+WARC_DOC_SCHEMA = StructType(WARC_DOC_FIELDS)
 
 
-def extract_warc_documents(warc_files: DataFrame) -> DataFrame:
+def extract_warc_documents(
+    warc_files: DataFrame, src_col: Optional[str] = None
+) -> DataFrame:
     """(.., payload) → one row per response record: URL, HTTP status,
-    mime, and the boilerplate-stripped main content. Narrow map —
-    archives parse where they were scanned."""
+    mime, the boilerplate-stripped main content, and ``status`` 'ok'.
+    A malformed archive is CONTAINED as one ``status``
+    'error: ...' row (the job keeps running; lineage counts it), the
+    same error-row contract as the PDF payload pipeline. Pass
+    ``src_col`` to carry a source column (e.g. the archive file path)
+    through to every output row. Narrow map — archives parse where
+    they were scanned."""
+    cols = ["payload"] + ([src_col] if src_col else [])
+    schema = StructType(
+        ([StructField(src_col, StringType())] if src_col else [])
+        + WARC_DOC_FIELDS
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for payload in batch["payload"]:
-                for rec in parse_warc(bytes(payload)):
-                    if rec.warc_type != "response":
-                        continue
-                    status, hdrs, body = http_response(rec.block)
-                    c = extract_main_content(
-                        body.decode("utf-8", "replace")
-                    )
+            srcs = batch[src_col] if src_col else [None] * len(batch)
+            for payload, src in zip(batch["payload"], srcs):
+                base = {src_col: src} if src_col else {}
+                try:
+                    recs = parse_warc(bytes(payload))
+                    for rec in recs:
+                        if rec.warc_type != "response":
+                            continue
+                        status, hdrs, body = http_response(rec.block)
+                        c = extract_main_content(
+                            body.decode("utf-8", "replace")
+                        )
+                        rows.append(
+                            {
+                                **base,
+                                "url": rec.target_uri,
+                                "http_status": int(status),
+                                "mime": hdrs.get("content-type", ""),
+                                "title": c.title,
+                                "main_text": c.main_text,
+                                "n_dropped_chars": int(c.n_dropped_chars),
+                                "status": "ok",
+                            }
+                        )
+                except (ValueError, KeyError) as e:
                     rows.append(
                         {
-                            "url": rec.target_uri,
-                            "http_status": int(status),
-                            "mime": hdrs.get("content-type", ""),
-                            "title": c.title,
-                            "main_text": c.main_text,
-                            "n_dropped_chars": int(c.n_dropped_chars),
+                            **base,
+                            "url": None,
+                            "http_status": None,
+                            "mime": None,
+                            "title": None,
+                            "main_text": None,
+                            "n_dropped_chars": None,
+                            "status": f"error: {e}",
                         }
                     )
             if rows:
                 yield pd.DataFrame(rows)
 
-    return warc_files.select("payload").mapInPandas(
-        run, schema=WARC_DOC_SCHEMA
+    return warc_files.select(*cols).mapInPandas(run, schema=schema)
+
+
+def dedup_by_normalized_url(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Keep ONE row per normalized URL (crawls re-fetch the same page
+    under utm/case/slash/port variants). Winner = smallest md5 of the
+    raw url, compared as the RAW HEX SUBSTRING (string order equals
+    big-endian numeric order; never the lower-64 as double). Adds
+    ``url_norm``. Shuffles once on url_norm — at 100 TB the window is
+    per-normalized-url (tiny groups), not global."""
+    from pyspark.sql import Window
+
+    norm = df.withColumn("url_norm", normalize_url(F.col(url_col)))
+    w = Window.partitionBy("url_norm").orderBy(
+        F.substring(F.md5(F.col(url_col)), 17, 16), F.col(url_col)
+    )
+    return (
+        norm.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def cap_per_domain(
+    df: DataFrame, max_per_domain: int, url_col: str = "url_norm"
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` pages per registered domain — the
+    standard crawl-corpus anti-spam / diversity cap. Deterministic,
+    order-free winner set: rank by md5-hex of the normalized url within
+    the domain. Adds ``domain``. One shuffle on the domain key; a
+    pathologically hot domain is bounded by the cap itself (ranks
+    beyond K are dropped at the first aggregation)."""
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)", 1
+        )
+    )
+    dom = df.withColumn("domain", registered_domain(host))
+    w = Window.partitionBy("domain").orderBy(
+        F.substring(F.md5(F.col(url_col)), 17, 16), F.col(url_col)
+    )
+    return (
+        dom.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_rk")
     )
 
 

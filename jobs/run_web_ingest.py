@@ -1,0 +1,130 @@
+"""Web-corpus ingestion job: WARC archive files → extracted, URL-curated
+documents with per-file lineage (Common Crawl-shaped front door).
+
+Reads a directory of ``.warc.gz`` (or plain ``.warc``) files through
+Spark's binaryFile source — one task per archive, the same grain a
+1000-executor crawl ingest uses — parses them with the from-scratch
+kernel (kernel/warc.py), strips boilerplate (kernel/html.py), then
+applies URL curation: normalization + normalized-URL dedup and an
+optional per-registered-domain cap. A malformed archive becomes one
+contained error row; resume is at archive-file grain (a file whose
+bucket completed is never re-parsed).
+
+Cluster deployment mirrors jobs/run_extraction.py:
+
+    zip -r gmft_spark.zip gmft_spark
+    spark-submit --master <cluster> --py-files gmft_spark.zip \\
+        jobs/run_web_ingest.py \\
+        --input  s3://.../crawl/segments/ \\
+        --output s3://.../web_docs/ \\
+        --buckets 4096 --max-per-domain 100000 --min-chars 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--input", required=True, help="directory of .warc/.warc.gz files"
+    )
+    parser.add_argument("--output", required=True, help="document sink dir")
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--max-per-domain",
+        type=int,
+        default=0,
+        metavar="K",
+        help="keep at most K pages per registered domain (0 = no cap)",
+    )
+    parser.add_argument(
+        "--min-chars",
+        type=int,
+        default=0,
+        help="drop pages whose extracted main text is shorter than this",
+    )
+    parser.add_argument(
+        "--no-url-dedup",
+        action="store_true",
+        help="skip normalized-URL dedup (keep every fetched variant)",
+    )
+    parser.add_argument("--run-id", default=None)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    builder = SparkSession.builder.appName("gmft-spark-web-ingest")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from gmft_spark.operators.webcorpus import (
+        cap_per_domain,
+        dedup_by_normalized_url,
+        extract_warc_documents,
+    )
+    from gmft_spark.plans.lineage import (
+        resume_filter,
+        write_results_with_lineage,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(args.input)
+        .select(
+            F.col("path").alias("conv_id"),  # lineage/resume key = file
+            F.col("content").alias("payload"),
+        )
+    )
+    if args.resume:
+        files = resume_filter(spark, files, args.output, args.buckets)
+    n_files = files.count()
+    if n_files == 0:
+        print("nothing to do: all buckets completed")
+        return 0
+
+    docs = extract_warc_documents(files, src_col="conv_id")
+    ok = docs.filter(F.col("status") == "ok")
+    errs = docs.filter(F.col("status") != "ok")
+    if args.min_chars:
+        ok = ok.filter(F.length("main_text") >= args.min_chars)
+    if not args.no_url_dedup:
+        ok = dedup_by_normalized_url(ok)
+    else:
+        from gmft_spark.operators.webcorpus import normalize_url
+
+        ok = ok.withColumn("url_norm", normalize_url(F.col("url")))
+    if args.max_per_domain:
+        ok = cap_per_domain(ok, args.max_per_domain)
+    else:
+        ok = ok.withColumn("domain", F.lit(None).cast("string"))
+
+    errs = errs.withColumn(
+        "url_norm", F.lit(None).cast("string")
+    ).withColumn("domain", F.lit(None).cast("string"))
+    curated = ok.unionByName(errs.select(*ok.columns))
+    run_id = args.run_id or f"webingest-{int(time.time())}"
+    lineage = write_results_with_lineage(
+        spark, curated, args.output, n_buckets=args.buckets, run_id=run_id
+    )
+    stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
+    print(
+        f"run {run_id}: {n_files} archives in, {stats[0]} document rows "
+        f"out ({stats[1]} ok; cumulative across resumed runs)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
