@@ -675,3 +675,46 @@ def test_curriculum_order_single_data_exchange_pruned_scan(spark):
     read = [l for l in plan.split("\n") if "ReadSchema" in l][0]
     assert "doc_id" in read and "text" in read and "n_chars" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_url_curation_is_pure_jvm(spark):
+    """URL parse/normalize/registered-domain are built-in-function
+    column expressions: no Python evaluation anywhere in the plan, and
+    the census aggregation shuffles only on its (tiny) group keys."""
+    from gmft_spark.operators.webcorpus import (
+        url_domain_census,
+        url_normalize_dedup,
+    )
+
+    for q in (url_normalize_dedup, url_domain_census):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "Join" not in plan
+        # partial aggregation before every exchange (map-side combine);
+        # countDistinct pays its standard two-phase expansion exchange
+        assert plan.count("Exchange") <= 4
+        assert "partial_count" in plan
+    read = [
+        l for l in _plan(url_normalize_dedup(spark, SF)).split("\n")
+        if "ReadSchema" in l
+    ][0]
+    assert "doc_id" in read and "text" not in read  # wide column pruned
+
+
+def test_warc_extract_is_narrow_map(spark):
+    """Archive parsing is a mapInPandas over the file rows: no shuffle
+    between the scan and the parser (bytes never move), matching the
+    one-task-per-archive grain of the ingest job."""
+    from gmft_spark.operators.webcorpus import (
+        extract_warc_documents,
+        warc_files_from_documents,
+    )
+
+    files = warc_files_from_documents(spark, SF)
+    plan = _plan(extract_warc_documents(files, src_col="warc_id"))
+    # exactly the one exchange that groups docs into archives (synth
+    # only); the extract side adds none
+    assert plan.count("Exchange") == 1
+    head = plan.split("FlatMapGroupsInPandas")[0]
+    assert "Exchange" not in head  # no shuffle above the parser
