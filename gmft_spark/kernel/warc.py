@@ -176,13 +176,15 @@ def _gzip_member(raw: bytes) -> bytes:
 
 
 def build_warc(
-    docs: List[Tuple[str, bytes]],
+    docs: List[tuple],
     *,
     gzip_members: bool = True,
     date: str = "2026-01-01T00:00:00Z",
     with_requests: bool = True,
 ) -> bytes:
-    """(url, html-bytes) pairs → WARC file bytes, Common Crawl layout.
+    """(url, body-bytes[, content-type]) tuples → WARC file bytes,
+    Common Crawl layout (content-type defaults to HTML — crawls carry
+    PDFs, images, and other payloads under the same record framing).
 
     Emits a leading warcinfo record, then per document an optional
     request record and a response record (HTTP/1.1 200 head + body).
@@ -207,7 +209,9 @@ def build_warc(
             info_body,
         )
     )
-    for url, html in docs:
+    for doc in docs:
+        url, html = doc[0], doc[1]
+        ctype = doc[2] if len(doc) > 2 else "text/html; charset=utf-8"
         if with_requests:
             rest = url.split("://", 1)[-1]
             host, _, tail = rest.partition("/")
@@ -230,7 +234,7 @@ def build_warc(
             )
         http = (
             b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Type: {ctype}\r\n".encode("ascii")
             + f"Content-Length: {len(html)}\r\n\r\n".encode("ascii")
             + html
         )

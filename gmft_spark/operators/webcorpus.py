@@ -296,17 +296,42 @@ WARC_DOC_FIELDS = [
 WARC_DOC_SCHEMA = StructType(WARC_DOC_FIELDS)
 
 
+def _pdf_main_text(body: bytes) -> str:
+    """Crawled-PDF text: the from-scratch parser's reading-order words
+    per page, pdfium line-break inference (kernel/text.text_with_breaks),
+    pages joined with blank lines."""
+    import numpy as np
+
+    from gmft_spark.kernel.text import text_with_breaks
+    from gmft_spark.sources.pdfparse import ParsedPDF
+
+    doc = ParsedPDF(body)
+    if len(doc) == 0:  # same contract as the payload pipeline:
+        raise ValueError("corrupt payload: no pages")
+    pages = []
+    for p in range(len(doc)):
+        words = doc.page_words(p)
+        boxes = np.array([w[:4] for w in words], dtype=np.float64).reshape(
+            -1, 4
+        )
+        pages.append(text_with_breaks(boxes, [w[4] for w in words]))
+    return "\n\n".join(pages)
+
+
 def extract_warc_documents(
     warc_files: DataFrame, src_col: Optional[str] = None
 ) -> DataFrame:
-    """(.., payload) → one row per response record: URL, HTTP status,
-    mime, the boilerplate-stripped main content, and ``status`` 'ok'.
-    A malformed archive is CONTAINED as one ``status``
-    'error: ...' row (the job keeps running; lineage counts it), the
-    same error-row contract as the PDF payload pipeline. Pass
-    ``src_col`` to carry a source column (e.g. the archive file path)
-    through to every output row. Narrow map — archives parse where
-    they were scanned."""
+    """(.., payload) → one row per response record, routed by payload
+    type: HTML responses get the boilerplate-strip extractor, PDF
+    responses (``application/pdf`` or a ``%PDF`` magic) get the real
+    byte-stream parser's reading-order text; other mimes become
+    ``status`` 'skipped: ...' rows so accounting stays exact. A
+    malformed archive is CONTAINED as one ``status`` 'error: ...' row
+    and a corrupt PDF inside a good archive as one per-record error row
+    (the job keeps running; lineage counts both) — the same error-row
+    contract as the PDF payload pipeline. Pass ``src_col`` to carry a
+    source column (e.g. the archive file path) through to every output
+    row. Narrow map — archives parse where they were scanned."""
     cols = ["payload"] + ([src_col] if src_col else [])
     schema = StructType(
         ([StructField(src_col, StringType())] if src_col else [])
@@ -319,40 +344,60 @@ def extract_warc_documents(
             srcs = batch[src_col] if src_col else [None] * len(batch)
             for payload, src in zip(batch["payload"], srcs):
                 base = {src_col: src} if src_col else {}
+                empty = {
+                    "url": None,
+                    "http_status": None,
+                    "mime": None,
+                    "title": None,
+                    "main_text": None,
+                    "n_dropped_chars": None,
+                }
                 try:
                     recs = parse_warc(bytes(payload))
-                    for rec in recs:
-                        if rec.warc_type != "response":
-                            continue
-                        status, hdrs, body = http_response(rec.block)
+                except (ValueError, KeyError) as e:
+                    rows.append({**base, **empty, "status": f"error: {e}"})
+                    continue
+                for rec in recs:
+                    if rec.warc_type != "response":
+                        continue
+                    status, hdrs, body = http_response(rec.block)
+                    mime = hdrs.get("content-type", "")
+                    row = {
+                        **base,
+                        "url": rec.target_uri,
+                        "http_status": int(status),
+                        "mime": mime,
+                        "n_dropped_chars": 0,
+                        "status": "ok",
+                    }
+                    mime_l = mime.split(";")[0].strip().lower()
+                    if mime_l == "application/pdf" or body[:5] == b"%PDF-":
+                        try:
+                            row["title"] = None
+                            row["main_text"] = _pdf_main_text(body)
+                        except Exception as e:
+                            row.update(
+                                title=None,
+                                main_text=None,
+                                n_dropped_chars=None,
+                                status=f"error: unparseable PDF "
+                                f"({type(e).__name__})",
+                            )
+                    elif mime_l in ("", "text/html", "application/xhtml+xml"):
                         c = extract_main_content(
                             body.decode("utf-8", "replace")
                         )
-                        rows.append(
-                            {
-                                **base,
-                                "url": rec.target_uri,
-                                "http_status": int(status),
-                                "mime": hdrs.get("content-type", ""),
-                                "title": c.title,
-                                "main_text": c.main_text,
-                                "n_dropped_chars": int(c.n_dropped_chars),
-                                "status": "ok",
-                            }
+                        row["title"] = c.title
+                        row["main_text"] = c.main_text
+                        row["n_dropped_chars"] = int(c.n_dropped_chars)
+                    else:
+                        row.update(
+                            title=None,
+                            main_text=None,
+                            n_dropped_chars=None,
+                            status=f"skipped: {mime_l}",
                         )
-                except (ValueError, KeyError) as e:
-                    rows.append(
-                        {
-                            **base,
-                            "url": None,
-                            "http_status": None,
-                            "mime": None,
-                            "title": None,
-                            "main_text": None,
-                            "n_dropped_chars": None,
-                            "status": f"error: {e}",
-                        }
-                    )
+                    rows.append(row)
             if rows:
                 yield pd.DataFrame(rows)
 

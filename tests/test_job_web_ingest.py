@@ -107,3 +107,40 @@ def test_web_ingest_min_chars(spark, tmp_path):
     res = spark.read.parquet(str(out / "results"))
     rows = res.filter(res.status == "ok").collect()
     assert len(rows) == 1 and "/docs/1" in rows[0]["url_norm"]
+
+
+def test_web_ingest_routes_pdf_and_skips_foreign_mimes(spark, tmp_path):
+    """Crawls carry PDFs next to HTML: PDF responses flow through the
+    real byte-stream parser (reading-order words, pdfium line breaks),
+    foreign mimes become skipped rows, a corrupt PDF is one contained
+    per-record error row."""
+    src = tmp_path / "crawl"
+    src.mkdir()
+    tiny = open("/root/reference/data/pdfs/tiny.pdf", "rb").read()
+    recs = [
+        (_url_for(0), _page_html(0, "html body words " * 8).encode()),
+        ("https://site9.com/report.pdf", tiny, "application/pdf"),
+        ("https://site9.com/logo.png", b"\x89PNG1234", "image/png"),
+        ("https://site9.com/broken.pdf", b"%PDF-1.4 truncated",
+         "application/pdf"),
+    ]
+    (src / "mixed.warc.gz").write_bytes(build_warc(recs))
+    out = tmp_path / "out"
+    assert (
+        J.main(
+            ["--input", str(src), "--output", str(out), "--buckets", "2",
+             "--run-id", "wi5"]
+        )
+        == 0
+    )
+    res = spark.read.parquet(str(out / "results"))
+    by_url = {r["url"]: r for r in res.collect()}
+    pdf = by_url["https://site9.com/report.pdf"]
+    assert pdf["status"] == "ok"
+    assert pdf["main_text"].startswith("Simple document\nLorem ipsum")
+    assert "Water Freezing Point 0 32" in pdf["main_text"]
+    assert by_url["https://site9.com/logo.png"]["status"] == "skipped: image/png"
+    assert by_url["https://site9.com/broken.pdf"]["status"].startswith(
+        "error: unparseable PDF"
+    )
+    assert by_url[_url_for(0)]["status"] == "ok"
