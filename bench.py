@@ -30,6 +30,7 @@ from gmft_spark.operators import (
     relational,
     similarity,
     textstats,
+    webcorpus,
 )
 from gmft_spark.operators.extract import extract_tables
 from gmft_spark.plans.session import build_session
@@ -86,6 +87,23 @@ def _bench_conversation_pdfs(spark, sf_dir):
     cpus = spark.sparkContext.defaultParallelism
     return extract_tables_from_conversation_pdfs(
         transcripts_from_documents(spark, sf_dir).repartition(cpus * 4)
+    )
+
+
+def _bench_warc_ingest(spark, sf_dir):
+    """Web-corpus front door: real gzip-member WARC archives built from
+    the sf documents (writer twin), parsed back with the from-scratch
+    reader and boilerplate-stripped — the unit of work a crawl ingest
+    does per archive. n_files = cpus*8 spreads the archives across the
+    machine the way a segment directory spreads across executors."""
+    from gmft_spark.operators.webcorpus import (
+        extract_warc_documents,
+        warc_files_from_documents,
+    )
+
+    cpus = spark.sparkContext.defaultParallelism
+    return extract_warc_documents(
+        warc_files_from_documents(spark, sf_dir, n_files=cpus * 8)
     )
 
 
@@ -192,7 +210,9 @@ HEADLINE = [
     ("window_session_native", analytics.session_window_native),
     ("window_cohort_retention", analytics.cohort_retention),
     ("text_source_drift", textstats.source_drift),
+    ("url_normalize_dedup", webcorpus.url_normalize_dedup),
     # oracle-checked pipeline paths (mapInPandas over the sf tables)
+    ("warc_ingest_pipeline", _bench_warc_ingest),
     ("detect_pipeline", _bench_detect),
     ("tatr_extract_pipeline", _bench_extract),
     ("render_detect_pipeline", _bench_render),

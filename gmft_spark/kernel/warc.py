@@ -36,6 +36,7 @@ __all__ = [
     "parse_warc",
     "http_response",
     "build_warc",
+    "build_wet",
 ]
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -248,6 +249,57 @@ def build_warc(
                     ("Content-Type", "application/http; msgtype=response"),
                 ],
                 http,
+            )
+        )
+    if gzip_members:
+        return b"".join(_gzip_member(m) for m in members)
+    return b"".join(members)
+
+
+def build_wet(
+    docs: List[Tuple[str, str]],
+    *,
+    gzip_members: bool = True,
+    date: str = "2026-01-01T00:00:00Z",
+) -> bytes:
+    """(url, extracted-text) pairs → WET file bytes (Common Crawl's
+    derived-text archives: the same WARC framing, ``conversion``
+    records whose block IS the extracted text)."""
+    import hashlib
+
+    members: List[bytes] = []
+    info = b"software: gmft-spark webcorpus\r\nformat: WARC File Format 1.0\r\n"
+    members.append(
+        _record_bytes(
+            "warcinfo",
+            [
+                ("WARC-Date", date),
+                (
+                    "WARC-Record-ID",
+                    f"<urn:md5:{hashlib.md5(b'wetinfo').hexdigest()}>",
+                ),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info,
+        )
+    )
+    for url, text in docs:
+        body = text.encode("utf-8")
+        members.append(
+            _record_bytes(
+                "conversion",
+                [
+                    ("WARC-Target-URI", url),
+                    ("WARC-Date", date),
+                    (
+                        "WARC-Record-ID",
+                        "<urn:md5:"
+                        + hashlib.md5(("wet:" + url).encode()).hexdigest()
+                        + ">",
+                    ),
+                    ("Content-Type", "text/plain"),
+                ],
+                body,
             )
         )
     if gzip_members:

@@ -358,6 +358,26 @@ def extract_warc_documents(
                     rows.append({**base, **empty, "status": f"error: {e}"})
                     continue
                 for rec in recs:
+                    if rec.warc_type == "conversion":
+                        # WET shape: the text was already extracted by
+                        # the crawler; the record block IS the text
+                        rows.append(
+                            {
+                                **base,
+                                "url": rec.target_uri,
+                                "http_status": None,
+                                "mime": rec.headers.get(
+                                    "content-type", "text/plain"
+                                ),
+                                "title": None,
+                                "main_text": rec.block.decode(
+                                    "utf-8", "replace"
+                                ),
+                                "n_dropped_chars": 0,
+                                "status": "ok",
+                            }
+                        )
+                        continue
                     if rec.warc_type != "response":
                         continue
                     status, hdrs, body = http_response(rec.block)

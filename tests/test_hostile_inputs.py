@@ -137,6 +137,9 @@ class TestEmptyCorpus:
         "conversation_funnel",  # composed conv signals, all frames empty
         "bpe_fertility_by_source",  # ratios over an empty trained vocab
         "curriculum_order",  # phased row_number windows over nothing
+        "warc_ingest_pipeline",  # archive synthesis over zero groups
+        "url_normalize_dedup",  # countDistinct agg over nothing
+        "url_domain_census",  # suffix-rule census over nothing
     ]
 
     @pytest.fixture(scope="class")

@@ -144,3 +144,28 @@ def test_web_ingest_routes_pdf_and_skips_foreign_mimes(spark, tmp_path):
         "error: unparseable PDF"
     )
     assert by_url[_url_for(0)]["status"] == "ok"
+
+
+def test_web_ingest_reads_wet_archives(spark, tmp_path):
+    """WET (pre-extracted text) archives flow through the same job: the
+    conversion record's block becomes main_text directly."""
+    from gmft_spark.kernel.warc import build_wet
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    docs = [(_url_for(4 * i), f"wet body text {i} " * 10) for i in range(6)]
+    (src / "seg.warc.wet.gz").write_bytes(build_wet(docs))
+    out = tmp_path / "out"
+    assert (
+        J.main(
+            ["--input", str(src), "--output", str(out), "--buckets", "2",
+             "--run-id", "wi6"]
+        )
+        == 0
+    )
+    res = spark.read.parquet(str(out / "results"))
+    rows = {r["url"]: r for r in res.filter(res.status == "ok").collect()}
+    assert len(rows) == 6
+    for url, text in docs:
+        assert rows[url]["main_text"] == text
+        assert rows[url]["mime"] == "text/plain"

@@ -111,3 +111,20 @@ def test_http_response_headers_lowercased():
     assert status == 404
     assert hdrs == {"x-thing": "A", "content-type": "a/b"}
     assert body == b""
+
+
+def test_wet_conversion_records():
+    from gmft_spark.kernel.warc import build_wet
+
+    docs = [
+        ("https://a.example/x", "extracted text one"),
+        ("https://b.example/y", "unicode ünïcode body"),
+    ]
+    recs = parse_warc(build_wet(docs))
+    assert [r.warc_type for r in recs] == [
+        "warcinfo", "conversion", "conversion",
+    ]
+    for (url, text), r in zip(docs, recs[1:]):
+        assert r.target_uri == url
+        assert r.block.decode("utf-8") == text
+        assert r.headers["content-type"] == "text/plain"
