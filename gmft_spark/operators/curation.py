@@ -299,6 +299,16 @@ _EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.com"
 _PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
+def redact_pii_col(text):
+    """E-mail/phone spans → placeholder tokens; the reusable column
+    core behind ``pii_redact`` (jobs apply it to any text column)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over synthesized contact text (an e-mail derived
     from c_name, a phone derived arithmetically from c_custkey — the
@@ -322,11 +332,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         phone,
     )
     t = c.select("c_custkey", text.alias("text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE,
-        "<PHONE>",
-    )
+    redacted = redact_pii_col(F.col("text"))
     return t.select(
         "c_custkey",
         F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))

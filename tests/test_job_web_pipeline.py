@@ -1,0 +1,113 @@
+"""Full crawl→corpus cascade (jobs/run_web_pipeline.py): ingest, lang
+gate, quality gate, MinHash near-dup collapse, PII redaction, sharding
+— every stage the same operator code the driver gate value-hashes."""
+
+from gmft_spark.kernel.warc import build_warc
+
+import jobs.run_web_pipeline as J
+
+_BODY = (
+    "the quick data pipeline and the sort of text that is going to "
+    "pass a quality gate with the stopwords it needs to look like "
+    "real english prose about tables and rows and the joins between "
+    "them "
+) * 3
+
+_BODY_B = (
+    "a completely different article is here and the topic of this "
+    "prose is gardens with flowers and the seasons of rain that "
+    "water them while the birds sing songs to the morning light "
+) * 3
+
+_BODY_C = (
+    "the third essay concerns ships and the sea with storms that "
+    "is a tale of sailors and the harbors they visit while the "
+    "wind is carrying them to the islands of salt and stone "
+) * 3
+
+
+def _page(title: str, body: str) -> bytes:
+    return (
+        f"<html><head><title>{title}</title></head><body>"
+        f"<article><h1>{title}</h1><p>{body}</p></article>"
+        "</body></html>"
+    ).encode()
+
+
+def test_web_pipeline_end_to_end(spark, tmp_path, capsys):
+    src = tmp_path / "crawl"
+    src.mkdir()
+    recs = [
+        # exact near-dup pair: identical page under two domains — the
+        # MinHash cluster must keep exactly one
+        ("https://dupa.example/page", _page("Dup", _BODY)),
+        ("https://dupb.example/page", _page("Dup", _BODY)),
+        # unique keeper (fully distinct vocabulary)
+        ("https://keep.example/doc", _page("Keeper", _BODY_B)),
+        # junk: too few tokens, no stopwords → quality gate drops it
+        ("https://junk.example/x", _page("Junk", "zxqv wkrp blorp")),
+        # PII: kept, but the e-mail and phone must be redacted
+        (
+            "https://pii.example/contact",
+            _page(
+                "Contact",
+                _BODY_C + " reach bob.smith@example.com or 12-345-678-9012",
+            ),
+        ),
+    ]
+    (src / "seg.warc.gz").write_bytes(build_warc(recs))
+    out = tmp_path / "corpus"
+    assert (
+        J.main(
+            [
+                "--input", str(src),
+                "--workdir", str(tmp_path / "stage"),
+                "--output", str(out),
+                "--buckets", "4",
+                "--min-quality", "0.2",
+                "--languages", "en",
+                "--run-id", "wp1",
+            ]
+        )
+        == 0
+    )
+    msg = capsys.readouterr().out
+    assert "5 ingested" in msg
+    res = spark.read.parquet(str(out / "results"))
+    rows = {r["url"]: r for r in res.collect()}
+    # junk fell to the quality gate; exactly one of the dup pair
+    # survived; keeper + pii survived
+    assert "https://junk.example/x" not in rows
+    dup_urls = [u for u in rows if u.startswith("https://dup")]
+    assert len(dup_urls) == 1
+    assert "https://keep.example/doc" in rows
+    pii = rows["https://pii.example/contact"]
+    assert "<EMAIL>" in pii["text"] and "<PHONE>" in pii["text"]
+    assert "bob.smith@example.com" not in pii["text"]
+    assert "12-345-678-9012" not in pii["text"]
+    for r in rows.values():
+        assert r["lang"] == "en"
+        assert r["quality"] >= 0.2
+        assert r["shard"] is not None and r["pos"] >= 1
+        assert r["n_tokens"] > 0
+
+
+def test_web_pipeline_empty_cascade(spark, tmp_path, capsys):
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg.warc.gz").write_bytes(
+        build_warc([("https://junk.example/x", _page("J", "zx qv"))])
+    )
+    assert (
+        J.main(
+            [
+                "--input", str(src),
+                "--workdir", str(tmp_path / "stage"),
+                "--output", str(tmp_path / "corpus"),
+                "--buckets", "2",
+                "--min-quality", "0.9",
+            ]
+        )
+        == 0
+    )
+    assert "0 survived the cascade" in capsys.readouterr().out
