@@ -1013,6 +1013,7 @@ _EARLY_MODULE_QUERIES = (
     "warc_ingest_pipeline",
     "url_normalize_dedup",
     "url_domain_census",
+    "url_domain_caps",
     "curriculum_order",
     "sft_fold_tool_turns",
     "dpo_pairs_from_retries",

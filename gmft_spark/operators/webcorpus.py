@@ -447,7 +447,10 @@ def dedup_by_normalized_url(
 
 
 def cap_per_domain(
-    df: DataFrame, max_per_domain: int, url_col: str = "url_norm"
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url_norm",
+    rank_col: Optional[str] = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` pages per registered domain — the
     standard crawl-corpus anti-spam / diversity cap. Deterministic,
@@ -466,11 +469,12 @@ def cap_per_domain(
     w = Window.partitionBy("domain").orderBy(
         F.substring(F.md5(F.col(url_col)), 17, 16), F.col(url_col)
     )
-    return (
-        dom.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= max_per_domain)
-        .drop("_rk")
+    out = dom.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= max_per_domain
     )
+    if rank_col:
+        return out.withColumnRenamed("_rk", rank_col)
+    return out.drop("_rk")
 
 
 # ── gate queries + DuckDB twins ─────────────────────────────────────
@@ -576,8 +580,40 @@ URL_DOMAIN_CENSUS_SQL = _URL_SQL_CTE + """
 """
 
 
+def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-spam diversity cap end-to-end through the REAL
+    operators: parse+normalize each crawl variant, collapse to one row
+    per page (dedup_by_normalized_url), keep the top-3 pages per
+    registered domain by md5-hex rank. The oracle re-derives winners
+    and ranks from the synth formula alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = urls_from_documents(docs)
+    one = dedup_by_normalized_url(urls)
+    capped = cap_per_domain(one, 3, rank_col="rk")
+    return capped.select("domain", "url_norm", "rk").orderBy(
+        "domain", "rk"
+    )
+
+
+URL_DOMAIN_CAPS_SQL = _URL_SQL_CTE + """,
+    ranked AS (
+        SELECT reg_domain AS domain, url_norm,
+               row_number() OVER (
+                   PARTITION BY reg_domain
+                   ORDER BY substr(md5(url_norm), 17, 16), url_norm
+               ) AS rk
+        FROM (SELECT DISTINCT reg_domain, url_norm FROM urls)
+    )
+    SELECT domain, url_norm, CAST(rk AS INT) AS rk
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY domain, rk
+"""
+
+
 QUERIES = {
     "warc_ingest_pipeline": (warc_ingest_pipeline, WARC_INGEST_SQL),
     "url_normalize_dedup": (url_normalize_dedup, URL_NORMALIZE_DEDUP_SQL),
     "url_domain_census": (url_domain_census, URL_DOMAIN_CENSUS_SQL),
+    "url_domain_caps": (url_domain_caps, URL_DOMAIN_CAPS_SQL),
 }
