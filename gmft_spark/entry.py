@@ -1014,6 +1014,7 @@ _EARLY_MODULE_QUERIES = (
     "url_normalize_dedup",
     "url_domain_census",
     "url_domain_caps",
+    "url_robots_filter",
     "curriculum_order",
     "sft_fold_tool_turns",
     "dpo_pairs_from_retries",

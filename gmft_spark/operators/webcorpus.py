@@ -31,6 +31,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -410,6 +411,11 @@ def extract_warc_documents(
                         row["title"] = c.title
                         row["main_text"] = c.main_text
                         row["n_dropped_chars"] = int(c.n_dropped_chars)
+                    elif mime_l == "text/plain":
+                        # robots.txt, licenses, raw text pages: the body
+                        # IS the text
+                        row["title"] = None
+                        row["main_text"] = body.decode("utf-8", "replace")
                     else:
                         row.update(
                             title=None,
@@ -580,6 +586,55 @@ URL_DOMAIN_CENSUS_SQL = _URL_SQL_CTE + """
 """
 
 
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion decision per page (RFC 9309, kernel/robots.py):
+    ``urls`` (needs a ``domain`` column) is broadcast-joined with the
+    (domain, robots_txt) table — robots corpora are tiny next to page
+    corpora — and each page's path is evaluated in a narrow map. Adds
+    ``allowed`` (boolean) and ``robots_match_len`` (octet length of the
+    winning rule; 0 = no rule matched). Missing robots = allowed."""
+    from gmft_spark.kernel.robots import parse_robots, robots_decision
+
+    joined = urls.join(F.broadcast(robots), "domain", "left")
+    out_schema = StructType(
+        list(joined.schema.fields)
+        + [
+            StructField("allowed", BooleanType()),
+            StructField("robots_match_len", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for batch in batches:
+            allowed = []
+            mlen = []
+            for url, txt in zip(batch[url_col], batch["robots_txt"]):
+                if txt is None:
+                    allowed.append(True)
+                    mlen.append(0)
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = cache[txt] = parse_robots(txt, agent)
+                rest = (url or "").split("://", 1)[-1]
+                path = "/" + rest.partition("/")[2]
+                ok, ln = robots_decision(rules, path)
+                allowed.append(bool(ok))
+                mlen.append(int(ln))
+            batch = batch.copy()
+            batch["allowed"] = allowed
+            batch["robots_match_len"] = mlen
+            yield batch
+
+    return joined.mapInPandas(run, schema=out_schema)
+
+
 def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The anti-spam diversity cap end-to-end through the REAL
     operators: parse+normalize each crawl variant, collapse to one row
@@ -611,9 +666,76 @@ URL_DOMAIN_CAPS_SQL = _URL_SQL_CTE + """,
 """
 
 
+def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 decisions end-to-end through the REAL parser+matcher:
+    per registered domain a deterministic robots.txt is built (a
+    badbot deny-all group the crawler must NOT pick, then a ``*``
+    group with ``Disallow: /docs/<j>`` and the more specific
+    ``Allow: /docs/<j>5`` override, j = the domain's site digit); the
+    kernel parses the text and evaluates each deduped page path. The
+    oracle re-derives allow/deny and the winning-rule length from the
+    synth formula alone — a drift in group selection, longest-match
+    precedence, or the allow override flips the hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = dedup_by_normalized_url(urls_from_documents(docs))
+    host = F.lower(
+        F.regexp_extract(
+            F.col("url_norm"), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)", 1
+        )
+    )
+    pages = one.withColumn("domain", registered_domain(host))
+    j = F.regexp_extract(F.col("domain"), r"site(\d+)", 1)
+    robots = (
+        pages.select("domain").distinct().select(
+            "domain",
+            F.concat(
+                F.lit("User-agent: badbot\nDisallow: /\n\n"),
+                F.lit("User-agent: *\nDisallow: /docs/"),
+                j,
+                F.lit("\nAllow: /docs/"),
+                j,
+                F.lit("5\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    out = robots_filter(pages, robots, agent="gmftbot", url_col="url_norm")
+    return out.select(
+        "url_norm", "domain", "allowed", "robots_match_len"
+    ).orderBy("url_norm")
+
+
+URL_ROBOTS_FILTER_SQL = _URL_SQL_CTE + """,
+    pages AS (
+        SELECT DISTINCT url_norm, reg_domain AS domain, b
+        FROM urls
+    ),
+    decided AS (
+        SELECT url_norm, domain,
+               '/docs/' || CAST(b AS VARCHAR) AS path,
+               '/docs/' || CAST(b % 7 AS VARCHAR) AS deny_pref,
+               '/docs/' || CAST(b % 7 AS VARCHAR) || '5' AS allow_pref
+        FROM pages
+    )
+    SELECT url_norm, domain,
+           CASE WHEN substr(path, 1, length(allow_pref)) = allow_pref
+                THEN true
+                WHEN substr(path, 1, length(deny_pref)) = deny_pref
+                THEN false
+                ELSE true END AS allowed,
+           CAST(CASE WHEN substr(path, 1, length(allow_pref)) = allow_pref
+                THEN length(allow_pref)
+                WHEN substr(path, 1, length(deny_pref)) = deny_pref
+                THEN length(deny_pref)
+                ELSE 0 END AS INT) AS robots_match_len
+    FROM decided
+    ORDER BY url_norm
+"""
+
+
 QUERIES = {
     "warc_ingest_pipeline": (warc_ingest_pipeline, WARC_INGEST_SQL),
     "url_normalize_dedup": (url_normalize_dedup, URL_NORMALIZE_DEDUP_SQL),
     "url_domain_census": (url_domain_census, URL_DOMAIN_CENSUS_SQL),
     "url_domain_caps": (url_domain_caps, URL_DOMAIN_CAPS_SQL),
+    "url_robots_filter": (url_robots_filter, URL_ROBOTS_FILTER_SQL),
 }

@@ -57,6 +57,14 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--max-per-domain", type=int, default=0)
     parser.add_argument("--min-chars", type=int, default=0)
+    parser.add_argument(
+        "--respect-robots",
+        action="store_true",
+        help="apply RFC 9309 rules from the crawl's own /robots.txt "
+        "responses before staging (pages from domains without a "
+        "fetched robots.txt pass through)",
+    )
+    parser.add_argument("--agent", default="gmftbot")
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -101,6 +109,32 @@ def main(argv=None) -> int:
     )
     docs = extract_warc_documents(files, src_col="src")
     ok = docs.filter(F.col("status") == "ok")
+    n_robots_denied = 0
+    if args.respect_robots:
+        from gmft_spark.operators.webcorpus import robots_filter
+
+        is_robots = F.col("url").rlike(r"^[^?#]*/robots\.txt$")
+        host_of = F.lower(
+            F.regexp_extract(
+                F.col("url"),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]+)",
+                1,
+            )
+        )
+        robots = (
+            ok.filter(is_robots)
+            .withColumn("domain", registered_domain(host_of))
+            .groupBy("domain")
+            .agg(F.min("main_text").alias("robots_txt"))
+        )
+        pages = ok.filter(~is_robots).withColumn(
+            "domain", registered_domain(host_of)
+        )
+        decided = robots_filter(pages, robots, agent=args.agent)
+        n_robots_denied = decided.filter(~F.col("allowed")).count()
+        ok = decided.filter(F.col("allowed")).drop(
+            "allowed", "robots_match_len", "robots_txt", "domain"
+        )
     if args.min_chars:
         ok = ok.filter(F.length("main_text") >= args.min_chars)
     ok = dedup_by_normalized_url(ok)
@@ -179,8 +213,12 @@ def main(argv=None) -> int:
     write_results_with_lineage(
         spark, final, args.output, n_buckets=args.buckets, run_id=run_id
     )
+    robots_note = (
+        f" ({n_robots_denied} robots-denied)" if args.respect_robots else ""
+    )
     print(
-        f"run {run_id}: {n_ingested} ingested -> {n_scored} scored -> "
+        f"run {run_id}: {n_ingested} ingested{robots_note} -> "
+        f"{n_scored} scored -> "
         f"{n_quality} past quality/lang -> {n_unique} unique -> "
         f"sharded corpus at {args.output}"
     )

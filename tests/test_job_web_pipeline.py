@@ -111,3 +111,45 @@ def test_web_pipeline_empty_cascade(spark, tmp_path, capsys):
         == 0
     )
     assert "0 survived the cascade" in capsys.readouterr().out
+
+
+def test_web_pipeline_respects_robots(spark, tmp_path, capsys):
+    """--respect-robots: rules come from the crawl's own /robots.txt
+    responses; denied paths drop before staging, domains without a
+    fetched robots pass through, the robots files themselves never
+    become corpus documents."""
+    src = tmp_path / "crawl"
+    src.mkdir()
+    robots = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+    )
+    recs = [
+        ("https://ruled.example/robots.txt", robots.encode(), "text/plain"),
+        ("https://ruled.example/private/secret", _page("S", _BODY)),
+        ("https://ruled.example/private/pub/okpage", _page("P", _BODY_B)),
+        ("https://free.example/anything", _page("F", _BODY_C)),
+    ]
+    (src / "seg.warc.gz").write_bytes(build_warc(recs))
+    out = tmp_path / "corpus"
+    assert (
+        J.main(
+            [
+                "--input", str(src),
+                "--workdir", str(tmp_path / "stage"),
+                "--output", str(out),
+                "--buckets", "2",
+                "--respect-robots",
+                "--run-id", "wp2",
+            ]
+        )
+        == 0
+    )
+    msg = capsys.readouterr().out
+    assert "(1 robots-denied)" in msg
+    res = spark.read.parquet(str(out / "results"))
+    urls = {r["url"] for r in res.collect()}
+    assert "https://ruled.example/private/secret" not in urls
+    assert "https://ruled.example/private/pub/okpage" in urls
+    assert "https://free.example/anything" in urls
+    assert not any(u.endswith("/robots.txt") for u in urls)
