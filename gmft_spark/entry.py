@@ -1015,6 +1015,7 @@ _EARLY_MODULE_QUERIES = (
     "url_domain_census",
     "url_domain_caps",
     "url_robots_filter",
+    "warc_cdx_lookup",
     "curriculum_order",
     "sft_fold_tool_turns",
     "dpo_pairs_from_retries",

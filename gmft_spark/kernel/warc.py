@@ -36,7 +36,9 @@ __all__ = [
     "parse_warc",
     "http_response",
     "build_warc",
+    "build_warc_indexed",
     "build_wet",
+    "surt_key",
 ]
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -254,6 +256,64 @@ def build_warc(
     if gzip_members:
         return b"".join(_gzip_member(m) for m in members)
     return b"".join(members)
+
+
+def surt_key(url: str) -> str:
+    """Sort-friendly URI Reordering Transform key, the CDX index key
+    crawl archives sort by: host labels reversed and comma-joined,
+    ``)/``, then the lowercased path+query. Fragment and port are
+    dropped (default ports never reach a urlkey; non-default ports are
+    rare enough in corpus URLs that this index treats host identity as
+    port-less — documented simplification)."""
+    u = url.split("#", 1)[0]
+    rest = u.split("://", 1)[-1]
+    hostport, _, pathq = rest.partition("/")
+    host = hostport.split(":", 1)[0].lower()
+    return ",".join(reversed(host.split("."))) + ")/" + pathq.lower()
+
+
+def build_warc_indexed(
+    docs: List[tuple],
+    *,
+    date: str = "2026-01-01T00:00:00Z",
+) -> Tuple[bytes, List[dict]]:
+    """Like ``build_warc`` (gzip members, no request records) but also
+    returns the CDX-shaped index: one entry per RESPONSE member with
+    (urlkey, url, offset, length, mime) where [offset, offset+length)
+    is that record's OWN gzip member — the random-access contract
+    crawl consumers use (an HTTP range request into a 1 GB archive
+    fetches one page). ``parse_warc(data[offset:offset+length])``
+    yields exactly that record."""
+    blob = bytearray()
+    entries: List[dict] = []
+    warcinfo = build_warc([], gzip_members=True, date=date)
+    blob += warcinfo
+    for doc in docs:
+        url, body = doc[0], doc[1]
+        ctype = doc[2] if len(doc) > 2 else "text/html; charset=utf-8"
+        member = build_warc(
+            [(url, body, ctype)],
+            gzip_members=True,
+            date=date,
+            with_requests=False,
+        )
+        # strip the per-call warcinfo member: the response member is
+        # the second gzip member in the mini-archive
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(member)
+        info_len = len(member) - len(d.unused_data)
+        resp = member[info_len:]
+        entries.append(
+            {
+                "urlkey": surt_key(url),
+                "url": url,
+                "offset": len(blob),
+                "length": len(resp),
+                "mime": ctype.split(";")[0].strip(),
+            }
+        )
+        blob += resp
+    return bytes(blob), entries
 
 
 def build_wet(

@@ -732,10 +732,84 @@ URL_ROBOTS_FILTER_SQL = _URL_SQL_CTE + """,
 """
 
 
+def warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX random-access contract: archives are built with a member
+    index (kernel/warc.build_warc_indexed), then EVERY page is
+    re-fetched through its (offset, length) slice alone — the range-
+    request pattern crawl consumers use against a 100 TB archive set —
+    parsed, and identity-checked against the index. The oracle derives
+    the SURT urlkeys (reversed host labels, port/fragment dropped,
+    lowercased path+query) and URLs from the synth formula; a slicing
+    or surt drift breaks the hash, a mis-addressed member zeroes
+    ``fetched_ok``."""
+    from gmft_spark.kernel.warc import build_warc_indexed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = docs.withColumn("warc_id", (F.col("doc_id") % 8).cast("int"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (_url_for(int(d)), _page_html(int(d), t or "").encode("utf-8"))
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        blob, entries = build_warc_indexed(recs)
+        rows = []
+        for e in entries:
+            sliced = parse_warc(blob[e["offset"] : e["offset"] + e["length"]])
+            ok = (
+                len(sliced) == 1
+                and sliced[0].warc_type == "response"
+                and sliced[0].target_uri == e["url"]
+            )
+            rows.append(
+                {
+                    "urlkey": e["urlkey"],
+                    "url": e["url"],
+                    "mime": e["mime"],
+                    "fetched_ok": int(ok),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    schema = "urlkey string, url string, mime string, fetched_ok int"
+    return (
+        docs.groupBy("warc_id")
+        .applyInPandas(build, schema=schema)
+        .orderBy("url")
+    )
+
+
+WARC_CDX_LOOKUP_SQL = _URL_SQL_CTE + """,
+    keyed AS (
+        SELECT url,
+               (CASE WHEN b % 3 = 2 THEN 'uk,co' ELSE
+                    (CASE b % 3 WHEN 0 THEN 'com' ELSE 'org' END) END)
+                 || ',site' || CAST(b % 7 AS VARCHAR)
+                 || (CASE WHEN b % 5 = 0 THEN ',www' ELSE '' END)
+                 || ')/docs/' || CAST(b AS VARCHAR)
+                 || (CASE WHEN v = 2 THEN '/' ELSE '' END)
+                 || (CASE WHEN v = 3 THEN '?utm_source=feed'
+                         || (CASE WHEN canon_q <> ''
+                             THEN '&' || substr(canon_q, 2)
+                             ELSE '' END)
+                     ELSE canon_q END)
+                 AS urlkey
+        FROM urls
+    )
+    SELECT urlkey, url, 'text/html' AS mime, 1 AS fetched_ok
+    FROM keyed
+    ORDER BY url
+"""
+
+
 QUERIES = {
     "warc_ingest_pipeline": (warc_ingest_pipeline, WARC_INGEST_SQL),
     "url_normalize_dedup": (url_normalize_dedup, URL_NORMALIZE_DEDUP_SQL),
     "url_domain_census": (url_domain_census, URL_DOMAIN_CENSUS_SQL),
     "url_domain_caps": (url_domain_caps, URL_DOMAIN_CAPS_SQL),
     "url_robots_filter": (url_robots_filter, URL_ROBOTS_FILTER_SQL),
+    "warc_cdx_lookup": (warc_cdx_lookup, WARC_CDX_LOOKUP_SQL),
 }

@@ -128,3 +128,38 @@ def test_wet_conversion_records():
         assert r.target_uri == url
         assert r.block.decode("utf-8") == text
         assert r.headers["content-type"] == "text/plain"
+
+
+def test_cdx_index_random_access():
+    from gmft_spark.kernel.warc import build_warc_indexed, surt_key
+
+    docs = _docs(9)
+    blob, entries = build_warc_indexed(docs)
+    assert len(entries) == 9
+    # whole-file parse sees warcinfo + responses; every index entry's
+    # slice parses standalone to exactly its record
+    assert len(parse_warc(blob)) == 10
+    for (url, html), e in zip(docs, entries):
+        assert e["url"] == url
+        assert e["urlkey"] == surt_key(url)
+        (rec,) = parse_warc(blob[e["offset"] : e["offset"] + e["length"]])
+        assert rec.warc_type == "response"
+        assert rec.target_uri == url
+        _status, _hdrs, body = http_response(rec.block)
+        assert body == html
+    # offsets are strictly increasing and tile the file exactly
+    end = entries[0]["offset"]
+    for e in entries:
+        assert e["offset"] == end
+        end += e["length"]
+    assert end == len(blob)
+
+
+def test_surt_key_shape():
+    from gmft_spark.kernel.warc import surt_key
+
+    assert surt_key("https://WWW.Site3.CO.UK:443/Docs/5?Ref=1#frag") == (
+        "uk,co,site3,www)/docs/5?ref=1"
+    )
+    assert surt_key("http://a.example.com/") == "com,example,a)/"
+    assert surt_key("https://x.org/p/q") == "org,x)/p/q"
