@@ -1016,6 +1016,7 @@ _EARLY_MODULE_QUERIES = (
     "url_domain_caps",
     "url_robots_filter",
     "warc_cdx_lookup",
+    "archive_ingest_pipeline",
     "curriculum_order",
     "sft_fold_tool_turns",
     "dpo_pairs_from_retries",

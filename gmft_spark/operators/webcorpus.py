@@ -732,6 +732,178 @@ URL_ROBOTS_FILTER_SQL = _URL_SQL_CTE + """,
 """
 
 
+ARCHIVE_DOC_FIELDS = [
+    StructField("name", StringType()),
+    StructField("mime", StringType()),
+    StructField("title", StringType()),
+    StructField("main_text", StringType()),
+    StructField("n_dropped_chars", IntegerType()),
+    StructField("status", StringType()),
+]
+
+
+def extract_archive_documents(
+    archives: DataFrame, src_col: Optional[str] = None
+) -> DataFrame:
+    """Bulk-archive ingestion (The-Stack-shaped sources): (.., payload)
+    rows holding zip / tar / tar.gz archives → one row per member
+    file, routed by extension — .html/.htm through the boilerplate
+    strip, .txt/.md as raw text, .pdf through the real byte-stream
+    parser; other extensions become 'skipped: ...' rows and a corrupt
+    archive is one contained error row. Narrow map, same contract as
+    ``extract_warc_documents``."""
+    from gmft_spark.kernel.archives import parse_tar, parse_zip
+
+    cols = ["payload"] + ([src_col] if src_col else [])
+    schema = StructType(
+        ([StructField(src_col, StringType())] if src_col else [])
+        + ARCHIVE_DOC_FIELDS
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            srcs = batch[src_col] if src_col else [None] * len(batch)
+            for payload, src in zip(batch["payload"], srcs):
+                base = {src_col: src} if src_col else {}
+                data = bytes(payload)
+                empty = {
+                    "name": None,
+                    "mime": None,
+                    "title": None,
+                    "main_text": None,
+                    "n_dropped_chars": None,
+                }
+                try:
+                    if data[:4] == b"PK\x03\x04" or data[:4] == b"PK\x05\x06":
+                        members = parse_zip(data)
+                    else:
+                        members = parse_tar(data)
+                except (ValueError, KeyError) as e:
+                    rows.append({**base, **empty, "status": f"error: {e}"})
+                    continue
+                for name, body in members:
+                    low = name.lower()
+                    row = {
+                        **base,
+                        "name": name,
+                        "n_dropped_chars": 0,
+                        "status": "ok",
+                    }
+                    try:
+                        if low.endswith((".html", ".htm")):
+                            c = extract_main_content(
+                                body.decode("utf-8", "replace")
+                            )
+                            row.update(
+                                mime="text/html",
+                                title=c.title,
+                                main_text=c.main_text,
+                                n_dropped_chars=int(c.n_dropped_chars),
+                            )
+                        elif low.endswith((".txt", ".md")):
+                            row.update(
+                                mime="text/plain",
+                                title=None,
+                                main_text=body.decode("utf-8", "replace"),
+                            )
+                        elif low.endswith(".pdf"):
+                            row.update(
+                                mime="application/pdf",
+                                title=None,
+                                main_text=_pdf_main_text(body),
+                            )
+                        else:
+                            row.update(
+                                mime=None,
+                                title=None,
+                                main_text=None,
+                                n_dropped_chars=None,
+                                status=f"skipped: {low.rsplit('.', 1)[-1]}",
+                            )
+                    except Exception as e:
+                        row.update(
+                            mime=None,
+                            title=None,
+                            main_text=None,
+                            n_dropped_chars=None,
+                            status=f"error: unparseable member "
+                            f"({type(e).__name__})",
+                        )
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return archives.select(*cols).mapInPandas(run, schema=schema)
+
+
+def archive_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-archive roundtrip: documents ride the HTML template into
+    REAL zip (even archives) and tar.gz (odd archives) containers —
+    plus a raw-text note member for every doc_id % 5 == 0 — then back
+    through the real readers and extension routing. The oracle
+    re-derives every member row from the formulas."""
+    from gmft_spark.kernel.archives import build_tar, build_zip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = docs.withColumn("arc_id", (F.col("doc_id") % 8).cast("int"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            d = int(d)
+            members.append(
+                (f"docs/doc{d}.html", _page_html(d, t or "").encode())
+            )
+            if d % 5 == 0:
+                members.append(
+                    (f"notes/n{d}.txt", f"note {d} body".encode())
+                )
+        arc = int(pdf["arc_id"].iloc[0])
+        payload = (
+            build_zip(members) if arc % 2 == 0 else build_tar(members, gz=True)
+        )
+        return pd.DataFrame([{"arc_id": arc, "payload": payload}])
+
+    archives = docs.groupBy("arc_id").applyInPandas(
+        build, schema="arc_id int, payload binary"
+    )
+    out = extract_archive_documents(archives)
+    return out.select(
+        "name", "mime", "title", "main_text", "n_dropped_chars"
+    ).orderBy("name")
+
+
+ARCHIVE_INGEST_SQL = """
+    WITH html_rows AS (
+        SELECT 'docs/doc' || CAST(doc_id AS VARCHAR) || '.html' AS name,
+               'text/html' AS mime,
+               'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+               'Report ' || CAST(doc_id AS VARCHAR) || ' '
+                 || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                 || ' end of article body.' AS main_text,
+               CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' Home ')
+                    + length(' Footer note') AS INT) AS n_dropped_chars
+        FROM documents
+    ),
+    txt_rows AS (
+        SELECT 'notes/n' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               'text/plain' AS mime,
+               CAST(NULL AS VARCHAR) AS title,
+               'note ' || CAST(doc_id AS VARCHAR) || ' body' AS main_text,
+               0 AS n_dropped_chars
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT * FROM html_rows
+    UNION ALL
+    SELECT * FROM txt_rows
+    ORDER BY name
+"""
+
+
 def warc_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX random-access contract: archives are built with a member
     index (kernel/warc.build_warc_indexed), then EVERY page is
@@ -812,4 +984,5 @@ QUERIES = {
     "url_domain_caps": (url_domain_caps, URL_DOMAIN_CAPS_SQL),
     "url_robots_filter": (url_robots_filter, URL_ROBOTS_FILTER_SQL),
     "warc_cdx_lookup": (warc_cdx_lookup, WARC_CDX_LOOKUP_SQL),
+    "archive_ingest_pipeline": (archive_ingest_pipeline, ARCHIVE_INGEST_SQL),
 }

@@ -1,0 +1,92 @@
+"""From-scratch tar/zip container kernel (kernel/archives.py):
+writer-twin roundtrips (plain/gz tar; stored/deflate zip; long ustar
+names), central-directory-driven zip reads, and the untrusted-input
+containment contract."""
+
+import struct
+import zlib
+
+import pytest
+
+from gmft_spark.kernel.archives import (
+    build_tar,
+    build_zip,
+    parse_tar,
+    parse_zip,
+)
+
+
+def _files(n=6):
+    return [
+        (f"dir{i % 2}/file{i}.txt", (f"body {i} " * (i + 1)).encode())
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_tar_roundtrip(gz):
+    files = _files()
+    out = parse_tar(build_tar(files, gz=gz))
+    assert out == files
+
+
+def test_tar_long_name_prefix_split():
+    name = "deeply/" * 20 + "leaf.txt"  # > 100 bytes, splittable
+    files = [(name, b"x" * 700)]
+    assert parse_tar(build_tar(files)) == files
+    with pytest.raises(ValueError):
+        build_tar([("x" * 200, b"")])  # no slash to split at
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_zip_roundtrip(compress):
+    files = _files() + [("empty.bin", b""), ("binary", bytes(range(256)))]
+    out = parse_zip(build_zip(files, compress=compress))
+    assert out == files
+
+
+def test_zip_incompressible_falls_back_to_stored():
+    noise = bytes((i * 131 + 17) % 256 for i in range(4096))
+    data = build_zip([("n.bin", zlib.compress(noise))])
+    # roundtrip regardless of method choice
+    assert parse_zip(data)[0][1] == zlib.compress(noise)
+
+
+def test_zip_reader_is_central_directory_driven():
+    # garbage prefix before the first local header: the CD offsets
+    # still resolve because EOCD/CD carry absolute offsets... a SFX
+    # stub shifts offsets, so instead verify trailing-comment-free
+    # random junk INSIDE a stored member doesn't confuse the reader
+    tricky = b"PK\x05\x06" + b"fake eocd bytes"
+    files = [("a.txt", tricky), ("b.txt", b"ok")]
+    assert parse_zip(build_zip(files, compress=False)) == files
+
+
+def test_containment():
+    good_tar = build_tar(_files())
+    bad = bytearray(good_tar)
+    bad[10] ^= 0x01  # corrupt a header field → checksum mismatch
+    with pytest.raises(ValueError):
+        parse_tar(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_tar(b"\x1f\x8b\x08not-gzip")
+    truncated = good_tar[: 512 + 3]  # cut inside member 0's 7 bytes
+    with pytest.raises(ValueError):
+        parse_tar(truncated)
+
+    good_zip = build_zip(_files())
+    with pytest.raises(ValueError):
+        parse_zip(b"no eocd here")
+    flip = bytearray(good_zip)
+    # flip a byte inside the first member's compressed data (30-byte
+    # local header + 14-byte name + 2) → deflate/CRC failure
+    flip[46] ^= 0x10
+    with pytest.raises(ValueError):
+        parse_zip(bytes(flip))
+    # lying usize: claim a tiny size for a big member
+    lie = bytearray(good_zip)
+    eocd = bytes(lie).rfind(b"PK\x05\x06")
+    (cd_off,) = struct.unpack_from("<I", lie, eocd + 16)
+    struct.pack_into("<I", lie, cd_off + 24, 1)  # usize := 1
+    with pytest.raises(ValueError):
+        parse_zip(bytes(lie))
