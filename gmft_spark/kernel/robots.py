@@ -26,7 +26,6 @@ evaluates inside a narrow map.
 
 from __future__ import annotations
 
-import re
 from typing import List, Tuple
 
 __all__ = ["parse_robots", "robots_decision", "robots_allowed"]
@@ -78,7 +77,9 @@ def parse_robots(text: str, agent: str = "*") -> List[Tuple[str, bool]]:
         # other fields (crawl-delay, sitemap, ...) don't affect matching
     best = None
     for a in groups:
-        if a != "*" and agent_l.startswith(a):
+        # an empty token matches nothing (it would otherwise
+        # startswith-match EVERY agent and mask the '*' group)
+        if a and a != "*" and agent_l.startswith(a):
             if best is None or len(a) > len(best):
                 best = a
     if best is not None:
@@ -86,12 +87,42 @@ def parse_robots(text: str, agent: str = "*") -> List[Tuple[str, bool]]:
     return groups.get("*", [])
 
 
-def _pattern_re(pattern: str) -> re.Pattern:
-    anchored = pattern.endswith("$")
-    body = pattern[:-1] if anchored else pattern
-    parts = [re.escape(p) for p in body.split("*")]
-    rx = "^" + ".*".join(parts) + ("$" if anchored else "")
-    return re.compile(rx)
+def _glob_match(pattern: str, s: str) -> bool:
+    """Iterative glob full-match ('*' = any octet run) — the classic
+    two-pointer backtrack-to-last-star algorithm, O(|pattern|·|s|)
+    worst case with NO regex engine underneath, so a hostile
+    many-star robots rule cannot trigger catastrophic backtracking
+    (consecutive stars cost nothing here)."""
+    pi = si = 0
+    star = -1
+    mark = 0
+    np_, ns = len(pattern), len(s)
+    while si < ns:
+        if pi < np_ and (pattern[pi] == s[si]):
+            pi += 1
+            si += 1
+        elif pi < np_ and pattern[pi] == "*":
+            star = pi
+            mark = si
+            pi += 1
+        elif star >= 0:
+            pi = star + 1
+            mark += 1
+            si = mark
+        else:
+            return False
+    while pi < np_ and pattern[pi] == "*":
+        pi += 1
+    return pi == np_
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 rule match: anchored at the path start; a trailing
+    ``$`` anchors the end, otherwise any suffix may follow (prefix
+    semantics = glob-match against ``pattern + '*'``)."""
+    if pattern.endswith("$"):
+        return _glob_match(pattern[:-1], path)
+    return _glob_match(pattern + "*", path)
 
 
 def robots_decision(
@@ -104,7 +135,7 @@ def robots_decision(
     for pattern, allow in rules:
         if not pattern:
             continue
-        if _pattern_re(pattern).match(path):
+        if _rule_matches(pattern, path):
             plen = len(pattern)
             if plen > best_len or (plen == best_len and allow):
                 best_len = plen

@@ -65,24 +65,44 @@ class WarcRecord:
         return uri
 
 
+_GZ_CHUNK = 1 << 18  # 256 KiB compressed feed per inflate call
+
+
 def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated-gzip-member (or whole-file gzip) → plain bytes."""
+    """Concatenated-gzip-member (or whole-file gzip) → plain bytes.
+
+    Streams fixed-size compressed chunks through each member's
+    decompressor and walks the buffer by OFFSET, so per-member-gzip
+    archives (Common Crawl: one member per record, 100k+ members per
+    file) cost O(total) copies — a naive bytes(remaining-tail) per
+    member is O(members x file_size) and effectively hangs on real
+    archives. The decompressed-size cap is enforced per chunk (a chunk
+    inflates at most ~1:1032), so a gzip bomb raises before ballooning
+    memory rather than after one giant decompress call."""
     out: List[bytes] = []
     total = 0
-    view = memoryview(data)
-    while len(view):
+    mv = memoryview(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(bytes(view))
+            while not d.eof:
+                if pos >= n:
+                    raise ValueError("truncated gzip member in WARC")
+                chunk = mv[pos : pos + _GZ_CHUNK]
+                pos += len(chunk)
+                piece = d.decompress(chunk)
+                total += len(piece)
+                if total > _MAX_DECOMPRESSED:
+                    raise ValueError(
+                        "WARC decompresses past the 1 GiB cap"
+                    )
+                out.append(piece)
         except zlib.error as e:
             raise ValueError(f"bad gzip member in WARC: {e}") from None
-        total += len(chunk)
-        if total > _MAX_DECOMPRESSED:
-            raise ValueError("WARC decompresses past the 1 GiB cap")
-        out.append(chunk)
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC")
-        view = memoryview(d.unused_data)
+        # rewind whatever the finished member did not consume
+        pos -= len(d.unused_data)
     return b"".join(out)
 
 

@@ -381,7 +381,21 @@ def extract_warc_documents(
                         continue
                     if rec.warc_type != "response":
                         continue
-                    status, hdrs, body = http_response(rec.block)
+                    try:
+                        status, hdrs, body = http_response(rec.block)
+                    except ValueError as e:
+                        # a garbled HTTP block is ONE contained error
+                        # row, not a task failure (same per-record
+                        # contract as the PDF branch below)
+                        rows.append(
+                            {
+                                **base,
+                                **empty,
+                                "url": rec.target_uri or None,
+                                "status": f"error: {e}",
+                            }
+                        )
+                        continue
                     mime = hdrs.get("content-type", "")
                     row = {
                         **base,
@@ -591,16 +605,20 @@ def robots_filter(
     robots: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    key_col: str = "domain",
 ) -> DataFrame:
     """Robots-exclusion decision per page (RFC 9309, kernel/robots.py):
-    ``urls`` (needs a ``domain`` column) is broadcast-joined with the
-    (domain, robots_txt) table — robots corpora are tiny next to page
-    corpora — and each page's path is evaluated in a narrow map. Adds
-    ``allowed`` (boolean) and ``robots_match_len`` (octet length of the
-    winning rule; 0 = no rule matched). Missing robots = allowed."""
+    ``urls`` (needs the ``key_col`` column) is broadcast-joined with
+    the (key_col, robots_txt) table — robots corpora are tiny next to
+    page corpora — and each page's path is evaluated in a narrow map.
+    RFC scope is per ORIGIN, so production callers key on the HOST
+    (run_web_pipeline does); the key is a parameter because synthetic
+    oracles key coarser. Adds ``allowed`` (boolean) and
+    ``robots_match_len`` (octet length of the winning rule; 0 = no
+    rule matched). Missing robots = allowed."""
     from gmft_spark.kernel.robots import parse_robots, robots_decision
 
-    joined = urls.join(F.broadcast(robots), "domain", "left")
+    joined = urls.join(F.broadcast(robots), key_col, "left")
     out_schema = StructType(
         list(joined.schema.fields)
         + [

@@ -23,6 +23,7 @@ Cluster deployment mirrors jobs/run_extraction.py:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -94,7 +95,21 @@ def main(argv=None) -> int:
         print("nothing to do: all buckets completed")
         return 0
 
+    # persist: the ok/errs split and the stats below would otherwise
+    # re-parse every archive once per downstream action
     docs = extract_warc_documents(files, src_col="conv_id")
+    # non-200 responses (soft-404s, redirect stubs) are not corpus
+    # documents — reclassify so accounting keeps them visible
+    non200 = F.col("http_status").isNotNull() & (
+        F.col("http_status") != 200
+    )
+    docs = docs.withColumn(
+        "status",
+        F.when(
+            (F.col("status") == "ok") & non200,
+            F.concat(F.lit("skipped: http "), F.col("http_status")),
+        ).otherwise(F.col("status")),
+    ).persist()
     ok = docs.filter(F.col("status") == "ok")
     errs = docs.filter(F.col("status") != "ok")
     if args.min_chars:
@@ -105,8 +120,37 @@ def main(argv=None) -> int:
         from gmft_spark.operators.webcorpus import normalize_url
 
         ok = ok.withColumn("url_norm", normalize_url(F.col("url")))
+    # cross-RUN semantics under --resume: dedup and the domain budget
+    # must hold over the whole landed dataset, not just this run's
+    # remaining files
+    landed_ok = None
+    results_dir = os.path.join(args.output, "results")
+    if args.resume and os.path.exists(results_dir):
+        landed_ok = spark.read.parquet(results_dir).filter(
+            F.col("status") == "ok"
+        )
+        if not args.no_url_dedup:
+            ok = ok.join(
+                landed_ok.select("url_norm").distinct(),
+                "url_norm",
+                "left_anti",
+            )
     if args.max_per_domain:
-        ok = cap_per_domain(ok, args.max_per_domain)
+        ok = cap_per_domain(ok, args.max_per_domain, rank_col="_rk")
+        if landed_ok is not None:
+            used = landed_ok.groupBy("domain").agg(
+                F.count("*").alias("_used")
+            )
+            ok = (
+                ok.join(F.broadcast(used), "domain", "left")
+                .filter(
+                    F.col("_rk")
+                    <= args.max_per_domain
+                    - F.coalesce(F.col("_used"), F.lit(0))
+                )
+                .drop("_used")
+            )
+        ok = ok.drop("_rk")
     else:
         ok = ok.withColumn("domain", F.lit(None).cast("string"))
 
@@ -119,6 +163,7 @@ def main(argv=None) -> int:
         spark, curated, args.output, n_buckets=args.buckets, run_id=run_id
     )
     stats = lineage.groupBy().sum("n_tables", "n_ok").collect()[0]
+    docs.unpersist()
     print(
         f"run {run_id}: {n_files} archives in, {stats[0]} document rows "
         f"out ({stats[1]} ok; cumulative across resumed runs)"

@@ -107,8 +107,17 @@ def main(argv=None) -> int:
             F.col("content").alias("payload"),
         )
     )
-    docs = extract_warc_documents(files, src_col="src")
-    ok = docs.filter(F.col("status") == "ok")
+    # persist: the robots aggregate, the denied count, and the staged
+    # write would otherwise each re-parse every archive
+    docs = extract_warc_documents(files, src_col="src").persist()
+    # non-200 responses (soft-404s, redirect stubs) are not corpus pages
+    ok = docs.filter(
+        (F.col("status") == "ok")
+        & (
+            F.col("http_status").isNull()
+            | (F.col("http_status") == 200)
+        )
+    )
     n_robots_denied = 0
     if args.respect_robots:
         from gmft_spark.operators.webcorpus import robots_filter
@@ -121,19 +130,22 @@ def main(argv=None) -> int:
                 1,
             )
         )
+        # RFC 9309 scope is the ORIGIN: key robots by HOST, not by
+        # registered domain (docs.example.com and www.example.com have
+        # independent robots files)
         robots = (
             ok.filter(is_robots)
-            .withColumn("domain", registered_domain(host_of))
-            .groupBy("domain")
+            .withColumn("host", host_of)
+            .groupBy("host")
             .agg(F.min("main_text").alias("robots_txt"))
         )
-        pages = ok.filter(~is_robots).withColumn(
-            "domain", registered_domain(host_of)
+        pages = ok.filter(~is_robots).withColumn("host", host_of)
+        decided = robots_filter(
+            pages, robots, agent=args.agent, key_col="host"
         )
-        decided = robots_filter(pages, robots, agent=args.agent)
         n_robots_denied = decided.filter(~F.col("allowed")).count()
         ok = decided.filter(F.col("allowed")).drop(
-            "allowed", "robots_match_len", "robots_txt", "domain"
+            "allowed", "robots_match_len", "robots_txt", "host"
         )
     if args.min_chars:
         ok = ok.filter(F.length("main_text") >= args.min_chars)
@@ -159,6 +171,7 @@ def main(argv=None) -> int:
         "url",
     )
     staged.write.mode("overwrite").parquet(f"{corpus_dir}/documents.parquet")
+    docs.unpersist()
     base = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     n_ingested = base.count()
     if n_ingested == 0:

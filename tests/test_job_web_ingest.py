@@ -169,3 +169,125 @@ def test_web_ingest_reads_wet_archives(spark, tmp_path):
     for url, text in docs:
         assert rows[url]["main_text"] == text
         assert rows[url]["mime"] == "text/plain"
+
+
+def test_garbled_http_block_is_contained_per_record(spark, tmp_path):
+    """A response record whose HTTP block is garbage becomes ONE error
+    row; the archive's other records still extract (review fix: the
+    http parse used to escape the per-record loop and kill the task)."""
+    from gmft_spark.kernel.warc import _gzip_member, _record_bytes
+
+    good = build_warc(
+        [(_url_for(0), _page_html(0, "survivor body words " * 6).encode())]
+    )
+    bad_rec = _gzip_member(
+        _record_bytes(
+            "response",
+            [
+                ("WARC-Target-URI", "https://bad.example/x"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            b"NOT AN HTTP RESPONSE AT ALL",
+        )
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg.warc.gz").write_bytes(good + bad_rec)
+    out = tmp_path / "out"
+    assert (
+        J.main(
+            ["--input", str(src), "--output", str(out), "--buckets", "2",
+             "--run-id", "wi7"]
+        )
+        == 0
+    )
+    res = spark.read.parquet(str(out / "results")).collect()
+    by_status = {}
+    for r in res:
+        by_status.setdefault(r["status"].split(":")[0], []).append(r)
+    assert len(by_status["ok"]) == 1
+    (err,) = by_status["error"]
+    assert err["url"] == "https://bad.example/x"
+
+
+def test_non_200_responses_become_skipped_rows(spark, tmp_path):
+    from gmft_spark.kernel.warc import _gzip_member, _record_bytes
+
+    body = b"<html><body><article><p>gone page</p></article></body></html>"
+    http = (
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+    rec404 = _gzip_member(
+        _record_bytes(
+            "response",
+            [
+                ("WARC-Target-URI", "https://gone.example/x"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            http,
+        )
+    )
+    good = build_warc(
+        [(_url_for(4), _page_html(4, "kept body words " * 6).encode())]
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg.warc.gz").write_bytes(good + rec404)
+    out = tmp_path / "out"
+    assert (
+        J.main(
+            ["--input", str(src), "--output", str(out), "--buckets", "2",
+             "--run-id", "wi8"]
+        )
+        == 0
+    )
+    res = {r["url"]: r for r in spark.read.parquet(str(out / "results")).collect()}
+    assert res["https://gone.example/x"]["status"] == "skipped: http 404"
+    assert res[_url_for(4)]["status"] == "ok"
+
+
+def test_resume_holds_dedup_and_cap_across_runs(spark, tmp_path):
+    """Cross-run contract (review fix): a resumed run must not re-admit
+    an already-landed normalized URL, and the per-domain budget counts
+    pages landed by earlier runs."""
+    src = tmp_path / "crawl"
+    src.mkdir()
+    body = "run one body words and the text of it here " * 4
+    # run 1: variants v0, v1 of page b=0 (same url_norm) + page b=2
+    (src / "a.warc.gz").write_bytes(
+        build_warc(
+            [
+                (_url_for(0), _page_html(0, body).encode()),
+                (_url_for(1), _page_html(1, body).encode()),
+                (_url_for(8), _page_html(8, body).encode()),
+            ]
+        )
+    )
+    out = tmp_path / "out"
+    args = ["--input", str(src), "--output", str(out), "--buckets", "1",
+            "--max-per-domain", "2"]
+    assert J.main(args + ["--run-id", "r1"]) == 0
+    first = spark.read.parquet(str(out / "results"))
+    landed_norms = {r["url_norm"] for r in first.filter(first.status == "ok").collect()}
+    # run 2: another variant of b=0 (dup), plus new pages b=4, b=12 on
+    # the same registered domains
+    (src / "b.warc.gz").write_bytes(
+        build_warc(
+            [
+                (_url_for(2), _page_html(2, body).encode()),
+                (_url_for(16), _page_html(16, body).encode()),
+                (_url_for(48), _page_html(48, body).encode()),
+            ]
+        )
+    )
+    assert J.main(args + ["--resume", "--run-id", "r2"]) == 0
+    res = spark.read.parquet(str(out / "results"))
+    ok = [r for r in res.collect() if r["status"] == "ok"]
+    norms = [r["url_norm"] for r in ok]
+    assert len(norms) == len(set(norms)), "dup url_norm across runs"
+    # domain budget: never more than 2 per registered domain overall
+    from collections import Counter
+
+    per_dom = Counter(r["domain"] for r in ok)
+    assert all(v <= 2 for v in per_dom.values()), per_dom

@@ -83,3 +83,29 @@ def test_hostile_rule_count_capped():
     rules = parse_robots(txt)
     assert len(rules) == 5000  # _MAX_RULES cap
     assert robots_decision(rules, "/p42")[0] is False
+
+
+def test_empty_user_agent_token_matches_nothing():
+    txt = (
+        "User-agent:\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /private/\n"
+    )
+    # the '' group must not mask the * group
+    assert robots_allowed(txt, "/private/x", "anybot") is False
+    assert robots_allowed(txt, "/a", "anybot") is True
+
+
+def test_many_star_rule_is_linear_not_backtracking():
+    # before the glob matcher this regex-compiled to stacked '.*'
+    # groups and backtracked catastrophically on near-miss paths
+    import time
+
+    pattern = "/" + "*a" * 24 + "$"
+    txt = f"User-agent: *\nDisallow: {pattern}\n"
+    rules = parse_robots(txt)
+    path = "/" + "a" * 5000 + "b"  # near-miss: fails only at the end
+    t0 = time.time()
+    ok, _ = robots_decision(rules, path)
+    assert time.time() - t0 < 2.0
+    assert ok is True  # 'b' tail defeats the $-anchored match
+    assert robots_decision(rules, "/" + "a" * 100)[0] is False
