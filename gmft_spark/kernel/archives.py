@@ -21,6 +21,10 @@ external dependencies:
 Writers are deterministic (mtime 0, fixed attributes) and are the
 roundtrip-test twins (tests/test_archives.py). Malformed input raises
 ``ValueError``; a hostile decompressed-size cap bounds zip bombs.
+Out of scope (documented seams): zip64 (>4 GiB members/offsets —
+archive-level parallelism makes multi-GiB single archives an
+anti-pattern for this pipeline anyway), encrypted zips, pax/GNU tar
+extensions beyond the ustar prefix field.
 """
 
 from __future__ import annotations

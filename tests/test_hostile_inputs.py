@@ -140,6 +140,9 @@ class TestEmptyCorpus:
         "warc_ingest_pipeline",  # archive synthesis over zero groups
         "url_normalize_dedup",  # countDistinct agg over nothing
         "url_domain_census",  # suffix-rule census over nothing
+        "url_robots_filter",  # broadcast robots join over nothing
+        "warc_cdx_lookup",  # indexed-archive build over zero groups
+        "archive_ingest_pipeline",  # tar/zip build over zero groups
     ]
 
     @pytest.fixture(scope="class")
