@@ -65,6 +65,13 @@ def main(argv=None) -> int:
         "fetched robots.txt pass through)",
     )
     parser.add_argument("--agent", default="gmftbot")
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="crash recovery: a completed final output is a no-op, and "
+        "a completed staged corpus in --workdir skips re-ingest (the "
+        "cascade is deterministic over the staged corpus)",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -80,24 +87,25 @@ def main(argv=None) -> int:
         .getOrCreate()
     )
 
-    from gmft_spark.operators.curation import redact_pii_col
-    from gmft_spark.operators.dedup import dedup_minhash_clusters
-    from gmft_spark.operators.textstats import (
-        lang_id,
-        quality_score,
-        shard_training_corpus,
-    )
     from gmft_spark.operators.webcorpus import (
         cap_per_domain,
         dedup_by_normalized_url,
         extract_warc_documents,
-        normalize_url,
         registered_domain,
     )
-    from gmft_spark.plans.lineage import write_results_with_lineage
 
     # ── stage 1: ingest → documents-schema staging directory ───────
+    import os
+
     corpus_dir = f"{args.workdir}/corpus"
+    staged_dir = f"{corpus_dir}/documents.parquet"
+    if args.resume:
+        if os.path.exists(os.path.join(args.output, "_lineage")):
+            print("nothing to do: final corpus already written")
+            return 0
+        if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
+            print(f"resume: reusing staged corpus at {staged_dir}")
+            return _cascade(spark, args, corpus_dir, None)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
@@ -172,6 +180,23 @@ def main(argv=None) -> int:
     )
     staged.write.mode("overwrite").parquet(f"{corpus_dir}/documents.parquet")
     docs.unpersist()
+    return _cascade(spark, args, corpus_dir, n_robots_denied)
+
+
+def _cascade(spark, args, corpus_dir, n_robots_denied) -> int:
+    """Stages 2-6 over the staged corpus (pure function of the staged
+    parquet — the resume entry point re-runs exactly this)."""
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.curation import redact_pii_col
+    from gmft_spark.operators.dedup import dedup_minhash_clusters
+    from gmft_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        shard_training_corpus,
+    )
+    from gmft_spark.plans.lineage import write_results_with_lineage
+
     base = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     n_ingested = base.count()
     if n_ingested == 0:
@@ -227,7 +252,9 @@ def main(argv=None) -> int:
         spark, final, args.output, n_buckets=args.buckets, run_id=run_id
     )
     robots_note = (
-        f" ({n_robots_denied} robots-denied)" if args.respect_robots else ""
+        f" ({n_robots_denied} robots-denied)"
+        if args.respect_robots and n_robots_denied is not None
+        else ""
     )
     print(
         f"run {run_id}: {n_ingested} ingested{robots_note} -> "

@@ -153,3 +153,48 @@ def test_web_pipeline_respects_robots(spark, tmp_path, capsys):
     assert "https://ruled.example/private/pub/okpage" in urls
     assert "https://free.example/anything" in urls
     assert not any(u.endswith("/robots.txt") for u in urls)
+
+
+def test_web_pipeline_resume_skips_reingest_and_is_idempotent(
+    spark, tmp_path, capsys
+):
+    src = tmp_path / "crawl"
+    src.mkdir()
+    recs = [
+        ("https://keep.example/doc", _page("Keeper", _BODY_B)),
+        ("https://other.example/doc", _page("Other", _BODY_C)),
+    ]
+    (src / "seg.warc.gz").write_bytes(build_warc(recs))
+    work = tmp_path / "stage"
+    out = tmp_path / "corpus"
+    base = ["--workdir", str(work), "--output", str(out), "--buckets", "2"]
+    # crash simulation: stage only (run the full job once to land the
+    # staged corpus, then delete the final output to mimic a crash
+    # between staging and the final write)
+    assert J.main(["--input", str(src)] + base + ["--run-id", "wr1"]) == 0
+    import shutil
+
+    shutil.rmtree(out)
+    capsys.readouterr()
+    # resume must NOT touch --input (pass a nonexistent dir to prove it)
+    assert (
+        J.main(
+            ["--input", str(tmp_path / "gone")] + base
+            + ["--resume", "--run-id", "wr2"]
+        )
+        == 0
+    )
+    msg = capsys.readouterr().out
+    assert "resume: reusing staged corpus" in msg
+    res = spark.read.parquet(str(out / "results"))
+    assert res.filter(res.status == "ok").count() == 2
+    # completed output → a further resume is a no-op
+    capsys.readouterr()
+    assert (
+        J.main(
+            ["--input", str(tmp_path / "gone")] + base
+            + ["--resume", "--run-id", "wr3"]
+        )
+        == 0
+    )
+    assert "nothing to do: final corpus already written" in capsys.readouterr().out
