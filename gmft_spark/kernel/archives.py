@@ -47,6 +47,11 @@ def _octal(n: int, width: int) -> bytes:
 
 
 def _tar_header(name: str, size: int) -> bytes:
+    if size >= 8 ** 11:
+        # 11 octal digits is the ustar limit; a longer string would
+        # silently GROW the 512-byte header via slice assignment and
+        # corrupt every following offset
+        raise ValueError("tar member exceeds the 8 GiB ustar size field")
     nb = name.encode("utf-8")
     if len(nb) > 100:
         # ustar prefix field: the first '/' that leaves <= 100 bytes of
@@ -142,10 +147,20 @@ def build_zip(
     """(name, bytes) members → zip archive (DEFLATE when it pays and
     ``compress`` is set, STORED otherwise). Deterministic: zeroed
     times, fixed version fields."""
+    if len(files) > 0xFFFF:
+        raise ValueError(
+            "more than 65535 members needs zip64 (documented out-of-"
+            "scope seam)"
+        )
     out = bytearray()
     central = bytearray()
     for name, data in files:
         nb = name.encode("utf-8")
+        if len(data) >= 1 << 32:
+            raise ValueError(
+                "member exceeds 4 GiB: needs zip64 (documented "
+                "out-of-scope seam)"
+            )
         crc = zlib.crc32(data) & 0xFFFFFFFF
         if compress:
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -194,7 +209,7 @@ def parse_zip(data: bytes) -> List[Tuple[str, bytes]]:
     out: List[Tuple[str, bytes]] = []
     i = cd_off
     for _ in range(n_total):
-        if data[i : i + 4] != b"PK\x01\x02":
+        if i + 46 > len(data) or data[i : i + 4] != b"PK\x01\x02":
             raise ValueError("bad zip central-directory entry")
         (
             _sig, _vmade, _vneed, _flags, method, _t, _d,
@@ -206,7 +221,7 @@ def parse_zip(data: bytes) -> List[Tuple[str, bytes]]:
         if usize > _MAX_MEMBER:
             raise ValueError("zip member exceeds decompressed cap")
         # local header: re-read name/extra lengths (they can differ)
-        if data[lho : lho + 4] != b"PK\x03\x04":
+        if lho + 30 > len(data) or data[lho : lho + 4] != b"PK\x03\x04":
             raise ValueError("bad zip local header offset")
         (lnlen, lelen) = struct.unpack_from("<HH", data, lho + 26)
         start = lho + 30 + lnlen + lelen

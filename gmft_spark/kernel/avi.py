@@ -51,7 +51,7 @@ def encode_avi(
         1_000_000 // max(1, fps),  # dwMicroSecPerFrame
         max_bytes * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off
+        0,  # dwFlags: no AVIF_HASINDEX — this writer emits no idx1
         len(jpegs),  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams
@@ -152,9 +152,19 @@ def decode_avi_frames(
         if cid != b"LIST" or data[start : start + 4] != b"movi":
             continue
         found_movi = True
-        for c2, s2, z2 in _walk(data, start + 4, start + size):
-            if c2[2:4] not in (b"dc", b"db"):
-                continue
+
+        def _movi_chunks(lo: int, hi: int):
+            """Yield stream-00 video chunks, recursing into 'LIST rec '
+            groups (the standard VfW interleaving layout — without the
+            recursion such files decode to ZERO frames silently)."""
+            for c2, s2, z2 in _walk(data, lo, hi):
+                if c2 == b"LIST" and data[s2 : s2 + 4] == b"rec ":
+                    yield from _movi_chunks(s2 + 4, s2 + z2)
+                elif c2[:2] == b"00" and c2[2:4] in (b"dc", b"db"):
+                    # only the FIRST video stream: a second stream's
+                    # '01dc' chunks must not interleave into this one
+                    yield s2, z2
+        for s2, z2 in _movi_chunks(start + 4, start + size):
             if n_seen >= _MAX_FRAMES:
                 raise ValueError("hostile frame count")
             if n_seen % frame_stride == 0:

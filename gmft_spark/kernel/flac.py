@@ -647,13 +647,14 @@ def encode_flac(
 
     frames = bytearray()
     starts = list(range(0, n, block_size))
-    min_bs = min(block_size, n)
-    max_bs = min(block_size, n)
+    # STREAMINFO min/max block size EXCLUDE a shorter final block (RFC
+    # 9639: min != max is the variable-blocksize marker, and this is a
+    # fixed-blocking stream) — a single short stream is its own size
+    bs_used = block_size if len(starts) > 1 else min(block_size, n)
+    min_bs = max_bs = bs_used
     for fi, st in enumerate(starts):
         blk = s[st : st + block_size]
         bn = blk.shape[0]
-        min_bs = min(min_bs, bn)
-        max_bs = max(max_bs, bn)
         bw = _BitWriter()
         mode = fi % 4 if ch == 2 else 0
         bw.write(0x3FFE, 14)

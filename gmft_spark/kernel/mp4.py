@@ -207,12 +207,15 @@ def _video_sample_tables(data: bytes) -> Dict[str, object]:
                 raise ValueError(f"missing {need.decode()} table")
         if b"stco" not in boxes and b"co64" not in boxes:
             raise ValueError("missing chunk-offset table")
-        # stsd → codec fourcc + dims
-        sb, _ss = boxes[b"stsd"]
+        # stsd → codec fourcc + dims (bounds-checked: a truncated box
+        # must raise ValueError, not leak struct.error)
+        sb, ss = boxes[b"stsd"]
+        entry = sb + 8
+        if sb + 8 > len(data) or entry + 36 > len(data) or ss < 8 + 36:
+            raise ValueError("truncated stsd")
         (n_desc,) = struct.unpack_from(">I", data, sb + 4)
         if n_desc < 1:
             raise ValueError("empty stsd")
-        entry = sb + 8
         codec = data[entry + 4 : entry + 8]
         width, height = struct.unpack_from(">HH", data, entry + 32)
         # stsz
@@ -261,6 +264,9 @@ def _video_sample_tables(data: bytes) -> Dict[str, object]:
             last = (
                 runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offs)
             )
+            if first < 1:
+                # first_chunk is 1-based; 0 would index chunk_offs[-1]
+                raise ValueError("bad stsc first_chunk 0")
             for ci in range(first - 1, last):
                 if ci >= len(chunk_offs):
                     break
@@ -273,7 +279,22 @@ def _video_sample_tables(data: bytes) -> Dict[str, object]:
                     si += 1
         if si < n_samples:
             raise ValueError("sample tables resolve too few samples")
-        timescale, duration = struct.unpack_from(">II", data, mdhd[0] + 12)
+        # mdhd: version 1 carries 64-bit times, shifting
+        # timescale/duration to offsets 20/24 (duration 64-bit)
+        if mdhd[0] + 4 > len(data):
+            raise ValueError("truncated mdhd")
+        version = data[mdhd[0]]
+        if version == 1:
+            if mdhd[0] + 32 > len(data):
+                raise ValueError("truncated mdhd v1")
+            (timescale,) = struct.unpack_from(">I", data, mdhd[0] + 20)
+            (duration,) = struct.unpack_from(">Q", data, mdhd[0] + 24)
+        else:
+            if mdhd[0] + 20 > len(data):
+                raise ValueError("truncated mdhd")
+            timescale, duration = struct.unpack_from(
+                ">II", data, mdhd[0] + 12
+            )
         return {
             "codec": codec,
             "width": int(width),

@@ -90,3 +90,36 @@ def test_containment():
     struct.pack_into("<I", lie, cd_off + 24, 1)  # usize := 1
     with pytest.raises(ValueError):
         parse_zip(bytes(lie))
+
+
+def test_tar_oversize_member_raises_not_corrupts():
+    from gmft_spark.kernel.archives import _tar_header
+
+    # 8 GiB would overflow the 11-digit octal field and silently GROW
+    # the 512-byte header (review fix)
+    assert len(_tar_header("x", 8 ** 11 - 1)) == 512
+    with pytest.raises(ValueError):
+        _tar_header("x", 8 ** 11)
+
+
+def test_zip_limits_raise_named_errors():
+    with pytest.raises(ValueError, match="zip64"):
+        build_zip([(f"f{i}", b"") for i in range(65536)], compress=False)
+
+
+def test_zip_truncated_structures_raise_valueerror():
+    # truncated central-directory entry (review fix: leaked struct.error)
+    fake = (
+        b"PK\x01\x02" + b"\x00" * 8
+        + struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, 12, 0, 0)
+    )
+    with pytest.raises(ValueError):
+        parse_zip(fake)
+    # local-header offset pointing at EOF
+    good = build_zip(_files(1))
+    eocd = good.rfind(b"PK\x05\x06")
+    (cd_off,) = struct.unpack_from("<I", good, eocd + 16)
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, cd_off + 42, len(good) - 2)  # lho → EOF
+    with pytest.raises(ValueError):
+        parse_zip(bytes(bad))

@@ -147,3 +147,15 @@ def test_every_frame_crc_verified():
             continue
         # escaped detection would mean corruption decoded silently
         raise AssertionError(f"byte {i} flip went undetected")
+
+
+def test_streaminfo_block_sizes_exclude_short_last_block():
+    """RFC 9639: a shorter final block does not count toward min/max
+    block size — min != max would mark a fixed-blocking stream as
+    variable-blocksize (review fix)."""
+    s = _smooth(2500)  # 1024, 1024, 452
+    info = flac_info(encode_flac(s, 8000, block_size=1024))
+    assert info["min_block_size"] == info["max_block_size"] == 1024
+    # a single sub-block stream is its own (equal) size
+    short = flac_info(encode_flac(_smooth(300), 8000, block_size=1024))
+    assert short["min_block_size"] == short["max_block_size"] == 300

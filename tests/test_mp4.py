@@ -132,3 +132,58 @@ def test_real_decode_mp4_video():
         axis=0,
     )
     assert np.allclose(feat, want)
+
+
+def test_mdhd_version1_timescale_duration():
+    """mdhd v1 shifts timescale/duration past the 64-bit times (review
+    fix: v0 offsets read garbage there)."""
+    import numpy as np
+    import struct as _s
+
+    from gmft_spark.kernel.mp4 import encode_mp4, probe_mp4
+
+    frames = [np.full((8, 8), 90, dtype=np.uint8)] * 4
+    data = bytearray(encode_mp4(frames, fps=8))
+    i = bytes(data).find(b"mdhd")
+    body = i + 4
+    # v0 body: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4) ...
+    (ts,) = _s.unpack_from(">I", data, body + 12)
+    (dur,) = _s.unpack_from(">I", data, body + 16)
+    lang_rest = bytes(data[body + 20 : body + 24])
+    # rebuild as v1: ver=1, 64-bit ctime/mtime, same timescale, 64-bit dur
+    v1 = (
+        b"\x01\x00\x00\x00"
+        + b"\x00" * 16
+        + _s.pack(">I", ts)
+        + _s.pack(">Q", dur)
+        + lang_rest
+    )
+    old_size = _s.unpack_from(">I", data, i - 4)[0]
+    new_box = _s.pack(">I", 8 + len(v1)) + b"mdhd" + v1
+    out = bytearray(bytes(data[: i - 4]) + new_box + bytes(data[i - 4 + old_size :]))
+    # fix ancestor box sizes (moov/trak/mdia) for the size delta
+    delta = len(new_box) - old_size
+    for fourcc in (b"moov", b"trak", b"mdia"):
+        j = bytes(out).find(fourcc)
+        sz = _s.unpack_from(">I", out, j - 4)[0]
+        _s.pack_into(">I", out, j - 4, sz + delta)
+    info = probe_mp4(bytes(out))
+    assert info["duration_ms"] == probe_mp4(bytes(data))["duration_ms"]
+    assert info["n_frames"] == 4
+
+
+def test_bad_stsc_first_chunk_zero_rejected():
+    import numpy as np
+    import struct as _s
+
+    from gmft_spark.kernel.mp4 import encode_mp4, probe_mp4
+
+    frames = [np.full((8, 8), 90, dtype=np.uint8)] * 3
+    data = bytearray(encode_mp4(frames, fps=8))
+    i = bytes(data).find(b"stsc")
+    # first run's first_chunk field sits 8 bytes into the body
+    _s.pack_into(">I", data, i + 4 + 8, 0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        probe_mp4(bytes(data))

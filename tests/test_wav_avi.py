@@ -275,3 +275,54 @@ def test_avi_containment():
         encode_avi([], fps=10)
     with pytest.raises(ValueError):
         encode_avi([_frames(1)[0], np.zeros((8, 8), np.uint8)])
+
+
+def test_avi_rec_grouped_movi_decodes():
+    """The standard VfW interleaving wraps frame chunks in 'LIST rec '
+    groups inside movi — the reader must recurse (review fix: such
+    files used to decode to ZERO frames silently)."""
+    from gmft_spark.kernel.avi import _chunk, _list
+
+    frames = [
+        np.full((8, 8), 40 * (i + 1), dtype=np.uint8) for i in range(3)
+    ]
+    plain = encode_avi(frames, fps=5)
+    ref = decode_avi_frames(plain)
+    # rebuild: same headers, but each 00dc chunk wrapped in its own rec
+    movi_start = plain.find(b"movi")
+    from gmft_spark.kernel.jpeg import encode_jpeg
+
+    jpegs = [encode_jpeg(f, quality=85) for f in frames]
+    new_movi = _list(
+        b"movi",
+        b"".join(_list(b"rec ", _chunk(b"00dc", j)) for j in jpegs),
+    )
+    # splice: everything up to the movi LIST header start, then new movi
+    movi_list_hdr = plain.rfind(b"LIST", 0, movi_start)
+    rebuilt = plain[:movi_list_hdr] + new_movi
+    rebuilt = rebuilt[:4] + (len(rebuilt) - 8).to_bytes(4, "little") + rebuilt[8:]
+    out = decode_avi_frames(rebuilt)
+    assert len(out) == 3
+    for a, b in zip(out, ref):
+        assert np.array_equal(a, b)
+
+
+def test_avi_second_stream_chunks_ignored():
+    from gmft_spark.kernel.avi import _chunk, _list
+    from gmft_spark.kernel.jpeg import encode_jpeg
+
+    f0 = np.full((8, 8), 50, dtype=np.uint8)
+    other = encode_jpeg(np.full((8, 8), 200, dtype=np.uint8), quality=85)
+    plain = encode_avi([f0], fps=5)
+    movi_start = plain.find(b"movi")
+    movi_list_hdr = plain.rfind(b"LIST", 0, movi_start)
+    new_movi = _list(
+        b"movi",
+        _chunk(b"00dc", encode_jpeg(f0, quality=85))
+        + _chunk(b"01dc", other),  # a 2nd stream must not interleave
+    )
+    rebuilt = plain[:movi_list_hdr] + new_movi
+    rebuilt = rebuilt[:4] + (len(rebuilt) - 8).to_bytes(4, "little") + rebuilt[8:]
+    out = decode_avi_frames(rebuilt)
+    assert len(out) == 1
+    assert abs(int(out[0].mean()) - 50) < 3
