@@ -193,14 +193,30 @@ def build_zip(
     return bytes(out)
 
 
+def _find_eocd(data: bytes) -> int:
+    """Backward scan for a SELF-CONSISTENT EOCD: offset + 22 +
+    comment_len == file length. A STORED payload can never hold the
+    magic past the real EOCD, but an archive COMMENT can — a bare
+    rfind would pick bytes inside the comment and reject a valid
+    archive (review fix). The scan window is bounded by the max
+    comment length (0xFFFF)."""
+    lo = max(0, len(data) - 22 - 0xFFFF)
+    pos = data.rfind(b"PK\x05\x06", lo)
+    while pos >= 0:
+        if pos + 22 <= len(data):
+            (cmt,) = struct.unpack_from("<H", data, pos + 20)
+            if pos + 22 + cmt == len(data):
+                return pos
+        pos = data.rfind(b"PK\x05\x06", lo, pos)
+    return -1
+
+
 def parse_zip(data: bytes) -> List[Tuple[str, bytes]]:
     """zip bytes → [(name, bytes)], central-directory driven, CRC-32
     verified. ValueError on corruption or unsupported compression."""
-    eocd = data.rfind(b"PK\x05\x06")
+    eocd = _find_eocd(data)
     if eocd < 0:
         raise ValueError("zip end-of-central-directory not found")
-    if eocd + 22 > len(data):
-        raise ValueError("truncated zip EOCD")
     (_sig, _dn, _cdn, _n_here, n_total, cd_size, cd_off, _cmt) = (
         struct.unpack_from("<IHHHHIIH", data, eocd)
     )

@@ -722,6 +722,14 @@ def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url_norm")
 
 
+# Query-suffix assumption (load-bearing for parity): robots_filter
+# evaluates the path INCLUDING any query string ('/docs/1?ref=1'), while
+# this oracle derives decisions from the bare '/docs/<b>' path. The two
+# agree only because every synth allow/deny prefix extends past '/docs/'
+# solely with DIGIT characters — a '?' can never equal a digit, so a
+# query suffix can never complete a longer prefix match. Any new rule
+# pattern whose prefix could continue with '?' (or any char a query
+# string can start with) must add the query to the SQL-side path too.
 URL_ROBOTS_FILTER_SQL = _URL_SQL_CTE + """,
     pages AS (
         SELECT DISTINCT url_norm, reg_domain AS domain, b

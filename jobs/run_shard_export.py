@@ -8,9 +8,10 @@ JSON shards whose membership and internal order are pure functions of
 doc_id (textstats.shard_training_corpus), so re-exports are
 byte-stable and appended corpora never reorder existing shards.
 
-Scale shape: one repartition on the shard key (each shard becomes ONE
-task writing ONE file — at 10^12 docs the shard count, not the doc
-count, sets the task count), rows sorted within the partition, JSON
+Scale shape: one repartition on the shard key (hash partitioning, so a
+task carries at most a few shards — each shard still lands as ONE
+sorted file via partitionBy; at 10^12 docs the shard count, not the
+doc count, sets the task count), rows sorted within the partition, JSON
 serialized JVM-side (to_json over a struct — no Python in the plan),
 gzip text sink.
 

@@ -102,6 +102,26 @@ def test_tar_oversize_member_raises_not_corrupts():
         _tar_header("x", 8 ** 11)
 
 
+def test_zip_comment_containing_eocd_magic_parses():
+    # an archive COMMENT containing the EOCD magic sits AFTER the real
+    # EOCD; a bare rfind would lock onto it and reject a valid archive.
+    # The reader must scan backwards for the self-consistent record
+    # (offset + 22 + comment_len == file length) — review fix.
+    files = _files(3)
+    good = bytearray(build_zip(files))
+    comment = b"see PK\x05\x06 spec \x00\x00\x00\x00 for details"
+    eocd = bytes(good).rfind(b"PK\x05\x06")
+    struct.pack_into("<H", good, eocd + 20, len(comment))
+    assert parse_zip(bytes(good) + comment) == files
+    # trailing junk NOT declared by the comment length: no record in
+    # the file is self-consistent → fails closed, never silently picks
+    # a magic that disagrees with the file length
+    struct.pack_into("<H", good, eocd + 20, 0)
+    with pytest.raises(ValueError):
+        parse_zip(bytes(good) + b"junk!")
+    assert parse_zip(bytes(good)) == files
+
+
 def test_zip_limits_raise_named_errors():
     with pytest.raises(ValueError, match="zip64"):
         build_zip([(f"f{i}", b"") for i in range(65536)], compress=False)

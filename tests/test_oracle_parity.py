@@ -77,7 +77,7 @@ def test_entry_smoke(spark):
 def test_registration_order_contract():
     """The driver's correctness gate truncates in registration order
     (it records only the first 50 registered queries), so ordering is
-    load-bearing: _ROUND4_WINDOW (the 41 queries never driver-recorded in
+    load-bearing: _ROUND5_WINDOW (the 41 queries never driver-recorded in
     rounds 1–3, plus round-4 additions) heads the list and must fit the
     50-slot window; every window name must resolve to a real, oracled
     query (typo tripwire — a misspelled name would silently fall to the
@@ -87,11 +87,11 @@ def test_registration_order_contract():
 
     names = list(E.queries())
     assert len(names) == len(set(names))
-    window = list(entry._ROUND4_WINDOW)
+    window = list(entry._ROUND5_WINDOW)
     assert len(window) == len(set(window))
     assert len(window) <= 50, "window overflows the driver's 50-slot cap"
     missing = [n for n in window if n not in names]
-    assert not missing, f"_ROUND4_WINDOW names unresolved: {missing}"
+    assert not missing, f"_ROUND5_WINDOW names unresolved: {missing}"
     assert names[: len(window)] == window, "window must register first"
     oracled = set(E.oracle_sql())
     # rows-only pipelines may take a window slot only when they are new

@@ -711,7 +711,12 @@ def test_warc_extract_is_narrow_map(spark):
         warc_files_from_documents,
     )
 
-    files = warc_files_from_documents(spark, SF)
+    # src_col columns are declared StringType in the output schema, so
+    # cast the int warc_id — the plan alone would pass either way, but
+    # the fixture should be an executable frame, not just a plannable one
+    files = warc_files_from_documents(spark, SF).withColumn(
+        "warc_id", F.col("warc_id").cast("string")
+    )
     plan = _plan(extract_warc_documents(files, src_col="warc_id"))
     # exactly the one exchange that groups docs into archives (synth
     # only); the extract side adds none
