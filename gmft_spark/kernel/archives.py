@@ -21,10 +21,30 @@ external dependencies:
 Writers are deterministic (mtime 0, fixed attributes) and are the
 roundtrip-test twins (tests/test_archives.py). Malformed input raises
 ``ValueError``; a hostile decompressed-size cap bounds zip bombs.
-Out of scope (documented seams): zip64 (>4 GiB members/offsets —
-archive-level parallelism makes multi-GiB single archives an
-anti-pattern for this pipeline anyway), encrypted zips, pax/GNU tar
-extensions beyond the ustar prefix field.
+
+Round 5 closed the two archive seams:
+
+* zip64 (PKWARE APPNOTE 4.5): the reader follows the zip64
+  end-of-central-directory locator/record and the 0x0001 extra field
+  (saturated 0xFFFF/0xFFFFFFFF fields resolve to their 64-bit
+  values), so >4 GiB offsets and >65535 members parse; the writer
+  emits zip64 structures exactly when a field saturates (or when
+  ``force_zip64`` is set, for parser tests that should not allocate
+  4 GiB). Real crawl bulk archives exceed 4 GiB routinely — this was
+  the first real-user wall in the archive front door.
+* ZipCrypto (traditional PKWARE stream cipher, APPNOTE 6.1): members
+  with general-purpose flag bit 0 decrypt when a password is given
+  (12-byte encryption header, check byte vs CRC high byte — or the
+  DOS-time high byte under flag bit 3), fail closed as ValueError
+  ("password-protected zip member") without one, and fail closed on
+  a wrong password. The writer twin encrypts with a deterministic
+  encryption header (derived from name+CRC — determinism over
+  entropy is fine here: ZipCrypto is historically weak regardless
+  and the writer exists as the roundtrip twin, not as protection).
+
+Still out of scope: pax/GNU tar extensions beyond the ustar prefix
+field, AES-encrypted zip (WinZip AE-x extra field 0x9901), and
+multi-disk archives (disk numbers other than 0 raise).
 """
 
 from __future__ import annotations
@@ -140,28 +160,87 @@ def parse_tar(data: bytes) -> List[Tuple[str, bytes]]:
 
 # ── zip ─────────────────────────────────────────────────────────────
 
+# Standard CRC-32 table (reflected polynomial 0xEDB88320) — the
+# ZipCrypto key schedule needs single-byte CRC steps that zlib's
+# buffer-level API doesn't expose.
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+del _i, _c
+
+
+class _ZipCrypto:
+    """Traditional PKWARE stream cipher (APPNOTE 6.1) — byte-serial by
+    construction (the key schedule consumes each plaintext byte), so
+    it cannot be vectorized; members are small next to archives and
+    the whole parse already runs inside an executor-side narrow map."""
+
+    __slots__ = ("k0", "k1", "k2")
+
+    def __init__(self, password: bytes):
+        self.k0, self.k1, self.k2 = 0x12345678, 0x23456789, 0x34567890
+        for c in password:
+            self._update(c)
+
+    def _update(self, c: int) -> None:
+        t = _CRC_TABLE
+        self.k0 = (self.k0 >> 8) ^ t[(self.k0 ^ c) & 0xFF]
+        self.k1 = (self.k1 + (self.k0 & 0xFF)) & 0xFFFFFFFF
+        self.k1 = (self.k1 * 134775813 + 1) & 0xFFFFFFFF
+        self.k2 = (self.k2 >> 8) ^ t[(self.k2 ^ (self.k1 >> 24)) & 0xFF]
+
+    def _stream_byte(self) -> int:
+        t = (self.k2 | 2) & 0xFFFF
+        return ((t * (t ^ 1)) >> 8) & 0xFF
+
+    def decrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, b in enumerate(data):
+            c = b ^ self._stream_byte()
+            self._update(c)
+            out[i] = c
+        return bytes(out)
+
+    def encrypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        for i, c in enumerate(data):
+            out[i] = c ^ self._stream_byte()
+            self._update(c)
+        return bytes(out)
+
+
+def _norm_password(password) -> bytes:
+    return password.encode("utf-8") if isinstance(password, str) else password
+
+
+_FFFF = 0xFFFF
+_FFFFFFFF = 0xFFFFFFFF
+
 
 def build_zip(
-    files: List[Tuple[str, bytes]], compress: bool = True
+    files: List[Tuple[str, bytes]],
+    compress: bool = True,
+    password: "str | bytes | None" = None,
+    force_zip64: bool = False,
 ) -> bytes:
     """(name, bytes) members → zip archive (DEFLATE when it pays and
     ``compress`` is set, STORED otherwise). Deterministic: zeroed
-    times, fixed version fields."""
-    if len(files) > 0xFFFF:
-        raise ValueError(
-            "more than 65535 members needs zip64 (documented out-of-"
-            "scope seam)"
-        )
+    times, fixed version fields, and — when ``password`` is given —
+    a deterministic ZipCrypto encryption header derived from the
+    member name + CRC. zip64 structures (0x0001 extras, zip64 EOCD
+    record + locator) are emitted exactly when a count/size/offset
+    field saturates, or unconditionally under ``force_zip64`` (lets
+    tests exercise the 64-bit parse path without 4 GiB of bytes)."""
+    pw = _norm_password(password) if password is not None else None
     out = bytearray()
     central = bytearray()
+    any_zip64 = force_zip64 or len(files) > _FFFF
     for name, data in files:
         nb = name.encode("utf-8")
-        if len(data) >= 1 << 32:
-            raise ValueError(
-                "member exceeds 4 GiB: needs zip64 (documented "
-                "out-of-scope seam)"
-            )
-        crc = zlib.crc32(data) & 0xFFFFFFFF
+        crc = zlib.crc32(data) & _FFFFFFFF
         if compress:
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             comp = c.compress(data) + c.flush()
@@ -170,25 +249,73 @@ def build_zip(
         method = 8 if compress and len(comp) < len(data) else 0
         if method == 0:
             comp = data
+        flags = 0
+        if pw is not None:
+            # deterministic 11-byte encryption header (see module
+            # docstring); byte 12 must be the CRC high byte (the
+            # password check byte the reader verifies)
+            seed = zlib.crc32(nb, crc) & _FFFFFFFF
+            hdr = bytearray(12)
+            for i in range(11):
+                seed = (seed * 1103515245 + 12345) & _FFFFFFFF
+                hdr[i] = (seed >> 16) & 0xFF
+            hdr[11] = crc >> 24
+            comp = _ZipCrypto(pw).encrypt(bytes(hdr) + comp)
+            flags |= 1
         off = len(out)
+        need64 = (
+            force_zip64
+            or len(comp) >= _FFFFFFFF
+            or len(data) >= _FFFFFFFF
+            or off >= _FFFFFFFF
+        )
+        if need64:
+            any_zip64 = True
+            # local zip64 extra carries usize+csize; central extra
+            # additionally carries the offset — every saturated field
+            # appears in the extra in spec order (usize, csize, off)
+            lextra = struct.pack("<HHQQ", 1, 16, len(data), len(comp))
+            cextra = struct.pack(
+                "<HHQQQ", 1, 24, len(data), len(comp), off
+            )
+            lcsize = lusize = _FFFFFFFF
+            coff = _FFFFFFFF
+            vneed = 45
+        else:
+            lextra = cextra = b""
+            lcsize, lusize, coff = len(comp), len(data), off
+            vneed = 20
         local = struct.pack(
             "<IHHHHHIIIHH",
-            0x04034B50, 20, 0, method, 0, 0,
-            crc, len(comp), len(data), len(nb), 0,
+            0x04034B50, vneed, flags, method, 0, 0,
+            crc, lcsize, lusize, len(nb), len(lextra),
         )
-        out += local + nb + comp
+        out += local + nb + lextra + comp
         central += struct.pack(
             "<IHHHHHHIIIHHHHHII",
-            0x02014B50, 20, 20, 0, method, 0, 0,
-            crc, len(comp), len(data), len(nb), 0, 0, 0, 0, 0, off,
+            0x02014B50, vneed, vneed, flags, method, 0, 0,
+            crc, lcsize, lusize, len(nb), len(cextra), 0, 0, 0, 0,
+            coff,
         )
-        central += nb
+        central += nb + cextra
     cd_off = len(out)
     out += central
+    n = len(files)
+    if any_zip64 or cd_off >= _FFFFFFFF:
+        z64_off = len(out)
+        out += struct.pack(
+            "<IQHHIIQQQQ",
+            0x06064B50, 44, 45, 45, 0, 0, n, n, len(central), cd_off,
+        )
+        out += struct.pack("<IIQI", 0x07064B50, 0, z64_off, 1)
+        n_f = min(n, _FFFF)
+        cd_off_f = min(cd_off, _FFFFFFFF)
+    else:
+        n_f, cd_off_f = n, cd_off
     out += struct.pack(
         "<IHHHHIIH",
-        0x06054B50, 0, 0, len(files), len(files),
-        len(central), cd_off, 0,
+        0x06054B50, 0, 0, n_f, n_f,
+        min(len(central), _FFFFFFFF), cd_off_f, 0,
     )
     return bytes(out)
 
@@ -211,15 +338,80 @@ def _find_eocd(data: bytes) -> int:
     return -1
 
 
-def parse_zip(data: bytes) -> List[Tuple[str, bytes]]:
+def _zip64_extra(
+    extra: bytes, usize: int, csize: int, lho: int, disk: int
+) -> Tuple[int, int, int, int]:
+    """Resolve saturated central-directory fields from the 0x0001
+    extra: 8-byte values appear for each field equal to its sentinel,
+    in spec order (usize, csize, offset, disk — disk is 4 bytes)."""
+    i = 0
+    while i + 4 <= len(extra):
+        (hid, hsz) = struct.unpack_from("<HH", extra, i)
+        i += 4
+        if i + hsz > len(extra):
+            raise ValueError("bad zip extra field")
+        if hid != 1:
+            i += hsz
+            continue
+        j = i
+        if usize == _FFFFFFFF:
+            if j + 8 > i + hsz:
+                raise ValueError("short zip64 extra")
+            (usize,) = struct.unpack_from("<Q", extra, j)
+            j += 8
+        if csize == _FFFFFFFF:
+            if j + 8 > i + hsz:
+                raise ValueError("short zip64 extra")
+            (csize,) = struct.unpack_from("<Q", extra, j)
+            j += 8
+        if lho == _FFFFFFFF:
+            if j + 8 > i + hsz:
+                raise ValueError("short zip64 extra")
+            (lho,) = struct.unpack_from("<Q", extra, j)
+            j += 8
+        if disk == _FFFF:
+            if j + 4 > i + hsz:
+                raise ValueError("short zip64 extra")
+            (disk,) = struct.unpack_from("<I", extra, j)
+        return usize, csize, lho, disk
+    return usize, csize, lho, disk
+
+
+def parse_zip(
+    data: bytes, password: "str | bytes | None" = None
+) -> List[Tuple[str, bytes]]:
     """zip bytes → [(name, bytes)], central-directory driven, CRC-32
-    verified. ValueError on corruption or unsupported compression."""
+    verified. Follows zip64 EOCD locator/record + 0x0001 extras;
+    decrypts ZipCrypto members when ``password`` is given (fails
+    closed without one, and on a wrong one). ValueError on corruption
+    or unsupported compression/encryption."""
+    pw = _norm_password(password) if password is not None else None
     eocd = _find_eocd(data)
     if eocd < 0:
         raise ValueError("zip end-of-central-directory not found")
-    (_sig, _dn, _cdn, _n_here, n_total, cd_size, cd_off, _cmt) = (
+    (_sig, dn, cdn, _n_here, n_total, cd_size, cd_off, _cmt) = (
         struct.unpack_from("<IHHHHIIH", data, eocd)
     )
+    # zip64: a locator record directly precedes the EOCD
+    if eocd >= 20 and data[eocd - 20 : eocd - 16] == b"PK\x06\x07":
+        (_lsig, ldisk, z64_off, ndisks) = struct.unpack_from(
+            "<IIQI", data, eocd - 20
+        )
+        if ldisk != 0 or ndisks != 1:
+            raise ValueError("multi-disk zip unsupported")
+        if (
+            z64_off + 56 > len(data)
+            or data[z64_off : z64_off + 4] != b"PK\x06\x06"
+        ):
+            raise ValueError("bad zip64 EOCD record offset")
+        (
+            _zsig, _zsize, _vmade, _vneed, zdn, zcdn,
+            _zn_here, n_total, cd_size, cd_off,
+        ) = struct.unpack_from("<IQHHIIQQQQ", data, z64_off)
+        if zdn != 0 or zcdn != 0:
+            raise ValueError("multi-disk zip unsupported")
+    elif dn != 0 or cdn != 0:
+        raise ValueError("multi-disk zip unsupported")
     if n_total > _MAX_MEMBERS:
         raise ValueError("hostile zip member count")
     out: List[Tuple[str, bytes]] = []
@@ -228,12 +420,19 @@ def parse_zip(data: bytes) -> List[Tuple[str, bytes]]:
         if i + 46 > len(data) or data[i : i + 4] != b"PK\x01\x02":
             raise ValueError("bad zip central-directory entry")
         (
-            _sig, _vmade, _vneed, _flags, method, _t, _d,
+            _sig, _vmade, _vneed, flags, method, mtime, _d,
             crc, csize, usize, nlen, elen, clen,
-            _disk, _iattr, _eattr, lho,
+            disk, _iattr, _eattr, lho,
         ) = struct.unpack_from("<IHHHHHHIIIHHHHHII", data, i)
         name = data[i + 46 : i + 46 + nlen].decode("utf-8", "replace")
+        extra = data[i + 46 + nlen : i + 46 + nlen + elen]
         i += 46 + nlen + elen + clen
+        if _FFFFFFFF in (usize, csize, lho) or disk == _FFFF:
+            usize, csize, lho, disk = _zip64_extra(
+                extra, usize, csize, lho, disk
+            )
+        if disk != 0:
+            raise ValueError("multi-disk zip unsupported")
         if usize > _MAX_MEMBER:
             raise ValueError("zip member exceeds decompressed cap")
         # local header: re-read name/extra lengths (they can differ)
@@ -244,6 +443,19 @@ def parse_zip(data: bytes) -> List[Tuple[str, bytes]]:
         comp = data[start : start + csize]
         if len(comp) != csize:
             raise ValueError("zip member data outruns file")
+        if flags & 1:
+            if pw is None:
+                raise ValueError("password-protected zip member")
+            if len(comp) < 12:
+                raise ValueError("truncated zip encryption header")
+            z = _ZipCrypto(pw)
+            hdr = z.decrypt(comp[:12])
+            # password check byte: CRC high byte, or the DOS-time high
+            # byte when a data descriptor is in use (flag bit 3)
+            want = (mtime >> 8) & 0xFF if flags & 8 else crc >> 24
+            if hdr[11] != want:
+                raise ValueError("wrong zip password")
+            comp = z.decrypt(comp[12:])
         if method == 0:
             raw = comp
         elif method == 8:

@@ -769,7 +769,9 @@ ARCHIVE_DOC_FIELDS = [
 
 
 def extract_archive_documents(
-    archives: DataFrame, src_col: Optional[str] = None
+    archives: DataFrame,
+    src_col: Optional[str] = None,
+    zip_password: Optional[str] = None,
 ) -> DataFrame:
     """Bulk-archive ingestion (The-Stack-shaped sources): (.., payload)
     rows holding zip / tar / tar.gz archives → one row per member
@@ -777,7 +779,9 @@ def extract_archive_documents(
     strip, .txt/.md as raw text, .pdf through the real byte-stream
     parser; other extensions become 'skipped: ...' rows and a corrupt
     archive is one contained error row. Narrow map, same contract as
-    ``extract_warc_documents``."""
+    ``extract_warc_documents``. ``zip_password`` decrypts ZipCrypto
+    members (kernel/archives.py); an encrypted archive without (or
+    with the wrong) password fails closed as its error row."""
     from gmft_spark.kernel.archives import parse_tar, parse_zip
 
     cols = ["payload"] + ([src_col] if src_col else [])
@@ -802,7 +806,7 @@ def extract_archive_documents(
                 }
                 try:
                     if data[:4] == b"PK\x03\x04" or data[:4] == b"PK\x05\x06":
-                        members = parse_zip(data)
+                        members = parse_zip(data, password=zip_password)
                     else:
                         members = parse_tar(data)
                 except (ValueError, KeyError) as e:

@@ -122,9 +122,125 @@ def test_zip_comment_containing_eocd_magic_parses():
     assert parse_zip(bytes(good)) == files
 
 
-def test_zip_limits_raise_named_errors():
-    with pytest.raises(ValueError, match="zip64"):
-        build_zip([(f"f{i}", b"") for i in range(65536)], compress=False)
+def test_zip64_forced_structures_roundtrip():
+    # force_zip64 emits the full 64-bit layout (0x0001 extras, zip64
+    # EOCD record + locator, saturated 32-bit fields) without needing
+    # 4 GiB of payload — exercises the reader's zip64 resolution path
+    files = _files(4)
+    data = build_zip(files, force_zip64=True)
+    assert b"PK\x06\x06" in data and b"PK\x06\x07" in data
+    assert struct.pack("<I", 0xFFFFFFFF) in data  # saturated fields
+    assert parse_zip(data) == files
+    # independent oracle: the stdlib reader agrees member-for-member
+    import io
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        assert [(n, z.read(n)) for n in z.namelist()] == files
+
+
+def test_zip64_member_count_roundtrip():
+    # > 65535 members forces zip64 counts (the 16-bit EOCD count
+    # saturates); every member must still resolve
+    files = [(f"d/{i}.txt", str(i).encode()) for i in range(70_000)]
+    out = parse_zip(build_zip(files, compress=False))
+    assert out == files
+
+
+def test_zip64_large_offset_central_directory():
+    # the real-user wall: a bulk crawl archive past 4 GiB, so local
+    # header offsets and the central-directory offset exceed 32 bits.
+    # 9 stored members x 512 MiB of zeros put the last member and the
+    # CD beyond 4 GiB; zip64 extras must carry the 64-bit offsets.
+    big = bytes(512 << 20)
+    files = [(f"part{i}.bin", big) for i in range(9)] + [
+        ("tail.txt", b"after the 4 GiB line")
+    ]
+    data = build_zip(files, compress=False)
+    assert len(data) > (1 << 32)
+    out = parse_zip(data)
+    assert [n for n, _ in out] == [n for n, _ in files]
+    assert out[-1][1] == b"after the 4 GiB line"
+    assert all(body == big for _n, body in out[:-1])
+
+
+def test_zipcrypto_roundtrip_and_failure_modes():
+    files = _files(4) + [("bin", bytes(range(256)))]
+    for compress in (False, True):
+        data = build_zip(files, compress=compress, password="s3cret")
+        assert parse_zip(data, password="s3cret") == files
+        with pytest.raises(ValueError, match="password-protected"):
+            parse_zip(data)
+        with pytest.raises(ValueError, match="wrong zip password"):
+            parse_zip(data, password="wrong")
+    # truncated encryption header (< 12 bytes of member data)
+    data = bytearray(build_zip([("x", b"hello")], password="p"))
+    eocd = bytes(data).rfind(b"PK\x05\x06")
+    (cd_off,) = struct.unpack_from("<I", data, eocd + 16)
+    struct.pack_into("<I", data, cd_off + 20, 5)  # csize := 5 < 12
+    with pytest.raises(ValueError):
+        parse_zip(bytes(data), password="p")
+
+
+def test_zipcrypto_stdlib_decrypts_our_writer():
+    # independent oracle: Python's zipfile implements the same PKWARE
+    # stream cipher for reads — our encrypted writer output must
+    # decrypt there byte-for-byte (catches key-schedule drift the
+    # roundtrip alone cannot: a mirrored bug cancels out)
+    import io
+    import zipfile
+
+    files = _files(3)
+    data = build_zip(files, password="tr4d1t10nal")
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        z.setpassword(b"tr4d1t10nal")
+        assert [(n, z.read(n)) for n in z.namelist()] == files
+
+
+def test_encrypted_zip_ingest_password_plumbing(spark):
+    # operator surface: an encrypted crawl archive decodes when the
+    # password is plumbed through, and fails CLOSED as one contained
+    # error row (not a crash, not silent emptiness) without it
+    from gmft_spark.operators.webcorpus import extract_archive_documents
+
+    z = build_zip(
+        [
+            ("site/page.html", b"<html><title>t</title><body><p>"
+             b"alpha beta gamma delta content here</p></body></html>"),
+            ("notes/readme.txt", b"plain text body"),
+        ],
+        password="crawl-pw",
+    )
+    frame = spark.createDataFrame([("a1", bytearray(z))], "aid string, payload binary")
+    ok = extract_archive_documents(
+        frame, src_col="aid", zip_password="crawl-pw"
+    ).toPandas()
+    assert sorted(ok["name"]) == ["notes/readme.txt", "site/page.html"]
+    assert set(ok["status"]) == {"ok"}
+    assert "plain text body" in set(ok["main_text"])
+    locked = extract_archive_documents(frame, src_col="aid").toPandas()
+    assert len(locked) == 1
+    assert locked["status"][0] == "error: password-protected zip member"
+
+
+def test_zip64_hostile_truncations_raise():
+    good = build_zip(_files(2), force_zip64=True)
+    # locator pointing outside the file
+    bad = bytearray(good)
+    loc = bytes(bad).rfind(b"PK\x06\x07")
+    struct.pack_into("<Q", bad, loc + 8, len(good))  # z64 off → EOF
+    with pytest.raises(ValueError):
+        parse_zip(bytes(bad))
+    # zip64 extra shorter than its saturated fields claim
+    bad2 = bytearray(good)
+    cd = bytes(bad2).rfind(b"PK\x01\x02")
+    (nlen, elen) = struct.unpack_from("<HH", bad2, cd + 28)
+    assert elen >= 4
+    # rewrite the extra's own header to claim 0 payload bytes: the
+    # saturated usize then has nothing to resolve from
+    struct.pack_into("<HH", bad2, cd + 46 + nlen, 1, 0)
+    with pytest.raises(ValueError, match="short zip64 extra"):
+        parse_zip(bytes(bad2))
 
 
 def test_zip_truncated_structures_raise_valueerror():
