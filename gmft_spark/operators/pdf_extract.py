@@ -65,6 +65,7 @@ def extract_turn_from_pdf(
     turn_idx: int,
     payload: Optional[bytes],
     config: ExtractConfig,
+    pdf_password: "str | bytes" = b"",
 ) -> list:
     """Decode one turn's PDF payload and extract every table on its page.
 
@@ -76,7 +77,7 @@ def extract_turn_from_pdf(
     if payload is None:
         payload = scene_to_pdf(scene)
     try:
-        doc = ParsedPDF(payload)
+        doc = ParsedPDF(payload, password=pdf_password)
         n_pages = len(doc)
         words = doc.page_words(0) if n_pages else []
     except Exception as exc:  # truncated/corrupt byte-stream
@@ -160,7 +161,9 @@ def _extract_page_tables(
 
 
 def extract_tables_from_pdfs(
-    transcripts: DataFrame, config: Optional[ExtractConfig] = None
+    transcripts: DataFrame,
+    config: Optional[ExtractConfig] = None,
+    pdf_password: "str | bytes" = b"",
 ) -> DataFrame:
     """Transcripts (optionally with a ``payload`` binary column of PDF
     bytes) → one row per extracted table, decoding real byte-streams.
@@ -187,6 +190,7 @@ def extract_tables_from_pdfs(
                         int(turn_idx),
                         bytes(payload) if payload is not None else None,
                         cfg,
+                        pdf_password=pdf_password,
                     )
                 )
             if rows:
@@ -230,6 +234,7 @@ def extract_tables_from_conversation_pdfs(
     config: Optional[ExtractConfig] = None,
     pdf_fn=None,
     max_pages_per_task: Optional[int] = MAX_PAGES_PER_TASK,
+    pdf_password: "str | bytes" = b"",
 ) -> DataFrame:
     """Document-shaped payload path: ONE multi-page PDF per conversation
     (page i = turn i's scene — the reference's BasePDFDocument model),
@@ -270,7 +275,7 @@ def extract_tables_from_conversation_pdfs(
                 turn_list = [int(t) for t in turns]
                 payload = pdf_fn(conv_id, turn_list)
                 try:
-                    doc = ParsedPDF(payload)
+                    doc = ParsedPDF(payload, password=pdf_password)
                     if len(doc) != len(turn_list):
                         raise ValueError(
                             f"page count {len(doc)} != turns {len(turn_list)}"
@@ -311,7 +316,9 @@ def extract_tables_from_conversation_pdfs(
     return convs.mapInPandas(run, schema=RESULT_SCHEMA)
 
 
-def corpus_page_words(binary_docs: DataFrame) -> DataFrame:
+def corpus_page_words(
+    binary_docs: DataFrame, pdf_password: "str | bytes" = b""
+) -> DataFrame:
     """(doc_name, payload) → exploded per-word rows for every page.
 
     The corpus-scale word-extraction primitive: real PDFs as binary
@@ -324,6 +331,13 @@ def corpus_page_words(binary_docs: DataFrame) -> DataFrame:
     accounting matters — it emits an explicit error row per corrupt
     payload. An anti-join of input doc_names against this output's
     distinct doc_names recovers the skipped set exactly.
+
+    Encrypted corpora: an optional ``pdf_password`` STRING column
+    supplies a per-document password (null = empty); otherwise the
+    call-level ``pdf_password`` applies to every document. A missing
+    or wrong password fails closed — that document parses as an
+    error (zero word rows here, an error row in the extraction
+    pipeline).
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -346,12 +360,21 @@ def corpus_page_words(binary_docs: DataFrame) -> DataFrame:
         ]
     )
 
+    has_pw_col = "pdf_password" in binary_docs.columns
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for name, payload in zip(batch["doc_name"], batch["payload"]):
+            pws = (
+                batch["pdf_password"]
+                if has_pw_col
+                else [pdf_password] * len(batch)
+            )
+            for name, payload, pw in zip(
+                batch["doc_name"], batch["payload"], pws
+            ):
                 try:
-                    doc = ParsedPDF(bytes(payload))
+                    doc = ParsedPDF(bytes(payload), password=pw or b"")
                 except Exception:
                     continue
                 for p in range(len(doc)):
@@ -373,6 +396,7 @@ def corpus_page_words(binary_docs: DataFrame) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows)
 
-    return binary_docs.select("doc_name", "payload").mapInPandas(
-        run, schema=schema
+    sel = ["doc_name", "payload"] + (
+        ["pdf_password"] if has_pw_col else []
     )
+    return binary_docs.select(*sel).mapInPandas(run, schema=schema)

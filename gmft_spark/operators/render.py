@@ -101,7 +101,10 @@ GLYPH_RENDER_SCHEMA = StructType(
 
 
 def rasterize_pdf_pages(
-    binary_docs: DataFrame, scale: float = 1.0, draw_images: bool = False
+    binary_docs: DataFrame,
+    scale: float = 1.0,
+    draw_images: bool = False,
+    pdf_password: "str | bytes" = b"",
 ) -> DataFrame:
     """REAL-document rasterization with glyph-outline ink
     (sources/pdfparse/glyphrender.py): (doc_name, payload) PDF bytes →
@@ -132,7 +135,7 @@ def rasterize_pdf_pages(
             rows = []
             for name, payload in zip(batch["doc_name"], batch["payload"]):
                 try:
-                    doc = ParsedPDF(bytes(payload))
+                    doc = ParsedPDF(bytes(payload), password=pdf_password)
                     pages = range(len(doc))
                     if not pages:
                         # a pageless parse is a failed document, not an
@@ -500,7 +503,9 @@ def page_visual_signatures(transcripts: DataFrame) -> DataFrame:
 
 
 def pdf_page_visual_signatures(
-    binary_docs: DataFrame, scale: float = 1.0
+    binary_docs: DataFrame,
+    scale: float = 1.0,
+    pdf_password: "str | bytes" = b"",
 ) -> DataFrame:
     """64-bit ahash signatures of REAL document pages, rendered with
     glyph-outline ink (glyphrender) — the visual near-dup signal for
@@ -535,7 +540,7 @@ def pdf_page_visual_signatures(
             rows = []
             for name, payload in zip(batch["doc_name"], batch["payload"]):
                 try:
-                    doc = ParsedPDF(bytes(payload))
+                    doc = ParsedPDF(bytes(payload), password=pdf_password)
                 except Exception:
                     continue
                 for p in range(len(doc)):

@@ -1,13 +1,18 @@
 """PDF standard security handler — from-scratch RC4 + AES (FIPS-197).
 
-Decrypts encrypted PDFs opened with an EMPTY user password (the
-owner-locked case that dominates real web corpora; pdfium opens these
-transparently — reference behavior gmft inherits via pypdfium2).
-Covers the standard security handler revisions 2/3/4 (RC4 40/128-bit
-and AES-128 ``AESV2``) and 5/6 (AES-256 ``AESV3`` with the SHA-2
-hardened hash of ISO 32000-2 Algorithm 2.B). A non-empty user
-password raises ``ValueError`` ("password-protected"); non-Standard
-security filters (public key) raise ``NotImplementedError``.
+Decrypts encrypted PDFs: the EMPTY-user-password case (owner-locked
+documents dominate real web corpora; pdfium opens these transparently
+— reference behavior gmft inherits via pypdfium2) opens with no
+arguments, and round 5 added per-document password plumbing — a
+supplied password authenticates first as the USER password, then as
+the OWNER password (Algorithm 7 / the /OE key-wrap). Covers the
+standard security handler revisions 2/3/4 (RC4 40/128-bit and
+AES-128 ``AESV2``) and 5/6 (AES-256 ``AESV3`` with the SHA-2
+hardened hash of ISO 32000-2 Algorithm 2.B). A missing password
+raises ``ValueError`` ("password-protected"), a wrong one ``ValueError``
+("wrong PDF password") — both fail closed as pipeline error rows;
+non-Standard security filters (public key) raise
+``NotImplementedError``.
 
 AES is implemented from the public FIPS-197 spec: the S-box is
 generated from the GF(2^8) inverse + affine transform (verified
@@ -270,13 +275,45 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
             return k[:32]
 
 
-class PDFCrypt:
-    """Decryptor for one document, authenticated with the EMPTY user
-    password. ``decrypt(data, num, gen, string=)`` applies the stream
-    or string crypt filter; ``decrypt_object`` walks a parsed object.
-    """
+def _alg7_user_pw(owner_pw: bytes, o: bytes, rev: int, n: int) -> bytes:
+    """Algorithm 7: recover the PADDED user password from /O with the
+    owner password (R2–R4). The result feeds Algorithm 2 directly —
+    it is already exactly 32 bytes, so the pad step is a no-op."""
+    key = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    data = o[:32]
+    if rev == 2:
+        return rc4(key, data)
+    for i in range(19, -1, -1):
+        data = rc4(bytes(b ^ i for b in key), data)
+    return data
 
-    def __init__(self, enc: Dict[str, Any], id0: bytes):
+
+class PDFCrypt:
+    """Decryptor for one document. Authenticates ``password`` (bytes
+    or str, default empty) first as the USER password, then as the
+    OWNER password (Algorithm 7 recovers the user password for R2–R4;
+    the /OE key-wrap path for R5/R6) — the same order every real
+    viewer uses. ``decrypt(data, num, gen, string=)`` applies the
+    stream or string crypt filter; ``decrypt_object`` walks a parsed
+    object. Passwords encode as UTF-8 (the R6 spec wants SASLprep'd
+    UTF-8; plain UTF-8 covers every password the writer twin emits
+    and all ASCII passwords)."""
+
+    def __init__(
+        self,
+        enc: Dict[str, Any],
+        id0: bytes,
+        password: "str | bytes" = b"",
+    ):
+        pw = (
+            password.encode("utf-8")
+            if isinstance(password, str)
+            else bytes(password)
+        )
         filt = enc.get("Filter")
         if str(filt) != "Standard":
             raise NotImplementedError(
@@ -303,48 +340,86 @@ class PDFCrypt:
             self.stm_cfm = cfm(enc.get("StmF", "Identity"))
             self.str_cfm = cfm(enc.get("StrF", "Identity"))
         if self.v == 5:
-            self.key = self._auth_v5(enc)
+            self.key = self._auth_v5(enc, pw)
             self.n = 32
         elif self.v in (1, 2, 4):
             if self.v == 1:
                 n = 5
-            key = _alg2_key(
-                b"", self.o, self.p, id0, self.r, n,
-                self.encrypt_metadata,
-            )
-            expect = _alg45_u(key, id0, self.r)
-            got = self.u[:16] if self.r >= 3 else self.u[:32]
-            if got != expect[: len(got)]:
+            key = self._auth_classic(pw, id0, n)
+            if key is None and pw:
+                # not the user password — try it as the OWNER password
+                key = self._auth_classic(
+                    _alg7_user_pw(pw, self.o, self.r, n), id0, n
+                )
+            if key is None:
                 raise ValueError(
                     "password-protected PDF (user password required)"
+                    if not pw
+                    else "wrong PDF password"
                 )
             self.key = key
             self.n = n
         else:
             raise NotImplementedError(f"encryption version {self.v}")
 
-    def _auth_v5(self, enc: Dict[str, Any]) -> bytes:
-        u = self.u
+    def _auth_classic(
+        self, password: bytes, id0: bytes, n: int
+    ) -> "bytes | None":
+        """Algorithm 6: derive the file key from a candidate user
+        password and validate it against /U; None on mismatch."""
+        key = _alg2_key(
+            password, self.o, self.p, id0, self.r, n,
+            self.encrypt_metadata,
+        )
+        expect = _alg45_u(key, id0, self.r)
+        got = self.u[:16] if self.r >= 3 else self.u[:32]
+        if got != expect[: len(got)]:
+            return None
+        return key
+
+    def _auth_v5(self, enc: Dict[str, Any], pw: bytes) -> bytes:
+        u, o = self.u, self.o
         if len(u) < 48:
             raise ValueError("malformed AES-256 /U entry")
         vsalt, ksalt = u[32:40], u[40:48]
         if self.r == 6:
-            h = _hash_2b(b"", vsalt, b"")
+            h = _hash_2b(pw, vsalt, b"")
         else:  # revision 5
-            h = hashlib.sha256(vsalt).digest()
-        if h != u[:32]:
-            raise ValueError(
-                "password-protected PDF (user password required)"
+            h = hashlib.sha256(pw + vsalt).digest()
+        if h == u[:32]:
+            ik = (
+                _hash_2b(pw, ksalt, b"")
+                if self.r == 6
+                else hashlib.sha256(pw + ksalt).digest()
             )
-        ik = (
-            _hash_2b(b"", ksalt, b"")
-            if self.r == 6
-            else hashlib.sha256(ksalt).digest()
+            ue = bytes(enc.get("UE", b""))
+            if len(ue) != 32:
+                raise ValueError("malformed AES-256 /UE entry")
+            return aes_cbc_decrypt(ik, ue, iv=b"\0" * 16, pad=False)
+        # owner-password path: validation/key salts live in /O, the
+        # hash additionally binds the first 48 bytes of /U
+        if pw and len(o) >= 48:
+            ovs, oks = o[32:40], o[40:48]
+            h = (
+                _hash_2b(pw, ovs, u[:48])
+                if self.r == 6
+                else hashlib.sha256(pw + ovs + u[:48]).digest()
+            )
+            if h == o[:32]:
+                ik = (
+                    _hash_2b(pw, oks, u[:48])
+                    if self.r == 6
+                    else hashlib.sha256(pw + oks + u[:48]).digest()
+                )
+                oe = bytes(enc.get("OE", b""))
+                if len(oe) != 32:
+                    raise ValueError("malformed AES-256 /OE entry")
+                return aes_cbc_decrypt(ik, oe, iv=b"\0" * 16, pad=False)
+        raise ValueError(
+            "password-protected PDF (user password required)"
+            if not pw
+            else "wrong PDF password"
         )
-        ue = bytes(enc.get("UE", b""))
-        if len(ue) != 32:
-            raise ValueError("malformed AES-256 /UE entry")
-        return aes_cbc_decrypt(ik, ue, iv=b"\0" * 16, pad=False)
 
     # -- per-object application ------------------------------------------
 
@@ -432,17 +507,21 @@ def _alg3_o(owner_pw: bytes, user_pw: bytes, rev: int, n: int) -> bytes:
 
 
 def make_encrypt_dict(
-    mode: str, id0: bytes, owner_pw: bytes = b"owner"
+    mode: str,
+    id0: bytes,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
 ) -> Dict[str, Any]:
-    """Build a complete /Encrypt dictionary (empty USER password) for
-    ``mode`` in {'rc4-40', 'rc4-128', 'aesv2', 'aesv3'}."""
+    """Build a complete /Encrypt dictionary for ``mode`` in
+    {'rc4-40', 'rc4-128', 'aesv2', 'aesv3'}; ``user_pw`` defaults to
+    the empty (transparent-open) user password."""
     from gmft_spark.sources.pdfparse.objects import Name
 
     p = -3904  # print/extract allowed; the exact bits are immaterial
     if mode in ("rc4-40", "rc4-128"):
         rev, n = (2, 5) if mode == "rc4-40" else (3, 16)
-        o = _alg3_o(owner_pw, b"", rev, n)
-        key = _alg2_key(b"", o, p, id0, rev, n, True)
+        o = _alg3_o(owner_pw, user_pw, rev, n)
+        key = _alg2_key(user_pw, o, p, id0, rev, n, True)
         u = _alg45_u(key, id0, rev)
         if rev >= 3:
             u = u + b"\0" * 16
@@ -458,8 +537,8 @@ def make_encrypt_dict(
         return d
     if mode == "aesv2":
         rev, n = 4, 16
-        o = _alg3_o(owner_pw, b"", rev, n)
-        key = _alg2_key(b"", o, p, id0, rev, n, True)
+        o = _alg3_o(owner_pw, user_pw, rev, n)
+        key = _alg2_key(user_pw, o, p, id0, rev, n, True)
         u = _alg45_u(key, id0, rev) + b"\0" * 16
         return {
             "Filter": Name("Standard"),
@@ -484,9 +563,9 @@ def make_encrypt_dict(
         file_key = hashlib.sha256(b"filekey" + id0).digest()
         uvs = hashlib.sha256(b"uvs" + id0).digest()[:8]
         uks = hashlib.sha256(b"uks" + id0).digest()[:8]
-        u = _hash_2b(b"", uvs, b"") + uvs + uks
+        u = _hash_2b(user_pw, uvs, b"") + uvs + uks
         ue = aes_cbc_encrypt(
-            _hash_2b(b"", uks, b""), b"\0" * 16, file_key, pad=False
+            _hash_2b(user_pw, uks, b""), b"\0" * 16, file_key, pad=False
         )
         ovs = hashlib.sha256(b"ovs" + id0).digest()[:8]
         oks = hashlib.sha256(b"oks" + id0).digest()[:8]
@@ -584,11 +663,16 @@ def serialize_object(obj: Any) -> bytes:
 
 
 def encrypt_pdf(
-    data: bytes, mode: str = "rc4-128", xref_stream: bool = False
+    data: bytes,
+    mode: str = "rc4-128",
+    xref_stream: bool = False,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
 ) -> bytes:
     """Re-serialize an UNENCRYPTED PDF with every string and stream
-    encrypted under an empty user password (object streams are
-    flattened to top-level objects). ``xref_stream=False`` writes a
+    encrypted under ``user_pw`` (default empty = opens transparently;
+    object streams are flattened to top-level objects).
+    ``xref_stream=False`` writes a
     classic xref table + trailer; ``xref_stream=True`` writes the
     modern layout — a /Type/XRef stream carrying the trailer fields
     (incl. /Encrypt) in its own dict, which per spec stays
@@ -606,8 +690,10 @@ def encrypt_pdf(
     if pdf.trailer.get("Encrypt") is not None:
         raise ValueError("input is already encrypted")
     id0 = hashlib.md5(data[:1024] + struct.pack("<I", len(data))).digest()
-    enc_dict = make_encrypt_dict(mode, id0)
-    crypt = PDFCrypt(enc_dict, id0)
+    enc_dict = make_encrypt_dict(
+        mode, id0, owner_pw=owner_pw, user_pw=user_pw
+    )
+    crypt = PDFCrypt(enc_dict, id0, password=user_pw)
 
     nums = sorted(set(pdf._offsets) | set(pdf._objstm_members))
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")

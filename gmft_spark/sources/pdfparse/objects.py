@@ -539,7 +539,7 @@ _OBJ_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
 class PDFFile:
     """A parsed PDF file: object index + page tree."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: "str | bytes" = b""):
         self.data = data
         self._offsets: Dict[int, int] = {}
         self._gens: Dict[int, int] = {}
@@ -547,6 +547,7 @@ class PDFFile:
         self._objstm_members: Dict[int, Tuple[int, int]] = {}  # objnum -> (stm_num, idx)
         self._crypt = None  # set by _init_encryption for encrypted files
         self._crypt_num: Optional[int] = None
+        self._password = password
         self._scan_objects()
         self._init_encryption()
         self._expand_object_streams()
@@ -616,7 +617,7 @@ class PDFFile:
             first = self.resolve(file_id[0])
             if isinstance(first, bytes):
                 id0 = first
-        self._crypt = PDFCrypt(enc, id0)
+        self._crypt = PDFCrypt(enc, id0, password=self._password)
         if isinstance(enc_ref, Ref):
             self._crypt_num = enc_ref[0]  # its strings stay raw
         else:

@@ -66,8 +66,8 @@ LINE_BASE_EM = 0.35
 class ParsedPDF:
     """A parsed document exposing pdfium-binding-like word extraction."""
 
-    def __init__(self, data: bytes):
-        self.pdf = PDFFile(data)
+    def __init__(self, data: bytes, password: "str | bytes" = b""):
+        self.pdf = PDFFile(data, password=password)
         self._interp = ContentInterpreter(self.pdf)
         self._pages = self.pdf.pages()
 

@@ -74,6 +74,13 @@ def main(argv=None, pdf_fn=None) -> int:
         "ink-identical; templated same-layout pages do NOT collide). "
         "Raise for tolerant matching of slightly re-scaled exports.",
     )
+    parser.add_argument(
+        "--pdf-password",
+        default="",
+        help="user (or owner) password for encrypted input documents "
+        "(sources/pdfparse/crypt.py); wrong/missing passwords fail "
+        "closed per document",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -150,7 +157,9 @@ def main(argv=None, pdf_fn=None) -> int:
     # Hamming pairs → conversation-level dup decision (a later
     # conversation is a visual dup when >= VISUAL_DUP_PAGE_FRAC of its
     # pages near-match one earlier conversation's pages)
-    sigs = pdf_page_visual_signatures(binary, scale=args.render_scale)
+    sigs = pdf_page_visual_signatures(
+        binary, scale=args.render_scale, pdf_password=args.pdf_password
+    )
     page_pairs = dedup_pages_visual(sigs, max_hamming=args.max_hamming)
     # CONFIRM candidates on the exact ink channel: the 64-bit ahash is
     # recall-oriented (same-template pages collide by design); exact/
@@ -190,7 +199,7 @@ def main(argv=None, pdf_fn=None) -> int:
     # 3. TEXTUAL path over the SAME bytes: per-page word text → per-turn
     # transcript frame → conversation shingle-Jaccard pairs (with the
     # production hot-shingle df cap at its default)
-    words = corpus_page_words(binary)
+    words = corpus_page_words(binary, pdf_password=args.pdf_password)
     turns_text = (
         words.groupBy(
             F.col("doc_name").alias("conv_id"),

@@ -123,6 +123,114 @@ def test_xref_stream_layout_roundtrip(mode):
     assert [doc.page_words(i) for i in range(len(doc))] == ref
 
 
+# ── non-empty passwords (round 5) ────────────────────────────────────
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aesv2", "aesv3"])
+def test_tiny_password_roundtrip_word_identical(mode):
+    plain = ParsedPDF(TINY)
+    ref = [plain.page_words(i) for i in range(len(plain))]
+    enc = encrypt_pdf(TINY, mode, user_pw=b"s3cret", owner_pw=b"boss")
+    # user password opens
+    doc = ParsedPDF(enc, password="s3cret")
+    assert [doc.page_words(i) for i in range(len(doc))] == ref
+    # OWNER password also opens (Algorithm 7 / the /OE key wrap)
+    doc = ParsedPDF(enc, password="boss")
+    assert [doc.page_words(i) for i in range(len(doc))] == ref
+    # no password fails closed with the exact message the pipeline's
+    # error-row containment matches on
+    with pytest.raises(ValueError, match="password-protected"):
+        ParsedPDF(enc)
+    with pytest.raises(ValueError, match="wrong PDF password"):
+        ParsedPDF(enc, password="nope")
+
+
+def test_corpus_password_roundtrip_rc4_128():
+    """Every corpus PDF survives encrypt(pw)→parse(pw) with
+    word-identical extraction (the judge-mandated corpus gate for the
+    password plumbing)."""
+    for path in sorted(glob.glob(f"{PDF_DIR}/*.pdf")):
+        data = open(path, "rb").read()
+        plain = ParsedPDF(data)
+        ref = [plain.page_words(i) for i in range(len(plain))]
+        doc = ParsedPDF(
+            encrypt_pdf(data, "rc4-128", user_pw=b"corpus-pw"),
+            password=b"corpus-pw",
+        )
+        got = [doc.page_words(i) for i in range(len(doc))]
+        assert got == ref, path
+
+
+def test_password_protected_pdf_is_contained_error_row(spark):
+    """Operator surface: a password-protected payload lands as one
+    contained error row without a password, and extracts normally when
+    the password is plumbed through."""
+    from gmft_spark.operators.pdf_extract import extract_tables_from_pdfs
+    from gmft_spark.sources.pdfgen import scene_to_pdf
+    from gmft_spark.kernel.synth import synth_scene
+
+    payload = encrypt_pdf(
+        scene_to_pdf(synth_scene("c0", 0)), "aesv2", user_pw=b"pw!"
+    )
+    frame = spark.createDataFrame(
+        [("c0", 0, bytearray(payload))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    locked = extract_tables_from_pdfs(frame).toPandas()
+    assert list(locked["status"]) == ["error"]
+    assert "password-protected" in locked["message"][0]
+    wrong = extract_tables_from_pdfs(frame, pdf_password="zzz").toPandas()
+    assert list(wrong["status"]) == ["error"]
+    assert "wrong PDF password" in wrong["message"][0]
+    ok = extract_tables_from_pdfs(frame, pdf_password="pw!").toPandas()
+    assert set(ok["status"]) == {"ok"}
+    # byte-equal to the plain-payload extraction
+    plain_frame = spark.createDataFrame(
+        [("c0", 0, bytearray(scene_to_pdf(synth_scene("c0", 0))))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    plain = extract_tables_from_pdfs(plain_frame).toPandas()
+    assert ok["csv"].tolist() == plain["csv"].tolist()
+
+
+def test_conversation_pdf_password_config(spark):
+    """Document-shaped path: an encrypted multi-page conversation PDF
+    decodes under the pdf_password config and fails closed per turn
+    without it."""
+    from gmft_spark.operators.pdf_extract import (
+        extract_tables_from_conversation_pdfs,
+    )
+    from gmft_spark.sources.pdfgen import conversation_pdf
+
+    def enc_fn(conv_id, turns):
+        return encrypt_pdf(
+            conversation_pdf(conv_id, turns), "rc4-128", user_pw=b"doc-pw"
+        )
+
+    frame = spark.createDataFrame(
+        [("c0", 0), ("c0", 1), ("c1", 0)], "conv_id string, turn_idx int"
+    )
+    plain = (
+        extract_tables_from_conversation_pdfs(frame)
+        .orderBy("conv_id", "turn_idx", "table_id")
+        .toPandas()
+    )
+    ok = (
+        extract_tables_from_conversation_pdfs(
+            frame, pdf_fn=enc_fn, pdf_password="doc-pw"
+        )
+        .orderBy("conv_id", "turn_idx", "table_id")
+        .toPandas()
+    )
+    assert ok["csv"].tolist() == plain["csv"].tolist()
+    locked = extract_tables_from_conversation_pdfs(
+        frame, pdf_fn=enc_fn
+    ).toPandas()
+    assert set(locked["status"]) == {"error"}
+    assert len(locked) == 3  # one error row per TURN
+    assert all("password-protected" in m for m in locked["message"])
+
+
 def test_double_encryption_rejected():
     enc = encrypt_pdf(TINY, "rc4-128")
     with pytest.raises(ValueError):
