@@ -687,6 +687,60 @@ def _pipeline_glyph_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_glyph_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full VALUE-HASH twin for the glyph-outline rasterizer (round 5,
+    VERDICT r04 item #6): synthetic CFF fonts whose glyphs are
+    integer-rectangle charstrings run through the REAL stack — PDF
+    parse, FontFile3 load, Type2 interpretation, nonzero-winding
+    scanline fill, page blit — and the per-page ink count equals the
+    closed-form rectangle-area sum the DuckDB oracle re-derives
+    (sources/glyphsynth.py; formulas paired with
+    GLYPH_RENDER_PARITY_SQL)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gmft_spark.operators.render import rasterize_pdf_pages
+    from gmft_spark.sources.glyphsynth import GLYPH_MOD, glyph_parity_pdf
+
+    ids = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where(F.col("doc_id") % GLYPH_MOD == 0)
+    )
+    bschema = StructType(
+        [
+            StructField("doc_name", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        for batch in batches:
+            rows = [
+                {
+                    "doc_name": f"glyph-{int(d)}",
+                    "payload": glyph_parity_pdf(int(d)),
+                }
+                for d in batch["doc_id"]
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+
+    binary = ids.mapInPandas(build, schema=bschema)
+    return (
+        rasterize_pdf_pages(binary, scale=1.0)
+        .select(
+            "doc_name", "page_no", "width", "height", "n_chars", "n_ink_px"
+        )
+        .orderBy("doc_name")
+    )
+
+
 def _pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmft_spark.operators.html_content import synthesize_html_transcripts
     from gmft_spark.operators.training_pipeline import curate
@@ -746,6 +800,7 @@ def _oracled_pipelines():
     )
     from gmft_spark.operators import multimodal
     from gmft_spark.operators.multimodal import MEDIA_FEATURES_ORACLE_SQL
+    from gmft_spark.sources.glyphsynth import GLYPH_RENDER_PARITY_SQL
 
     def scene(sql: str) -> str:
         return scene_sql.sampled(sql, SCENE_MOD)
@@ -920,6 +975,12 @@ def _oracled_pipelines():
             multimodal.media_visual_dedup_parity,
             multimodal.MEDIA_VISUAL_DEDUP_PARITY_SQL,
         ),
+        # round 5: closed-form synthetic-CFF glyph ink through the real
+        # rasterizer stack (sources/glyphsynth.py)
+        "glyph_render_parity": (
+            _pipeline_glyph_parity,
+            GLYPH_RENDER_PARITY_SQL,
+        ),
     }
 
 
@@ -940,6 +1001,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r04-green re-confirmations filling the remaining slots.
 _ROUND5_WINDOW = (
     # --- round-5 additions (newest first) ---
+    # closed-form synthetic-CFF glyph ink through the real rasterizer
+    # (upgrades the rows-only pdf_glyph_render_pipeline evidence to a
+    # full value hash — VERDICT r04 item #6)
+    "glyph_render_parity",
     # --- the 9 oracled queries never driver-recorded (judge-green r04) ---
     "warc_ingest_pipeline",
     "url_normalize_dedup",
@@ -996,13 +1061,12 @@ _ROUND5_WINDOW = (
     "chunk_documents",
     "text_novelty",
     "dedup_lines_within_doc",
-    "pack_sequences",
 )
 # Rotated out of the 50-slot window in round 5 (all driver-green r04);
 # they still register right after the window via the blocks below:
-# pii_redact, mix_sources_weighted, bpe_train_merges, bpe_encode_corpus,
-# toolcall_stats, toolcall_transitions, conv_context_budget,
-# conv_reply_latency, sft_pair_assembly.
+# pack_sequences, pii_redact, mix_sources_weighted, bpe_train_merges,
+# bpe_encode_corpus, toolcall_stats, toolcall_transitions,
+# conv_context_budget, conv_reply_latency, sft_pair_assembly.
 
 
 # Names pulled to the front of the module-query block: the queries whose
@@ -1014,9 +1078,10 @@ _EARLY_MODULE_QUERIES = (
     # that were driver-green in prior rounds move back out). Newest
     # additions first, then the verdict-mandated plan rewrites, then the
     # round's conversation/toolcall flagships, then the rest.
-    # (round 5: the webcorpus suite moved INTO _ROUND5_WINDOW; the nine
+    # (round 5: the webcorpus suite moved INTO _ROUND5_WINDOW; the
     # queries rotated out of the window re-register here at the front so
     # they stay adjacent to the driver-recorded block)
+    "pack_sequences",
     "pii_redact",
     "mix_sources_weighted",
     "bpe_train_merges",
