@@ -702,8 +702,17 @@ VISUAL_SIG_SCHEMA = StructType(
         StructField("sig_hi", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("tile_sha", StringType()),
+        StructField("tile_lo", LongType()),
+        StructField("tile_hi", LongType()),
     ]
 )
+
+# Fixed normalization tile for the SCALE-INVARIANT channel: every image
+# bilinear-resizes to this square before hashing, so a re-scaled copy
+# lands near its original. 64 is a no-op for 64x64 inputs (half-pixel-
+# center sampling at identical size is the identity map).
+_TILE_DIM = 64
 
 
 def media_visual_signatures(media: DataFrame) -> DataFrame:
@@ -711,9 +720,15 @@ def media_visual_signatures(media: DataFrame) -> DataFrame:
     (the cross-container exact channel — the same pixels written as
     PNG, TIFF or GIF byte-differ as payloads but decode identically)
     plus an 8×8 intensity ahash (the near-dup recall channel, catching
-    lossy re-encodes like JPEG). Non-image rows and undecodable
+    lossy re-encodes like JPEG), plus the SCALE-INVARIANT channel
+    (round 5): luma bilinear-normalized to a fixed 64×64 tile, hashed
+    both exactly (``tile_sha`` — catches integer-duplication rescales
+    byte-exactly) and by ahash (``tile_lo``/``tile_hi`` — the recall
+    device for interpolated rescales, consumed by
+    ``dedup_media_visual_scaled``). Non-image rows and undecodable
     payloads are dropped (dedup never acts on them). Narrow map —
     payload bytes stay in their scan partition."""
+    from gmft_spark.kernel.raster import resize_bilinear
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -729,6 +744,8 @@ def media_visual_signatures(media: DataFrame) -> DataFrame:
                     continue
                 g = _to_luma(px)
                 lo, hi = _media_ahash(g)
+                tile = resize_bilinear(g, _TILE_DIM, _TILE_DIM)
+                t_lo, t_hi = _media_ahash(tile)
                 rows.append(
                     {
                         "media_id": int(mid),
@@ -739,6 +756,11 @@ def media_visual_signatures(media: DataFrame) -> DataFrame:
                         "sig_hi": hi,
                         "width": int(g.shape[1]),
                         "height": int(g.shape[0]),
+                        "tile_sha": hashlib.sha256(
+                            np.ascontiguousarray(tile).tobytes()
+                        ).hexdigest(),
+                        "tile_lo": t_lo,
+                        "tile_hi": t_hi,
                     }
                 )
             if rows:
@@ -758,7 +780,9 @@ def dedup_media_visual(
     render.py:597), confirmed by exact Hamming (JVM bit_count) and
     flagged ``exact`` when the decoded pixel shas match (same pixels,
     different container/compression). Same-size images only — a
-    resized copy is a different asset for dedup purposes."""
+    resized copy is a different asset for THIS channel;
+    ``dedup_media_visual_scaled`` (round 5) catches rescaled copies
+    through the fixed-tile normalization."""
     if max_hamming > 7:
         raise ValueError(
             "dedup_media_visual is exact only for max_hamming < 8 "
@@ -820,6 +844,86 @@ def dedup_media_visual(
                 )
             ).alias("hamming"),
             (F.col("a.px_sha") == F.col("b.px_sha")).alias("exact"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )
+
+
+def dedup_media_visual_scaled(
+    media: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """SCALE-INVARIANT visual near-dup pairs (round 5, the third recall
+    channel next to exact px_sha and same-size ahash): candidates come
+    from the same 8 one-byte Hamming bands, but over the ahash of the
+    luma NORMALIZED to a fixed 64×64 bilinear tile — so a 2× upscaled
+    re-encode of an image pairs with its original, which the same-size
+    channel treats as a different asset by design
+    (``dedup_media_visual`` docstring). Confirmation stays in-band:
+    exact tile Hamming (JVM bit_count) ≤ ``max_hamming`` and a
+    ``tile_exact`` flag when the normalized tiles are byte-identical
+    (integer-duplication rescales). Like every recall channel here,
+    pairs are candidates for a downstream confirmation policy, not
+    automatic drops — interpolated rescales are not pixel-provable.
+    Exact for max_hamming < 8 by pigeonhole (one band must match)."""
+    if max_hamming > 7:
+        raise ValueError(
+            "dedup_media_visual_scaled is exact only for max_hamming < 8 "
+            "(8 one-byte bands; pigeonhole)"
+        )
+    sigs = media_visual_signatures(media)
+    bands = sigs.select(
+        "media_id",
+        "tile_sha",
+        "tile_lo",
+        "tile_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(
+                                F.col("tile_lo" if b < 4 else "tile_hi"),
+                                8 * (b % 4),
+                            ).bitwiseAND(255)
+                        ).alias("val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "media_id",
+        "tile_sha",
+        "tile_lo",
+        "tile_hi",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (
+                F.bit_count(
+                    F.col("a.tile_lo").bitwiseXOR(F.col("b.tile_lo"))
+                )
+                + F.bit_count(
+                    F.col("a.tile_hi").bitwiseXOR(F.col("b.tile_hi"))
+                )
+            ).alias("hamming"),
+            (F.col("a.tile_sha") == F.col("b.tile_sha")).alias(
+                "tile_exact"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -198,6 +198,77 @@ def test_visual_dedup_join_is_banded(spark):
         dedup_media_visual(_cross_container_media(spark), max_hamming=9)
 
 
+def _scaled_copy_media(spark):
+    """An image, its 2x NEAREST upscale re-encoded in a different
+    container, its 2x BILINEAR upscale, and a distinct image — the
+    scale-invariant channel's acceptance fixture."""
+    from pyspark.sql import Row
+
+    from gmft_spark.kernel.raster import encode_png, resize_bilinear
+    from gmft_spark.kernel.tiff import encode_tiff
+
+    g = (
+        (np.arange(32)[:, None] * 3 + np.arange(48)[None, :] * 7) % 256
+    ).astype(np.uint8)
+    up_nearest = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+    up_bilinear = resize_bilinear(g, 64, 96)
+    other = (
+        (np.arange(32)[:, None] * 11 + np.arange(48)[None, :] * 5 + 100)
+        % 256
+    ).astype(np.uint8)
+    rows = [
+        (0, "image", encode_png(g)),
+        (1, "image", encode_tiff(up_nearest, "lzw")),
+        (2, "image", encode_png(up_bilinear)),
+        (3, "image", encode_png(other)),
+    ]
+    return spark.createDataFrame(
+        [Row(media_id=i, modality=m, payload=bytearray(p))
+         for i, m, p in rows]
+    )
+
+
+def test_visual_dedup_scaled_pairs_rescaled_copies(spark):
+    """dedup_media_visual_scaled: a 2x upscaled re-encode pairs with
+    its original through the 64x64 tile normalization — the exact case
+    the same-size channel treats as a different asset (its own
+    docstring); the distinct image pairs with nothing."""
+    from gmft_spark.operators.multimodal import (
+        dedup_media_visual,
+        dedup_media_visual_scaled,
+    )
+
+    media = _scaled_copy_media(spark)
+    # same-size channel: by design BLIND to cross-size pairs — the two
+    # 64x96 upscales pair with each other, never with the 32x48 source
+    same_size = dedup_media_visual(media, max_hamming=7).collect()
+    assert {(r["media_a"], r["media_b"]) for r in same_size} == {(1, 2)}
+    scaled = dedup_media_visual_scaled(media, max_hamming=6).collect()
+    pairs = {(r["media_a"], r["media_b"]) for r in scaled}
+    assert (0, 1) in pairs  # nearest-upscale TIFF re-encode
+    assert (0, 2) in pairs  # bilinear upscale
+    touched = {m for r in scaled for m in (r["media_a"], r["media_b"])}
+    assert 3 not in touched
+    by_pair = {(r["media_a"], r["media_b"]): r for r in scaled}
+    assert by_pair[(0, 1)]["hamming"] <= 6
+    assert by_pair[(0, 2)]["hamming"] <= 6
+
+
+def test_visual_dedup_scaled_join_is_banded(spark):
+    """The scaled channel keeps the banded equi-join shape — no
+    cartesian product, no all-pairs enumeration."""
+    import pytest
+
+    from gmft_spark.operators.multimodal import dedup_media_visual_scaled
+
+    plan = dedup_media_visual_scaled(
+        _scaled_copy_media(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        dedup_media_visual_scaled(_scaled_copy_media(spark), max_hamming=9)
+
+
 def test_media_curation_job_visual_dedup(spark, tmp_path, capsys):
     """--visual-dedup drops the two later members of the pixel-identical
     triplet (keeper 0), keeps the JPEG near-dup (near is report-only),
