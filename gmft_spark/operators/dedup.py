@@ -102,26 +102,30 @@ def _mk_shingle(tk, i):
     )
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """Per-doc MinHash signature computed entirely as array expressions —
     shingling and all N salted minima run inside whole-stage codegen on
     the scan, ZERO shuffles (the previous explode→window→distinct→groupBy
     chain cost 4 exchanges per use and was recomputed per band branch).
     min() is duplicate-insensitive, so skipping the distinct-shingle set
-    leaves every signature identical."""
-    d = _docs(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    leaves every signature identical. Frame-level core shared by the
+    gate queries and the incremental-crawl composition
+    (jobs/run_web_ingest.py --corpus-snapshot-table)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     out = (
-        d.select("doc_id", toks.alias("tk"))
+        docs.select(id_col, toks.alias("tk"))
         .filter(F.size("tk") >= SHINGLE)
         .select(
-            "doc_id",
+            id_col,
             F.transform(
                 F.sequence(F.lit(1), F.size("tk") - (SHINGLE - 1)),
                 lambda i: _mk_shingle(F.col("tk"), i),
             ).alias("sh"),
         )
     )
+
     def salted_min(k: int):
         # helper binds k OUTSIDE the lambda: a defaulted second lambda
         # parameter would receive the element INDEX (CLAUDE.md gotcha)
@@ -131,8 +135,38 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out.select(
-        "doc_id", *[salted_min(k).alias(f"mh{k}") for k in range(N_MINHASH)]
+        id_col, *[salted_min(k).alias(f"mh{k}") for k in range(N_MINHASH)]
     )
+
+
+def minhash_band_rows_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, band, bucket) rows — THE storable band index (what
+    ``dedup_incremental``'s docstring calls 'in production a bucketed
+    table keyed on (band, bucket)'). A new batch's rows equi-join a
+    landed index on (band, bucket) to find corpus near-dup matches
+    with zero corpus self-pairs and cost O(|new| * bands). Documents
+    shorter than the shingle width yield no rows (they cannot minhash
+    and are never deduped by this channel)."""
+    sig = minhash_signatures_frame(docs, id_col=id_col, text_col=text_col)
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    )
+                    for b in range(N_MINHASH // 2)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures_frame(_docs(spark, sf_dir))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,17 @@ def main(argv=None) -> int:
         action="store_true",
         help="skip normalized-URL dedup (keep every fetched variant)",
     )
+    parser.add_argument(
+        "--corpus-snapshot-table",
+        default=None,
+        metavar="TBL",
+        help="incremental crawl refresh: near-dup the batch against the "
+        "LANDED corpus's stored MinHash band index (TBL_bands — no "
+        "corpus self-pairs, cost O(|new| * bands)), then commit the "
+        "surviving pages to the TBL snapshot table exactly-once "
+        "(replayed batches are a no-op; a crash between the parquet "
+        "sink and the commit recovers on the next --resume run)",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -88,10 +99,57 @@ def main(argv=None) -> int:
             F.col("content").alias("payload"),
         )
     )
+    def _commit_corpus(tag: str) -> None:
+        """Exactly-once corpus refresh: commit every LANDED ok page whose
+        url_norm the snapshot table does not hold yet, plus its MinHash
+        band rows into the stored band index (TBL_bands). The anti-join
+        makes a replayed batch a genuine no-op (no new snapshot) and
+        recovers a crash between the parquet sink and the commit."""
+        from gmft_spark.operators.dedup import minhash_band_rows_frame
+        from gmft_spark.plans import snapshots as S
+
+        tbl = args.corpus_snapshot_table
+        bands_tbl = tbl.rstrip("/") + "_bands"
+        res_dir = os.path.join(args.output, "results")
+        if not os.path.exists(res_dir):
+            return
+        landed = spark.read.parquet(res_dir).filter(F.col("status") == "ok")
+        if S.current_snapshot_id(tbl) is not None:
+            have = S.read_table(spark, tbl).select("url_norm")
+            to_commit = landed.join(have, "url_norm", "left_anti")
+        else:
+            to_commit = landed
+        to_commit = to_commit.persist()
+        n_new = to_commit.count()
+        if n_new == 0:
+            to_commit.unpersist()
+            print(
+                f"corpus {tbl}: no-op ({tag}; every landed page already "
+                "committed)"
+            )
+            return
+        sid = S.commit_upsert(spark, to_commit, tbl, key_cols=["url_norm"])
+        bands = minhash_band_rows_frame(
+            to_commit, id_col="url_norm", text_col="main_text"
+        )
+        if bands.limit(1).count() > 0:  # sub-shingle pages have no bands
+            S.commit_upsert(
+                spark, bands, bands_tbl, key_cols=["url_norm", "band"]
+            )
+        to_commit.unpersist()
+        print(
+            f"corpus {tbl}: snapshot {sid} committed "
+            f"({n_new} new pages; {tag})"
+        )
+
     if args.resume:
         files = resume_filter(spark, files, args.output, args.buckets)
     n_files = files.count()
     if n_files == 0:
+        # crash-recovery hook: the parquet sink may have completed while
+        # the corpus commit did not — reconcile before declaring done
+        if args.corpus_snapshot_table:
+            _commit_corpus("resume recovery")
         print("nothing to do: all buckets completed")
         return 0
 
@@ -135,6 +193,41 @@ def main(argv=None) -> int:
                 "url_norm",
                 "left_anti",
             )
+    # incremental crawl refresh: before the batch lands, drop pages the
+    # corpus already holds — by exact normalized URL, and by MinHash
+    # near-dup against the STORED band index (batch rows join landed
+    # band rows on (band, bucket): no corpus self-pairs, no corpus text
+    # re-scan, cost O(|new| * bands) — dedup.minhash_band_rows_frame)
+    n_corpus_url = n_corpus_near = 0
+    if args.corpus_snapshot_table:
+        from gmft_spark.operators.dedup import minhash_band_rows_frame
+        from gmft_spark.plans import snapshots as S
+
+        tbl = args.corpus_snapshot_table
+        bands_tbl = tbl.rstrip("/") + "_bands"
+        if S.current_snapshot_id(tbl) is not None:
+            have = S.read_table(spark, tbl).select("url_norm")
+            before = ok.count()
+            ok = ok.join(have, "url_norm", "left_anti").persist()
+            n_corpus_url = before - ok.count()
+        if S.current_snapshot_id(bands_tbl) is not None:
+            corpus_index = (
+                S.read_table(spark, bands_tbl)
+                .select("band", "bucket")
+                .distinct()
+            )
+            new_bands = minhash_band_rows_frame(
+                ok, id_col="url_norm", text_col="main_text"
+            )
+            dup_ids = (
+                new_bands.join(corpus_index, ["band", "bucket"])
+                .select("url_norm")
+                .distinct()
+            )
+            n_corpus_near = dup_ids.count()
+            if n_corpus_near:
+                ok = ok.join(dup_ids, "url_norm", "left_anti")
+
     if args.max_per_domain:
         ok = cap_per_domain(ok, args.max_per_domain, rank_col="_rk")
         if landed_ok is not None:
@@ -159,6 +252,16 @@ def main(argv=None) -> int:
     ).withColumn("domain", F.lit(None).cast("string"))
     curated = ok.unionByName(errs.select(*ok.columns))
     run_id = args.run_id or f"webingest-{int(time.time())}"
+    if args.corpus_snapshot_table and curated.limit(1).count() == 0:
+        # a fully-overlapping replayed batch filters down to nothing:
+        # skip the sink (an all-empty parquet dir would poison later
+        # re-reads) but still reconcile the corpus commit
+        print(
+            f"run {run_id}: {n_files} archives in, 0 document rows out "
+            "(every page already in the corpus)"
+        )
+        _commit_corpus(f"run {run_id} (empty batch)")
+        return 0
     lineage = write_results_with_lineage(
         spark, curated, args.output, n_buckets=args.buckets, run_id=run_id
     )
@@ -168,6 +271,13 @@ def main(argv=None) -> int:
         f"run {run_id}: {n_files} archives in, {stats[0]} document rows "
         f"out ({stats[1]} ok; cumulative across resumed runs)"
     )
+    if args.corpus_snapshot_table:
+        if n_corpus_url or n_corpus_near:
+            print(
+                f"corpus refresh: skipped {n_corpus_url} already-landed "
+                f"urls, {n_corpus_near} corpus near-dups"
+            )
+        _commit_corpus(f"run {run_id}")
     return 0
 
 
