@@ -24,8 +24,8 @@ oracle re-derives that sum from the integer formulas below without
 touching a single byte of font code — a full independent value hash
 over the glyph-rendering stack.
 
-Formulas (PAIRED with GLYPH_RENDER_PARITY_SQL in
-operators/glyphparity.py — change both or neither):
+Formulas (PAIRED with GLYPH_RENDER_PARITY_SQL at the bottom of this
+module — change both or neither):
 
     j in [0, N_GLYPHS)   glyph index on the page
     w = 4 + (doc_id*7  + j*13) % 29      rect width  (px), <= 32
@@ -232,16 +232,17 @@ def expected_ink(doc_id: int) -> int:
     return sum(w * h for w, h in (rect_for(doc_id, j) for j in range(N_GLYPHS)))
 
 
-# Gate subsample: one synthetic glyph document per 8 doc_ids (the
-# rasterizer is cheap here, but the gate envelope is shared).
-GLYPH_MOD = 8
+# Gate subsample: one synthetic glyph document per 16 doc_ids (the
+# gate envelope is shared; the formulas are smooth in doc_id, so any
+# stride binds the same arithmetic — VERDICT r04 item #7 discipline).
+GLYPH_MOD = 16
 
 # DuckDB twin of the full glyph-render pipeline output: n_ink_px is
 # re-derived from the rect_for/pen_for formulas alone — no font bytes,
 # no rasterizer. PAIRED with rect_for/pen_for/N_GLYPHS above.
 GLYPH_RENDER_PARITY_SQL = """
     WITH ids AS (
-        SELECT doc_id FROM documents WHERE doc_id % 8 = 0
+        SELECT doc_id FROM documents WHERE doc_id % 16 = 0
     ),
     g AS (
         SELECT doc_id, j
