@@ -981,6 +981,13 @@ def _oracled_pipelines():
             _pipeline_glyph_parity,
             GLYPH_RENDER_PARITY_SQL,
         ),
+        # round 5: scale-invariant visual dedup — integer-duplication
+        # upscales normalize back byte-exactly through the REAL
+        # decode→tile→banded-join plan; oracle enumerates group pairs
+        "media_visual_scaled_parity": (
+            multimodal.media_visual_scaled_parity,
+            multimodal.MEDIA_VISUAL_SCALED_PARITY_SQL,
+        ),
     }
 
 
@@ -1001,6 +1008,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r04-green re-confirmations filling the remaining slots.
 _ROUND5_WINDOW = (
     # --- round-5 additions (newest first) ---
+    # scale-invariant media near-dup through the real tile-normalized
+    # banded plan (2x/4x upscale re-encodes pair with their original)
+    "media_visual_scaled_parity",
     # closed-form synthetic-CFF glyph ink through the real rasterizer
     # (upgrades the rows-only pdf_glyph_render_pipeline evidence to a
     # full value hash — VERDICT r04 item #6)
@@ -1060,13 +1070,13 @@ _ROUND5_WINDOW = (
     "sample_stratified",
     "chunk_documents",
     "text_novelty",
-    "dedup_lines_within_doc",
 )
 # Rotated out of the 50-slot window in round 5 (all driver-green r04);
 # they still register right after the window via the blocks below:
-# pack_sequences, pii_redact, mix_sources_weighted, bpe_train_merges,
-# bpe_encode_corpus, toolcall_stats, toolcall_transitions,
-# conv_context_budget, conv_reply_latency, sft_pair_assembly.
+# dedup_lines_within_doc, pack_sequences, pii_redact,
+# mix_sources_weighted, bpe_train_merges, bpe_encode_corpus,
+# toolcall_stats, toolcall_transitions, conv_context_budget,
+# conv_reply_latency, sft_pair_assembly.
 
 
 # Names pulled to the front of the module-query block: the queries whose
@@ -1081,6 +1091,7 @@ _EARLY_MODULE_QUERIES = (
     # (round 5: the webcorpus suite moved INTO _ROUND5_WINDOW; the
     # queries rotated out of the window re-register here at the front so
     # they stay adjacent to the driver-recorded block)
+    "dedup_lines_within_doc",
     "pack_sequences",
     "pii_redact",
     "mix_sources_weighted",

@@ -1515,6 +1515,102 @@ def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gate envelope: the 4x member decodes a 256x256 LZW TIFF per group,
+# so the scaled parity uses fewer groups than the same-size family.
+_VISSCALED_PARITY_N_GROUPS = 4
+
+
+def media_visual_scaled_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCALE-INVARIANT visual-dedup parity (round 5): each 64×64 pixel
+    pattern (the media_visual_dedup_parity family) is written THREE
+    ways — the base as PNG, its 2× nearest-upscale as GIF (128×128),
+    its 4× nearest-upscale as LZW TIFF (256×256) — and pushed through
+    the REAL dedup_media_visual_scaled plan (decode → luma → 64×64
+    bilinear normalization → tile sha/ahash → banded Hamming
+    equi-join). Integer-duplication upscales normalize back
+    BYTE-EXACTLY (half-pixel-center sampling of k×-duplicated rows
+    interpolates between equal values; pinned numerically in
+    tests/test_job_media_curation.py), so the tile_exact channel is a
+    pure function of the group structure and the oracle enumerates the
+    3 within-group pairs per group without running any codec or
+    resize. Only tile-exact pairs are emitted — cross-group band
+    collisions (possible at 8×8 granularity) carry tile_exact=false
+    and are filtered identically on both sides."""
+    from gmft_spark.kernel.gif import encode_gif
+    from gmft_spark.kernel.raster import encode_png
+    from gmft_spark.kernel.tiff import encode_tiff
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid in batch["id"]:
+                mid = int(mid)
+                gid, member = mid // 3, mid % 3
+                base = (
+                    (
+                        np.arange(64)[:, None] * 3
+                        + np.arange(64)[None, :] * 7
+                        + gid * 29
+                    )
+                    % 256
+                ).astype(np.uint8)
+                if member == 0:
+                    payload = encode_png(base)
+                elif member == 1:
+                    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+                    payload = encode_gif([up])
+                else:
+                    up = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
+                    payload = encode_tiff(up, "lzw")
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "modality": "image",
+                        "payload": payload,
+                        "meta": {
+                            "mime": "application/octet-stream",
+                            "width": 64 * (1, 2, 4)[member],
+                            "height": 64 * (1, 2, 4)[member],
+                            "duration_ms": 0,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    media = spark.range(3 * _VISSCALED_PARITY_N_GROUPS).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+    return (
+        dedup_media_visual_scaled(media, max_hamming=2)
+        .filter(F.col("tile_exact"))
+        .select(
+            "media_a",
+            "media_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
+MEDIA_VISUAL_SCALED_PARITY_SQL = f"""
+WITH g AS (SELECT i AS gid FROM generate_series(0, {_VISSCALED_PARITY_N_GROUPS - 1}) gg(i)),
+pairs AS (
+    SELECT gid, a.i AS a, b.i AS b
+    FROM g, generate_series(0, 2) a(i), generate_series(0, 2) b(i)
+    WHERE a.i < b.i
+)
+SELECT CAST(gid * 3 + a AS BIGINT) AS media_a,
+       CAST(gid * 3 + b AS BIGINT) AS media_b,
+       CAST(0 AS INT) AS hamming
+FROM pairs
+ORDER BY media_a, media_b
+"""
+
+
 MEDIA_VISUAL_DEDUP_PARITY_SQL = f"""
 WITH g AS (SELECT i AS gid FROM generate_series(0, {_VISDEDUP_PARITY_N_GROUPS - 1}) gg(i)),
 pairs AS (
