@@ -1016,3 +1016,105 @@ QUERIES = {
     "warc_cdx_lookup": (warc_cdx_lookup, WARC_CDX_LOOKUP_SQL),
     "archive_ingest_pipeline": (archive_ingest_pipeline, ARCHIVE_INGEST_SQL),
 }
+
+# ── incremental corpus refresh (round 5) ─────────────────────────────
+# The continuous-crawl composition shared by run_web_ingest and
+# run_web_pipeline: a snapshot table TBL holds the landed corpus and a
+# sibling table TBL_bands holds its MinHash band index
+# (dedup.minhash_band_rows_frame keyed on the url column), so each new
+# batch near-dups against the STORED index — no corpus self-pairs, no
+# corpus text re-scan, cost O(|new| * bands) — and commits survivors
+# exactly-once (anti-join before upsert: a replayed batch is a genuine
+# no-op with NO new snapshot).
+
+
+def _bands_table(table_dir: str) -> str:
+    return table_dir.rstrip("/") + "_bands"
+
+
+def corpus_seen_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_dir: str,
+    url_col: str = "url_norm",
+    text_col: str = "main_text",
+    table_url_col: "str | None" = None,
+) -> Tuple[DataFrame, int, int]:
+    """Drop rows the landed corpus already holds: exact-url anti-join
+    vs the snapshot table, then a (band, bucket) near-dup join vs the
+    stored band index. Returns (filtered, n_url_dropped,
+    n_near_dropped); a missing table passes everything through.
+    ``table_url_col`` names the table's url column when it differs
+    from the batch's (run_web_pipeline keys its corpus on conv_id)."""
+    from gmft_spark.operators.dedup import minhash_band_rows_frame
+    from gmft_spark.plans import snapshots as S
+
+    n_url = n_near = 0
+    if S.current_snapshot_id(table_dir) is not None:
+        have = S.read_table(spark, table_dir).select(
+            F.col(table_url_col or url_col).alias("_have_url")
+        )
+        before = docs.count()
+        docs = docs.join(
+            have, docs[url_col] == F.col("_have_url"), "left_anti"
+        ).persist()
+        n_url = before - docs.count()
+    bands_tbl = _bands_table(table_dir)
+    if S.current_snapshot_id(bands_tbl) is not None:
+        corpus_index = (
+            S.read_table(spark, bands_tbl)
+            .select("band", "bucket")
+            .distinct()
+        )
+        new_bands = minhash_band_rows_frame(
+            docs, id_col=url_col, text_col=text_col
+        )
+        dup_ids = (
+            new_bands.join(corpus_index, ["band", "bucket"])
+            .select(url_col)
+            .distinct()
+        )
+        n_near = dup_ids.count()
+        if n_near:
+            docs = docs.join(dup_ids, url_col, "left_anti")
+    return docs, n_url, n_near
+
+
+def corpus_refresh_commit(
+    spark: SparkSession,
+    landed_ok: DataFrame,
+    table_dir: str,
+    url_col: str = "url_norm",
+    text_col: str = "main_text",
+) -> Tuple[Optional[int], int]:
+    """Commit every landed row whose url the snapshot table does not
+    hold yet, plus its band rows into the stored index. Returns
+    (snapshot_id_or_None, n_new). The anti-join makes replays no-ops
+    and recovers a crash between the parquet sink and the commit."""
+    from gmft_spark.operators.dedup import minhash_band_rows_frame
+    from gmft_spark.plans import snapshots as S
+
+    if S.current_snapshot_id(table_dir) is not None:
+        have = S.read_table(spark, table_dir).select(
+            F.col(url_col).alias("_have_url")
+        )
+        to_commit = landed_ok.join(
+            have, landed_ok[url_col] == F.col("_have_url"), "left_anti"
+        )
+    else:
+        to_commit = landed_ok
+    to_commit = to_commit.persist()
+    n_new = to_commit.count()
+    if n_new == 0:
+        to_commit.unpersist()
+        return None, 0
+    sid = S.commit_upsert(spark, to_commit, table_dir, key_cols=[url_col])
+    bands = minhash_band_rows_frame(
+        to_commit, id_col=url_col, text_col=text_col
+    )
+    if bands.limit(1).count() > 0:  # sub-shingle pages have no bands
+        S.commit_upsert(
+            spark, bands, _bands_table(table_dir), key_cols=[url_col, "band"]
+        )
+    to_commit.unpersist()
+    return sid, n_new

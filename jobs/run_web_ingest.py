@@ -100,47 +100,30 @@ def main(argv=None) -> int:
         )
     )
     def _commit_corpus(tag: str) -> None:
-        """Exactly-once corpus refresh: commit every LANDED ok page whose
-        url_norm the snapshot table does not hold yet, plus its MinHash
-        band rows into the stored band index (TBL_bands). The anti-join
-        makes a replayed batch a genuine no-op (no new snapshot) and
-        recovers a crash between the parquet sink and the commit."""
-        from gmft_spark.operators.dedup import minhash_band_rows_frame
-        from gmft_spark.plans import snapshots as S
+        """Exactly-once corpus refresh over the landed results
+        (webcorpus.corpus_refresh_commit — anti-join before upsert, so
+        a replayed batch is a genuine no-op and a crash between the
+        parquet sink and the commit recovers here)."""
+        from gmft_spark.operators.webcorpus import corpus_refresh_commit
 
         tbl = args.corpus_snapshot_table
-        bands_tbl = tbl.rstrip("/") + "_bands"
         res_dir = os.path.join(args.output, "results")
         if not os.path.exists(res_dir):
             return
         landed = spark.read.parquet(res_dir).filter(F.col("status") == "ok")
-        if S.current_snapshot_id(tbl) is not None:
-            have = S.read_table(spark, tbl).select("url_norm")
-            to_commit = landed.join(have, "url_norm", "left_anti")
-        else:
-            to_commit = landed
-        to_commit = to_commit.persist()
-        n_new = to_commit.count()
-        if n_new == 0:
-            to_commit.unpersist()
+        sid, n_new = corpus_refresh_commit(
+            spark, landed, tbl, url_col="url_norm", text_col="main_text"
+        )
+        if sid is None:
             print(
                 f"corpus {tbl}: no-op ({tag}; every landed page already "
                 "committed)"
             )
-            return
-        sid = S.commit_upsert(spark, to_commit, tbl, key_cols=["url_norm"])
-        bands = minhash_band_rows_frame(
-            to_commit, id_col="url_norm", text_col="main_text"
-        )
-        if bands.limit(1).count() > 0:  # sub-shingle pages have no bands
-            S.commit_upsert(
-                spark, bands, bands_tbl, key_cols=["url_norm", "band"]
+        else:
+            print(
+                f"corpus {tbl}: snapshot {sid} committed "
+                f"({n_new} new pages; {tag})"
             )
-        to_commit.unpersist()
-        print(
-            f"corpus {tbl}: snapshot {sid} committed "
-            f"({n_new} new pages; {tag})"
-        )
 
     if args.resume:
         files = resume_filter(spark, files, args.output, args.buckets)
@@ -200,33 +183,15 @@ def main(argv=None) -> int:
     # re-scan, cost O(|new| * bands) — dedup.minhash_band_rows_frame)
     n_corpus_url = n_corpus_near = 0
     if args.corpus_snapshot_table:
-        from gmft_spark.operators.dedup import minhash_band_rows_frame
-        from gmft_spark.plans import snapshots as S
+        from gmft_spark.operators.webcorpus import corpus_seen_filter
 
-        tbl = args.corpus_snapshot_table
-        bands_tbl = tbl.rstrip("/") + "_bands"
-        if S.current_snapshot_id(tbl) is not None:
-            have = S.read_table(spark, tbl).select("url_norm")
-            before = ok.count()
-            ok = ok.join(have, "url_norm", "left_anti").persist()
-            n_corpus_url = before - ok.count()
-        if S.current_snapshot_id(bands_tbl) is not None:
-            corpus_index = (
-                S.read_table(spark, bands_tbl)
-                .select("band", "bucket")
-                .distinct()
-            )
-            new_bands = minhash_band_rows_frame(
-                ok, id_col="url_norm", text_col="main_text"
-            )
-            dup_ids = (
-                new_bands.join(corpus_index, ["band", "bucket"])
-                .select("url_norm")
-                .distinct()
-            )
-            n_corpus_near = dup_ids.count()
-            if n_corpus_near:
-                ok = ok.join(dup_ids, "url_norm", "left_anti")
+        ok, n_corpus_url, n_corpus_near = corpus_seen_filter(
+            spark,
+            ok,
+            args.corpus_snapshot_table,
+            url_col="url_norm",
+            text_col="main_text",
+        )
 
     if args.max_per_domain:
         ok = cap_per_domain(ok, args.max_per_domain, rank_col="_rk")

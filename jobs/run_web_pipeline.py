@@ -72,6 +72,17 @@ def main(argv=None) -> int:
         "a completed staged corpus in --workdir skips re-ingest (the "
         "cascade is deterministic over the staged corpus)",
     )
+    parser.add_argument(
+        "--corpus-snapshot-table",
+        default=None,
+        metavar="TBL",
+        help="incremental crawl refresh (the run_web_ingest composition "
+        "at cascade grain): drop staged pages the landed corpus already "
+        "holds — exact url_norm anti-join vs TBL plus MinHash near-dup "
+        "vs the stored TBL_bands index — then commit the cascade's "
+        "final survivors to TBL exactly-once (replay = no-op; crash "
+        "between the sink and the commit recovers on --resume)",
+    )
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -101,6 +112,10 @@ def main(argv=None) -> int:
     staged_dir = f"{corpus_dir}/documents.parquet"
     if args.resume:
         if os.path.exists(os.path.join(args.output, "_lineage")):
+            # crash-recovery hook: the final sink may have completed
+            # while the corpus commit did not — reconcile first
+            if args.corpus_snapshot_table:
+                _reconcile_corpus(spark, args, "resume recovery")
             print("nothing to do: final corpus already written")
             return 0
         if os.path.exists(os.path.join(staged_dir, "_SUCCESS")):
@@ -183,6 +198,38 @@ def main(argv=None) -> int:
     return _cascade(spark, args, corpus_dir, n_robots_denied)
 
 
+def _reconcile_corpus(spark, args, tag: str) -> None:
+    """Exactly-once corpus commit over the landed final results
+    (webcorpus.corpus_refresh_commit; see run_web_ingest)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gmft_spark.operators.webcorpus import corpus_refresh_commit
+
+    res_dir = os.path.join(args.output, "results")
+    if not os.path.exists(res_dir):
+        return
+    landed = spark.read.parquet(res_dir).filter(F.col("status") == "ok")
+    sid, n_new = corpus_refresh_commit(
+        spark,
+        landed,
+        args.corpus_snapshot_table,
+        url_col="conv_id",  # the cascade's lineage key IS url_norm
+        text_col="text",
+    )
+    if sid is None:
+        print(
+            f"corpus {args.corpus_snapshot_table}: no-op ({tag}; every "
+            "landed page already committed)"
+        )
+    else:
+        print(
+            f"corpus {args.corpus_snapshot_table}: snapshot {sid} "
+            f"committed ({n_new} new pages; {tag})"
+        )
+
+
 def _cascade(spark, args, corpus_dir, n_robots_denied) -> int:
     """Stages 2-6 over the staged corpus (pure function of the staged
     parquet — the resume entry point re-runs exactly this)."""
@@ -202,6 +249,43 @@ def _cascade(spark, args, corpus_dir, n_robots_denied) -> int:
     if n_ingested == 0:
         print("nothing to do: no documents survived ingest")
         return 0
+    # incremental refresh: drop pages the landed corpus already holds
+    # BEFORE the cascade scores them (exact url + stored-band-index
+    # near-dup; the staged text is pre-redaction — band rows in the
+    # table come from redacted text, identical except redacted spans)
+    if args.corpus_snapshot_table:
+        from gmft_spark.operators.webcorpus import corpus_seen_filter
+
+        filtered, n_url, n_near = corpus_seen_filter(
+            spark, base, args.corpus_snapshot_table,
+            url_col="url_norm", text_col="text",
+            table_url_col="conv_id",  # the table keys on the lineage key
+        )
+        if n_url or n_near:
+            print(
+                f"corpus refresh: skipped {n_url} already-landed urls, "
+                f"{n_near} corpus near-dups"
+            )
+            # restage so the sf-dir-shaped cascade operators see the
+            # filtered corpus (they read the staged parquet by path)
+            filtered.write.mode("overwrite").parquet(
+                f"{corpus_dir}/documents_fresh.parquet"
+            )
+            import shutil
+
+            shutil.rmtree(f"{corpus_dir}/documents.parquet")
+            shutil.move(
+                f"{corpus_dir}/documents_fresh.parquet",
+                f"{corpus_dir}/documents.parquet",
+            )
+            base = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+            n_ingested = base.count()
+            if n_ingested == 0:
+                print(
+                    "nothing to do: every staged page already in the "
+                    "corpus"
+                )
+                return 0
 
     # ── stages 2-6: the gate-verified cascade over the staged corpus ─
     langs = lang_id(spark, corpus_dir)
@@ -251,6 +335,8 @@ def _cascade(spark, args, corpus_dir, n_robots_denied) -> int:
     write_results_with_lineage(
         spark, final, args.output, n_buckets=args.buckets, run_id=run_id
     )
+    if args.corpus_snapshot_table:
+        _reconcile_corpus(spark, args, f"run {run_id}")
     robots_note = (
         f" ({n_robots_denied} robots-denied)"
         if args.respect_robots and n_robots_denied is not None

@@ -198,3 +198,67 @@ def test_web_pipeline_resume_skips_reingest_and_is_idempotent(
         == 0
     )
     assert "nothing to do: final corpus already written" in capsys.readouterr().out
+
+
+def test_web_pipeline_incremental_corpus_refresh(spark, tmp_path, capsys):
+    """--corpus-snapshot-table at cascade grain: the second crawl's
+    overlap (same url, and a changed-url near-dup of landed TEXT) never
+    reaches the cascade, only new pages commit, and a full replay is a
+    genuine no-op (same snapshot id)."""
+    from gmft_spark.plans import snapshots as S
+
+    tbl = str(tmp_path / "ctbl")
+    crawl1 = tmp_path / "c1"
+    crawl1.mkdir()
+    crawl1.joinpath("a.warc.gz").write_bytes(
+        build_warc(
+            [
+                ("https://one.example/a", _page("A", _BODY)),
+                ("https://two.example/b", _page("B", _BODY_B)),
+            ]
+        )
+    )
+    base = ["--buckets", "2", "--min-quality", "0.0",
+            "--corpus-snapshot-table", tbl]
+    assert J.main(["--input", str(crawl1),
+                   "--workdir", str(tmp_path / "w1"),
+                   "--output", str(tmp_path / "o1"),
+                   "--run-id", "p1"] + base) == 0
+    t = S.read_table(spark, tbl)
+    assert t.count() == 2
+    sid1 = S.current_snapshot_id(tbl)
+    assert S.current_snapshot_id(tbl + "_bands") is not None
+
+    # crawl 2: same url (exact skip), a NEW url carrying crawl-1 TEXT
+    # (caught only by the stored band index), and one genuinely new page
+    crawl2 = tmp_path / "c2"
+    crawl2.mkdir()
+    crawl2.joinpath("b.warc.gz").write_bytes(
+        build_warc(
+            [
+                ("https://one.example/a", _page("A", _BODY)),
+                ("https://moved.example/a2", _page("A moved", _BODY)),
+                ("https://three.example/c", _page("C", _BODY_C)),
+            ]
+        )
+    )
+    assert J.main(["--input", str(crawl2),
+                   "--workdir", str(tmp_path / "w2"),
+                   "--output", str(tmp_path / "o2"),
+                   "--run-id", "p2"] + base) == 0
+    out = capsys.readouterr().out
+    assert "skipped 1 already-landed urls, 1 corpus near-dups" in out
+    t = S.read_table(spark, tbl)
+    assert t.count() == 3
+    assert t.filter(t.conv_id.contains("three.example")).count() == 1
+    assert t.filter(t.conv_id.contains("moved.example")).count() == 0
+    assert S.current_snapshot_id(tbl) == sid1 + 1
+
+    # full replay of crawl 2: nothing new reaches the cascade
+    assert J.main(["--input", str(crawl2),
+                   "--workdir", str(tmp_path / "w3"),
+                   "--output", str(tmp_path / "o3"),
+                   "--run-id", "p2r"] + base) == 0
+    out = capsys.readouterr().out
+    assert "every staged page already in the corpus" in out
+    assert S.current_snapshot_id(tbl) == sid1 + 1
