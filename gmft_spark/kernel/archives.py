@@ -42,9 +42,17 @@ Round 5 closed the two archive seams:
   entropy is fine here: ZipCrypto is historically weak regardless
   and the writer exists as the roundtrip twin, not as protection).
 
-Still out of scope: pax/GNU tar extensions beyond the ustar prefix
-field, AES-encrypted zip (WinZip AE-x extra field 0x9901), and
-multi-disk archives (disk numbers other than 0 raise).
+Round 5 also added the pax / GNU tar extensions real corpora hit:
+the reader honors POSIX.1-2001 pax extended headers ('x' per-file and
+'g' global records — ``path`` long names and ``size`` for >= 8 GiB
+members whose octal field cannot hold the value) and GNU 'L'
+longname / 'K' longlink members; the writer emits pax records (the
+GNU tar --format=posix layout) whenever a plain ustar header cannot
+express a member, and stdlib tarfile cross-reads its output.
+
+Still out of scope: AES-encrypted zip (WinZip AE-x extra field
+0x9901), multi-disk zip archives (disk numbers other than 0 raise),
+and GNU sparse files.
 """
 
 from __future__ import annotations
@@ -66,11 +74,14 @@ def _octal(n: int, width: int) -> bytes:
     return (f"%0{width - 1}o" % n).encode("ascii") + b"\x00"
 
 
-def _tar_header(name: str, size: int) -> bytes:
+def _tar_header(
+    name: str, size: int, typeflag: bytes = b"0"
+) -> bytes:
     if size >= 8 ** 11:
         # 11 octal digits is the ustar limit; a longer string would
         # silently GROW the 512-byte header via slice assignment and
-        # corrupt every following offset
+        # corrupt every following offset. build_tar routes oversized
+        # members through a pax 'size=' record instead of here.
         raise ValueError("tar member exceeds the 8 GiB ustar size field")
     nb = name.encode("utf-8")
     if len(nb) > 100:
@@ -90,7 +101,7 @@ def _tar_header(name: str, size: int) -> bytes:
     hdr[124:136] = _octal(size, 12)
     hdr[136:148] = _octal(0, 12)  # mtime 0: deterministic
     hdr[148:156] = b" " * 8  # checksum placeholder
-    hdr[156] = ord("0")  # regular file
+    hdr[156] = typeflag[0]
     hdr[257:263] = b"ustar\x00"
     hdr[263:265] = b"00"
     hdr[345 : 345 + len(prefix)] = prefix
@@ -99,11 +110,49 @@ def _tar_header(name: str, size: int) -> bytes:
     return bytes(hdr)
 
 
+def _pax_record(key: str, value: str) -> bytes:
+    """One pax extended-header record: '<len> <key>=<value>\\n' where
+    len counts the WHOLE record including its own decimal digits
+    (fixed-point iteration handles the 9→10, 99→100 … boundaries)."""
+    body = f" {key}={value}\n".encode("utf-8")
+    total = len(body)
+    while len(str(total)) + len(body) != total:
+        total = len(str(total)) + len(body)
+    return str(total).encode("ascii") + body
+
+
+def _ustar_name_fits(name: str) -> bool:
+    nb = name.encode("utf-8")
+    if len(nb) <= 100:
+        return True
+    cut = nb.find(b"/", max(0, len(nb) - 101))
+    return not (cut <= 0 or len(nb) - cut - 1 > 100 or cut > 155)
+
+
 def build_tar(files: List[Tuple[str, bytes]], gz: bool = False) -> bytes:
-    """(name, bytes) members → ustar archive (optionally gzip-wrapped)."""
+    """(name, bytes) members → ustar archive (optionally gzip-wrapped).
+
+    Round 5: members a plain ustar header cannot express get a POSIX
+    pax extended header ('x' typeflag) carrying ``path=`` (names with
+    no usable prefix split) and/or ``size=`` (>= 8 GiB members; the
+    12-digit octal size field then holds 0 and the pax record is
+    authoritative) — the layout GNU tar --format=posix emits."""
     out = bytearray()
     for name, data in files:
-        out += _tar_header(name, len(data))
+        pax = b""
+        hdr_name, hdr_size = name, len(data)
+        if not _ustar_name_fits(name):
+            pax += _pax_record("path", name)
+            hdr_name = "pax_member"  # placeholder, the pax path wins
+        if len(data) >= 8 ** 11:
+            pax += _pax_record("size", str(len(data)))
+            hdr_size = 0
+        if pax:
+            out += _tar_header(
+                "PaxHeaders.0/" + hdr_name[:80], len(pax), b"x"
+            )
+            out += pax + b"\x00" * ((-len(pax)) % 512)
+        out += _tar_header(hdr_name, hdr_size)
         out += data
         pad = (-len(data)) % 512
         out += b"\x00" * pad
@@ -129,6 +178,11 @@ def parse_tar(data: bytes) -> List[Tuple[str, bytes]]:
     out: List[Tuple[str, bytes]] = []
     i = 0
     n = len(data)
+    # pax/GNU long-name state (round 5): overrides apply to the NEXT
+    # regular member, per POSIX.1-2001 / GNU tar semantics
+    pend_name: "str | None" = None  # GNU 'L' longname
+    pend_pax: dict = {}  # pax 'x' per-file records
+    global_pax: dict = {}  # pax 'g' defaults
     while i + 512 <= n:
         hdr = data[i : i + 512]
         if hdr == b"\x00" * 512:
@@ -148,14 +202,75 @@ def parse_tar(data: bytes) -> List[Tuple[str, bytes]]:
             name = prefix + "/" + name
         typeflag = hdr[156:157]
         i += 512
+        if typeflag in (b"0", b"\x00"):
+            # pax size= overrides the (possibly zeroed) octal field —
+            # the >= 8 GiB member path
+            sz_over = pend_pax.get("size", global_pax.get("size"))
+            if sz_over is not None:
+                try:
+                    size = int(sz_over)
+                except ValueError:
+                    raise ValueError("bad pax size record") from None
+                if size < 0:
+                    raise ValueError("bad pax size record")
         if i + size > n:
             raise ValueError("tar member outruns archive")
-        if typeflag in (b"0", b"\x00"):
-            out.append((name, data[i : i + size]))
+        body = data[i : i + size]
+        if typeflag == b"L":  # GNU longname: body names the next member
+            pend_name = body.rstrip(b"\x00").decode("utf-8", "replace")
+        elif typeflag == b"K":  # GNU longlink: next member's link target
+            pass  # links are skipped anyway
+        elif typeflag == b"x":
+            pend_pax = _parse_pax(body)
+        elif typeflag == b"g":
+            global_pax.update(_parse_pax(body))
+        elif typeflag in (b"0", b"\x00"):
+            # name precedence: per-file pax path > GNU longname >
+            # global pax path > the (possibly prefix-split) header name
+            if "path" in pend_pax:
+                eff_name = pend_pax["path"]
+            elif pend_name is not None:
+                eff_name = pend_name
+            else:
+                eff_name = global_pax.get("path", name)
+            out.append((eff_name, body))
             if len(out) > _MAX_MEMBERS:
                 raise ValueError("hostile tar member count")
+            pend_name = None
+            pend_pax = {}
+        else:
+            # directories/links: size skipped by their declared size
+            pend_name = None
+            pend_pax = {}
         i += size + ((-size) % 512)
     return out
+
+
+def _parse_pax(body: bytes) -> dict:
+    """pax extended-header records: '<len> <key>=<value>\\n', len
+    counting the whole record. ValueError on malformed framing."""
+    recs: dict = {}
+    i = 0
+    n = len(body)
+    while i < n:
+        sp = body.find(b" ", i)
+        if sp < 0:
+            if body[i:].strip(b"\x00") == b"":
+                break  # block padding
+            raise ValueError("bad pax record framing")
+        try:
+            rlen = int(body[i:sp])
+        except ValueError:
+            raise ValueError("bad pax record length") from None
+        if rlen <= sp - i or i + rlen > n or body[i + rlen - 1 : i + rlen] != b"\n":
+            raise ValueError("bad pax record length")
+        kv = body[sp + 1 : i + rlen - 1]
+        k, eq, v = kv.partition(b"=")
+        if not eq:
+            raise ValueError("bad pax record (no '=')")
+        recs[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
+        i += rlen
+    return recs
 
 
 # ── zip ─────────────────────────────────────────────────────────────

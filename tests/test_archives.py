@@ -34,8 +34,115 @@ def test_tar_long_name_prefix_split():
     name = "deeply/" * 20 + "leaf.txt"  # > 100 bytes, splittable
     files = [(name, b"x" * 700)]
     assert parse_tar(build_tar(files)) == files
+
+
+def test_tar_pax_long_name_roundtrip():
+    # a slash-free 200-char name has no ustar prefix split: round 5
+    # routes it through a pax 'x' header with a path= record (the GNU
+    # tar --format=posix layout)
+    files = [("x" * 200, b"body"), ("short.txt", b"s")]
+    data = build_tar(files)
+    assert parse_tar(data) == files
+    # independent oracle: stdlib tarfile reads the same members
+    import io
+    import tarfile
+
+    with tarfile.open(fileobj=io.BytesIO(data)) as t:
+        got = [
+            (m.name, t.extractfile(m).read())
+            for m in t.getmembers()
+            if m.isfile()
+        ]
+    assert got == files
+
+
+def test_tar_gnu_longname_header_parses():
+    # hand-built GNU 'L' member (our writer emits pax; real tarballs
+    # from gnu tar default format carry 'L')
+    from gmft_spark.kernel.archives import _tar_header
+
+    long_name = "gnu/" + "n" * 150
+    nb = long_name.encode() + b"\x00"
+    out = bytearray()
+    out += _tar_header("././@LongLink", len(nb), b"L")
+    out += nb + b"\x00" * ((-len(nb)) % 512)
+    out += _tar_header("truncated_name", 5)
+    out += b"hello" + b"\x00" * 507
+    out += b"\x00" * 1024
+    assert parse_tar(bytes(out)) == [(long_name, b"hello")]
+
+
+def test_tar_pax_size_overrides_octal_field():
+    # pax size= is authoritative when the octal field can't hold the
+    # value (the >= 8 GiB member path) — hand-built with a small body
+    # so the suite doesn't allocate gigabytes
+    from gmft_spark.kernel.archives import _pax_record, _tar_header
+
+    body = b"the real body bytes"
+    pax = _pax_record("size", str(len(body)))
+    out = bytearray()
+    out += _tar_header("PaxHeaders.0/big.bin", len(pax), b"x")
+    out += pax + b"\x00" * ((-len(pax)) % 512)
+    out += _tar_header("big.bin", 0)  # octal field zeroed
+    out += body + b"\x00" * ((-len(body)) % 512)
+    out += b"\x00" * 1024
+    assert parse_tar(bytes(out)) == [("big.bin", body)]
+    # stdlib tarfile agrees on the same bytes
+    import io
+    import tarfile
+
+    with tarfile.open(fileobj=io.BytesIO(bytes(out))) as t:
+        m = t.getmembers()[0]
+        assert (m.name, t.extractfile(m).read()) == ("big.bin", body)
+
+
+def test_tar_over_8gib_member_roundtrip():
+    # the real thing once: a member past the 11-digit octal limit
+    # travels via the writer's pax size record and comes back intact
+    big = bytes(8 * (1 << 30) + 512)  # 8 GiB + one block
+    files = [("huge.bin", big), ("tail.txt", b"after")]
+    data = build_tar(files)
+    out = parse_tar(data)
+    assert [n for n, _ in out] == ["huge.bin", "tail.txt"]
+    assert len(out[0][1]) == len(big) and out[0][1] == big
+    assert out[1][1] == b"after"
+
+
+def test_tar_reads_stdlib_pax_and_gnu_formats():
+    # real-world evidence: tarballs WRITTEN by stdlib tarfile in both
+    # PAX_FORMAT (pax 'x' path records) and GNU_FORMAT ('L' longname
+    # members) parse member-identical through our reader
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as t:
+        name = "no-slash-" + "q" * 160
+        data = b"payload from stdlib pax writer"
+        info = tarfile.TarInfo(name)
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    assert parse_tar(buf.getvalue()) == [(name, data)]
+
+    buf2 = io.BytesIO()
+    with tarfile.open(fileobj=buf2, mode="w", format=tarfile.GNU_FORMAT) as t:
+        info = tarfile.TarInfo("gnu-" + "z" * 180)
+        info.size = 4
+        t.addfile(info, io.BytesIO(b"abcd"))
+    assert parse_tar(buf2.getvalue()) == [("gnu-" + "z" * 180, b"abcd")]
+
+
+def test_tar_bad_pax_framing_raises():
+    from gmft_spark.kernel.archives import _tar_header
+
+    bad = b"999 path=x\n"  # length claims far past the body
+    out = bytearray()
+    out += _tar_header("PaxHeaders.0/x", len(bad), b"x")
+    out += bad + b"\x00" * ((-len(bad)) % 512)
+    out += _tar_header("x", 0)
+    out += b"\x00" * 1024
     with pytest.raises(ValueError):
-        build_tar([("x" * 200, b"")])  # no slash to split at
+        parse_tar(bytes(out))
 
 
 @pytest.mark.parametrize("compress", [False, True])
