@@ -1515,8 +1515,10 @@ def media_visual_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Gate envelope: the 4x member decodes a 256x256 LZW TIFF per group,
-# so the scaled parity uses fewer groups than the same-size family.
+# Gate envelope: fewer groups than the same-size family, and the 4x
+# (256x256) member rides GIF, not LZW TIFF — the TIFF encoder's
+# decoder-simulating LZW is ~10x slower per pixel (measured 0.33 s vs
+# 0.036 s per group round trip at 256x256).
 _VISSCALED_PARITY_N_GROUPS = 4
 
 
@@ -1525,8 +1527,8 @@ def media_visual_scaled_parity(
 ) -> DataFrame:
     """SCALE-INVARIANT visual-dedup parity (round 5): each 64×64 pixel
     pattern (the media_visual_dedup_parity family) is written THREE
-    ways — the base as PNG, its 2× nearest-upscale as GIF (128×128),
-    its 4× nearest-upscale as LZW TIFF (256×256) — and pushed through
+    ways — the base as PNG, its 2× nearest-upscale as LZW TIFF
+    (128×128), its 4× nearest-upscale as GIF (256×256) — and pushed through
     the REAL dedup_media_visual_scaled plan (decode → luma → 64×64
     bilinear normalization → tile sha/ahash → banded Hamming
     equi-join). Integer-duplication upscales normalize back
@@ -1560,10 +1562,10 @@ def media_visual_scaled_parity(
                     payload = encode_png(base)
                 elif member == 1:
                     up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
-                    payload = encode_gif([up])
+                    payload = encode_tiff(up, "lzw")
                 else:
                     up = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)
-                    payload = encode_tiff(up, "lzw")
+                    payload = encode_gif([up])
                 rows.append(
                     {
                         "media_id": mid,
