@@ -1103,7 +1103,11 @@ def corpus_refresh_commit(
         )
     else:
         to_commit = landed_ok
-    to_commit = to_commit.persist()
+    # a crash-then-rerun WITHOUT --resume can append the same page to
+    # the parquet sink twice; the upsert's one-row-per-key cardinality
+    # contract must still hold (the copies are identical rows, so any
+    # survivor is correct)
+    to_commit = to_commit.dropDuplicates([url_col]).persist()
     n_new = to_commit.count()
     if n_new == 0:
         to_commit.unpersist()

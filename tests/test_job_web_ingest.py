@@ -376,3 +376,44 @@ def test_incremental_crawl_refresh(spark, tmp_path):
     assert S.read_table(spark, tbl).count() == n1 + 14 + 10
     # recovered rows carry their band index too
     assert S.read_table(spark, bands_tbl).count() == 3 * (n1 + 14 + 10)
+
+
+def test_corpus_seen_filter_plans_and_dup_landing(spark, tmp_path):
+    """The refresh helpers keep their scale shapes: the band-index
+    near-dup is an equi-join (no cartesian), and corpus_refresh_commit
+    survives duplicate landed rows (crash-then-rerun WITHOUT --resume
+    appends the same page twice; the upsert's one-row-per-key contract
+    must still hold)."""
+    from pyspark.sql import Row
+
+    from gmft_spark.operators.webcorpus import (
+        corpus_refresh_commit,
+        corpus_seen_filter,
+    )
+    from gmft_spark.plans import snapshots as S
+
+    tbl = str(tmp_path / "tbl")
+    rows = [
+        Row(url_norm=f"https://s{i}.example/p", main_text=" ".join(
+            f"w{i}x{k}" for k in range(20)), status="ok")
+        for i in range(4)
+    ]
+    first = spark.createDataFrame(rows)
+    sid, n = corpus_refresh_commit(spark, first, tbl)
+    assert sid == 1 and n == 4
+    # duplicate landing: the same 4 rows twice + 1 new
+    dup = spark.createDataFrame(rows + rows + [
+        Row(url_norm="https://new.example/p", main_text=" ".join(
+            f"q{k}" for k in range(20)), status="ok")
+    ])
+    sid2, n2 = corpus_refresh_commit(spark, dup, tbl)
+    assert sid2 == 2 and n2 == 1  # only the new page commits
+    t = S.read_table(spark, tbl)
+    assert t.count() == 5
+    assert t.select("url_norm").distinct().count() == 5
+    # plan shape: the near-dup candidate join is banded, never cartesian
+    batch = spark.createDataFrame(rows[:2])
+    filtered, n_url, n_near = corpus_seen_filter(spark, batch, tbl)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert n_url == 2 and filtered.count() == 0
