@@ -50,9 +50,16 @@ longname / 'K' longlink members; the writer emits pax records (the
 GNU tar --format=posix layout) whenever a plain ustar header cannot
 express a member, and stdlib tarfile cross-reads its output.
 
-Still out of scope: AES-encrypted zip (WinZip AE-x extra field
-0x9901), multi-disk zip archives (disk numbers other than 0 raise),
-and GNU sparse files.
+* WinZip AES (AE-2, extra field 0x9901, late round 5): method-99
+  members decrypt via PBKDF2-HMAC-SHA1 → AES-CTR (the from-scratch
+  FIPS-197 cipher in sources/pdfparse/crypt.py, vectorized counter
+  keystream) with the 2-byte password verifier and the 10-byte
+  HMAC-SHA1 authenticator both enforced (authenticate-then-decrypt;
+  tampered ciphertext fails closed). The writer twin emits AE-2 at
+  strength 3 (AES-256) under ``build_zip(..., aes=True)``.
+
+Still out of scope: multi-disk zip archives (disk numbers other than
+0 raise) and GNU sparse files.
 """
 
 from __future__ import annotations
@@ -331,6 +338,46 @@ def _norm_password(password) -> bytes:
     return password.encode("utf-8") if isinstance(password, str) else password
 
 
+# ── WinZip AES (AE-2, extra field 0x9901) ────────────────────────────
+# Public spec: PBKDF2-HMAC-SHA1 (1000 iterations) over a per-member
+# salt derives enc key + auth key + a 2-byte password verifier;
+# payload = salt | verifier | AES-CTR ciphertext (little-endian block
+# counter from 1, no nonce — sources/pdfparse/crypt.aes_ctr, the
+# from-scratch FIPS-197 cipher) | first 10 bytes of HMAC-SHA1 over the
+# CIPHERTEXT. AE-2 zeroes the CRC field (the HMAC is the integrity
+# check). Strengths: 1=128-bit (8-byte salt), 3=256-bit (16-byte salt).
+
+_AES_SALT_LEN = {1: 8, 2: 12, 3: 16}
+_AES_KEY_LEN = {1: 16, 2: 24, 3: 32}
+
+
+def _aes_keys(pw: bytes, salt: bytes, strength: int):
+    import hashlib as _hl
+
+    klen = _AES_KEY_LEN[strength]
+    dk = _hl.pbkdf2_hmac("sha1", pw, salt, 1000, dklen=2 * klen + 2)
+    return dk[:klen], dk[klen : 2 * klen], dk[2 * klen :]
+
+
+def _parse_ae_extra(extra: bytes):
+    """(vendor_version, strength, actual_method) from extra 0x9901."""
+    i = 0
+    while i + 4 <= len(extra):
+        (hid, hsz) = struct.unpack_from("<HH", extra, i)
+        i += 4
+        if hid == 0x9901 and hsz >= 7:
+            (ver, vend, strength, method) = struct.unpack_from(
+                "<HHBH", extra, i
+            )
+            if vend != 0x4541:  # 'AE' little-endian
+                raise ValueError("bad AE-x vendor id")
+            if strength not in _AES_SALT_LEN:
+                raise ValueError("bad AE-x strength")
+            return ver, strength, method
+        i += hsz
+    raise ValueError("AES zip member without 0x9901 extra")
+
+
 _FFFF = 0xFFFF
 _FFFFFFFF = 0xFFFFFFFF
 
@@ -340,6 +387,7 @@ def build_zip(
     compress: bool = True,
     password: "str | bytes | None" = None,
     force_zip64: bool = False,
+    aes: bool = False,
 ) -> bytes:
     """(name, bytes) members → zip archive (DEFLATE when it pays and
     ``compress`` is set, STORED otherwise). Deterministic: zeroed
@@ -365,7 +413,26 @@ def build_zip(
         if method == 0:
             comp = data
         flags = 0
-        if pw is not None:
+        crc_out = crc
+        ae_extra = b""
+        if pw is not None and aes:
+            import hashlib as _hl
+            import hmac as _hmac
+
+            from gmft_spark.sources.pdfparse.crypt import aes_ctr
+
+            salt = _hl.md5(nb + struct.pack("<I", crc)).digest()  # 16B
+            ek, ak, pv = _aes_keys(pw, salt, 3)
+            payload = aes_ctr(ek, comp)
+            mac = _hmac.new(ak, payload, _hl.sha1).digest()[:10]
+            comp = salt + pv + payload + mac
+            ae_extra = struct.pack(
+                "<HHHHBH", 0x9901, 7, 2, 0x4541, 3, method
+            )
+            method = 99
+            crc_out = 0  # AE-2: HMAC is the integrity check
+            flags |= 1
+        elif pw is not None:
             # deterministic 11-byte encryption header (see module
             # docstring); byte 12 must be the CRC high byte (the
             # password check byte the reader verifies)
@@ -400,16 +467,18 @@ def build_zip(
             lextra = cextra = b""
             lcsize, lusize, coff = len(comp), len(data), off
             vneed = 20
+        lextra += ae_extra
+        cextra += ae_extra
         local = struct.pack(
             "<IHHHHHIIIHH",
             0x04034B50, vneed, flags, method, 0, 0,
-            crc, lcsize, lusize, len(nb), len(lextra),
+            crc_out, lcsize, lusize, len(nb), len(lextra),
         )
         out += local + nb + lextra + comp
         central += struct.pack(
             "<IHHHHHHIIIHHHHHII",
             0x02014B50, vneed, vneed, flags, method, 0, 0,
-            crc, lcsize, lusize, len(nb), len(cextra), 0, 0, 0, 0,
+            crc_out, lcsize, lusize, len(nb), len(cextra), 0, 0, 0, 0,
             coff,
         )
         central += nb + cextra
@@ -558,7 +627,34 @@ def parse_zip(
         comp = data[start : start + csize]
         if len(comp) != csize:
             raise ValueError("zip member data outruns file")
-        if flags & 1:
+        skip_crc = False
+        if method == 99:  # WinZip AE-x (flag bit 0 belongs to it)
+            if pw is None:
+                raise ValueError("password-protected zip member")
+            import hashlib as _hl
+            import hmac as _hmac
+
+            from gmft_spark.sources.pdfparse.crypt import aes_ctr
+
+            ver, strength, method = _parse_ae_extra(extra)
+            slen = _AES_SALT_LEN[strength]
+            if len(comp) < slen + 2 + 10:
+                raise ValueError("truncated AES zip member")
+            salt = comp[:slen]
+            verifier = comp[slen : slen + 2]
+            mac = comp[-10:]
+            payload = comp[slen + 2 : -10]
+            ek, ak, pv = _aes_keys(pw, salt, strength)
+            if verifier != pv:
+                raise ValueError("wrong zip password")
+            # authenticate the CIPHERTEXT before touching it
+            if not _hmac.compare_digest(
+                _hmac.new(ak, payload, _hl.sha1).digest()[:10], mac
+            ):
+                raise ValueError("zip AES authentication failed")
+            comp = aes_ctr(ek, payload)
+            skip_crc = ver == 2  # AE-2 zeroes the CRC field
+        elif flags & 1:
             if pw is None:
                 raise ValueError("password-protected zip member")
             if len(comp) < 12:
@@ -585,7 +681,7 @@ def parse_zip(
             raise ValueError(f"unsupported zip compression method {method}")
         if len(raw) != usize:
             raise ValueError("zip member size mismatch")
-        if (zlib.crc32(raw) & 0xFFFFFFFF) != crc:
+        if not skip_crc and (zlib.crc32(raw) & 0xFFFFFFFF) != crc:
             raise ValueError("zip member CRC-32 mismatch")
         out.append((name, raw))
     return out

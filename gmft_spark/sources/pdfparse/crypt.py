@@ -127,6 +127,59 @@ def _encrypt_block(block: bytes, rks: List[bytes], nr: int) -> bytes:
     return bytes(s)
 
 
+_SHIFT_ARR = np.array(_SHIFT_IDX)
+_M2 = np.array([_gmul(2, a) for a in range(256)], dtype=np.uint8)
+_M3 = np.array([_gmul(3, a) for a in range(256)], dtype=np.uint8)
+
+
+def _encrypt_blocks_ecb(
+    blocks: np.ndarray, rks: List[bytes], nr: int
+) -> np.ndarray:
+    """Vectorized forward cipher over (n, 16) uint8 blocks — every
+    block is independent (ECB/CTR shapes; CBC encryption stays serial
+    by construction). Mirrors ``_encrypt_block`` exactly; the identity
+    is pinned against it and the FIPS-197 vectors in tests."""
+    rka = [np.frombuffer(rk, dtype=np.uint8) for rk in rks]
+    s = blocks ^ rka[0]
+    for rnd in range(1, nr + 1):
+        s = _SBOX_ARR[s]
+        s = s[:, _SHIFT_ARR]
+        if rnd < nr:
+            a = s.reshape(-1, 4, 4)
+            a0, a1, a2, a3 = (
+                a[:, :, 0], a[:, :, 1], a[:, :, 2], a[:, :, 3],
+            )
+            s = np.stack(
+                [
+                    _M2[a0] ^ _M3[a1] ^ a2 ^ a3,
+                    a0 ^ _M2[a1] ^ _M3[a2] ^ a3,
+                    a0 ^ a1 ^ _M2[a2] ^ _M3[a3],
+                    _M3[a0] ^ a1 ^ a2 ^ _M2[a3],
+                ],
+                axis=2,
+            ).reshape(-1, 16)
+        s = s ^ rka[rnd]
+    return s
+
+
+def aes_ctr(key: bytes, data: bytes, counter_start: int = 1) -> bytes:
+    """AES-CTR keystream XOR (symmetric), little-endian 16-byte block
+    counter starting at ``counter_start`` — the WinZip AE-x convention
+    (no nonce). Vectorized: all counter blocks encrypt in one ECB
+    pass."""
+    if not data:
+        return b""
+    rks, nr = _expand_key(key)
+    n_blocks = (len(data) + 15) // 16
+    ctrs = np.zeros((n_blocks, 16), dtype=np.uint8)
+    idx = np.arange(counter_start, counter_start + n_blocks, dtype=np.uint64)
+    for byte in range(8):  # 64 bits of counter is plenty (2^64 blocks)
+        ctrs[:, byte] = ((idx >> (8 * byte)) & 0xFF).astype(np.uint8)
+    ks = _encrypt_blocks_ecb(ctrs, rks, nr).reshape(-1)[: len(data)]
+    buf = np.frombuffer(data, dtype=np.uint8) ^ ks
+    return buf.tobytes()
+
+
 def _decrypt_blocks_ecb(
     blocks: np.ndarray, rks: List[bytes], nr: int
 ) -> np.ndarray:

@@ -366,3 +366,52 @@ def test_zip_truncated_structures_raise_valueerror():
     struct.pack_into("<I", bad, cd_off + 42, len(good) - 2)  # lho → EOF
     with pytest.raises(ValueError):
         parse_zip(bytes(bad))
+
+
+def test_zip_aes_ae2_roundtrip_and_containment():
+    # WinZip AE-2 (method 99 + 0x9901 extra): PBKDF2 -> AES-CTR with
+    # password verifier and HMAC-SHA1 authenticator, both enforced
+    files = _files(4) + [("bin", bytes(range(256)))]
+    for compress in (False, True):
+        data = build_zip(files, compress=compress, password="s3", aes=True)
+        assert parse_zip(data, password="s3") == files
+        with pytest.raises(ValueError, match="password-protected"):
+            parse_zip(data)
+        with pytest.raises(ValueError, match="wrong zip password"):
+            parse_zip(data, password="nope")
+    # authenticate-then-decrypt: a flipped ciphertext byte fails the
+    # HMAC (never reaches inflate/CRC)
+    data = bytearray(build_zip([("x.txt", b"secret body")],
+                               password="s3", aes=True))
+    # 30-byte local header + 5 name + 11 extra + 16 salt + 2 verifier
+    data[30 + 5 + 11 + 16 + 2] ^= 0x40
+    with pytest.raises(ValueError, match="authentication"):
+        parse_zip(bytes(data), password="s3")
+    # truncated member (shorter than salt+verifier+mac) fails closed
+    short = bytearray(build_zip([("y", b"z")], password="s3", aes=True))
+    eocd = bytes(short).rfind(b"PK\x05\x06")
+    (cd_off,) = struct.unpack_from("<I", short, eocd + 16)
+    struct.pack_into("<I", short, cd_off + 20, 20)  # csize := 20 < 28
+    with pytest.raises(ValueError):
+        parse_zip(bytes(short), password="s3")
+
+
+def test_zip_aes_operator_password_plumbing(spark):
+    # the SAME zip_password parameter drives AE-2 members through the
+    # archive-ingest operator (parse_zip routes by method)
+    from gmft_spark.operators.webcorpus import extract_archive_documents
+
+    z = build_zip(
+        [("doc/readme.txt", b"aes protected corpus text")],
+        password="corp", aes=True,
+    )
+    frame = spark.createDataFrame(
+        [("a1", bytearray(z))], "aid string, payload binary"
+    )
+    ok = extract_archive_documents(
+        frame, src_col="aid", zip_password="corp"
+    ).toPandas()
+    assert list(ok["status"]) == ["ok"]
+    assert ok["main_text"][0] == "aes protected corpus text"
+    locked = extract_archive_documents(frame, src_col="aid").toPandas()
+    assert locked["status"][0] == "error: password-protected zip member"
